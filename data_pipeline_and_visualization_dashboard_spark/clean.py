@@ -1,0 +1,64 @@
+"""Cleaning chain (SURVEY §2.3 F1-F6) on the events table.
+
+Reference semantics (assignment1.ipynb:109-165 / app.py:17-52): drop rows
+with nulls in the critical subset, then three value filters, then a
+timestamp-sanity filter — with per-step removal accounting. Here the whole
+chain is ONE lazy plan (Catalyst merges and reorders the conjunction,
+pushes it into the parquet scan) and the accounting is the single-pass
+aggregate from validate.removal_accounting.
+
+Rule mapping onto the events schema:
+  nulls      : F1  — null in any critical column          (ipynb:115)
+  value_pos  : F2/F3 — value > 0                          (ipynb:124,128)
+  value_cap  : F4  — value <= VALUE_CAP (fare <= 500)     (ipynb:132)
+  ts_valid   : F5  — ts within [TS_MIN, now-ish sanity)   (ipynb:141;
+               events has one timestamp, so the column-vs-column dropoff
+               >= pickup check becomes a range-sanity check; the true
+               column-vs-column filter is exercised in queries.q4/q5 via
+               l_shipdate >= o_orderdate)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .schemas import EVENTS_CRITICAL
+from .validate import removal_accounting
+
+VALUE_CAP = 500.0
+TS_MIN = "2000-01-01"
+TS_MAX = "2100-01-01"
+
+
+def cleaning_rules(critical: list[str] | None = None) -> dict[str, Column]:
+    """Ordered reason -> KEEP-predicate map (the reference attributes each
+    removed row to the first rule that rejects it)."""
+    crit = critical or EVENTS_CRITICAL
+    not_null = None
+    for c in crit:
+        cond = F.col(c).isNotNull()
+        not_null = cond if not_null is None else (not_null & cond)
+    return {
+        "nulls": not_null,
+        "value_pos": F.col("value") > 0,
+        "value_cap": F.col("value") <= VALUE_CAP,
+        "ts_valid": (F.col("ts") >= F.lit(TS_MIN).cast("timestamp"))
+        & (F.col("ts") < F.lit(TS_MAX).cast("timestamp")),
+    }
+
+
+def clean_events(df: DataFrame) -> DataFrame:
+    """F1-F6 as one conjunction — a single filter node Catalyst pushes to
+    the scan. Equivalent to the reference's sequential eager filters."""
+    rules = cleaning_rules()
+    pred = None
+    for keep in rules.values():
+        pred = keep if pred is None else (pred & keep)
+    return df.filter(pred)
+
+
+def clean_events_with_report(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Returns (cleaned_df, 1-row accounting frame). Two jobs total when
+    both are materialized; the accounting never re-scans per rule."""
+    return clean_events(df), removal_accounting(df, cleaning_rules())

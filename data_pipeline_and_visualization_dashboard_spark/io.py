@@ -1,0 +1,132 @@
+"""Sources & sinks (SURVEY §2.1 S1-S7).
+
+The reference's I/O surface: idempotent HTTP download (app.py:7-15),
+parquet scan with column projection (ipynb:68), CSV dim scan (ipynb:239),
+parquet sink (ipynb:223), SQL view registration (ipynb:242-243),
+to-pandas export (ipynb:261-271), result cache (app.py:82).
+
+Spark-first mapping: scans are lazy `spark.read` plans; projection is a
+`.select` that Catalyst pushes into the vectorized parquet reader
+(ColumnPruning), so reading "full width then select" costs the same as
+the reference's manual `columns=` list. At 100 TB the parquet reader
+additionally prunes row groups via min/max stats once filters are pushed.
+"""
+
+from __future__ import annotations
+
+import os
+import urllib.request
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as SparkT
+
+from .schemas import TABLE_SCHEMAS
+
+
+def download_file(url: str, dest_path: str, chunk_bytes: int = 8192) -> str:
+    """S1: idempotent fetch to local disk (skip when present), streamed in
+    chunks — driver-side utility, not a Spark operator (app.py:7-15).
+    At cluster scale data lands on object storage and Spark reads it
+    directly; this exists for single-node parity with the reference.
+    """
+    if os.path.exists(dest_path):
+        return dest_path
+    os.makedirs(os.path.dirname(dest_path) or ".", exist_ok=True)
+    tmp = dest_path + ".tmp"
+    with urllib.request.urlopen(url) as resp, open(tmp, "wb") as out:
+        while True:
+            chunk = resp.read(chunk_bytes)
+            if not chunk:
+                break
+            out.write(chunk)
+    os.replace(tmp, dest_path)
+    return dest_path
+
+
+def read_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """S2: parquet scan + optional projection.
+
+    The `.select` mirrors the reference's `pl.read_parquet(columns=...)`
+    (ipynb:68); Catalyst pushes it down so the scan's ReadSchema contains
+    only the requested columns.
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = _restore_nanos_timestamps(df, name)
+    if columns:
+        df = df.select(*columns)
+    return df
+
+
+def _restore_nanos_timestamps(df: DataFrame, name: str) -> DataFrame:
+    """Parquet TIMESTAMP(NANOS) columns arrive as LongType under
+    spark.sql.legacy.parquet.nanosAsLong (Spark has no nanos timestamp).
+    Where the declared contract says timestamp but the scan produced a
+    long, truncate ns -> us (integer div, same as DuckDB's conversion)
+    and rebuild the timestamp. No-op for tables already in ms/us."""
+    contract = TABLE_SCHEMAS.get(name)
+    if contract is None:
+        return df
+    expected = {f.name: f.dataType for f in contract.fields}
+    fixes = {}
+    for f in df.schema.fields:
+        if isinstance(f.dataType, SparkT.LongType) and isinstance(
+            expected.get(f.name), (SparkT.TimestampType, SparkT.TimestampNTZType)
+        ):
+            fixes[f.name] = F.timestamp_micros(F.expr(f"`{f.name}` div 1000"))
+    return df.withColumns(fixes) if fixes else df
+
+
+def read_all_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: read_table(spark, sf_dir, name) for name in TABLE_SCHEMAS}
+
+
+def read_csv_dim(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """S3: CSV dimension scan — header row, explicit schema in prod
+    (inference only when no contract is declared), like the 265-row zone
+    lookup (ipynb:239 / app.py:102)."""
+    reader = spark.read.option("header", True)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
+                  partition_by: list[str] | None = None) -> None:
+    """S4: parquet sink (ipynb:223). `partition_by` gives on-disk
+    partition pruning for downstream readers at scale (the reference's
+    single-file write has no analogue; at 100 TB unpartitioned output is
+    not an option)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def register_views(spark: SparkSession, tables: dict[str, DataFrame]) -> None:
+    """S5: expose frames to the SQL engine — zero-copy within Spark,
+    mirroring `con.register(name, df.to_arrow())` (ipynb:242-243)."""
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+
+
+def to_pandas(df: DataFrame):
+    """S6: Arrow-accelerated handoff of (small, pre-aggregated) results
+    to the plotting layer (ipynb:261-271 `.fetchdf()`)."""
+    return df.toPandas()
+
+
+def cache_materialized(df: DataFrame) -> DataFrame:
+    """S7: result cache — the `@st.cache_data` analogue (app.py:82).
+    Materializes eagerly via count() so the first dashboard interaction
+    doesn't pay the load."""
+    df = df.cache()
+    df.count()
+    return df

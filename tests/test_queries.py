@@ -1,0 +1,71 @@
+"""Differential tests: every Spark query vs its DuckDB oracle at sf0.01.
+
+This mirrors the driver's t2 harness (row count + column names +
+order-insensitive value comparison) so breakage shows up locally before
+a round submission. The reference itself was "tested" by DuckDB being
+the engine (SURVEY §5) — DuckDB is the natural oracle.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_CORRECT
+
+
+def _normalize(rows, columns):
+    out = []
+    for row in rows:
+        vals = []
+        for c in columns:
+            v = row[c]
+            if isinstance(v, float):
+                v = round(v, 6)
+                if math.isnan(v):
+                    v = "NaN"
+            vals.append((c, str(v)))
+        out.append(tuple(sorted(vals)))
+    return sorted(out)
+
+
+def _compare(spark, duck, name):
+    qfn = entrymod.queries()[name]
+    sql = entrymod.oracle_sql()[name]
+    sdf = qfn(spark, SF_CORRECT)
+    spark_cols = sdf.columns
+    spark_rows = [r.asDict() for r in sdf.collect()]
+    ddf = duck.execute(sql).fetchdf()
+    duck_cols = list(ddf.columns)
+    duck_rows = ddf.to_dict("records")
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    )
+    sn = _normalize(spark_rows, sorted(spark_cols))
+    dn = _normalize(duck_rows, sorted(spark_cols))
+    assert sn == dn, f"{name}: value mismatch\nspark={sn[:3]}\nduck={dn[:3]}"
+
+
+ORACLE_BACKED = sorted(entrymod.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", ORACLE_BACKED)
+def test_query_matches_oracle(spark, duck, name):
+    _compare(spark, duck, name)
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns == ["n_name", "order_cnt"]
+
+
+def test_all_queries_have_callables(spark):
+    qs = entrymod.queries()
+    assert set(entrymod.oracle_sql()) <= set(qs)
