@@ -15,7 +15,16 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from data_pipeline_and_visualization_dashboard_spark import charts as _charts
 from data_pipeline_and_visualization_dashboard_spark import queries as _q
+from data_pipeline_and_visualization_dashboard_spark.extras import dedup as _dedup
+from data_pipeline_and_visualization_dashboard_spark.extras import (
+    multimodal as _mm,
+)
+from data_pipeline_and_visualization_dashboard_spark.extras import (
+    similarity as _sim,
+)
+from data_pipeline_and_visualization_dashboard_spark.extras import text as _text
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -28,6 +37,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     registry: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     registry.update(_q.QUERIES)
+    registry.update(_charts.QUERIES)
+    registry.update(_dedup.QUERIES)
+    registry.update(_text.QUERIES)
+    registry.update(_sim.QUERIES)
+    registry.update(_mm.QUERIES)
     return registry
 
 
@@ -36,4 +50,9 @@ def oracle_sql() -> dict[str, str]:
     non-SQL-expressible ops → driver records a rows-only check)."""
     oracles: dict[str, str] = {}
     oracles.update(_q.ORACLE_SQL)
+    oracles.update(_charts.ORACLE_SQL)
+    oracles.update(_dedup.ORACLE_SQL)
+    oracles.update(_text.ORACLE_SQL)
+    oracles.update(_sim.ORACLE_SQL)
+    oracles.update(_mm.ORACLE_SQL)
     return oracles

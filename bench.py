@@ -1,0 +1,65 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+
+  {"metric": "total_query_sec", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query is materialized via a count-style action (collect on the
+small result frames — every headline query returns a bounded frame).
+Session startup is excluded; a warmup query primes the JVM/codegen so
+per-query numbers reflect steady-state execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+
+import __spark_entry__ as entrymod
+from data_pipeline_and_visualization_dashboard_spark.session import get_spark
+
+HEADLINE = [
+    "q1_top_nations",
+    "q5_trade_routes",
+    "q6_pricing_summary",
+    "q12_derived_events",
+    "q13_windowed_counts",
+    "q14_clean_accounting",
+    "dedup_minhash_pairs",
+    "text_stats",
+    "sim_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark(app_name="bench")
+
+    registry = entrymod.queries()
+    # warmup: prime JVM, codegen and the parquet footer cache
+    registry["q1_top_nations"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        n = len(registry[name](spark, sf_dir).collect())
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", flush=True)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "total_query_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -60,7 +60,10 @@ def derive_event_columns(df: DataFrame) -> DataFrame:
         {
             "event_hour": F.hour("ts").cast("int"),
             "event_dow": F.date_format("ts", "EEEE"),
-            "props_k": F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("int"),
+            # nullif guards the no-match '' (ANSI cast of '' throws)
+            "props_k": F.nullif(
+                F.regexp_extract("props", r'"k":\s*(\d+)', 1), F.lit("")
+            ).cast("int"),
             "event_type_label": label_map_expr("event_type", EVENT_TYPE_LABELS),
         }
     )

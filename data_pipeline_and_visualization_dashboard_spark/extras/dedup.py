@@ -1,0 +1,374 @@
+"""Deduplication operators over the documents table.
+
+Three tiers, each a standard large-corpus dedup stage:
+
+  exact        — hash-groupBy on md5(text): one shuffle on the hash key,
+                 arbitrarily scalable (the reference has no dedup; this
+                 is north-star surface, BASELINE.json:6)
+  near (MinHash+LSH) — word-shingle MinHash signatures, banded LSH
+                 self-join to generate candidate pairs WITHOUT the n²
+                 cross product, then exact n-gram Jaccard verification
+                 on the (tiny) candidate set
+  all-pairs Jaccard — the brute-force n² oracle path, used for
+                 differential testing and for small corpora
+
+Scale analysis (the part that matters at 100 TB):
+  * signatures are computed row-local (no shuffle), via built-in
+    higher-order functions — no Python boundary;
+  * the LSH self-join shuffles only (band_idx, band_hash) keys; hot
+    buckets (boilerplate documents) are the skew risk — AQE skew-join
+    handles moderate skew, and a bucket-size cap (filter on count over
+    bucket) is the standard guard, applied here;
+  * candidate verification joins shingle sets only for candidate pairs
+    (|candidates| << n²).
+
+Every stage is differential-tested: the hash family is md5-derived
+(extras.hashing) so DuckDB computes bit-identical signatures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import read_table
+from .hashing import (
+    BANDS,
+    NUM_HASHES,
+    ROWS_PER_BAND,
+    duck_base_hash,
+    minhash_term,
+    spark_base_hash,
+)
+
+# Cap on LSH bucket size: buckets larger than this are near-certainly
+# boilerplate/degenerate text; expanding them quadratically is the
+# classic LSH blow-up. Pairs inside dropped buckets are still found by
+# their OTHER bands unless the text is pathologically common.
+MAX_BUCKET = 50
+
+
+# ----------------------------------------------------------------------
+# exact dedup
+# ----------------------------------------------------------------------
+
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate groups by content hash: (text_hash, keeper_doc_id,
+    n_copies). Single hash-shuffle; at 100 TB hash first (16 bytes)
+    instead of shuffling full text."""
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    return (
+        docs.groupBy(F.md5("text").alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .orderBy("keeper_doc_id")
+    )
+
+
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduplicated corpus: first doc_id per distinct text survives.
+    row_number over a (text-hash)-partitioned window — partitions by
+    content, so no global sort."""
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+# ----------------------------------------------------------------------
+# MinHash + LSH near-dup
+# ----------------------------------------------------------------------
+
+# Engine-neutral SQL fragments (same formula text feeds Spark F.expr and
+# the DuckDB oracle — only tokenize/slice/min spellings differ).
+
+_SPARK_TOKENS = "split(lower(trim(text)), '\\\\s+')"
+_DUCK_TOKENS = r"string_split_regex(lower(trim(text)), '\s+')"
+
+# 3-word shingles; short docs (<3 tokens) fall back to one whole-text
+# shingle so every doc has a signature. Spark side operates on a bound
+# `tokens` column (see shingle_sets) so the lambda references a cheap
+# attribute, not a re-evaluated split().
+_SPARK_SHINGLES_FROM_TOKENS = """
+CASE WHEN size(tokens) >= 3 THEN
+  transform(sequence(1, size(tokens) - 2),
+            i -> array_join(slice(tokens, i, 3), ' '))
+ELSE array(array_join(tokens, ' ')) END
+"""
+_DUCK_SHINGLES = f"""
+CASE WHEN len({_DUCK_TOKENS}) >= 3 THEN
+  list_transform(range(1, len({_DUCK_TOKENS}) - 1),
+                 i -> array_to_string(list_slice({_DUCK_TOKENS}, i, i + 2), ' '))
+ELSE [array_to_string({_DUCK_TOKENS}, ' ')] END
+"""
+
+
+def _duck_sig_exprs() -> list[str]:
+    return [
+        f"list_aggregate(list_transform(shingles,"
+        f" s -> {minhash_term(j, duck_base_hash('s'))}), 'min') AS sig_{j}"
+        for j in range(NUM_HASHES)
+    ]
+
+
+def _band_hash_exprs() -> list[str]:
+    """Band hash = md5 of the concatenated row signatures (engine-neutral
+    given sig_* columns exist)."""
+    out = []
+    for b in range(BANDS):
+        sigs = ", ".join(
+            f"sig_{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+        )
+        out.append(f"md5(concat_ws(',', {sigs})) AS band_{b}")
+    return out
+
+
+def shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingles) with tokens bound as their own projection —
+    multi-referenced columns stop CollapseProject from inlining the
+    split() into every downstream lambda (which would re-tokenize per
+    shingle index: the difference between O(tokens) and O(tokens²)
+    per doc)."""
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    toks = docs.selectExpr("doc_id", f"{_SPARK_TOKENS} AS tokens")
+    return toks.selectExpr("doc_id", f"({_SPARK_SHINGLES_FROM_TOKENS}) AS shingles")
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc MinHash signature + band hashes.
+
+    Idiomatic Spark shape: explode shingles -> ONE md5 per shingle row
+    -> 12 cheap modular hashes folded by min() in a single grouped
+    aggregation (partial min map-side, so the shuffle carries 12 longs
+    per doc per partition — not the shingles). An expression-only
+    variant (array_min over 12 transforms) type-checks but re-evaluates
+    the tokenizer inside every lambda: 50× slower at sf0.1."""
+    shingled = shingle_sets(spark, sf_dir)
+    hashed = shingled.select(
+        "doc_id", F.explode("shingles").alias("s")
+    ).selectExpr("doc_id", f"{spark_base_hash('s')} AS h")
+    sigs = hashed.groupBy("doc_id").agg(
+        *[
+            F.min(F.expr(minhash_term(j, "h"))).alias(f"sig_{j}")
+            for j in range(NUM_HASHES)
+        ]
+    )
+    return (
+        sigs.selectExpr(
+            "doc_id",
+            *[f"sig_{j}" for j in range(NUM_HASHES)],
+            *_band_hash_exprs(),
+        )
+        .join(shingled, "doc_id")
+    )
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-facing projection of the signatures (shingles dropped —
+    arrays hash awkwardly; the sig columns pin the whole computation)."""
+    return minhash_signatures(spark, sf_dir).select(
+        "doc_id", *[f"sig_{j}" for j in range(NUM_HASHES)]
+    ).orderBy("doc_id")
+
+
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs + verification.
+
+    signatures -> explode band hashes -> self-join per (band, hash)
+    bucket (with MAX_BUCKET skew guard) -> distinct pairs -> estimated
+    Jaccard (signature agreement) and exact shingle-set Jaccard.
+    """
+    sigs = minhash_signatures(spark, sf_dir).cache()
+    band_cols = ", ".join(f"{b}, band_{b}" for b in range(BANDS))
+    buckets = sigs.selectExpr(
+        "doc_id", f"stack({BANDS}, {band_cols}) AS (band_idx, band_hash)"
+    )
+    sizes = buckets.groupBy("band_idx", "band_hash").agg(
+        F.count(F.lit(1)).alias("bucket_n")
+    )
+    buckets = buckets.join(
+        sizes.filter(F.col("bucket_n") <= MAX_BUCKET), ["band_idx", "band_hash"]
+    )
+    a = buckets.select(
+        F.col("band_idx"), F.col("band_hash"), F.col("doc_id").alias("doc_id_a")
+    )
+    b = buckets.select(
+        F.col("band_idx"), F.col("band_hash"), F.col("doc_id").alias("doc_id_b")
+    )
+    pairs = (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b")
+        .distinct()
+    )
+    sig_arr = F.array(*[F.col(f"sig_{j}") for j in range(NUM_HASHES)])
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_id_a"),
+        sig_arr.alias("sig_a"),
+        F.array_distinct("shingles").alias("sh_a"),
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_id_b"),
+        sig_arr.alias("sig_b"),
+        F.array_distinct("shingles").alias("sh_b"),
+    )
+    agree = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        pairs.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            (agree.cast("double") / F.lit(float(NUM_HASHES))).alias("est_jaccard"),
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .orderBy("doc_id_a", "doc_id_b")
+    )
+
+
+def ngram_jaccard_topk(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """Brute-force all-pairs shingle Jaccard, top-k most similar pairs.
+
+    THIS IS THE ORACLE/SMALL-CORPUS PATH: O(n²) pairs — correct at any
+    n but only feasible when n is modest (here 500 docs = 125k pairs).
+    At 100 TB the LSH path above replaces it; this operator exists to
+    verify LSH recall and to serve small ad-hoc corpora."""
+    sh = shingle_sets(spark, sf_dir).select(
+        "doc_id", F.array_distinct("shingles").alias("sh")
+    )
+    a = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        a.join(b, F.col("doc_id_a") < F.col("doc_id_b"))
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "doc_id_a", "doc_id_b")
+        .limit(k)
+    )
+
+
+# ----------------------------------------------------------------------
+# oracles
+# ----------------------------------------------------------------------
+
+def _duck_signatures_cte() -> str:
+    sig_exprs = ",\n               ".join(_duck_sig_exprs())
+    return f"""
+        WITH shingled AS (
+            SELECT doc_id, ({_DUCK_SHINGLES}) AS shingles FROM documents
+        ), sigs AS (
+            SELECT doc_id, shingles,
+               {sig_exprs}
+            FROM shingled
+        )
+    """
+
+
+def _duck_pairs_sql() -> str:
+    band_hashes = ",\n                   ".join(_band_hash_exprs())
+    band_union = "\n            UNION ALL\n".join(
+        f"            SELECT doc_id, {b} AS band_idx, band_{b} AS band_hash"
+        " FROM banded"
+        for b in range(BANDS)
+    )
+    sig_list = ", ".join(f"sig_{j}" for j in range(NUM_HASHES))
+    agree_sum = " + ".join(
+        f"CASE WHEN a.sig_{j} = b.sig_{j} THEN 1 ELSE 0 END"
+        for j in range(NUM_HASHES)
+    )
+    return f"""
+        {_duck_signatures_cte()}, banded AS (
+            SELECT doc_id, {sig_list},
+                   {band_hashes}
+            FROM sigs
+        ), buckets_all AS (
+{band_union}
+        ), sized AS (
+            SELECT band_idx, band_hash FROM buckets_all
+            GROUP BY 1, 2 HAVING count(*) <= {MAX_BUCKET}
+        ), buckets AS (
+            SELECT b.* FROM buckets_all b JOIN sized s
+            USING (band_idx, band_hash)
+        ), pairs AS (
+            SELECT DISTINCT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b
+            FROM buckets x JOIN buckets y
+              ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+            WHERE x.doc_id < y.doc_id
+        )
+        SELECT p.doc_id_a, p.doc_id_b,
+               CAST(({agree_sum}) AS DOUBLE) / {NUM_HASHES}.0 AS est_jaccard,
+               CAST(len(list_intersect(list_distinct(sha.shingles),
+                                       list_distinct(shb.shingles))) AS DOUBLE)
+               / CAST(len(list_distinct(sha.shingles))
+                      + len(list_distinct(shb.shingles))
+                      - len(list_intersect(list_distinct(sha.shingles),
+                                           list_distinct(shb.shingles)))
+                      AS DOUBLE) AS jaccard
+        FROM pairs p
+        JOIN sigs a ON a.doc_id = p.doc_id_a
+        JOIN sigs b ON b.doc_id = p.doc_id_b
+        JOIN shingled sha ON sha.doc_id = p.doc_id_a
+        JOIN shingled shb ON shb.doc_id = p.doc_id_b
+        ORDER BY p.doc_id_a, p.doc_id_b
+    """
+
+
+ORACLE_SQL: dict[str, str] = {
+    "dedup_exact_groups": """
+        SELECT md5(text) AS text_hash,
+               min(doc_id) AS keeper_doc_id,
+               count(*) AS n_copies
+        FROM documents GROUP BY 1 ORDER BY keeper_doc_id
+    """,
+    "dedup_exact_docs": """
+        SELECT doc_id, n_chars FROM (
+            SELECT doc_id, n_chars,
+                   row_number() OVER (PARTITION BY md5(text)
+                                      ORDER BY doc_id) AS rn
+            FROM documents) t
+        WHERE rn = 1 ORDER BY doc_id
+    """,
+    "dedup_minhash_signatures": (
+        _duck_signatures_cte()
+        + f"SELECT doc_id, {', '.join(f'sig_{j}' for j in range(NUM_HASHES))} "
+        "FROM sigs ORDER BY doc_id"
+    ),
+    "dedup_minhash_pairs": _duck_pairs_sql(),
+    "dedup_ngram_jaccard_topk": f"""
+        WITH sh AS (
+            SELECT doc_id, list_distinct({_DUCK_SHINGLES}) AS sh FROM documents
+        )
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / CAST(len(a.sh) + len(b.sh)
+                      - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        ORDER BY jaccard DESC, doc_id_a, doc_id_b
+        LIMIT 20
+    """,
+}
+
+QUERIES = {
+    "dedup_exact_groups": dedup_exact_groups,
+    "dedup_exact_docs": dedup_exact_docs,
+    "dedup_minhash_signatures": q_minhash_signatures,
+    "dedup_minhash_pairs": dedup_minhash_pairs,
+    "dedup_ngram_jaccard_topk": ngram_jaccard_topk,
+}

@@ -1,0 +1,116 @@
+"""Multimodal column plumbing (north-star surface).
+
+Treats media as opaque `binary` columns + typed metadata structs, the
+standard lakehouse layout for image/audio/video at scale: the bytes ride
+parquet; decode/feature-extraction runs as Arrow-batched Pandas
+functions (mapInPandas) so the Python boundary is paid per-BATCH, not
+per-row, and each partition streams through without materializing.
+
+The container ships no image/audio codecs, so the decode step is a
+clearly marked STUB (deterministic fake derived from the bytes) behind
+`decode_fn` — the Spark-side contract (schema, batch iteration,
+partitioning, output shape) is real and tested; swapping in a real
+decoder (PIL/libav) changes only the inner function.
+
+The driver testdata has no binary table; `attach_fake_media` manufactures
+a binary column from documents.text (utf-8 bytes) purely to exercise the
+plumbing end-to-end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import read_table
+
+MEDIA_SCHEMA = (
+    "doc_id long, media_type string, n_bytes long, "
+    "checksum string, width int, height int, feat array<double>"
+)
+
+N_FEATURES = 8
+
+
+def attach_fake_media(docs: DataFrame) -> DataFrame:
+    """Manufacture an opaque binary column + metadata from text bytes —
+    stand-in for parquet-resident media at 100 TB (where this column is
+    simply read, never synthesized)."""
+    return docs.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("media_bytes"),
+        F.lit("image/fake").alias("media_type"),
+    )
+
+
+def _stub_decode(raw: bytes) -> tuple[int, int, list[float]]:
+    """STUB decoder: deterministic pseudo-features from the byte content.
+    A real deployment replaces this with PIL/av decode + model features;
+    everything outside this function is production-shaped."""
+    digest = hashlib.sha256(raw).digest()
+    width = 1 + digest[0]  # fake dimensions, deterministic
+    height = 1 + digest[1]
+    feat = [b / 255.0 for b in digest[2 : 2 + N_FEATURES]]
+    return width, height, feat
+
+
+def extract_media_features(
+    media: DataFrame,
+    decode_fn: Callable[[bytes], tuple[int, int, list[float]]] = _stub_decode,
+) -> DataFrame:
+    """Arrow-batched feature extraction over binary media columns.
+
+    mapInPandas: per-partition iterator of record batches — constant
+    memory per task, no per-row serialization. At scale, partition count
+    (not batch size) controls parallelism; repartition upstream if media
+    files skew large."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [decode_fn(raw) for raw in pdf["media_bytes"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "media_type": pdf["media_type"].values,
+                    "n_bytes": [len(r) for r in pdf["media_bytes"]],
+                    "checksum": [
+                        hashlib.sha256(r).hexdigest() for r in pdf["media_bytes"]
+                    ],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "feat": [d[2] for d in decoded],
+                }
+            )
+
+    return media.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """queries() entry: fake-media plumbing end-to-end. sha256/metadata
+    are deterministic, so this is oracle-checkable on the metadata
+    columns (bytes = utf-8 of text in both engines)."""
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    out = extract_media_features(attach_fake_media(docs))
+    return out.select(
+        "doc_id", "media_type", "n_bytes", "checksum"
+    ).orderBy("doc_id")
+
+
+ORACLE_SQL: dict[str, str] = {
+    "media_features": """
+        SELECT doc_id,
+               'image/fake' AS media_type,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               sha256(text) AS checksum
+        FROM documents ORDER BY doc_id
+    """,
+}
+
+QUERIES = {
+    "media_features": media_features,
+}

@@ -1,0 +1,216 @@
+"""Similarity search over the embeddings table (array<float>, 64-dim).
+
+Two paths, per the standard ANN playbook:
+
+  brute-force cosine top-k — exact; O(|Q|·n) dot products. The
+      verification baseline and the right answer when |Q| is small
+      (the query side broadcasts; the corpus streams through one scan,
+      fully parallel, no shuffle of the corpus).
+  LSH-bucketed (random hyperplane / SimHash for vectors) — the scale
+      path: corpus is bucketed by sign-pattern once (row-local), then
+      queries probe only their bucket. Sub-linear candidates at the
+      cost of recall; multiprobe (flipping low-margin bits) is the
+      standard recall knob, noted but not enabled by default.
+
+Dot products use built-in higher-order functions (zip_with + aggregate)
+— JVM-side, no Python. A Pandas-UDF/numpy variant exists for
+wide-vector workloads (matrix multiply beats per-row folds when dim is
+large); benchmarked in bench.py, selectable via `impl=`.
+
+Cosine values: Spark folds left-to-right; DuckDB's list_dot_product may
+sum in another order — results differ at ~1 ulp, so ranking uses
+ROUNDED similarity (6 dp) with a doc-id tie-break, making the top-k
+set identical in both engines (SURVEY §7.4 #7/#10).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import read_table
+
+N_QUERIES = 5
+TOP_K = 10
+N_PLANES = 8
+_PLANE_SEED = 42
+
+
+def _dot(a, b) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _with_norm(df: DataFrame, prefix: str) -> DataFrame:
+    e = F.col("embedding").cast("array<double>")
+    return df.select(
+        F.col("vec_id").alias(f"{prefix}_id"),
+        e.alias(f"{prefix}_e"),
+        F.sqrt(_dot(e, e)).alias(f"{prefix}_norm"),
+    )
+
+
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force: queries (vec_id < N_QUERIES) broadcast against
+    the corpus; per-query top-k via rank window partitioned by query.
+
+    Scale: the corpus side never shuffles — one scan, row-local dot
+    products, then a per-query top-k (tiny). 100×ing the corpus scales
+    linearly across executors."""
+    emb = read_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = _with_norm(emb.filter(F.col("vec_id") < N_QUERIES), "q")
+    c = _with_norm(emb, "c")
+    sim = F.round(
+        _dot(F.col("q_e"), F.col("c_e")) / (F.col("q_norm") * F.col("c_norm")), 6
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        F.broadcast(q)
+        .join(c, F.col("q_id") != F.col("c_id"))
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            sim.alias("sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+def _hyperplanes(dim: int = 64):
+    """Deterministic pseudo-random hyperplanes (seeded numpy), baked into
+    the plan as literals — every executor sees identical planes without
+    a broadcast variable."""
+    import numpy as np
+
+    rng = np.random.default_rng(_PLANE_SEED)
+    return rng.standard_normal((N_PLANES, dim))
+
+
+def _bucket_expr(e: Column, planes) -> Column:
+    bits = [
+        F.when(
+            _dot(e, F.array(*[F.lit(float(v)) for v in plane])) >= 0, 1 << i
+        ).otherwise(0)
+        for i, plane in enumerate(planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-hyperplane buckets: corpus bucketed row-locally,
+    equi-join queries to their bucket, exact cosine within. Candidates
+    drop ~2^N_PLANES-fold; recall is P(no bit differs | similar) —
+    tune N_PLANES / add multiprobe for the recall target. No oracle:
+    approximate by design (driver records rows-only)."""
+    emb = read_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"])
+    planes = _hyperplanes()
+    q = _with_norm(emb.filter(F.col("vec_id") < N_QUERIES), "q").withColumn(
+        "bucket", _bucket_expr(F.col("q_e"), planes)
+    )
+    c = _with_norm(emb, "c").withColumn(
+        "bucket", _bucket_expr(F.col("c_e"), planes)
+    )
+    sim = F.round(
+        _dot(F.col("q_e"), F.col("c_e")) / (F.col("q_norm") * F.col("c_norm")), 6
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        F.broadcast(q)
+        .join(c, "bucket")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            sim.alias("sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+def cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """numpy/Arrow variant of brute-force cosine: per-partition matrix
+    multiply via mapInPandas. Same output contract as cosine_topk;
+    wins when dim or |Q| is large (BLAS beats per-row folds). The
+    driver-side collect of the query block is |Q|×dim — tiny."""
+    import numpy as np
+
+    emb = read_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrows = emb.filter(F.col("vec_id") < N_QUERIES).collect()
+    q_ids = np.array([r.vec_id for r in qrows])
+    q_mat = np.array([r.embedding for r in qrows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    def part(batches):
+        for pdf in batches:
+            c_mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            norms = np.linalg.norm(c_mat, axis=1, keepdims=True)
+            sims = (c_mat / norms) @ q_mat.T  # (n_corpus, n_q)
+            out = pd.DataFrame(
+                {
+                    "query_id": np.repeat(q_ids, len(pdf)),
+                    "neighbor_id": np.tile(pdf["vec_id"].values, len(q_ids)),
+                    "sim": np.round(sims.T.ravel(), 6),
+                }
+            )
+            yield out[out.query_id != out.neighbor_id]
+
+    cand = emb.mapInPandas(
+        part, schema="query_id long, neighbor_id long, sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+_DUCK_COSINE_BASE = f"""
+    WITH q AS (
+        SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ), c AS (
+        SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings
+    ), sims AS (
+        SELECT q.q_id AS query_id, c.c_id AS neighbor_id,
+               round(list_dot_product(q.e, c.e)
+                     / (sqrt(list_dot_product(q.e, q.e))
+                        * sqrt(list_dot_product(c.e, c.e))), 6) AS sim
+        FROM q, c WHERE q.q_id <> c.c_id
+    )
+    SELECT query_id, neighbor_id, sim,
+           CAST(rn AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id) AS rn
+          FROM sims) t
+    WHERE rn <= {TOP_K}
+    ORDER BY query_id, rank
+"""
+
+ORACLE_SQL: dict[str, str] = {
+    "sim_cosine_topk": _DUCK_COSINE_BASE,
+    "sim_cosine_topk_pandas": _DUCK_COSINE_BASE,
+}
+
+QUERIES = {
+    "sim_cosine_topk": cosine_topk,
+    "sim_cosine_topk_pandas": cosine_topk_pandas,
+    "sim_lsh_topk": lsh_topk,
+}

@@ -1,0 +1,173 @@
+"""Text-analysis operators over the documents table (north-star surface:
+language-ID heuristic, quality scoring, token counting, fingerprinting).
+
+All pure built-in expressions (regexp/replace/length/higher-order array
+functions) — row-local, no shuffle, no Python UDFs: at 100 TB these run
+inside whole-stage codegen at scan speed. Derived doubles are left
+UNROUNDED: both engines execute the identical IEEE expression tree on
+identical inputs, so values match bit-for-bit (rounding functions, by
+contrast, disagree on near-halfway cases).
+
+Oracle portability notes:
+  * Spark regexp_replace replaces all matches; DuckDB needs the 'g' flag.
+  * occurrence counting uses the replace-and-measure idiom
+    (len - len(replace(...))) / len(needle) — identical non-overlapping
+    left-to-right semantics in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import read_table
+from .hashing import P_FP, duck_base_hash, spark_base_hash
+
+# language -> marker stopwords for the n-gram-free heuristic language ID.
+# (A real pipeline uses fastText/CLD3; the heuristic is the engine
+# operator — counting marker hits at scan speed.)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of"],
+    "de": ["der", "die", "und", "nicht"],
+    "fr": ["le", "la", "et", "les"],
+}
+
+
+def _occurrences(padded: str, word: str) -> str:
+    """Engine-neutral count of ' word ' occurrences in a space-padded
+    lowercase string expression."""
+    needle = f" {word} "
+    return (
+        f"((length({padded}) - length(replace({padded}, '{needle}', ' ')))"
+        f" div {len(needle) - 1})"
+    )
+
+
+def _duck_occurrences(padded: str, word: str) -> str:
+    needle = f" {word} "
+    return (
+        f"((length({padded}) - length(replace({padded}, '{needle}', ' ')))"
+        f" // {len(needle) - 1})"
+    )
+
+
+_PADDED = "concat(' ', lower(text), ' ')"
+
+
+def _lang_score_exprs(dialect: str) -> list[str]:
+    occ = _occurrences if dialect == "spark" else _duck_occurrences
+    return [
+        "(" + " + ".join(occ(_PADDED, w) for w in words) + f") AS hits_{lang}"
+        for lang, words in LANG_MARKERS.items()
+    ]
+
+
+_PRED_CASE = """
+CASE WHEN hits_en >= hits_de AND hits_en >= hits_fr AND hits_en > 0 THEN 'en'
+     WHEN hits_de >= hits_fr AND hits_de > 0 THEN 'de'
+     WHEN hits_fr > 0 THEN 'fr'
+     ELSE 'unknown' END
+"""
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality features: token count, character-class ratios,
+    composite quality score — the standard pre-training quality filter
+    inputs (length/punct/stopword heuristics)."""
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    return docs.selectExpr(
+        "doc_id",
+        "length(text) AS n_chars_calc",
+        "size(split(trim(text), '\\\\s+')) AS token_cnt",
+        "length(regexp_replace(text, '[^a-zA-Z]', '')) AS alpha_cnt",
+        "(length(text) - length(replace(text, ' ', ''))) AS space_cnt",
+        "CAST(length(regexp_replace(text, '[^a-zA-Z]', '')) AS DOUBLE)"
+        " / length(text) AS alpha_ratio",
+        "CAST(length(replace(text, ' ', '')) AS DOUBLE)"
+        " / size(split(trim(text), '\\\\s+')) AS avg_token_len",
+        "0.5 * (CAST(length(regexp_replace(text, '[^a-zA-Z]', '')) AS DOUBLE)"
+        " / length(text))"
+        " + 0.5 * least(size(split(trim(text), '\\\\s+')) / 100.0, 1.0)"
+        " AS quality_score",
+    ).orderBy("doc_id")
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: marker-stopword hit counts -> argmax with
+    deterministic tie order (en > de > fr > unknown)."""
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "text", "lang"])
+    scored = docs.selectExpr("doc_id", "lang", *_lang_score_exprs("spark"))
+    return scored.selectExpr(
+        "doc_id",
+        "hits_en",
+        "hits_de",
+        "hits_fr",
+        f"({_PRED_CASE}) AS pred_lang",
+        f"(({_PRED_CASE}) = lang) AS lang_match",
+    ).orderBy("doc_id")
+
+
+def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint: fold (acc*31 + token_hash)
+    mod P over the token sequence. Order-sensitive (unlike the MinHash
+    set signature) — detects exact token-sequence reuse under
+    whitespace/case normalization."""
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    tokens = "split(lower(trim(text)), '\\\\s+')"
+    th = f"transform({tokens}, t -> {spark_base_hash('t')} % {P_FP})"
+    return docs.selectExpr(
+        "doc_id",
+        f"aggregate({th}, CAST(0 AS BIGINT),"
+        f" (acc, x) -> (acc * 31 + x) % {P_FP}) AS fp",
+        f"size({tokens}) AS token_cnt",
+    ).orderBy("doc_id")
+
+
+_DUCK_TOKENS = r"string_split_regex(lower(trim(text)), '\s+')"
+
+ORACLE_SQL: dict[str, str] = {
+    "text_stats": r"""
+        SELECT doc_id,
+               length(text) AS n_chars_calc,
+               len(string_split_regex(trim(text), '\s+')) AS token_cnt,
+               length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha_cnt,
+               (length(text) - length(replace(text, ' ', ''))) AS space_cnt,
+               CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                   / length(text) AS alpha_ratio,
+               CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                   / len(string_split_regex(trim(text), '\s+')) AS avg_token_len,
+               0.5 * (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                           AS DOUBLE) / length(text))
+               + 0.5 * least(len(string_split_regex(trim(text), '\s+')) / 100.0,
+                             1.0) AS quality_score
+        FROM documents ORDER BY doc_id
+    """,
+    "text_lang_id": f"""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   {', '.join(_lang_score_exprs('duck'))}
+            FROM documents
+        )
+        SELECT doc_id, hits_en, hits_de, hits_fr,
+               ({_PRED_CASE}) AS pred_lang,
+               (({_PRED_CASE}) = lang) AS lang_match
+        FROM scored ORDER BY doc_id
+    """,
+    "text_fingerprint": f"""
+        SELECT doc_id,
+               CASE WHEN len({_DUCK_TOKENS}) = 0 THEN 0
+                    ELSE list_reduce(
+                        list_transform({_DUCK_TOKENS},
+                                       t -> {duck_base_hash('t')} % {P_FP}),
+                        (acc, x) -> (acc * 31 + x) % {P_FP})
+               END AS fp,
+               len({_DUCK_TOKENS}) AS token_cnt
+        FROM documents ORDER BY doc_id
+    """,
+}
+
+QUERIES = {
+    "text_stats": text_stats,
+    "text_lang_id": lang_id,
+    "text_fingerprint": fingerprint,
+}

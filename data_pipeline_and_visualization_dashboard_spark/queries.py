@@ -223,7 +223,59 @@ def q13_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------------------------------
+# q14: single-pass cleaning accounting (V5) — the reference's per-step
+# removal deltas (ipynb:109-165) as ONE aggregate over one scan.
+# ----------------------------------------------------------------------
+
+def q14_clean_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .clean import cleaning_rules
+    from .validate import removal_accounting
+
+    events = read_table(spark, sf_dir, "events")
+    return removal_accounting(events, cleaning_rules())
+
+
+# ----------------------------------------------------------------------
+# q15: exact-n seeded sample (X1, app.py:99) — pandas' exact-n RNG is
+# not reproducible in Spark, so this is deterministic-per-seed but NOT
+# oracle-comparable (SURVEY §7.4 #6); driver records rows-only.
+# ----------------------------------------------------------------------
+
+def q15_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-n via orderBy(rand(seed)) + limit: a global top-k on the
+    random key (TakeOrderedAndProject — no full sort materialization).
+    Fine up to millions of n; for huge n switch to Bernoulli
+    df.sample(fraction, seed) and accept approximate counts."""
+    events = read_table(spark, sf_dir, "events")
+    return (
+        events.orderBy(F.rand(42), F.col("event_id"))
+        .limit(100)
+        .select("event_id", "user_id", "event_type", "value")
+    )
+
+
+_NULLS = "ts IS NULL OR user_id IS NULL OR event_type IS NULL OR value IS NULL"
+_TS_OK = "ts >= TIMESTAMP '2000-01-01' AND ts < TIMESTAMP '2100-01-01'"
+
 ORACLE_SQL: dict[str, str] = {
+    "q14_clean_accounting": f"""
+        SELECT count(*) AS rows_in,
+               CAST(sum(CASE WHEN {_NULLS} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS removed_nulls,
+               CAST(sum(CASE WHEN NOT ({_NULLS}) AND NOT (value > 0)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS removed_value_pos,
+               CAST(sum(CASE WHEN NOT ({_NULLS}) AND value > 0
+                             AND NOT (value <= 500)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS removed_value_cap,
+               CAST(sum(CASE WHEN NOT ({_NULLS}) AND value > 0
+                             AND value <= 500 AND NOT ({_TS_OK})
+                        THEN 1 ELSE 0 END) AS BIGINT) AS removed_ts_valid,
+               CAST(sum(CASE WHEN NOT ({_NULLS}) AND value > 0
+                             AND value <= 500 AND {_TS_OK}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS rows_kept
+        FROM events
+    """,
     "q1_top_nations": """
         SELECT n_name, count(*) AS order_cnt
         FROM orders
@@ -297,6 +349,8 @@ ORACLE_SQL: dict[str, str] = {
 }
 
 QUERIES = {
+    "q14_clean_accounting": q14_clean_accounting,
+    "q15_sample_events": q15_sample_events,
     "q1_top_nations": q1_top_nations,
     "q2_avg_value_by_hour": q2_avg_value_by_hour,
     "q3_event_type_pct": q3_event_type_pct,

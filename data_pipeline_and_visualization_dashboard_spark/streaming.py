@@ -1,0 +1,107 @@
+"""Structured Streaming twin of the batch analytics (SURVEY §2.11).
+
+The reference is batch-only; the north star adds streaming ETL. The
+`events` table is stream-shaped (event_id, ts, user_id, event_type,
+value, props), so the rollup that queries.q13 computes in batch is
+re-expressed as a watermarked tumbling-window streaming aggregation:
+
+    readStream(parquet dir) -> withWatermark(ts, 10 min)
+      -> groupBy(window(ts, 1 hour), event_type)
+      -> count + sum(value) -> sink
+
+Batch/stream parity: by the Dataflow/Structured-Streaming model the
+complete output of the windowed streaming agg over a finite input
+equals the batch groupBy over the same input — tested in
+tests/test_streaming.py by driving the file source to completion.
+
+At scale: the parquet file source is the smoke harness; production
+swaps `readStream.format("kafka")` with the same downstream plan.
+State store sizing = |windows in flight| × |event types|; the 10-min
+watermark bounds it. foreachBatch gives exactly-once parquet output
+via idempotent epoch overwrite.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .schemas import EVENTS
+
+# streaming needs an explicit schema; ts arrives as long (nanos) per the
+# driver parquet's TIMESTAMP(NANOS) encoding under nanosAsLong
+_STREAM_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (one file = one
+    micro-batch in tests; kafka in production)."""
+    # the file source requires a directory; glob-filter down to events
+    raw = (
+        spark.readStream.schema(_STREAM_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_event_counts(events: DataFrame,
+                          watermark: str = "10 minutes",
+                          window: str = "1 hour") -> DataFrame:
+    """Tumbling-window rollup with late-data watermark — the streaming
+    twin of queries.q13_windowed_counts."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("event_cnt"),
+            F.round(F.sum("value"), 4).alias("value_sum"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "event_cnt",
+            "value_sum",
+        )
+    )
+
+
+def run_to_completion(spark: SparkSession, sf_dir: str,
+                      query_name: str = "windowed_counts") -> DataFrame:
+    """Drive the stream over the finite input synchronously (memory sink,
+    complete mode) and return the result as a batch DataFrame."""
+    agg = windowed_event_counts(read_event_stream(spark, sf_dir))
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def stream_to_parquet(spark: SparkSession, sf_dir: str, out_dir: str,
+                      checkpoint_dir: str):
+    """Production-shaped sink: foreachBatch + idempotent epoch overwrite
+    (exactly-once on top of the at-least-once micro-batch contract)."""
+    agg = windowed_event_counts(read_event_stream(spark, sf_dir))
+
+    def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        (batch_df.withColumn("epoch", F.lit(epoch_id))
+         .write.mode("overwrite").parquet(out_dir))
+
+    return (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(write_epoch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
