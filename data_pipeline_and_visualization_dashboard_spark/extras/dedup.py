@@ -265,6 +265,143 @@ def ngram_jaccard_topk(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFra
 
 
 # ----------------------------------------------------------------------
+# SimHash near-dup
+# ----------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4  # byte bands: hamming <= SIMHASH_BANDS-1 guarantees a
+HAMMING_MAX = SIMHASH_BANDS - 1  # shared band (pigeonhole)
+
+
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per doc: explode tokens -> one md5-derived hash per
+    token row -> 32 signed bit-sums in ONE grouped aggregation -> pack
+    bits. Same explode->agg shape as MinHash (map-side partial agg, so
+    the shuffle carries 32 ints per doc per partition). Order-invariant,
+    multiplicity-sensitive."""
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    toks = docs.selectExpr(
+        "doc_id", "explode(split(lower(trim(text)), '\\\\s+')) AS t"
+    ).selectExpr("doc_id", f"{spark_base_hash('t')} AS h")
+    bit_sums = toks.groupBy("doc_id").agg(
+        *[
+            F.expr(
+                f"sum(CASE WHEN (shiftright(h, {j}) & 1) = 1"
+                " THEN 1 ELSE -1 END)"
+            ).alias(f"s_{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    fp = " + ".join(
+        f"(CASE WHEN s_{j} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return bit_sums.selectExpr("doc_id", f"CAST({fp} AS BIGINT) AS fp")
+
+
+def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_fingerprints(spark, sf_dir).orderBy("doc_id")
+
+
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with hamming(fp_a, fp_b) <= HAMMING_MAX via byte
+    banding: docs sharing any of the 4 fingerprint bytes are candidates
+    (pigeonhole: <=3 differing bits cannot touch all 4 bands), verified
+    by exact popcount. No n² stage at any scale."""
+    fps = simhash_fingerprints(spark, sf_dir)
+    bands = fps.selectExpr(
+        "doc_id",
+        "fp",
+        f"stack({SIMHASH_BANDS}, "
+        + ", ".join(
+            f"{b}, (shiftright(fp, {8 * b}) & 255)" for b in range(SIMHASH_BANDS)
+        )
+        + ") AS (band_idx, band_val)",
+    )
+    a = bands.selectExpr(
+        "band_idx", "band_val", "doc_id AS doc_id_a", "fp AS fp_a"
+    )
+    b = bands.selectExpr(
+        "band_idx", "band_val", "doc_id AS doc_id_b", "fp AS fp_b"
+    )
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .selectExpr(
+            "doc_id_a", "doc_id_b",
+            "CAST(bit_count(fp_a ^ fp_b) AS INT) AS hamming",
+        )
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .distinct()
+        .orderBy("doc_id_a", "doc_id_b")
+    )
+
+
+def simhash_hamming_topk(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """All-pairs hamming top-k — the brute-force verification twin of
+    simhash_pairs (oracle/small-corpus path, like ngram_jaccard_topk)."""
+    fps = simhash_fingerprints(spark, sf_dir)
+    a = fps.selectExpr("doc_id AS doc_id_a", "fp AS fp_a")
+    b = fps.selectExpr("doc_id AS doc_id_b", "fp AS fp_b")
+    return (
+        a.join(b, F.col("doc_id_a") < F.col("doc_id_b"))
+        .selectExpr(
+            "doc_id_a", "doc_id_b",
+            "CAST(bit_count(fp_a ^ fp_b) AS INT) AS hamming",
+        )
+        .orderBy("hamming", "doc_id_a", "doc_id_b")
+        .limit(k)
+    )
+
+
+# ----------------------------------------------------------------------
+# embedding-cosine near-dup
+# ----------------------------------------------------------------------
+
+# Demo threshold sized to the synthetic embeddings (max pairwise cosine
+# ~0.51); production near-dup uses ~0.95+ with the LSH path from
+# extras.similarity feeding candidates instead of the all-pairs join.
+EMB_DUP_THRESHOLD = 0.4
+
+
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs of embeddings with cosine >= threshold (all-pairs oracle
+    path; swap the cross join for similarity.lsh buckets at scale).
+    Similarity rounded to 6dp for cross-engine rank/threshold parity."""
+    emb = read_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"])
+    e = F.col("embedding").cast("array<double>")
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.zip_with("ea", "ea", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    a = emb.select(F.col("vec_id").alias("vec_id_a"), e.alias("ea"))
+    a = a.withColumn("na", norm)
+    b = a.select(
+        F.col("vec_id_a").alias("vec_id_b"),
+        F.col("ea").alias("eb"),
+        F.col("na").alias("nb"),
+    )
+    return (
+        a.join(b, F.col("vec_id_a") < F.col("vec_id_b"))
+        .select(
+            "vec_id_a",
+            "vec_id_b",
+            F.round(dot / (F.col("na") * F.col("nb")), 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= EMB_DUP_THRESHOLD)
+        .orderBy("vec_id_a", "vec_id_b")
+    )
+
+
+# ----------------------------------------------------------------------
 # oracles
 # ----------------------------------------------------------------------
 
@@ -330,7 +467,76 @@ def _duck_pairs_sql() -> str:
     """
 
 
+def _duck_simhash_cte() -> str:
+    sums = ",\n                   ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN s_{j} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+            FROM documents
+        ), hashed AS (
+            SELECT doc_id, {duck_base_hash('t')} AS h FROM toks
+        ), bit_sums AS (
+            SELECT doc_id,
+                   {sums}
+            FROM hashed GROUP BY doc_id
+        ), fps AS (
+            SELECT doc_id, CAST({fp} AS BIGINT) AS fp FROM bit_sums
+        )
+    """
+
+
+_DUCK_SIMHASH_BANDS = "\n            UNION ALL\n".join(
+    f"            SELECT doc_id, fp, {b} AS band_idx,"
+    f" (fp >> {8 * b}) & 255 AS band_val FROM fps"
+    for b in range(SIMHASH_BANDS)
+)
+
 ORACLE_SQL: dict[str, str] = {
+    "dedup_simhash_fingerprints": _duck_simhash_cte()
+    + "SELECT doc_id, fp FROM fps ORDER BY doc_id",
+    "dedup_simhash_pairs": _duck_simhash_cte()
+    + f""", bands AS (
+{_DUCK_SIMHASH_BANDS}
+        )
+        SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+        WHERE a.doc_id < b.doc_id
+          AND bit_count(xor(a.fp, b.fp)) <= {HAMMING_MAX}
+        ORDER BY doc_id_a, doc_id_b
+    """,
+    "dedup_simhash_hamming_topk": _duck_simhash_cte()
+    + """
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+        FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+        ORDER BY hamming, doc_id_a, doc_id_b
+        LIMIT 20
+    """,
+    "dedup_embedding_pairs": f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        )
+        SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+               round(list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.v, b.v)
+                    / (sqrt(list_dot_product(a.v, a.v))
+                       * sqrt(list_dot_product(b.v, b.v))), 6)
+              >= {EMB_DUP_THRESHOLD}
+        ORDER BY vec_id_a, vec_id_b
+    """,
     "dedup_exact_groups": """
         SELECT md5(text) AS text_hash,
                min(doc_id) AS keeper_doc_id,
@@ -371,4 +577,8 @@ QUERIES = {
     "dedup_minhash_signatures": q_minhash_signatures,
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "dedup_ngram_jaccard_topk": ngram_jaccard_topk,
+    "dedup_simhash_fingerprints": q_simhash_fingerprints,
+    "dedup_simhash_pairs": simhash_pairs,
+    "dedup_simhash_hamming_topk": simhash_hamming_topk,
+    "dedup_embedding_pairs": embedding_neardup_pairs,
 }

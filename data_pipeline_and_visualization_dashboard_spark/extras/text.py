@@ -89,6 +89,10 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         " / length(text))"
         " + 0.5 * least(size(split(trim(text), '\\\\s+')) / 100.0, 1.0)"
         " AS quality_score",
+        # BPE-ish subword proxy: letter runs | single digits | single
+        # punctuation — the standard cheap token-count estimator
+        "size(regexp_extract_all(text,"
+        " '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\\\s]', 0)) AS subword_cnt",
     ).orderBy("doc_id")
 
 
@@ -128,10 +132,15 @@ _DUCK_TOKENS = r"string_split_regex(lower(trim(text)), '\s+')"
 ORACLE_SQL: dict[str, str] = {
     "text_stats": r"""
         SELECT doc_id,
-               length(text) AS n_chars_calc,
-               len(string_split_regex(trim(text), '\s+')) AS token_cnt,
-               length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha_cnt,
-               (length(text) - length(replace(text, ' ', ''))) AS space_cnt,
+               -- INT casts: Spark length()/size() are 32-bit, DuckDB's
+               -- are BIGINT; widths must match for the schema check
+               CAST(length(text) AS INT) AS n_chars_calc,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS INT)
+                   AS token_cnt,
+               CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS INT)
+                   AS alpha_cnt,
+               CAST(length(text) - length(replace(text, ' ', '')) AS INT)
+                   AS space_cnt,
                CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
                    / length(text) AS alpha_ratio,
                CAST(length(replace(text, ' ', '')) AS DOUBLE)
@@ -139,7 +148,9 @@ ORACLE_SQL: dict[str, str] = {
                0.5 * (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
                            AS DOUBLE) / length(text))
                + 0.5 * least(len(string_split_regex(trim(text), '\s+')) / 100.0,
-                             1.0) AS quality_score
+                             1.0) AS quality_score,
+               CAST(len(regexp_extract_all(text,
+                   '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS INT) AS subword_cnt
         FROM documents ORDER BY doc_id
     """,
     "text_lang_id": f"""
@@ -161,7 +172,7 @@ ORACLE_SQL: dict[str, str] = {
                                        t -> {duck_base_hash('t')} % {P_FP}),
                         (acc, x) -> (acc * 31 + x) % {P_FP})
                END AS fp,
-               len({_DUCK_TOKENS}) AS token_cnt
+               CAST(len({_DUCK_TOKENS}) AS INT) AS token_cnt
         FROM documents ORDER BY doc_id
     """,
 }

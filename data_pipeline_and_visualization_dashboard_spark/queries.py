@@ -255,6 +255,104 @@ def q15_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------------------------------
+# q16: sessionization — gap-based session assignment via lag + running
+# sum (the batch spelling of streaming session windows; SURVEY §2.11 /
+# pyspark guide "Sessionization"). Not in the reference surface; core
+# event-pipeline operator at scale.
+# ----------------------------------------------------------------------
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min in microseconds
+
+
+def q16_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session stats: windows partition by user_id (shuffle on
+    user_id once; both window functions and the final groupBy reuse that
+    partitioning, so the plan has a single exchange). Gap comparison in
+    integer microseconds — exact in both engines."""
+    events = read_table(spark, sf_dir, "events", ["user_id", "ts", "event_id"])
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = w_order.rowsBetween(Window.unboundedPreceding, 0)
+    sessions = (
+        events.withColumn("us", F.unix_micros("ts"))
+        .withColumn(
+            "new_sess",
+            F.when(
+                (F.col("us") - F.lag("us").over(w_order)) > SESSION_GAP_US, 1
+            ).otherwise(0),
+        )
+        .withColumn("sess_no", F.sum("new_sess").over(w_run))
+    )
+    per_session = sessions.groupBy("user_id", "sess_no").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+            F.round(F.avg("n_events"), 6).alias("avg_session_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ----------------------------------------------------------------------
+# q17: top-k per group — ranking window (absent from the reference,
+# which only top-ks globally; standard OLAP pattern)
+# ----------------------------------------------------------------------
+
+def q17_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate first (shrinks fact to one row per customer), THEN
+    rank — the window runs over the small aggregated frame, not raw
+    orders. Revenue rounded before ranking so both engines rank the
+    same values."""
+    orders = read_table(spark, sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    customer = read_table(spark, sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nation = read_table(spark, sf_dir, "nation", ["n_nationkey", "n_name"])
+    rev = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 4).alias("revenue")
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.desc("revenue"), F.asc("o_custkey")
+    )
+    return (
+        rev.join(customer, rev.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "n_name",
+            F.col("o_custkey").alias("custkey"),
+            "revenue",
+            F.col("rank").cast("int").alias("rank"),
+        )
+        .orderBy("n_name", "rank")
+    )
+
+
+# ----------------------------------------------------------------------
+# q18: rollup — hierarchical grouping sets (absent from the reference;
+# SURVEY §2.6 "not present" list, added for engine completeness)
+# ----------------------------------------------------------------------
+
+def q18_status_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(
+        spark, sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"]
+    )
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("o_totalprice"), 4).alias("total"),
+        )
+        .orderBy(
+            F.asc_nulls_first("o_orderstatus"),
+            F.asc_nulls_first("o_orderpriority"),
+        )
+    )
+
+
 _NULLS = "ts IS NULL OR user_id IS NULL OR event_type IS NULL OR value IS NULL"
 _TS_OK = "ts >= TIMESTAMP '2000-01-01' AND ts < TIMESTAMP '2100-01-01'"
 
@@ -346,6 +444,52 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY 1, 2
         ORDER BY 1, 2
     """,
+    "q16_sessionization": f"""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id)
+                            > {SESSION_GAP_US}
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+        ), numbered AS (
+            SELECT user_id,
+                   sum(new_sess) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS sess_no
+            FROM flagged
+        ), per_session AS (
+            SELECT user_id, sess_no, count(*) AS n_events
+            FROM numbered GROUP BY 1, 2
+        )
+        SELECT user_id, count(*) AS n_sessions,
+               max(n_events) AS max_session_events,
+               round(avg(n_events), 6) AS avg_session_events
+        FROM per_session GROUP BY user_id ORDER BY user_id
+    """,
+    "q17_top_customers_per_nation": """
+        WITH rev AS (
+            SELECT o_custkey, round(sum(o_totalprice), 4) AS revenue
+            FROM orders GROUP BY o_custkey
+        ), ranked AS (
+            SELECT n_name, o_custkey AS custkey, revenue,
+                   CAST(row_number() OVER (PARTITION BY n_name
+                                           ORDER BY revenue DESC, o_custkey)
+                        AS INT) AS rank
+            FROM rev
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+        )
+        SELECT * FROM ranked WHERE rank <= 3 ORDER BY n_name, rank
+    """,
+    "q18_status_priority_rollup": """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS cnt,
+               round(sum(o_totalprice), 4) AS total
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
 }
 
 QUERIES = {
@@ -358,4 +502,7 @@ QUERIES = {
     "q5_trade_routes": q5_trade_routes,
     "q6_pricing_summary": q6_pricing_summary,
     "q13_windowed_counts": q13_windowed_counts,
+    "q16_sessionization": q16_sessionization,
+    "q17_top_customers_per_nation": q17_top_customers_per_nation,
+    "q18_status_priority_rollup": q18_status_priority_rollup,
 }

@@ -1,0 +1,58 @@
+"""End-to-end pipeline test: ingest -> validate -> clean -> derive ->
+persist (partitioned) -> read back -> analyze, with the accounting
+invariant and SQL-view registration checked."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_pipeline_and_visualization_dashboard_spark.pipeline import (
+    run_events_pipeline,
+)
+from data_pipeline_and_visualization_dashboard_spark.validate import (
+    SchemaValidationError, validate_schema,
+)
+from data_pipeline_and_visualization_dashboard_spark.schemas import EVENTS
+from tests.conftest import SF_SMOKE
+
+
+def test_pipeline_end_to_end(spark, tmp_path):
+    out = str(tmp_path / "clean_events")
+    res = run_events_pipeline(spark, SF_SMOKE, out_path=out)
+
+    r = res.removal_report
+    removed = sum(v for k, v in r.items() if k.startswith("removed_"))
+    assert r["rows_in"] == r["rows_kept"] + removed
+
+    # persisted data reads back with derived columns and full row count
+    assert res.cleaned.count() == r["rows_kept"]
+    for c in ["event_hour", "event_dow", "value_per_k", "event_date"]:
+        assert c in res.cleaned.columns
+
+    # partition pruning: a date filter must read a subset of partitions
+    one_day = res.cleaned.filter("event_date = '2024-01-02'")
+    assert 0 < one_day.count() < r["rows_kept"]
+
+    # SQL view registered
+    n = spark.sql("SELECT count(*) AS n FROM events_clean").first().n
+    assert n == r["rows_kept"]
+
+
+def test_validate_schema_raises_on_missing(spark):
+    from data_pipeline_and_visualization_dashboard_spark.io import read_table
+
+    df = read_table(spark, SF_SMOKE, "events").drop("value")
+    with pytest.raises(SchemaValidationError):
+        validate_schema(df, EVENTS)
+
+
+def test_validate_schema_raises_on_dtype(spark):
+    from data_pipeline_and_visualization_dashboard_spark.io import read_table
+
+    from pyspark.sql import functions as F
+
+    df = read_table(spark, SF_SMOKE, "events").withColumn(
+        "ts", F.lit(0).cast("long")
+    )
+    with pytest.raises(SchemaValidationError):
+        validate_schema(df, EVENTS, timestamp_columns=["ts"])
