@@ -41,8 +41,11 @@ def main() -> None:
     spark = get_spark(app_name="bench")
 
     registry = entrymod.queries()
-    # warmup: prime JVM, codegen and the parquet footer cache
-    registry["q1_top_nations"](spark, sf_dir).collect()
+    # warmup: one full pass primes JVM JIT, per-query codegen (janino
+    # compiles the wide agg/stack expressions on first use) and the
+    # parquet footer cache — timings below are steady-state throughput
+    for name in HEADLINE:
+        registry[name](spark, sf_dir).collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

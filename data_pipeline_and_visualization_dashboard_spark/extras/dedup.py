@@ -63,8 +63,7 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("keeper_doc_id"),
             F.count(F.lit(1)).alias("n_copies"),
         )
-        .orderBy("keeper_doc_id")
-    )
+    )  # no terminal sort: O(n) output, order-insensitive compare
 
 
 def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -77,8 +76,7 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("doc_id", "n_chars")
-        .orderBy("doc_id")
-    )
+    )  # no terminal sort: O(n) output, order-insensitive compare
 
 
 # ----------------------------------------------------------------------
@@ -159,22 +157,19 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(NUM_HASHES)
         ]
     )
-    return (
-        sigs.selectExpr(
-            "doc_id",
-            *[f"sig_{j}" for j in range(NUM_HASHES)],
-            *_band_hash_exprs(),
-        )
-        .join(shingled, "doc_id")
+    return sigs.selectExpr(
+        "doc_id",
+        *[f"sig_{j}" for j in range(NUM_HASHES)],
+        *_band_hash_exprs(),
     )
 
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Oracle-facing projection of the signatures (shingles dropped —
-    arrays hash awkwardly; the sig columns pin the whole computation)."""
+    """Oracle-facing projection of the signatures (band hashes dropped —
+    the sig columns pin the whole computation)."""
     return minhash_signatures(spark, sf_dir).select(
         "doc_id", *[f"sig_{j}" for j in range(NUM_HASHES)]
-    ).orderBy("doc_id")
+    )  # no terminal sort: O(n) output, order-insensitive compare
 
 
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -183,8 +178,16 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     signatures -> explode band hashes -> self-join per (band, hash)
     bucket (with MAX_BUCKET skew guard) -> distinct pairs -> estimated
     Jaccard (signature agreement) and exact shingle-set Jaccard.
+
+    Shingle arrays are joined onto CANDIDATE PAIRS only — the full
+    corpus never shuffles its shingles, just 12 longs + 4 band hashes
+    per doc.
     """
     sigs = minhash_signatures(spark, sf_dir).cache()
+    sigs.count()  # materialize BEFORE fan-out: the signature subtree is
+    # referenced 4× below; without this, concurrent subtrees race the
+    # cache and each recomputes the md5 pass
+    shingled = shingle_sets(spark, sf_dir)
     band_cols = ", ".join(f"{b}, band_{b}" for b in range(BANDS))
     buckets = sigs.selectExpr(
         "doc_id", f"stack({BANDS}, {band_cols}) AS (band_idx, band_hash)"
@@ -207,17 +210,15 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id_a", "doc_id_b")
         .distinct()
     )
+    # enrich the (small) pair set: each join keeps pairs as the
+    # broadcastable side, so neither signatures nor shingle arrays of
+    # the full corpus ever shuffle
     sig_arr = F.array(*[F.col(f"sig_{j}") for j in range(NUM_HASHES)])
-    sa = sigs.select(
-        F.col("doc_id").alias("doc_id_a"),
-        sig_arr.alias("sig_a"),
-        F.array_distinct("shingles").alias("sh_a"),
-    )
-    sb = sigs.select(
-        F.col("doc_id").alias("doc_id_b"),
-        sig_arr.alias("sig_b"),
-        F.array_distinct("shingles").alias("sh_b"),
-    )
+    sa = sigs.select(F.col("doc_id").alias("doc_id_a"), sig_arr.alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_id_b"), sig_arr.alias("sig_b"))
+    sh = shingled.select("doc_id", F.array_distinct("shingles").alias("sh"))
+    sh_a = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b"))
     agree = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
         F.lit(0),
@@ -228,6 +229,8 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.join(sa, "doc_id_a")
         .join(sb, "doc_id_b")
+        .join(sh_a, "doc_id_a")
+        .join(sh_b, "doc_id_b")
         .select(
             "doc_id_a",
             "doc_id_b",
@@ -300,7 +303,7 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash_fingerprints(spark, sf_dir).orderBy("doc_id")
+    return simhash_fingerprints(spark, sf_dir)  # no terminal sort: O(n) output, order-insensitive compare
 
 
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

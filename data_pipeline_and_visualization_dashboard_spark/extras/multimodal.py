@@ -98,7 +98,7 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = extract_media_features(attach_fake_media(docs))
     return out.select(
         "doc_id", "media_type", "n_bytes", "checksum"
-    ).orderBy("doc_id")
+    )  # no terminal sort: O(n) output, order-insensitive compare
 
 
 ORACLE_SQL: dict[str, str] = {

@@ -93,7 +93,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         # punctuation — the standard cheap token-count estimator
         "size(regexp_extract_all(text,"
         " '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\\\s]', 0)) AS subword_cnt",
-    ).orderBy("doc_id")
+    )  # no terminal sort: O(n) output, order-insensitive compare
 
 
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -108,7 +108,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hits_fr",
         f"({_PRED_CASE}) AS pred_lang",
         f"(({_PRED_CASE}) = lang) AS lang_match",
-    ).orderBy("doc_id")
+    )  # no terminal sort: O(n) output, order-insensitive compare
 
 
 def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -124,7 +124,7 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"aggregate({th}, CAST(0 AS BIGINT),"
         f" (acc, x) -> (acc * 31 + x) % {P_FP}) AS fp",
         f"size({tokens}) AS token_cnt",
-    ).orderBy("doc_id")
+    )  # no terminal sort: O(n) output, order-insensitive compare
 
 
 _DUCK_TOKENS = r"string_split_regex(lower(trim(text)), '\s+')"
