@@ -242,6 +242,19 @@ def q14_clean_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle-comparable (SURVEY §7.4 #6); driver records rows-only.
 # ----------------------------------------------------------------------
 
+def q19_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified Bernoulli sample per event_type (the training-data
+    'rebalance by source' op): sampleBy pushes a per-stratum filter on
+    a seeded hash — one scan, no shuffle, scalable. Rows-only check:
+    sampling semantics are engine-specific by design."""
+    events = read_table(spark, sf_dir, "events")
+    fractions = {"click": 0.5, "view": 0.1, "purchase": 1.0,
+                 "signup": 0.25, "error": 0.0}
+    return events.sampleBy("event_type", fractions, seed=42).select(
+        "event_id", "event_type", "value"
+    )
+
+
 def q15_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-n via orderBy(rand(seed)) + limit: a global top-k on the
     random key (TakeOrderedAndProject — no full sort materialization).
@@ -495,6 +508,7 @@ ORACLE_SQL: dict[str, str] = {
 QUERIES = {
     "q14_clean_accounting": q14_clean_accounting,
     "q15_sample_events": q15_sample_events,
+    "q19_stratified_sample": q19_stratified_sample,
     "q1_top_nations": q1_top_nations,
     "q2_avg_value_by_hour": q2_avg_value_by_hour,
     "q3_event_type_pct": q3_event_type_pct,

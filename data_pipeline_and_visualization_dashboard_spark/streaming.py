@@ -89,6 +89,41 @@ def run_to_completion(spark: SparkSession, sf_dir: str,
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
+def dedup_event_stream(events: DataFrame,
+                       watermark: str = "10 minutes") -> DataFrame:
+    """Stateful streaming dedup on event_id: the streaming twin of
+    exact dedup (extras.dedup) for at-least-once sources. State holds
+    ids until the watermark expires them, bounding memory; duplicates
+    arriving across micro-batches are dropped exactly like within one.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def run_dedup_to_completion(spark: SparkSession, in_dir: str,
+                            query_name: str = "dedup_out") -> DataFrame:
+    """Drive the streaming dedup over a finite directory of parquet
+    files (one micro-batch per file via maxFilesPerTrigger) and return
+    the deduplicated rows."""
+    raw = (
+        spark.readStream.schema(_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    q = (
+        dedup_event_stream(events)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
 def stream_to_parquet(spark: SparkSession, sf_dir: str, out_dir: str,
                       checkpoint_dir: str):
     """Production-shaped sink: foreachBatch + idempotent epoch overwrite

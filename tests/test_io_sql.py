@@ -1,0 +1,124 @@
+"""S3/S5/S6 coverage: CSV dimension scan, SQL entry point over
+registered views (SURVEY §3.2 — the reference's five queries were SQL
+text), Arrow to-pandas handoff, salting equivalence, bucketed joins."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_pipeline_and_visualization_dashboard_spark.io import (
+    read_all_tables, read_csv_dim, read_table, register_views, to_pandas,
+)
+from data_pipeline_and_visualization_dashboard_spark.skew import (
+    salted_group_agg, salted_group_count,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_csv_dim_scan_and_join(spark, tmp_path):
+    """S3: write the nation dim as CSV, read with explicit schema,
+    broadcast-join against orders-per-nation (J1 with a CSV dim)."""
+    from data_pipeline_and_visualization_dashboard_spark.schemas import NATION
+
+    nation = read_table(spark, SF_SMOKE, "nation")
+    csv_path = str(tmp_path / "nation_csv")
+    nation.write.option("header", True).mode("overwrite").csv(csv_path)
+
+    dim = read_csv_dim(spark, csv_path, schema=NATION)
+    assert dim.count() == nation.count()
+    assert [f.dataType for f in dim.schema.fields] == [
+        f.dataType for f in NATION.fields
+    ]
+
+    customer = read_table(spark, SF_SMOKE, "customer")
+    joined = customer.join(
+        F.broadcast(dim), customer.c_nationkey == dim.n_nationkey
+    )
+    assert joined.count() == customer.count()
+
+
+def test_sql_entry_point(spark):
+    """S5: register all tables as views, run the flagship query as SQL
+    text — must equal the DataFrame API result (same Catalyst plan)."""
+    register_views(spark, read_all_tables(spark, SF_SMOKE))
+    sql_result = spark.sql(
+        """
+        SELECT n_name, count(*) AS order_cnt
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        ORDER BY order_cnt DESC, n_name
+        LIMIT 10
+        """
+    ).collect()
+    from data_pipeline_and_visualization_dashboard_spark.queries import (
+        q1_top_nations,
+    )
+
+    df_result = q1_top_nations(spark, SF_SMOKE).collect()
+    assert [tuple(r) for r in sql_result] == [tuple(r) for r in df_result]
+
+
+def test_to_pandas_handoff(spark):
+    """S6: Arrow-accelerated toPandas of a chart contract frame."""
+    from data_pipeline_and_visualization_dashboard_spark.queries import (
+        q2_avg_value_by_hour,
+    )
+
+    pdf = to_pandas(q2_avg_value_by_hour(spark, SF_SMOKE))
+    assert list(pdf.columns) == ["event_hour", "avg_value"]
+    assert len(pdf) == 24
+
+
+def test_salted_count_equals_plain(spark):
+    events = read_table(spark, SF_SMOKE, "events")
+    plain = {
+        (r.event_type,): r.cnt
+        for r in events.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    salted = {
+        (r.event_type,): r.cnt
+        for r in salted_group_count(events, ["event_type"]).collect()
+    }
+    assert plain == salted
+
+
+def test_salted_agg_equals_plain(spark):
+    events = read_table(spark, SF_SMOKE, "events")
+    plain = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 4).alias("total")
+    )
+    p = {r.event_type: (r.cnt, r.total) for r in plain.collect()}
+    s = {
+        r.event_type: (r.cnt, round(r.total, 4))
+        for r in salted_group_agg(events, ["event_type"], "value").collect()
+    }
+    assert p == s
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Scale path for the q5 fact-fact join: bucket both tables on the
+    join key at write time -> the join plans without an Exchange."""
+    import uuid
+
+    li = read_table(spark, SF_SMOKE, "lineitem", ["l_orderkey", "l_quantity"])
+    orders = read_table(spark, SF_SMOKE, "orders", ["o_orderkey", "o_custkey"])
+    t1, t2 = f"li_b_{uuid.uuid4().hex[:8]}", f"ord_b_{uuid.uuid4().hex[:8]}"
+    (li.write.bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+       .mode("overwrite").saveAsTable(t1))
+    (orders.write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+       .mode("overwrite").saveAsTable(t2))
+    try:
+        joined = spark.table(t1).join(
+            spark.table(t2),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan
+        assert joined.count() == li.count()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t1}")
+        spark.sql(f"DROP TABLE IF EXISTS {t2}")

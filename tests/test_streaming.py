@@ -24,3 +24,23 @@ def test_stream_matches_batch(spark):
     }
     assert s == b
     assert len(s) > 0
+
+
+def test_streaming_dedup_across_batches(spark, tmp_path):
+    """Duplicated event_ids split across two micro-batches must be
+    dropped by the stateful dedup (state survives batch boundaries)."""
+    from data_pipeline_and_visualization_dashboard_spark.io import read_table
+
+    events = read_table(spark, SF_SMOKE, "events")
+    raw = spark.read.parquet(SF_SMOKE + "/events.parquet")  # ts as long
+    in_dir = str(tmp_path / "stream_in")
+    # file A: ids [0, 600); file B: ids [300, 1000) -> 300 dups
+    raw.filter("event_id < 600").coalesce(1).write.parquet(
+        in_dir, mode="append"
+    )
+    raw.filter("event_id >= 300").coalesce(1).write.parquet(
+        in_dir, mode="append"
+    )
+    out = streaming.run_dedup_to_completion(spark, in_dir)
+    assert out.count() == events.count()  # every id exactly once
+    assert out.select("event_id").distinct().count() == events.count()
