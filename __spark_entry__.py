@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from data_pipeline_and_visualization_dashboard_spark import charts as _charts
 from data_pipeline_and_visualization_dashboard_spark import queries as _q
+from data_pipeline_and_visualization_dashboard_spark import queries_ext as _qx
 from data_pipeline_and_visualization_dashboard_spark.extras import dedup as _dedup
 from data_pipeline_and_visualization_dashboard_spark.extras import (
     multimodal as _mm,
@@ -37,6 +38,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     registry: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     registry.update(_q.QUERIES)
+    registry.update(_qx.QUERIES)
     registry.update(_charts.QUERIES)
     registry.update(_dedup.QUERIES)
     registry.update(_text.QUERIES)
@@ -50,6 +52,7 @@ def oracle_sql() -> dict[str, str]:
     non-SQL-expressible ops → driver records a rows-only check)."""
     oracles: dict[str, str] = {}
     oracles.update(_q.ORACLE_SQL)
+    oracles.update(_qx.ORACLE_SQL)
     oracles.update(_charts.ORACLE_SQL)
     oracles.update(_dedup.ORACLE_SQL)
     oracles.update(_text.ORACLE_SQL)

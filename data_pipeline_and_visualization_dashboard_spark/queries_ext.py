@@ -1,0 +1,324 @@
+"""Extended analytics surface — operators the reference does NOT use
+(SURVEY §2's "not present" lists) but a complete engine must own:
+richer joins (as-of, semi/anti via set ops), DISTINCT aggregates,
+percentiles, pivot, regex predicates, and two classic TPC-H join-agg
+shapes for breadth. Every query has a DuckDB oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .io import read_table
+
+
+# ----------------------------------------------------------------------
+# q20: TPC-H Q3 shape — shipping priority (filter + 2 joins + group +
+# computed measure + top-k)
+# ----------------------------------------------------------------------
+
+def q20_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filters push to both scans; customer dim broadcasts; the
+    lineitem⋈orders shuffle is the scale cost (bucketing co-locates it,
+    see tests/test_io_sql.py::test_bucketed_join_has_no_shuffle)."""
+    cust = read_table(spark, sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = read_table(
+        spark, sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    li = read_table(
+        spark, sf_dir, "lineitem",
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+    return (
+        li.filter(F.col("l_shipdate") > cutoff)
+        .join(
+            orders.filter(F.col("o_orderdate") <= cutoff),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .join(
+            F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")),
+            orders.o_custkey == cust.c_custkey,
+        )
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# ----------------------------------------------------------------------
+# q21: TPC-H Q5 shape — nation revenue through a 6-way join
+# ----------------------------------------------------------------------
+
+def q21_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(
+        spark, sf_dir, "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    orders = read_table(spark, sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = read_table(spark, sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    supp = read_table(spark, sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    nation = read_table(spark, sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"])
+    region = read_table(spark, sf_dir, "region", ["r_regionkey", "r_name"])
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        # TPC-H Q5's "local supplier" twist: customer and supplier in
+        # the SAME nation
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "REGION_0")
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+# ----------------------------------------------------------------------
+# q22: pivot — day×hour heatmap in wide form (the reference keeps it
+# long-form and pivots client-side; engine-side pivot is the Spark
+# groupBy().pivot() path with an explicit column list)
+# ----------------------------------------------------------------------
+
+_PIVOT_HOURS = [0, 6, 12, 18]
+
+
+def q22_heatmap_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events", ["ts"])
+    return (
+        events.select(
+            F.date_format("ts", "EEEE").alias("event_dow"),
+            F.hour("ts").cast("int").alias("event_hour"),
+        )
+        .filter(F.col("event_hour").isin(_PIVOT_HOURS))
+        .groupBy("event_dow")
+        .pivot("event_hour", _PIVOT_HOURS)
+        .count()
+        .select(
+            "event_dow",
+            *[F.col(str(h)).alias(f"h{h}") for h in _PIVOT_HOURS],
+        )
+    )
+
+
+# ----------------------------------------------------------------------
+# q23: percentiles — exact interpolated quantiles per group (absent
+# from the reference; Spark `percentile` and DuckDB `quantile_cont`
+# share the interpolation formula, so results match unrounded)
+# ----------------------------------------------------------------------
+
+def q23_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events", ["event_type", "value"])
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.9)").alias("p90"),
+            F.expr("percentile(value, 0.99)").alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ----------------------------------------------------------------------
+# q24: DISTINCT aggregates per group
+# ----------------------------------------------------------------------
+
+def q24_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events", ["event_type", "user_id"])
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ----------------------------------------------------------------------
+# q25: set operations — users who clicked but never purchased
+# (EXCEPT == left_anti), and clicked-and-purchased (INTERSECT ==
+# left_semi). Spark plans both as hash joins, no materialized sets.
+# ----------------------------------------------------------------------
+
+def q25_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events", ["event_type", "user_id"])
+    clicks = events.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buys = events.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    only_click = clicks.exceptAll(buys).agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(F.lit("click_no_purchase").alias("cohort"), "n")
+    both = clicks.intersect(buys).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("click_and_purchase").alias("cohort"), "n"
+    )
+    either = clicks.union(buys).distinct().agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(F.lit("click_or_purchase").alias("cohort"), "n")
+    return only_click.unionAll(both).unionAll(either).orderBy("cohort")
+
+
+# ----------------------------------------------------------------------
+# q26: regex predicate scan (LIKE/regex absent from the reference)
+# ----------------------------------------------------------------------
+
+def q26_regex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count documents whose text contains 'spark' followed later by
+    'join' — a basic portable regex (no engine-specific syntax)."""
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "text", "lang"])
+    return (
+        docs.filter(F.col("text").rlike("spark.*join"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang")
+    )
+
+
+# ----------------------------------------------------------------------
+# q27: as-of join — for each purchase, the most recent prior-or-equal
+# signup by the same user. Spark lacks a native as-of join; the
+# union + running-max window is the shuffle-minimal spelling (ONE
+# shuffle on user_id; a join spelling would shuffle twice and explode
+# on hot users). DuckDB oracle uses its native ASOF JOIN.
+# ----------------------------------------------------------------------
+
+def q27_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(
+        spark, sf_dir, "events", ["event_id", "ts", "user_id", "event_type"]
+    )
+    tagged = events.filter(
+        F.col("event_type").isin("purchase", "signup")
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.col("event_type") == "signup").cast("int").alias("is_signup"),
+    )
+    # at equal ts, the signup sorts BEFORE the purchase (desc on the
+    # flag) so <=-semantics match the oracle's p.ts >= s.ts
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_signup").desc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    enriched = tagged.withColumn(
+        "last_signup_ts",
+        F.max(F.when(F.col("is_signup") == 1, F.col("ts"))).over(w),
+    )
+    return enriched.filter(F.col("is_signup") == 0).select(
+        "event_id", "user_id", F.col("ts").alias("purchase_ts"), "last_signup_ts"
+    )  # no terminal sort: O(n) output, order-insensitive compare
+
+
+ORACLE_SQL: dict[str, str] = {
+    "q20_shipping_priority": """
+        SELECT o_orderkey, o_orderdate,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE l_shipdate > TIMESTAMP '1997-01-01'
+          AND o_orderdate <= TIMESTAMP '1997-01-01'
+          AND c_mktsegment = 'BUILDING'
+        GROUP BY o_orderkey, o_orderdate
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10
+    """,
+    "q21_nation_revenue": """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE c_nationkey = s_nationkey AND r_name = 'REGION_0'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+    """,
+    "q22_heatmap_pivot": """
+        SELECT dayname(ts) AS event_dow,
+               count(*) FILTER (hour(ts) = 0) AS h0,
+               count(*) FILTER (hour(ts) = 6) AS h6,
+               count(*) FILTER (hour(ts) = 12) AS h12,
+               count(*) FILTER (hour(ts) = 18) AS h18
+        FROM events
+        WHERE hour(ts) IN (0, 6, 12, 18)
+        GROUP BY 1 ORDER BY 1
+    """,
+    "q23_value_percentiles": """
+        SELECT event_type,
+               quantile_cont(value, 0.5) AS p50,
+               quantile_cont(value, 0.9) AS p90,
+               quantile_cont(value, 0.99) AS p99
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "q24_distinct_users": """
+        SELECT event_type,
+               count(DISTINCT user_id) AS n_users,
+               count(*) AS n_events
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "q25_set_ops": """
+        WITH clicks AS (
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+        ), buys AS (
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        )
+        SELECT 'click_and_purchase' AS cohort,
+               (SELECT count(*) FROM (SELECT * FROM clicks INTERSECT
+                                      SELECT * FROM buys)) AS n
+        UNION ALL
+        SELECT 'click_no_purchase',
+               (SELECT count(*) FROM (SELECT * FROM clicks EXCEPT
+                                      SELECT * FROM buys))
+        UNION ALL
+        SELECT 'click_or_purchase',
+               (SELECT count(*) FROM (SELECT * FROM clicks UNION
+                                      SELECT * FROM buys))
+        ORDER BY cohort
+    """,
+    "q26_regex_filter": """
+        SELECT lang, count(*) AS n_docs
+        FROM documents
+        WHERE regexp_matches(text, 'spark.*join')
+        GROUP BY lang ORDER BY lang
+    """,
+    "q27_asof_join": """
+        WITH purchases AS (
+            SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'purchase'
+        ), signups AS (
+            SELECT user_id, ts FROM events WHERE event_type = 'signup'
+        )
+        SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+               s.ts AS last_signup_ts
+        FROM purchases p
+        ASOF LEFT JOIN signups s
+          ON p.user_id = s.user_id AND p.ts >= s.ts
+    """,
+}
+
+QUERIES = {
+    "q20_shipping_priority": q20_shipping_priority,
+    "q21_nation_revenue": q21_nation_revenue,
+    "q22_heatmap_pivot": q22_heatmap_pivot,
+    "q23_value_percentiles": q23_value_percentiles,
+    "q24_distinct_users": q24_distinct_users,
+    "q25_set_ops": q25_set_ops,
+    "q26_regex_filter": q26_regex_filter,
+    "q27_asof_join": q27_asof_join,
+}

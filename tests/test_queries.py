@@ -22,10 +22,14 @@ def _normalize(rows, columns):
         vals = []
         for c in columns:
             v = row[c]
-            if isinstance(v, float):
+            if v is None:
+                v = "NULL"
+            elif isinstance(v, float):
                 v = round(v, 6)
                 if math.isnan(v):
-                    v = "NaN"
+                    v = "NULL"  # pandas renders SQL NULL doubles as NaN
+            elif v != v:  # pd.NaT (null timestamps from fetchdf)
+                v = "NULL"
             vals.append((c, str(v)))
         out.append(tuple(sorted(vals)))
     return sorted(out)
