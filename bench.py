@@ -22,15 +22,27 @@ import __spark_entry__ as entrymod
 from data_pipeline_and_visualization_dashboard_spark.session import get_spark
 
 HEADLINE = [
+    # reference-surface analytics
     "q1_top_nations",
     "q5_trade_routes",
     "q6_pricing_summary",
     "q12_derived_events",
     "q13_windowed_counts",
     "q14_clean_accounting",
+    # beyond-reference SQL surface
+    "q16_sessionization",
+    "q20_shipping_priority",
+    "q21_nation_revenue",
+    "q27_asof_join",
+    # LLM-data extras
+    "dedup_exact_groups",
     "dedup_minhash_pairs",
+    "dedup_simhash_pairs",
     "text_stats",
+    "text_fingerprint",
     "sim_cosine_topk",
+    "sim_lsh_topk",
+    "media_features",
 ]
 
 

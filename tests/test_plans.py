@@ -1,0 +1,99 @@
+"""Physical-plan regression tests: the scale properties argued in
+docstrings must stay true as code evolves — dims broadcast, filters
+reach the parquet scan, top-k avoids global sorts, no accidental
+cartesian products, shuffle counts stay at their minimums."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_CORRECT
+
+
+def _plan(spark, name: str) -> str:
+    df = entrymod.queries()[name](spark, SF_CORRECT)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _shuffles(plan: str) -> int:
+    return (
+        plan.count("Exchange hashpartitioning")
+        + plan.count("Exchange rangepartitioning")
+        + plan.count("Exchange SinglePartition")
+    )
+
+
+CASES = {
+    # name: (must_contain, must_not_contain, max_shuffles)
+    "q1_top_nations": (
+        ["BroadcastHashJoin", "TakeOrderedAndProject"],
+        ["SortMergeJoin", "CartesianProduct", "GlobalLimit 10\n+- Sort"],
+        1,
+    ),
+    "q5_trade_routes": (
+        ["BroadcastHashJoin", "TakeOrderedAndProject"],
+        ["CartesianProduct"],
+        1,
+    ),
+    "q6_pricing_summary": (
+        ["HashAggregate", "PushedFilters: [IsNotNull(l_shipdate)",
+         "LessThanOrEqual(l_shipdate,2000-09-02T00:00)"],
+        # terminal orderBy of the 6-row agg output adds a (harmless)
+        # range exchange; the data-sized shuffle stays at 1
+        ["SortMergeJoin"],
+        2,
+    ),
+    "q4_unit_price_by_weekday": (
+        ["PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)]"],
+        [],
+        2,
+    ),
+    "q17_top_customers_per_nation": (
+        ["BroadcastHashJoin"],
+        ["CartesianProduct"],
+        3,
+    ),
+    "q20_shipping_priority": (
+        ["BroadcastHashJoin", "TakeOrderedAndProject",
+         "EqualTo(c_mktsegment,BUILDING)",
+         "GreaterThan(l_shipdate,1997-01-01T00:00)"],
+        ["CartesianProduct"],
+        2,
+    ),
+    "q27_asof_join": (
+        ["Window"],
+        ["CartesianProduct", "SortMergeJoin"],
+        1,
+    ),
+    "dedup_exact_groups": ([], ["Exchange rangepartitioning"], 1),
+    "text_stats": ([], ["Exchange"], 0),
+    "text_fingerprint": ([], ["Exchange"], 0),
+    "q12_derived_events": ([], ["Exchange"], 0),
+}
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_plan_properties(spark, name):
+    want, avoid, max_shuffles = CASES[name]
+    plan = _plan(spark, name)
+    for w in want:
+        assert w in plan, f"{name}: expected {w!r} in plan\n{plan[:3000]}"
+    for a in avoid:
+        assert a not in plan, f"{name}: unwanted {a!r} in plan\n{plan[:3000]}"
+    n = _shuffles(plan)
+    assert n <= max_shuffles, (
+        f"{name}: {n} shuffles (max {max_shuffles})\n{plan[:3000]}"
+    )
+
+
+def test_projection_pushdown_reaches_scan(spark):
+    """S2: a two-column projection must shrink the parquet ReadSchema
+    (SURVEY §2.1) — reading all columns for a 2-column query is wrong."""
+    from data_pipeline_and_visualization_dashboard_spark.io import read_table
+
+    df = read_table(spark, SF_CORRECT, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
