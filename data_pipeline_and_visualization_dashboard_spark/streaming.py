@@ -124,6 +124,98 @@ def run_dedup_to_completion(spark: SparkSession, in_dir: str,
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min, matches queries.q16
+
+_SESSION_OUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long"
+)
+_SESSION_STATE_SCHEMA = "start_us long, last_us long, n long"
+
+
+def _session_func(key, pdf_iter, state):
+    """Per-user stateful session builder (applyInPandasWithState).
+
+    State = the one open session (start_us, last_us, n). Each batch:
+    sort the user's events by time, fold them into the open session,
+    EMIT every session closed by a gap > SESSION_GAP_US, keep the
+    trailing open session in state. Late rows older than the open
+    session's last event simply extend the count (no re-open) — the
+    watermark upstream bounds how late they can be.
+    """
+    import pandas as pd
+
+    (user_id,) = key
+    if state.exists:
+        start_us, last_us, n = state.get
+    else:
+        start_us = last_us = -1
+        n = 0
+    closed: list[tuple] = []
+    for pdf in pdf_iter:
+        us = (pdf["ts"].astype("int64") // 1000).sort_values()
+        for t in us:
+            t = int(t)
+            if n == 0:
+                start_us, last_us, n = t, t, 1
+            elif t - last_us > SESSION_GAP_US:
+                closed.append((user_id, start_us, last_us, n))
+                start_us, last_us, n = t, t, 1
+            else:
+                last_us = max(last_us, t)
+                n += 1
+    state.update((start_us, last_us, n))
+    if closed:
+        out = pd.DataFrame(
+            closed, columns=["user_id", "session_start", "session_end", "n_events"]
+        )
+        out["session_start"] = pd.to_datetime(out["session_start"], unit="us")
+        out["session_end"] = pd.to_datetime(out["session_end"], unit="us")
+        yield out
+
+
+def sessionize_stream(events: DataFrame,
+                      watermark: str = "10 minutes") -> DataFrame:
+    """Custom stateful operator: emits each user session as it CLOSES
+    (gap > 30 min), across micro-batch boundaries. The groupBy
+    partitions state by user_id — state size = |active users|, bounded
+    by the watermark upstream. This is the streaming twin of
+    queries.q16_sessionization's window spelling."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_func,
+            _SESSION_OUT_SCHEMA,
+            _SESSION_STATE_SCHEMA,
+            "append",
+            "NoTimeout",
+        )
+    )
+
+
+def run_sessionize_to_completion(spark: SparkSession, in_dir: str,
+                                 query_name: str = "sessions_out") -> DataFrame:
+    raw = (
+        spark.readStream.schema(_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    q = (
+        sessionize_stream(events)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
 def stream_to_parquet(spark: SparkSession, sf_dir: str, out_dir: str,
                       checkpoint_dir: str):
     """Production-shaped sink: foreachBatch + idempotent epoch overwrite

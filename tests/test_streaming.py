@@ -44,3 +44,65 @@ def test_streaming_dedup_across_batches(spark, tmp_path):
     out = streaming.run_dedup_to_completion(spark, in_dir)
     assert out.count() == events.count()  # every id exactly once
     assert out.select("event_id").distinct().count() == events.count()
+
+
+def test_stateful_sessionization_matches_batch(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): sessions
+    closed by the stream over two time-split micro-batches must equal
+    the batch window computation minus each user's final (still-open)
+    session."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_pipeline_and_visualization_dashboard_spark.io import read_table
+
+    raw = spark.read.parquet(SF_SMOKE + "/events.parquet")  # ts as long ns
+    in_dir = str(tmp_path / "sess_in")
+    cut_ns = int(
+        raw.selectExpr("percentile(ts, 0.5) AS m").first().m
+    )
+    raw.filter(F.col("ts") <= cut_ns).coalesce(1).write.parquet(
+        in_dir, mode="append"
+    )
+    raw.filter(F.col("ts") > cut_ns).coalesce(1).write.parquet(
+        in_dir, mode="append"
+    )
+
+    streamed = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in streaming.run_sessionize_to_completion(spark, in_dir).collect()
+    }
+
+    # batch oracle: assign sessions with the q16 window spelling, then
+    # drop each user's last session (open at end-of-stream)
+    events = read_table(spark, SF_SMOKE, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    sess = (
+        events.withColumn("us", F.unix_micros("ts"))
+        .withColumn(
+            "new_sess",
+            F.when(
+                (F.col("us") - F.lag("us").over(w))
+                > streaming.SESSION_GAP_US, 1
+            ).otherwise(0),
+        )
+        .withColumn("sess_no", F.sum("new_sess").over(run))
+        .groupBy("user_id", "sess_no")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .withColumn(
+            "is_last",
+            F.col("sess_no")
+            == F.max("sess_no").over(Window.partitionBy("user_id")),
+        )
+    )
+    batch_closed = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in sess.filter(~F.col("is_last")).collect()
+    }
+    assert streamed == batch_closed
+    assert len(streamed) > 0
