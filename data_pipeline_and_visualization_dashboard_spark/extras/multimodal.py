@@ -90,6 +90,47 @@ def extract_media_features(
     return media.mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_bytes long, frame_checksum string"
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4,
+                  chunk: int = 64) -> DataFrame:
+    """Frame-sampling plumbing for video-like media: one input row fans
+    out to ≤ n_frames output rows (evenly spaced byte-chunks standing in
+    for decoded frames — a real decoder swaps the chunker for av frame
+    extraction; the 1->N mapInPandas shape is the production part).
+
+    Scale: fan-out happens inside the partition — no shuffle, output
+    partition count tracks input. Downstream per-frame ops (resize,
+    embed) chain as further mapInPandas stages over the same partitions.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, raw in zip(pdf["doc_id"], pdf["media_bytes"]):
+                n_chunks = max(1, len(raw) // chunk)
+                take = min(n_frames, n_chunks)
+                for i in range(take):
+                    # evenly spaced "frames"
+                    off = (i * n_chunks // take) * chunk
+                    frame = bytes(raw[off : off + chunk])
+                    rows.append(
+                        (
+                            doc_id,
+                            i,
+                            len(frame),
+                            hashlib.sha256(frame).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "frame_bytes", "frame_checksum"],
+            )
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """queries() entry: fake-media plumbing end-to-end. sha256/metadata
     are deterministic, so this is oracle-checkable on the metadata

@@ -222,7 +222,54 @@ def q27_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )  # no terminal sort: O(n) output, order-insensitive compare
 
 
+# ----------------------------------------------------------------------
+# q28: schema'd JSON extraction — from_json over the props payload
+# (the regexp path lives in derive.props_k; this is the typed-schema
+# spelling that scales to nested payloads)
+# ----------------------------------------------------------------------
+
+def q28_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events", ["event_id", "props", "value"])
+    parsed = events.withColumn(
+        "k", F.from_json("props", "k INT").getField("k")
+    )
+    return (
+        parsed.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .orderBy("k")
+    )
+
+
+# ----------------------------------------------------------------------
+# q29: approximate sketches — the 100 TB substitutes for exact
+# distinct/quantiles. Approximation algorithms differ per engine
+# (HLL++/KLL vs HLL/t-digest), so this is rows-only; the pytest suite
+# bounds the error against the exact answers instead.
+# ----------------------------------------------------------------------
+
+def q29_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events", ["event_type", "user_id", "value"])
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.percentile_approx("value", 0.5).alias("approx_p50"),
+        )
+        .orderBy("event_type")
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
+    "q28_json_extract": """
+        SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+               count(*) AS cnt,
+               round(avg(value), 6) AS avg_value
+        FROM events
+        GROUP BY 1 ORDER BY 1
+    """,
     "q20_shipping_priority": """
         SELECT o_orderkey, o_orderdate,
                round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
@@ -313,6 +360,8 @@ ORACLE_SQL: dict[str, str] = {
 }
 
 QUERIES = {
+    "q28_json_extract": q28_json_extract,
+    "q29_approx_stats": q29_approx_stats,
     "q20_shipping_priority": q20_shipping_priority,
     "q21_nation_revenue": q21_nation_revenue,
     "q22_heatmap_pivot": q22_heatmap_pivot,

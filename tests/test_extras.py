@@ -73,6 +73,45 @@ def test_media_feature_plumbing(spark):
     assert [r.checksum for r in rows] == [r.checksum for r in again]
 
 
+def test_frame_sampling_fanout(spark):
+    """1->N frame fan-out: row counts, per-frame determinism, and the
+    frame budget cap."""
+    docs = read_table(spark, SF_SMOKE, "documents", ["doc_id", "text"])
+    media = multimodal.attach_fake_media(docs)
+    frames = multimodal.sample_frames(media, n_frames=4).collect()
+    by_doc: dict[int, list] = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc) == docs.count()
+    for doc_id, rs in by_doc.items():
+        assert 1 <= len(rs) <= 4
+        assert sorted(r.frame_idx for r in rs) == list(range(len(rs)))
+
+
+def test_approx_stats_near_exact(spark):
+    """q29 sketches must be within standard error bounds of the exact
+    answers (HLL++ rsd ~2.3% default; KLL p50 within the value range)."""
+    from data_pipeline_and_visualization_dashboard_spark.queries_ext import (
+        q29_approx_stats,
+    )
+
+    approx = {r.event_type: r for r in q29_approx_stats(spark, SF_SMOKE).collect()}
+    events = read_table(spark, SF_SMOKE, "events")
+    exact = {
+        r.event_type: r
+        for r in events.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+        )
+        .collect()
+    }
+    for et, a in approx.items():
+        e = exact[et]
+        assert abs(a.approx_users - e.n_users) <= max(3, 0.1 * e.n_users)
+        assert abs(a.approx_p50 - e.p50) <= 25  # coarse KLL bound at n≈200
+
+
 def test_removal_accounting_sums(spark):
     """Property: rows_in == rows_kept + sum(removed_*) (V5)."""
     from data_pipeline_and_visualization_dashboard_spark.clean import (
