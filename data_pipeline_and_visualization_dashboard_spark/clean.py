@@ -62,3 +62,24 @@ def clean_events_with_report(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Returns (cleaned_df, 1-row accounting frame). Two jobs total when
     both are materialized; the accounting never re-scans per rule."""
     return clean_events(df), removal_accounting(df, cleaning_rules())
+
+
+def split_events(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Quarantine variant: (good, bad_with_reason). The reference
+    fail-stops or silently drops (ipynb:109-144); at 100 TB rejected
+    rows go to a side table for audit/repair instead. `reject_reason`
+    is the FIRST failing rule, matching the accounting's attribution
+    order. Both frames derive from one scan plan — Spark evaluates the
+    shared predicate per branch; persist upstream if both sides are
+    consumed repeatedly."""
+    rules = cleaning_rules()
+    reason = None
+    for name, keep in rules.items():
+        failed = ~F.coalesce(keep, F.lit(False))
+        reason = (
+            F.when(failed, name) if reason is None else reason.when(failed, name)
+        )
+    tagged = df.withColumn("reject_reason", reason)
+    good = tagged.filter(F.col("reject_reason").isNull()).drop("reject_reason")
+    bad = tagged.filter(F.col("reject_reason").isNotNull())
+    return good, bad

@@ -108,7 +108,12 @@ def q22_heatmap_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()
         .select(
             "event_dow",
-            *[F.col(str(h)).alias(f"h{h}") for h in _PIVOT_HOURS],
+            # absent (dow, hour) combos: pivot yields NULL, the
+            # oracle's FILTER yields 0 — normalize to 0
+            *[
+                F.coalesce(F.col(str(h)), F.lit(0)).alias(f"h{h}")
+                for h in _PIVOT_HOURS
+            ],
         )
     )
 
@@ -218,7 +223,15 @@ def q27_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("is_signup") == 1, F.col("ts"))).over(w),
     )
     return enriched.filter(F.col("is_signup") == 0).select(
-        "event_id", "user_id", F.col("ts").alias("purchase_ts"), "last_signup_ts"
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        # epoch sentinel instead of NULL: null timestamps spell
+        # differently across the pandas boundary (None vs NaT) and
+        # could false-mismatch a strict value hash
+        F.coalesce(
+            "last_signup_ts", F.lit("1970-01-01").cast("timestamp")
+        ).alias("last_signup_ts"),
     )  # no terminal sort: O(n) output, order-insensitive compare
 
 
@@ -352,7 +365,7 @@ ORACLE_SQL: dict[str, str] = {
             SELECT user_id, ts FROM events WHERE event_type = 'signup'
         )
         SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
-               s.ts AS last_signup_ts
+               coalesce(s.ts, TIMESTAMP '1970-01-01') AS last_signup_ts
         FROM purchases p
         ASOF LEFT JOIN signups s
           ON p.user_id = s.user_id AND p.ts >= s.ts

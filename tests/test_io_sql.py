@@ -71,6 +71,28 @@ def test_to_pandas_handoff(spark):
     assert len(pdf) == 24
 
 
+def test_orc_and_json_roundtrip(spark, tmp_path):
+    """Source/sink breadth beyond parquet/CSV: ORC and JSON round-trips
+    preserve rows and schema (JSON with an explicit schema — no
+    inference in the engine path)."""
+    from data_pipeline_and_visualization_dashboard_spark.schemas import NATION
+
+    nation = read_table(spark, SF_SMOKE, "nation")
+    orc_p, json_p = str(tmp_path / "n_orc"), str(tmp_path / "n_json")
+
+    nation.write.mode("overwrite").orc(orc_p)
+    back = spark.read.orc(orc_p)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, nation.collect())
+    )
+
+    nation.write.mode("overwrite").json(json_p)
+    back = spark.read.schema(NATION).json(json_p)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, nation.collect())
+    )
+
+
 def test_salted_count_equals_plain(spark):
     events = read_table(spark, SF_SMOKE, "events")
     plain = {

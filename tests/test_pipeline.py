@@ -38,6 +38,32 @@ def test_pipeline_end_to_end(spark, tmp_path):
     assert n == r["rows_kept"]
 
 
+def test_split_quarantine_consistent_with_accounting(spark):
+    """good/bad split must reconcile with clean_events and the
+    accounting report, and reasons must match the removal attribution."""
+    from data_pipeline_and_visualization_dashboard_spark.clean import (
+        clean_events, clean_events_with_report, split_events,
+    )
+    from data_pipeline_and_visualization_dashboard_spark.io import read_table
+
+    events = read_table(spark, SF_SMOKE, "events")
+    good, bad = split_events(events)
+    cleaned, report = clean_events_with_report(events)
+    r = report.first().asDict()
+    assert good.count() == r["rows_kept"] == cleaned.count()
+    assert bad.count() == r["rows_in"] - r["rows_kept"]
+    from pyspark.sql import functions as F
+
+    by_reason = {
+        row.reject_reason: row.n
+        for row in bad.groupBy("reject_reason")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for reason, n in by_reason.items():
+        assert r[f"removed_{reason}"] == n
+
+
 def test_validate_schema_raises_on_missing(spark):
     from data_pipeline_and_visualization_dashboard_spark.io import read_table
 
