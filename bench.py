@@ -5,10 +5,10 @@ ONE JSON line:
   {"metric": "total_query_sec", "value": N, "unit": "sec",
    "queries": {name: sec, ...}, "sf": 0.1}
 
-Each query is materialized via a count-style action (collect on the
-small result frames — every headline query returns a bounded frame).
-Session startup is excluded; a warmup query primes the JVM/codegen so
-per-query numbers reflect steady-state execution.
+Each query is fully materialized ENGINE-SIDE via the noop sink (every
+column computed, nothing shipped to the Python driver) — measuring the
+engine, not py4j row transfer. Session startup is excluded; a full
+warmup pass primes JVM/codegen so numbers reflect steady state.
 """
 
 from __future__ import annotations
@@ -50,6 +50,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+    # NOTE: measured on this box, an oversized driver heap (48g) makes
+    # identical queries 3-20x SLOWER (huge-heap GC/page-fault costs);
+    # the 8g default is right for these working sets — raise only with
+    # data that actually needs it
     spark = get_spark(app_name="bench")
 
     registry = entrymod.queries()
@@ -61,10 +65,13 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        spark.catalog.clearCache()  # each query pays its own caching
         t0 = time.perf_counter()
-        n = len(registry[name](spark, sf_dir).collect())
+        registry[name](spark, sf_dir).write.mode("overwrite").format(
+            "noop"
+        ).save()
         timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", flush=True)
+        print(f"# {name}: {timings[name]}s", flush=True)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -311,7 +311,8 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     banding: docs sharing any of the 4 fingerprint bytes are candidates
     (pigeonhole: <=3 differing bits cannot touch all 4 bands), verified
     by exact popcount. No n² stage at any scale."""
-    fps = simhash_fingerprints(spark, sf_dir)
+    fps = simhash_fingerprints(spark, sf_dir).cache()
+    fps.count()  # materialize before the self-join references it twice
     bands = fps.selectExpr(
         "doc_id",
         "fp",

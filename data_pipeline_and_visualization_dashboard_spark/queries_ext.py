@@ -275,7 +275,149 @@ def q29_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------------------------------
+# q30: semi/anti joins — EXISTS / NOT EXISTS as native join types
+# (Spark plans left_semi/left_anti; no subquery re-execution)
+# ----------------------------------------------------------------------
+
+def q30_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer", ["c_custkey"])
+    orders = read_table(spark, sf_dir, "orders", ["o_custkey"])
+    with_orders = cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("with_orders").alias("cohort"), "n"
+    )
+    without = cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("without_orders").alias("cohort"), "n"
+    )
+    return with_orders.unionAll(without).orderBy("cohort")
+
+
+# ----------------------------------------------------------------------
+# q31: window frame specs — centered moving average + lag delta over
+# the hourly rollup (frames/lead/lag absent from the reference)
+# ----------------------------------------------------------------------
+
+def q31_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window over the AGGREGATED hourly series (≤ 720 rows at any SF):
+    the heavy lifting is the partial-agg rollup; the unpartitioned
+    window is fine because its input is already tiny (same reasoning
+    as the reference's W1)."""
+    events = read_table(spark, sf_dir, "events", ["ts"])
+    hourly = events.groupBy(
+        F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("h")
+    return (
+        hourly.select(
+            "h",
+            "cnt",
+            F.round(
+                F.avg("cnt").over(w.rowsBetween(-1, 1)), 6
+            ).alias("moving_avg3"),
+            (F.col("cnt") - F.lag("cnt", 1, 0).over(w)).alias("delta_prev"),
+        )
+        .orderBy("h")
+    )
+
+
+# ----------------------------------------------------------------------
+# sim_centroid_assign: nearest-centroid assignment (the IVF building
+# block / k-means E-step): fixed seeded centroids, cosine argmax.
+# ----------------------------------------------------------------------
+
+_CENTROID_IDS = [0, 100, 200, 300]
+
+
+def sim_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every embedding to its nearest centroid (cosine, rounded
+    6dp, centroid-id tie-break). Centroids broadcast as a 4-row dim;
+    the corpus streams through one scan — the IVF index-build shape.
+    A k-means iteration = this + groupBy(centroid).avg(embedding)."""
+    emb = read_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"])
+    e = F.col("embedding").cast("array<double>")
+    dot = F.aggregate(
+        F.zip_with("ev", "cv", lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    norm_v = F.sqrt(F.aggregate(
+        F.zip_with("ev", "ev", lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    ))
+    norm_c = F.sqrt(F.aggregate(
+        F.zip_with("cv", "cv", lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    ))
+    cents = emb.filter(F.col("vec_id").isin(_CENTROID_IDS)).select(
+        F.col("vec_id").alias("centroid_id"), e.alias("cv")
+    )
+    vecs = emb.select("vec_id", e.alias("ev"))
+    sims = (
+        vecs.join(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.round(dot / (norm_v * norm_c), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("sim"), F.asc("centroid_id")
+    )
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "centroid_id", "sim")
+    )  # no terminal sort: O(n) output, order-insensitive compare
+
+
 ORACLE_SQL: dict[str, str] = {
+    "q30_semi_anti": """
+        SELECT 'with_orders' AS cohort,
+               (SELECT count(*) FROM customer
+                WHERE EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey)) AS n
+        UNION ALL
+        SELECT 'without_orders',
+               (SELECT count(*) FROM customer
+                WHERE NOT EXISTS (SELECT 1 FROM orders
+                                  WHERE o_custkey = c_custkey))
+        ORDER BY cohort
+    """,
+    "q31_moving_avg": """
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS h, count(*) AS cnt
+            FROM events GROUP BY 1
+        )
+        SELECT h, cnt,
+               round(avg(cnt) OVER (ORDER BY h
+                     ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING), 6)
+                   AS moving_avg3,
+               cnt - lag(cnt, 1, CAST(0 AS BIGINT)) OVER (ORDER BY h)
+                   AS delta_prev
+        FROM hourly ORDER BY h
+    """,
+    "sim_centroid_assign": f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), c AS (
+            SELECT vec_id AS centroid_id, v AS cv FROM e
+            WHERE vec_id IN ({', '.join(map(str, _CENTROID_IDS))})
+        ), sims AS (
+            SELECT e.vec_id, c.centroid_id,
+                   round(list_dot_product(e.v, c.cv)
+                         / (sqrt(list_dot_product(e.v, e.v))
+                            * sqrt(list_dot_product(c.cv, c.cv))), 6) AS sim
+            FROM e, c
+        )
+        SELECT vec_id, centroid_id, sim FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY sim DESC, centroid_id) AS rn
+            FROM sims) t
+        WHERE rn = 1
+    """,
     "q28_json_extract": """
         SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
                count(*) AS cnt,
@@ -375,6 +517,9 @@ ORACLE_SQL: dict[str, str] = {
 QUERIES = {
     "q28_json_extract": q28_json_extract,
     "q29_approx_stats": q29_approx_stats,
+    "q30_semi_anti": q30_semi_anti,
+    "q31_moving_avg": q31_moving_avg,
+    "sim_centroid_assign": sim_centroid_assign,
     "q20_shipping_priority": q20_shipping_priority,
     "q21_nation_revenue": q21_nation_revenue,
     "q22_heatmap_pivot": q22_heatmap_pivot,
