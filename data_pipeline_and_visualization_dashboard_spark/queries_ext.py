@@ -337,32 +337,7 @@ def sim_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     6dp, centroid-id tie-break). Centroids broadcast as a 4-row dim;
     the corpus streams through one scan — the IVF index-build shape.
     A k-means iteration = this + groupBy(centroid).avg(embedding)."""
-    emb = read_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"])
-    e = F.col("embedding").cast("array<double>")
-    dot = F.aggregate(
-        F.zip_with("ev", "cv", lambda x, y: x * y),
-        F.lit(0.0), lambda acc, x: acc + x,
-    )
-    norm_v = F.sqrt(F.aggregate(
-        F.zip_with("ev", "ev", lambda x, y: x * y),
-        F.lit(0.0), lambda acc, x: acc + x,
-    ))
-    norm_c = F.sqrt(F.aggregate(
-        F.zip_with("cv", "cv", lambda x, y: x * y),
-        F.lit(0.0), lambda acc, x: acc + x,
-    ))
-    cents = emb.filter(F.col("vec_id").isin(_CENTROID_IDS)).select(
-        F.col("vec_id").alias("centroid_id"), e.alias("cv")
-    )
-    vecs = emb.select("vec_id", e.alias("ev"))
-    sims = (
-        vecs.join(F.broadcast(cents))
-        .select(
-            "vec_id",
-            "centroid_id",
-            F.round(dot / (norm_v * norm_c), 6).alias("sim"),
-        )
-    )
+    sims = _centroid_sims(spark, sf_dir)
     w = Window.partitionBy("vec_id").orderBy(
         F.desc("sim"), F.asc("centroid_id")
     )
@@ -371,6 +346,90 @@ def sim_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", "centroid_id", "sim")
     )  # no terminal sort: O(n) output, order-insensitive compare
+
+
+# ----------------------------------------------------------------------
+# sim_ivf_topk: IVF-style ANN — probe only the query's nearest
+# centroid's inverted list. With sim_centroid_assign as the index-build
+# step, this is the second of the two scale paths ("IVF or LSH").
+# ----------------------------------------------------------------------
+
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search = assign query to nearest centroid, then brute-force only
+    within that centroid's list (~n/k candidates). Recall < 1 when a
+    true neighbor lives across a centroid boundary — the nprobe>1
+    multiprobe is the standard knob (probe the top-2 centroids here).
+    Rows-only: approximate by design; the pytest suite measures recall
+    against the exact brute force."""
+    assign = sim_centroid_assign(spark, sf_dir)
+    emb = read_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"])
+    e = F.col("embedding").cast("array<double>")
+    vecs = emb.select("vec_id", e.alias("v"))
+
+    # query side probes its top-2 centroids (nprobe=2); corpus vectors
+    # live in exactly their top-1 inverted list
+    q_probe = (
+        _centroid_sims(spark, sf_dir)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.desc("sim"), F.asc("centroid_id")
+                )
+            ),
+        )
+        .filter((F.col("rn") <= 2) & (F.col("vec_id") < 5))
+        .select(F.col("vec_id").alias("q_id"), "centroid_id")
+    )
+    corpus = assign.select(
+        F.col("vec_id").alias("c_id"), "centroid_id"
+    )
+    cand = q_probe.join(corpus, "centroid_id").filter(
+        F.col("q_id") != F.col("c_id")
+    ).select("q_id", "c_id").distinct()
+
+    qv = vecs.select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
+    cv = vecs.select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"))
+    dot = F.aggregate(F.zip_with("qv", "cv", lambda x, y: x * y),
+                      F.lit(0.0), lambda a, x: a + x)
+    nq = F.sqrt(F.aggregate(F.zip_with("qv", "qv", lambda x, y: x * y),
+                            F.lit(0.0), lambda a, x: a + x))
+    nc = F.sqrt(F.aggregate(F.zip_with("cv", "cv", lambda x, y: x * y),
+                            F.lit(0.0), lambda a, x: a + x))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        cand.join(F.broadcast(qv), "q_id")
+        .join(cv, "c_id")
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            F.round(dot / (nq * nc), 6).alias("sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .orderBy("query_id", "rank")
+    )
+
+
+def _centroid_sims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, centroid_id, sim) for all vector×centroid pairs —
+    shared by assignment (argmax) and multiprobe (top-nprobe)."""
+    emb = read_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"])
+    e = F.col("embedding").cast("array<double>")
+    dot = F.aggregate(F.zip_with("ev", "cv", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    norm_v = F.sqrt(F.aggregate(F.zip_with("ev", "ev", lambda x, y: x * y),
+                                F.lit(0.0), lambda acc, x: acc + x))
+    norm_c = F.sqrt(F.aggregate(F.zip_with("cv", "cv", lambda x, y: x * y),
+                                F.lit(0.0), lambda acc, x: acc + x))
+    cents = emb.filter(F.col("vec_id").isin(_CENTROID_IDS)).select(
+        F.col("vec_id").alias("centroid_id"), e.alias("cv")
+    )
+    vecs = emb.select("vec_id", e.alias("ev"))
+    return vecs.join(F.broadcast(cents)).select(
+        "vec_id", "centroid_id",
+        F.round(dot / (norm_v * norm_c), 6).alias("sim"),
+    )
 
 
 ORACLE_SQL: dict[str, str] = {
@@ -520,6 +579,7 @@ QUERIES = {
     "q30_semi_anti": q30_semi_anti,
     "q31_moving_avg": q31_moving_avg,
     "sim_centroid_assign": sim_centroid_assign,
+    "sim_ivf_topk": sim_ivf_topk,
     "q20_shipping_priority": q20_shipping_priority,
     "q21_nation_revenue": q21_nation_revenue,
     "q22_heatmap_pivot": q22_heatmap_pivot,

@@ -49,6 +49,31 @@ def test_lsh_is_subset_of_bruteforce_per_query(spark):
             assert abs(bf[(r.query_id, r.neighbor_id)] - r.sim) < 1e-9
 
 
+def test_ivf_recall_against_bruteforce(spark):
+    """IVF with nprobe=2 over 4 centroids: every returned neighbor's
+    sim must match brute force exactly, and recall@10 should be
+    substantial (candidates ≈ half the corpus at k=4, nprobe=2)."""
+    from data_pipeline_and_visualization_dashboard_spark.queries_ext import (
+        sim_ivf_topk,
+    )
+
+    bf = {}
+    for r in similarity.cosine_topk(spark, SF_SMOKE).collect():
+        bf.setdefault(r.query_id, set()).add(r.neighbor_id)
+        bf[(r.query_id, r.neighbor_id)] = r.sim
+    ivf_rows = sim_ivf_topk(spark, SF_SMOKE).collect()
+    assert len(ivf_rows) > 0
+    hits = total = 0
+    for r in ivf_rows:
+        if (r.query_id, r.neighbor_id) in bf:
+            assert abs(bf[(r.query_id, r.neighbor_id)] - r.sim) < 1e-9
+    for q, neigh in ((q, n) for q, n in bf.items() if isinstance(q, int)):
+        total += len(neigh)
+        ivf_n = {r.neighbor_id for r in ivf_rows if r.query_id == q}
+        hits += len(neigh & ivf_n)
+    assert total > 0 and hits / total >= 0.3  # recall floor for nprobe=2/k=4
+
+
 def test_pandas_cosine_matches_builtin(spark):
     a = similarity.cosine_topk(spark, SF_SMOKE).collect()
     b = similarity.cosine_topk_pandas(spark, SF_SMOKE).collect()

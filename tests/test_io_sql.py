@@ -71,6 +71,41 @@ def test_to_pandas_handoff(spark):
     assert len(pdf) == 24
 
 
+def test_group_by_select_alias(spark):
+    """SURVEY §2.8 note: the reference's Q5 groups by a SELECT alias —
+    spark.sql.groupByAliases (default true) must keep that SQL valid."""
+    from data_pipeline_and_visualization_dashboard_spark.io import (
+        read_all_tables,
+    )
+
+    register_views(spark, read_all_tables(spark, SF_SMOKE))
+    rows = spark.sql(
+        """
+        SELECT n_name AS nation_alias, count(*) AS cnt
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY nation_alias
+        ORDER BY cnt DESC, nation_alias LIMIT 5
+        """
+    ).collect()
+    assert len(rows) == 5
+
+
+def test_download_file_idempotent(tmp_path):
+    """S1: streams to disk, skips when present (file:// URL stands in
+    for the CDN)."""
+    from data_pipeline_and_visualization_dashboard_spark.io import download_file
+
+    src = tmp_path / "src.bin"
+    src.write_bytes(b"x" * 100_000)
+    dest = str(tmp_path / "out" / "data.bin")
+    url = "file://" + str(src)
+    p1 = download_file(url, dest)
+    assert open(p1, "rb").read() == b"x" * 100_000
+    src.write_bytes(b"y")  # would change the content if re-fetched
+    p2 = download_file(url, dest)  # skip: already present
+    assert open(p2, "rb").read() == b"x" * 100_000
+
+
 def test_orc_and_json_roundtrip(spark, tmp_path):
     """Source/sink breadth beyond parquet/CSV: ORC and JSON round-trips
     preserve rows and schema (JSON with an explicit schema — no
