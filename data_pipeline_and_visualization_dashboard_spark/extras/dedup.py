@@ -138,19 +138,25 @@ def shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toks.selectExpr("doc_id", f"({_SPARK_SHINGLES_FROM_TOKENS}) AS shingles")
 
 
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_signatures(spark: SparkSession, sf_dir: str,
+                       hash_impl: str = "md5") -> DataFrame:
     """Per-doc MinHash signature + band hashes.
 
-    Idiomatic Spark shape: explode shingles -> ONE md5 per shingle row
-    -> 12 cheap modular hashes folded by min() in a single grouped
-    aggregation (partial min map-side, so the shuffle carries 12 longs
-    per doc per partition — not the shingles). An expression-only
-    variant (array_min over 12 transforms) type-checks but re-evaluates
-    the tokenizer inside every lambda: 50× slower at sf0.1."""
+    Idiomatic Spark shape: explode shingles -> ONE base hash per
+    shingle row -> 12 cheap modular hashes folded by min() in a single
+    grouped aggregation (partial min map-side, so the shuffle carries
+    12 longs per doc per partition — not the shingles). An
+    expression-only variant (array_min over 12 transforms) type-checks
+    but re-evaluates the tokenizer inside every lambda: 50× slower at
+    sf0.1.
+
+    hash_impl: 'md5' = oracle-parity (DuckDB-reproducible, the
+    correctness gate); 'xxhash64' = production path, several times
+    cheaper, no oracle (see extras.hashing)."""
     shingled = shingle_sets(spark, sf_dir)
     hashed = shingled.select(
         "doc_id", F.explode("shingles").alias("s")
-    ).selectExpr("doc_id", f"{spark_base_hash('s')} AS h")
+    ).selectExpr("doc_id", f"{spark_base_hash('s', hash_impl)} AS h")
     sigs = hashed.groupBy("doc_id").agg(
         *[
             F.min(F.expr(minhash_term(j, "h"))).alias(f"sig_{j}")

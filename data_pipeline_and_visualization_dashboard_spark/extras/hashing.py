@@ -44,9 +44,20 @@ def duck_h60(expr: str) -> str:
     return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
 
 
-def spark_base_hash(expr: str) -> str:
-    """Token/shingle base hash in [0, M31)."""
-    return f"({spark_h60(expr)} % {M31})"
+def spark_base_hash(expr: str, impl: str = "md5") -> str:
+    """Token/shingle base hash in [0, M31).
+
+    impl='md5' (default) is the ORACLE-PARITY path — DuckDB reproduces
+    it bit-for-bit. impl='xxhash64' is the PRODUCTION path: Spark's
+    native 64-bit xxHash is several times cheaper than md5+conv and
+    statistically equivalent for MinHash/SimHash purposes, but has no
+    DuckDB twin, so only correctness-vs-oracle runs need md5.
+    `abs(... % M31)` because xxhash64 is signed."""
+    if impl == "md5":
+        return f"({spark_h60(expr)} % {M31})"
+    if impl == "xxhash64":
+        return f"abs(xxhash64({expr}) % {M31})"
+    raise ValueError(f"unknown hash impl: {impl}")
 
 
 def duck_base_hash(expr: str) -> str:

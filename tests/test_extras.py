@@ -25,6 +25,24 @@ def test_minhash_est_tracks_true_jaccard(spark):
         assert abs(r.est_jaccard - r.jaccard) <= 0.5
 
 
+def test_minhash_xxhash_impl_same_shape(spark):
+    """The production hash path (xxhash64) must produce the same
+    signature SHAPE (doc coverage, value range) as the md5 oracle
+    path — values differ by design."""
+    md5_sigs = dedup.minhash_signatures(spark, SF_SMOKE).collect()
+    xx_sigs = dedup.minhash_signatures(
+        spark, SF_SMOKE, hash_impl="xxhash64"
+    ).collect()
+    assert len(md5_sigs) == len(xx_sigs)
+    from data_pipeline_and_visualization_dashboard_spark.extras.hashing import (
+        P_HASH,
+    )
+
+    for r in xx_sigs[:50]:
+        for j in range(12):
+            assert 0 <= r[f"sig_{j}"] < P_HASH
+
+
 def test_exact_dedup_keeps_all_distinct(spark):
     docs = read_table(spark, SF_SMOKE, "documents")
     n_docs = docs.count()

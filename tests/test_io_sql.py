@@ -71,6 +71,27 @@ def test_to_pandas_handoff(spark):
     assert len(pdf) == 24
 
 
+def test_portable_oracle_sql_runs_in_spark(spark):
+    """SQL/DataFrame 1:1 (SURVEY §7.1): the dialect-portable oracle
+    texts must run unchanged through spark.sql and produce the same
+    rows as the DataFrame builders."""
+    import __spark_entry__ as entrymod
+    from data_pipeline_and_visualization_dashboard_spark.io import (
+        read_all_tables,
+    )
+
+    register_views(spark, read_all_tables(spark, SF_SMOKE))
+    portable = [
+        "q1_top_nations", "q5_trade_routes", "q20_shipping_priority",
+        "q21_nation_revenue", "q24_distinct_users", "q30_semi_anti",
+    ]
+    qs, oq = entrymod.queries(), entrymod.oracle_sql()
+    for name in portable:
+        sql_rows = sorted(map(tuple, spark.sql(oq[name]).collect()))
+        df_rows = sorted(map(tuple, qs[name](spark, SF_SMOKE).collect()))
+        assert sql_rows == df_rows, name
+
+
 def test_group_by_select_alias(spark):
     """SURVEY §2.8 note: the reference's Q5 groups by a SELECT alias —
     spark.sql.groupByAliases (default true) must keep that SQL valid."""
