@@ -11,6 +11,12 @@ this module only aggregates the per-module query/oracle registries.
 
 from __future__ import annotations
 
+import os
+import sys
+
+# resolve the package regardless of the harness's CWD
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession

@@ -366,6 +366,24 @@ def q18_status_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q33_status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE companion to q18's ROLLUP: all 2^2 grouping sets."""
+    orders = read_table(
+        spark, sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"]
+    )
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("o_totalprice"), 4).alias("total"),
+        )
+        .orderBy(
+            F.asc_nulls_first("o_orderstatus"),
+            F.asc_nulls_first("o_orderpriority"),
+        )
+    )
+
+
 _NULLS = "ts IS NULL OR user_id IS NULL OR event_type IS NULL OR value IS NULL"
 _TS_OK = "ts >= TIMESTAMP '2000-01-01' AND ts < TIMESTAMP '2100-01-01'"
 
@@ -503,6 +521,14 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
     """,
+    "q33_status_priority_cube": """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS cnt,
+               round(sum(o_totalprice), 4) AS total
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
 }
 
 QUERIES = {
@@ -519,4 +545,5 @@ QUERIES = {
     "q16_sessionization": q16_sessionization,
     "q17_top_customers_per_nation": q17_top_customers_per_nation,
     "q18_status_priority_rollup": q18_status_priority_rollup,
+    "q33_status_priority_cube": q33_status_priority_cube,
 }

@@ -349,6 +349,28 @@ def sim_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# q32: collect_set / collect_list aggregates (absent from the
+# reference) — serialized to a sorted CSV string so the cross-engine
+# value hash sees a scalar, not an engine-specific array object
+# ----------------------------------------------------------------------
+
+def q32_collect_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events", ["event_type", "user_id"])
+    return (
+        events.filter(F.col("user_id") < 20)
+        .groupBy("event_type")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.slice(F.sort_array(F.collect_set("user_id")), 1, 10),
+            ).alias("first_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ----------------------------------------------------------------------
 # sim_ivf_topk: IVF-style ANN — probe only the query's nearest
 # centroid's inverted list. With sim_centroid_assign as the index-build
 # step, this is the second of the two scale paths ("IVF or LSH").
@@ -433,6 +455,15 @@ def _centroid_sims(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_SQL: dict[str, str] = {
+    "q32_collect_sets": """
+        SELECT event_type,
+               array_to_string(list_sort(list(DISTINCT user_id))[1:10], ',')
+                   AS first_users,
+               count(*) AS n_events
+        FROM events
+        WHERE user_id < 20
+        GROUP BY event_type ORDER BY event_type
+    """,
     "q30_semi_anti": """
         SELECT 'with_orders' AS cohort,
                (SELECT count(*) FROM customer
@@ -578,6 +609,7 @@ QUERIES = {
     "q29_approx_stats": q29_approx_stats,
     "q30_semi_anti": q30_semi_anti,
     "q31_moving_avg": q31_moving_avg,
+    "q32_collect_sets": q32_collect_sets,
     "sim_centroid_assign": sim_centroid_assign,
     "sim_ivf_topk": sim_ivf_topk,
     "q20_shipping_priority": q20_shipping_priority,

@@ -64,6 +64,31 @@ def test_split_quarantine_consistent_with_accounting(spark):
         assert r[f"removed_{reason}"] == n
 
 
+def test_accounting_attributes_null_rows(spark):
+    """First-failing-rule attribution: a row with null value lands in
+    removed_nulls (rule order), not value_pos."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_and_visualization_dashboard_spark.clean import (
+        cleaning_rules, split_events,
+    )
+    from data_pipeline_and_visualization_dashboard_spark.io import read_table
+    from data_pipeline_and_visualization_dashboard_spark.validate import (
+        removal_accounting,
+    )
+
+    events = read_table(spark, SF_SMOKE, "events")
+    dirty = events.union(
+        events.limit(2).withColumn("value", F.lit(None).cast("double"))
+    )
+    r = removal_accounting(dirty, cleaning_rules()).first().asDict()
+    assert r["removed_nulls"] == 2
+    assert r["removed_value_pos"] == 0
+    good, bad = split_events(dirty)
+    reasons = [x.reject_reason for x in bad.collect()]
+    assert reasons == ["nulls", "nulls"]
+
+
 def test_validate_schema_raises_on_missing(spark):
     from data_pipeline_and_visualization_dashboard_spark.io import read_table
 
