@@ -56,11 +56,23 @@ def read_table(
     (ipynb:68); Catalyst pushes it down so the scan's ReadSchema contains
     only the requested columns.
     """
+    _ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     df = _restore_nanos_timestamps(df, name)
     if columns:
         df = df.select(*columns)
     return df
+
+
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Defensive runtime confs for sessions WE did not build (the
+    driver harness constructs its own SparkSession): without
+    nanosAsLong the events table is unreadable (TIMESTAMP(NANOS)),
+    and without UTC the hour()/day-name extractions disagree with the
+    tz-naive DuckDB oracle. Both are runtime-settable SQL confs;
+    idempotent and cheap."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
 def _restore_nanos_timestamps(df: DataFrame, name: str) -> DataFrame:
