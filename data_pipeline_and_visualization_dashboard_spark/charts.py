@@ -27,8 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .derive import EVENT_TYPE_LABELS, derive_event_columns, label_map_expr, \
-    weekday_num_expr
+from .derive import EVENT_TYPE_LABELS, derive_event_columns, weekday_num_expr
 from .io import read_table
 
 HIST_LO, HIST_HI, HIST_BIN = 0.0, 500.0, 10.0

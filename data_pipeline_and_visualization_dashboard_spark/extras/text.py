@@ -18,7 +18,6 @@ Oracle portability notes:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from ..io import read_table
 from .hashing import P_FP, duck_base_hash, spark_base_hash

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from .clean import clean_events_with_report
 from .derive import derive_event_columns
 from .io import read_table, write_parquet
-from .schemas import EVENTS, EVENTS_CRITICAL
+from .schemas import EVENTS
 from .validate import validate_schema
 
 

@@ -16,7 +16,7 @@ in session.py). These helpers cover the cases AQE doesn't:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 

@@ -23,12 +23,9 @@ via idempotent epoch overwrite.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .schemas import EVENTS
 
 # streaming needs an explicit schema; ts arrives as long (nanos) per the
 # driver parquet's TIMESTAMP(NANOS) encoding under nanosAsLong
