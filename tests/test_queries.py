@@ -73,3 +73,17 @@ def test_entry_smoke(spark):
 def test_all_queries_have_callables(spark):
     qs = entrymod.queries()
     assert set(entrymod.oracle_sql()) <= set(qs)
+
+
+def test_registry_has_no_silent_collisions():
+    """Module registries must not shadow each other's query names."""
+    from data_pipeline_and_visualization_dashboard_spark import charts, queries, queries_ext
+    from data_pipeline_and_visualization_dashboard_spark.extras import (
+        dedup, multimodal, similarity, text,
+    )
+
+    mods = [queries, queries_ext, charts, dedup, text, similarity, multimodal]
+    total = sum(len(m.QUERIES) for m in mods)
+    assert len(entrymod.queries()) == total
+    total_oracles = sum(len(m.ORACLE_SQL) for m in mods)
+    assert len(entrymod.oracle_sql()) == total_oracles
