@@ -43,6 +43,31 @@ def test_minhash_xxhash_impl_same_shape(spark):
             assert 0 <= r[f"sig_{j}"] < P_HASH
 
 
+def test_minhash_xxhash_pairs_match_md5_on_near_dups(spark):
+    """Hash-family independence: the exact-Jaccard verification column
+    does not depend on the hash family, so near-identical pairs found
+    by the md5 (oracle) family must also be surfaced by the xxhash64
+    (production) family — P(all 4 bands miss | jaccard j) = (1-j³)⁴,
+    < 2.6e-3 at j=0.8 — and carry bit-identical jaccard values."""
+    md5_pairs = {
+        (r.doc_id_a, r.doc_id_b): r.jaccard
+        for r in dedup.dedup_minhash_pairs(spark, SF_SMOKE).collect()
+    }
+    xx_pairs = {
+        (r.doc_id_a, r.doc_id_b): r.jaccard
+        for r in dedup.dedup_minhash_pairs_xxhash(spark, SF_SMOKE).collect()
+    }
+    assert md5_pairs and xx_pairs
+    high = {p for p, j in md5_pairs.items() if j >= 0.8}
+    assert high, "smoke corpus should contain near-duplicate pairs"
+    for p in high:
+        assert p in xx_pairs, f"xxhash64 family missed near-dup pair {p}"
+        assert abs(xx_pairs[p] - md5_pairs[p]) < 1e-12
+    # exact-jaccard parity on every pair both families surface
+    for p in md5_pairs.keys() & xx_pairs.keys():
+        assert abs(xx_pairs[p] - md5_pairs[p]) < 1e-12
+
+
 def test_exact_dedup_keeps_all_distinct(spark):
     docs = read_table(spark, SF_SMOKE, "documents")
     n_docs = docs.count()
