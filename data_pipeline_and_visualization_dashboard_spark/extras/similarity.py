@@ -143,6 +143,44 @@ def lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DETERMINISTIC core of the LSH ANN path, exposed for the
+    oracle gate: (vec_id, bucket) under the seeded hyperplanes. The
+    top-k search is approximate by design (rows-only check + recall
+    pytest), but bucket assignment is a pure function of the planes —
+    DuckDB reproduces it bit-for-bit from the same plane literals, so
+    this converts the LSH path's trust from 'pytest says recall>=x'
+    to a driver-visible green hash row. Row-local, zero shuffle."""
+    emb = read_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"])
+    planes = _hyperplanes()
+    bound = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("ev")
+    )
+    return bound.select(
+        "vec_id", _bucket_expr(F.col("ev"), planes).cast("int").alias("bucket")
+    )  # no terminal sort: O(n) output, order-insensitive compare
+
+
+def _duck_lsh_buckets_sql() -> str:
+    """Oracle twin of lsh_buckets: planes embedded as literals via
+    repr() round-trip (exact doubles both engines). Spark's aggregate
+    fold and DuckDB's list_dot_product both sum left-to-right, so the
+    sign tests agree exactly."""
+    planes = _hyperplanes()
+    terms = []
+    for i, plane in enumerate(planes):
+        arr = "[" + ", ".join(repr(float(v)) for v in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]),\n"
+            f"           {arr}) >= 0 THEN {1 << i} ELSE 0 END)"
+        )
+    expr = "\n         + ".join(terms)
+    return (
+        f"SELECT vec_id, CAST({expr} AS INT) AS bucket\n"
+        "FROM embeddings ORDER BY vec_id"
+    )
+
+
 def cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """numpy/Arrow variant of brute-force cosine: per-partition matrix
     multiply via mapInPandas. Same output contract as cosine_topk;
@@ -165,14 +203,18 @@ def cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {
                     "query_id": np.repeat(q_ids, len(pdf)),
                     "neighbor_id": np.tile(pdf["vec_id"].values, len(q_ids)),
-                    "sim": np.round(sims.T.ravel(), 6),
+                    # UNROUNDED: np.round is round-half-even while the
+                    # Spark/DuckDB twins round half-up-style; rounding
+                    # happens once, in the Spark plan below, so all
+                    # three paths share one implementation
+                    "sim": sims.T.ravel(),
                 }
             )
             yield out[out.query_id != out.neighbor_id]
 
     cand = emb.mapInPandas(
         part, schema="query_id long, neighbor_id long, sim double"
-    )
+    ).withColumn("sim", F.round("sim", 6))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         cand.withColumn("rank", F.row_number().over(w))
@@ -207,10 +249,12 @@ _DUCK_COSINE_BASE = f"""
 ORACLE_SQL: dict[str, str] = {
     "sim_cosine_topk": _DUCK_COSINE_BASE,
     "sim_cosine_topk_pandas": _DUCK_COSINE_BASE,
+    "sim_lsh_buckets": _duck_lsh_buckets_sql(),
 }
 
 QUERIES = {
     "sim_cosine_topk": cosine_topk,
     "sim_cosine_topk_pandas": cosine_topk_pandas,
     "sim_lsh_topk": lsh_topk,
+    "sim_lsh_buckets": lsh_buckets,
 }

@@ -325,6 +325,73 @@ def q31_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# q34: the J3 literal shape — top-k FIRST, then LEFT-join a dimension
+# that may not cover every key, keeping the null labels (reference
+# app.py:161-166: 10-row top-zones merged how="left" with the zone
+# lookup; unmatched zone ids keep NaN names). The dim side is filtered
+# to one market segment so unmatched keys genuinely occur.
+# ----------------------------------------------------------------------
+
+def q34_top_users_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 users by event count, then left-join customer names
+    (BUILDING segment only). The top-k compiles to
+    TakeOrderedAndProject BEFORE the join, so the join input is 10
+    rows against a broadcast dim — order of operations matters: label
+    AFTER ranking, never rank the joined fact."""
+    events = read_table(spark, sf_dir, "events", ["user_id"])
+    cust = read_table(
+        spark, sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"]
+    )
+    top = (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(10)
+    )
+    labels = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey", F.col("c_name").alias("user_name")
+    )
+    return (
+        top.join(F.broadcast(labels), top.user_id == labels.c_custkey, "left")
+        .select("user_id", "n_events", "user_name")  # null names KEPT
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+    )
+
+
+# ----------------------------------------------------------------------
+# q35: the P2 literal shape — a derived duration column from TWO
+# timestamp columns (reference ipynb:188-189 / app.py:34-37:
+# (dropoff - pickup).total_seconds() / 60). Same µs-exact arithmetic
+# on the driver schema's timestamp pair (o_orderdate -> l_shipdate).
+# ----------------------------------------------------------------------
+
+def q35_ship_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level ship-delay in minutes and days: integer-µs subtraction
+    then one double division — identical IEEE trees in both engines, so
+    NO rounding (round() itself is the cross-engine hazard on row-level
+    doubles). Scale: the lineitem⋈orders equi-join is the one shuffle;
+    both sides bucket on orderkey at write time in production."""
+    li = read_table(
+        spark, sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_shipdate"]
+    )
+    orders = read_table(spark, sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    # parquet scans yield TIMESTAMP_NTZ; unix_micros wants TIMESTAMP —
+    # the cast is a wall-clock identity under the pinned-UTC session
+    delay_us = F.unix_micros(
+        F.col("l_shipdate").cast("timestamp")
+    ) - F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (delay_us / F.lit(60_000_000.0)).alias("delay_minutes"),
+            (delay_us / F.lit(86_400_000_000.0)).alias("delay_days"),
+        )
+    )  # no terminal sort: O(n) output, order-insensitive compare
+
+
+# ----------------------------------------------------------------------
 # sim_centroid_assign: nearest-centroid assignment (the IVF building
 # block / k-means E-step): fixed seeded centroids, cosine argmax.
 # ----------------------------------------------------------------------
@@ -371,40 +438,139 @@ def q32_collect_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
-# sim_ivf_topk: IVF-style ANN — probe only the query's nearest
-# centroid's inverted list. With sim_centroid_assign as the index-build
-# step, this is the second of the two scale paths ("IVF or LSH").
+# sim_ivf_topk: IVF ANN with a TRAINED coarse quantizer — seeded
+# k-means (Lloyd) learns IVF_K centroids, corpus vectors land in their
+# nearest centroid's inverted list, queries probe their IVF_NPROBE
+# nearest lists. With sim_centroid_assign as the oracle-backed E-step
+# demo, this is the second of the two scale paths ("IVF or LSH").
 # ----------------------------------------------------------------------
 
+IVF_K = 16
+IVF_ITERS = 3
+IVF_NPROBE = 4
+
+
+def _unit(vec: list[float]) -> list[float]:
+    import math
+
+    nrm = math.sqrt(sum(x * x for x in vec)) or 1.0
+    return [x / nrm for x in vec]
+
+
+def _centroid_sim_structs(centroids: list[tuple[int, list[float]]]):
+    """Array of (dot(e, unit_centroid), -centroid_id) structs over a
+    bound `ev` column. Centroids are UNIT vectors baked in as literals,
+    so argmax(dot) == argmax(cosine) without computing |e| — the query
+    vector's own norm is constant across centroids."""
+    return F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        "ev",
+                        F.array(*[F.lit(float(v)) for v in vec]),
+                        lambda x, y: x * y,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("sim"),
+                F.lit(-cid).alias("ncid"),
+            )
+            for cid, vec in centroids
+        ]
+    )
+
+
+def train_centroids(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = IVF_K,
+    iters: int = IVF_ITERS,
+) -> list[tuple[int, list[float]]]:
+    """Spherical k-means index training, the IVF build step:
+
+      init    — k evenly-spaced vec_ids (deterministic for a fixed
+                corpus; a seeded sample adds nothing here)
+      E-step  — argmax-cosine assignment with centroids baked into the
+                plan as literals (k×dim doubles — no broadcast var, no
+                shuffle of the corpus)
+      M-step  — per-dimension mean via posexplode + ONE grouped agg
+                (shuffle carries k×dim partial sums, not vectors),
+                then re-normalized driver-side
+
+    The driver holds only k×dim doubles between iterations — the
+    classic iterative-algorithm shape where per-round state is tiny
+    but the assignment pass is corpus-sized and fully distributed.
+    Genuinely iterative => not SQL-expressible; consumers are checked
+    by recall pytest instead of the DuckDB oracle."""
+    emb = read_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"])
+    n = emb.count()
+    init_ids = sorted({int(i * n / k) for i in range(k)})
+    seed_rows = (
+        emb.filter(F.col("vec_id").isin(init_ids))
+        .select("vec_id", F.col("embedding").cast("array<double>"))
+        .collect()
+    )
+    centroids = [
+        (cid, _unit([float(x) for x in r.embedding]))
+        for cid, r in enumerate(sorted(seed_rows, key=lambda r: r.vec_id))
+    ]
+    bound = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("ev")
+    )
+    for _ in range(iters):
+        best = F.array_max(_centroid_sim_structs(centroids))
+        assigned = bound.select(
+            "ev", (-best.getField("ncid")).alias("centroid_id")
+        )
+        means = (
+            assigned.select(
+                "centroid_id", F.posexplode("ev").alias("pos", "v")
+            )
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("v").alias("m"))
+            .collect()
+        )
+        by_c: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_c.setdefault(r.centroid_id, {})[r.pos] = r.m
+        centroids = [
+            (cid, _unit([dims[p] for p in range(len(dims))]))
+            for cid, dims in sorted(by_c.items())
+        ]
+    return centroids
+
+
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Search = assign query to nearest centroid, then brute-force only
-    within that centroid's list (~n/k candidates). Recall < 1 when a
-    true neighbor lives across a centroid boundary — the nprobe>1
-    multiprobe is the standard knob (probe the top-2 centroids here).
-    Rows-only: approximate by design; the pytest suite measures recall
-    against the exact brute force."""
-    assign = sim_centroid_assign(spark, sf_dir)
+    """Search over the TRAINED index: corpus vectors live in their
+    top-1 learned inverted list; queries probe their IVF_NPROBE nearest
+    lists (~nprobe/k of the corpus) and brute-force only there. Recall
+    < 1 when a true neighbor lives across a centroid boundary — nprobe
+    is the standard knob. Rows-only: approximate + iterative by design;
+    the pytest suite measures recall against the exact brute force."""
+    centroids = train_centroids(spark, sf_dir)
     emb = read_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"])
     e = F.col("embedding").cast("array<double>")
     vecs = emb.select("vec_id", e.alias("v"))
+    bound = emb.select("vec_id", e.alias("ev"))
+    sim_structs = _centroid_sim_structs(centroids)
 
-    # query side probes its top-2 centroids (nprobe=2); corpus vectors
-    # live in exactly their top-1 inverted list
-    q_probe = (
-        _centroid_sims(spark, sf_dir)
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(
-                    F.desc("sim"), F.asc("centroid_id")
-                )
-            ),
-        )
-        .filter((F.col("rn") <= 2) & (F.col("vec_id") < 5))
-        .select(F.col("vec_id").alias("q_id"), "centroid_id")
+    corpus = bound.select(
+        F.col("vec_id").alias("c_id"),
+        (-F.array_max(sim_structs).getField("ncid")).alias("centroid_id"),
     )
-    corpus = assign.select(
-        F.col("vec_id").alias("c_id"), "centroid_id"
+    # query side probes its top-IVF_NPROBE centroids: sort the struct
+    # array desc, slice, explode — row-local, no window needed
+    probe = F.slice(
+        F.sort_array(sim_structs, asc=False), 1, IVF_NPROBE
+    )
+    q_probe = (
+        bound.filter(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.explode(probe).alias("cand"),
+        )
+        .select("q_id", (-F.col("cand").getField("ncid")).alias("centroid_id"))
     )
     cand = q_probe.join(corpus, "centroid_id").filter(
         F.col("q_id") != F.col("c_id")
@@ -455,6 +621,27 @@ def _centroid_sims(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_SQL: dict[str, str] = {
+    "q34_top_users_labeled": """
+        WITH top AS (
+            SELECT user_id, count(*) AS n_events
+            FROM events GROUP BY user_id
+            ORDER BY n_events DESC, user_id LIMIT 10
+        )
+        SELECT t.user_id, t.n_events, c.c_name AS user_name
+        FROM top t
+        LEFT JOIN (SELECT c_custkey, c_name FROM customer
+                   WHERE c_mktsegment = 'BUILDING') c
+          ON t.user_id = c.c_custkey
+        ORDER BY n_events DESC, user_id
+    """,
+    "q35_ship_delay": """
+        SELECT l_orderkey, l_linenumber,
+               (epoch_us(l_shipdate) - epoch_us(o_orderdate))
+                   / 60000000.0 AS delay_minutes,
+               (epoch_us(l_shipdate) - epoch_us(o_orderdate))
+                   / 86400000000.0 AS delay_days
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    """,
     "q32_collect_sets": """
         SELECT event_type,
                array_to_string(list_sort(list(DISTINCT user_id))[1:10], ',')
@@ -605,6 +792,8 @@ ORACLE_SQL: dict[str, str] = {
 }
 
 QUERIES = {
+    "q34_top_users_labeled": q34_top_users_labeled,
+    "q35_ship_delay": q35_ship_delay,
     "q28_json_extract": q28_json_extract,
     "q29_approx_stats": q29_approx_stats,
     "q30_semi_anti": q30_semi_anti,
