@@ -24,17 +24,21 @@ from pyspark.sql import types as SparkT
 from .schemas import TABLE_SCHEMAS
 
 
-def download_file(url: str, dest_path: str, chunk_bytes: int = 8192) -> str:
+def download_file(url: str, dest_path: str, chunk_bytes: int = 8192,
+                  timeout: float = 30.0) -> str:
     """S1: idempotent fetch to local disk (skip when present), streamed in
-    chunks — driver-side utility, not a Spark operator (app.py:7-15).
-    At cluster scale data lands on object storage and Spark reads it
-    directly; this exists for single-node parity with the reference.
+    chunks — driver-side utility, not a Spark operator (app.py:7-15,
+    which also uses timeout=30; a stalled connection must fail the
+    pipeline, not hang it). At cluster scale data lands on object
+    storage and Spark reads it directly; this exists for single-node
+    parity with the reference.
     """
     if os.path.exists(dest_path):
         return dest_path
     os.makedirs(os.path.dirname(dest_path) or ".", exist_ok=True)
     tmp = dest_path + ".tmp"
-    with urllib.request.urlopen(url) as resp, open(tmp, "wb") as out:
+    with urllib.request.urlopen(url, timeout=timeout) as resp, \
+            open(tmp, "wb") as out:
         while True:
             chunk = resp.read(chunk_bytes)
             if not chunk:

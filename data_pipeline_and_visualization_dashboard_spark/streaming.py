@@ -134,11 +134,16 @@ def _session_func(key, pdf_iter, state):
     """Per-user stateful session builder (applyInPandasWithState).
 
     State = the one open session (start_us, last_us, n). Each batch:
-    sort the user's events by time, fold them into the open session,
-    EMIT every session closed by a gap > SESSION_GAP_US, keep the
-    trailing open session in state. Late rows older than the open
-    session's last event simply extend the count (no re-open) — the
-    watermark upstream bounds how late they can be.
+    buffer ALL of the user's chunks, sort the union by time ONCE, fold
+    into the open session, EMIT every session closed by a gap >
+    SESSION_GAP_US, keep the trailing open session in state. The
+    whole-batch sort matters: one user's micro-batch can span multiple
+    Arrow chunks, and a per-chunk sort would compare out-of-order
+    timestamps against last_us, closing/splitting sessions wrongly.
+    Per-key-per-batch volumes are small, so buffering is negligible.
+    Late rows older than the open session's last event simply extend
+    the count (no re-open) — the watermark upstream bounds how late
+    they can be.
     """
     import pandas as pd
 
@@ -149,8 +154,9 @@ def _session_func(key, pdf_iter, state):
         start_us = last_us = -1
         n = 0
     closed: list[tuple] = []
-    for pdf in pdf_iter:
-        us = (pdf["ts"].astype("int64") // 1000).sort_values()
+    chunks = [pdf["ts"].astype("int64") // 1000 for pdf in pdf_iter]
+    if chunks:
+        us = pd.concat(chunks).sort_values()
         for t in us:
             t = int(t)
             if n == 0:

@@ -87,6 +87,45 @@ def test_plan_properties(spark, name):
     )
 
 
+def test_pipeline_output_partition_pruning(spark, tmp_path):
+    """F7 at 100 TB: the pipeline writes event_date-partitioned parquet
+    (pipeline.py) — a date filter over the RE-READ output must prune at
+    planning time (PartitionFilters on the scan) and touch only the
+    matching partition's files, not scan-then-filter the world."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_and_visualization_dashboard_spark.pipeline import (
+        run_events_pipeline,
+    )
+    from tests.conftest import SF_SMOKE
+
+    out = str(tmp_path / "events_clean")
+    res = run_events_pipeline(spark, SF_SMOKE, out_path=out)
+    dates = sorted(
+        r.event_date
+        for r in res.cleaned.select("event_date").distinct().collect()
+    )
+    assert len(dates) > 1, "need multiple partitions to prove pruning"
+    pick = dates[0]
+    filtered = res.cleaned.filter(F.col("event_date") == F.lit(pick))
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(event_date" in plan, plan[:2000]
+    assert f" = {pick})" in plan, plan[:2000]  # (event_date#N = <date>)
+    # DataFilters must stay empty: the predicate is fully satisfied by
+    # directory pruning, no per-row filtering work remains
+    assert "PushedFilters: []" in plan, plan[:2000]
+    # physical proof: the executed scan's numFiles metric counts only
+    # the matching partition's files (inputFiles() ignores filters, so
+    # the runtime metric is the honest witness)
+    filtered.collect()
+    leaf = filtered._jdf.queryExecution().executedPlan().collectLeaves().head()
+    n_files = leaf.metrics().apply("numFiles").value()
+    total_files = len(res.cleaned.inputFiles())
+    assert total_files >= len(dates)
+    assert n_files < total_files, (n_files, total_files)
+    assert n_files <= total_files // len(dates) + 1
+
+
 def test_projection_pushdown_reaches_scan(spark):
     """S2: a two-column projection must shrink the parquet ReadSchema
     (SURVEY §2.1) — reading all columns for a 2-column query is wrong."""

@@ -26,6 +26,34 @@ def test_stream_matches_batch(spark):
     assert len(s) > 0
 
 
+def test_stream_to_parquet_roundtrip(spark, tmp_path):
+    """Production sink: drive stream_to_parquet to completion and
+    assert the epoch-overwrite parquet equals the memory-sink result
+    (exactly-once via idempotent overwrite — the final epoch's
+    complete-mode output IS the answer)."""
+    out_dir = str(tmp_path / "sink_out")
+    ckpt = str(tmp_path / "sink_ckpt")
+    q = streaming.stream_to_parquet(spark, SF_SMOKE, out_dir, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    sunk = spark.read.parquet(out_dir)
+    mem = streaming.run_to_completion(spark, SF_SMOKE, "sink_parity")
+    s = {
+        (r.window_start, r.event_type): (r.event_cnt, r.value_sum)
+        for r in sunk.collect()
+    }
+    m = {
+        (r.window_start, r.event_type): (r.event_cnt, r.value_sum)
+        for r in mem.collect()
+    }
+    assert s == m
+    assert len(s) > 0
+    # the sink stamps the epoch column; one complete-mode epoch survives
+    assert sunk.select("epoch").distinct().count() == 1
+
+
 def test_streaming_dedup_across_batches(spark, tmp_path):
     """Duplicated event_ids split across two micro-batches must be
     dropped by the stateful dedup (state survives batch boundaries)."""
