@@ -283,6 +283,73 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str,
     )
 
 
+# Verified-pair Jaccard threshold above which two docs belong to the
+# same near-dup group (sized to the synthetic corpus's dup clusters).
+NEARDUP_JACCARD = 0.5
+
+
+def dedup_neardup_groups(spark: SparkSession, sf_dir: str,
+                         hash_impl: str = "md5") -> DataFrame:
+    """Near-dup GROUPS: connected components over the verified LSH pair
+    graph — the step that turns pairwise matches into keep/drop
+    decisions (keeper = min doc_id per component, like dedup_exact_*).
+
+    Iterative min-label propagation: label(v) starts at v, each round
+    takes the min over the neighborhood, loop until fixpoint. The
+    convergence check rides the SAME job that materializes the round's
+    cache: per-node labels only ever decrease, so sum(label) strictly
+    decreases until fixpoint — one agg scalar per round, no
+    changed-rows join. Termination in O(component diameter) rounds;
+    near-dup components are dup-clusters with tiny diameters. At web
+    scale the alternating large-star/small-star variant bounds rounds
+    by O(log n); this loop keeps the same per-round plan (edges ⋈
+    labels, groupBy min) which is all that changes. Per round: ONE
+    shuffle each for the join and the min-agg over |edges| rows — no
+    all-pairs stage anywhere.
+
+    Genuinely iterative, yet still oracle-checkable: the DuckDB twin
+    computes the same components with a recursive CTE.
+
+    Output: (doc_id, group_id) for every doc in the pair graph
+    (singletons carry no dedup decision and are omitted)."""
+    pairs = dedup_minhash_pairs(spark, sf_dir, hash_impl).filter(
+        F.col("jaccard") >= NEARDUP_JACCARD
+    ).select("doc_id_a", "doc_id_b")
+    edges = (
+        pairs.selectExpr("doc_id_a AS src", "doc_id_b AS dst")
+        .unionByName(pairs.selectExpr("doc_id_b AS src", "doc_id_a AS dst"))
+        .cache()
+    )
+    edges.count()  # materialize: referenced every round
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .cache()
+    )
+    prev_sum = labels.agg(F.sum("label")).first()[0]  # also materializes
+    while True:
+        neigh = edges.join(
+            labels.select(F.col("doc_id").alias("src"), "label"), "src"
+        ).select(F.col("dst").alias("doc_id"), "label")
+        new_labels = (
+            labels.unionByName(neigh)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+            .cache()
+        )
+        cur_sum = new_labels.agg(F.sum("label")).first()[0]
+        labels.unpersist()
+        labels = new_labels
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    return labels.select(
+        "doc_id", F.col("label").alias("group_id")
+    )  # no terminal sort: O(n) output, order-insensitive compare
+
+
 def ngram_jaccard_topk(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
     """Brute-force all-pairs shingle Jaccard, top-k most similar pairs.
 
@@ -548,7 +615,31 @@ _DUCK_SIMHASH_BANDS = "\n            UNION ALL\n".join(
     for b in range(SIMHASH_BANDS)
 )
 
+def _duck_neardup_groups_sql() -> str:
+    """Recursive-CTE twin of the label-propagation components: `reach`
+    enumerates every (node, reachable id) pair over the undirected pair
+    graph (UNION dedups, so the recursion terminates); min reachable id
+    per node == the component representative."""
+    return f"""
+        WITH RECURSIVE pair_graph AS (
+            SELECT doc_id_a, doc_id_b FROM ({_duck_pairs_sql()}) p
+            WHERE p.jaccard >= {NEARDUP_JACCARD}
+        ), edges AS (
+            SELECT doc_id_a AS src, doc_id_b AS dst FROM pair_graph
+            UNION ALL
+            SELECT doc_id_b, doc_id_a FROM pair_graph
+        ), reach(node, lab) AS (
+            SELECT src AS node, src AS lab FROM edges
+            UNION
+            SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+        )
+        SELECT node AS doc_id, min(lab) AS group_id
+        FROM reach GROUP BY node ORDER BY doc_id
+    """
+
+
 ORACLE_SQL: dict[str, str] = {
+    "dedup_neardup_groups": _duck_neardup_groups_sql(),
     "dedup_simhash_fingerprints": _duck_simhash_cte()
     + "SELECT doc_id, fp FROM fps ORDER BY doc_id",
     "dedup_simhash_pairs": _duck_simhash_cte()
@@ -636,6 +727,7 @@ QUERIES = {
     "dedup_minhash_signatures": q_minhash_signatures,
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "dedup_minhash_pairs_xxhash": dedup_minhash_pairs_xxhash,
+    "dedup_neardup_groups": dedup_neardup_groups,
     "dedup_ngram_jaccard_topk": ngram_jaccard_topk,
     "dedup_simhash_fingerprints": q_simhash_fingerprints,
     "dedup_simhash_pairs": simhash_pairs,

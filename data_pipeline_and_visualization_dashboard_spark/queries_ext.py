@@ -438,6 +438,89 @@ def q32_collect_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# q36: NATIVE session windows — F.session_window group keys (the
+# engine-owned spelling of q16's manual lag+running-sum sessionization;
+# also the batch twin of streaming session aggregation). Session
+# boundary: a gap >= 30 min starts a new session (session_window's
+# end-exclusive [start, last+gap) semantics); window end = last event
+# + gap.
+# ----------------------------------------------------------------------
+
+def q36_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session rows via the built-in session_window: one shuffle on
+    (user_id), merge-sort of session state inside the agg — at 100 TB
+    this is the same single-exchange shape as q16 but with the session
+    assignment running inside the aggregation operator instead of two
+    window passes."""
+    events = read_table(spark, sf_dir, "events", ["user_id", "ts"])
+    return (
+        events.groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("w"),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )  # no terminal sort: O(n) output, order-insensitive compare
+
+
+# ----------------------------------------------------------------------
+# q37: RANGE-frame window — value-based frame bounds (q31 covers ROWS
+# frames; RANGE frames are the other frame class: "events in the
+# preceding hour", a time-decay / fraud-screen primitive). The frame
+# excludes the current row and its ties ([v-1h, v-1]).
+# ----------------------------------------------------------------------
+
+_HOUR_US = 3_600_000_000
+
+
+def q37_prior_hour_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event: count + sum(value) of the same user's events in the
+    preceding hour. One shuffle on user_id; the range frame is resolved
+    by a sliding pointer over the sorted partition (no self-join, no
+    bin explode). Sum rounded 6dp: window summation order may differ
+    across engines."""
+    events = read_table(
+        spark, sf_dir, "events", ["event_id", "user_id", "ts", "value"]
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-_HOUR_US, -1)
+    )
+    return events.select(
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_prior_1h"),
+        F.round(F.coalesce(F.sum("value").over(w), F.lit(0.0)), 6).alias(
+            "value_prior_1h"
+        ),
+    )  # no terminal sort: O(n) output, order-insensitive compare
+
+
+# ----------------------------------------------------------------------
+# q38: UNPIVOT — melt the q22 wide heatmap back to long form (the
+# inverse reshape; Spark's unpivot/melt API over an explicit column
+# list, zero extra shuffles on top of the pivot's agg).
+# ----------------------------------------------------------------------
+
+def q38_unpivot_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = q22_heatmap_pivot(spark, sf_dir)
+    return (
+        wide.unpivot(
+            "event_dow",
+            [f"h{h}" for h in _PIVOT_HOURS],
+            "hour_bucket",
+            "cnt",
+        )
+        .orderBy("event_dow", "hour_bucket")
+    )
+
+
+# ----------------------------------------------------------------------
 # sim_ivf_topk: IVF ANN with a TRAINED coarse quantizer — seeded
 # k-means (Lloyd) learns IVF_K centroids, corpus vectors land in their
 # nearest centroid's inverted list, queries probe their IVF_NPROBE
@@ -642,6 +725,48 @@ ORACLE_SQL: dict[str, str] = {
                    / 86400000000.0 AS delay_days
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     """,
+    "q36_session_windows": """
+        WITH flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                            (PARTITION BY user_id ORDER BY ts)
+                            >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+            FROM events
+        ), numbered AS (
+            SELECT user_id, ts,
+                   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sess_no
+            FROM flagged
+        )
+        SELECT user_id, min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               count(*) AS n_events
+        FROM numbered GROUP BY user_id, sess_no
+        ORDER BY user_id, session_start
+    """,
+    "q37_prior_hour_window": """
+        SELECT event_id,
+               count(*) OVER w AS n_prior_1h,
+               round(coalesce(sum(value) OVER w, 0), 6) AS value_prior_1h
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 3600000000 PRECEDING
+                           AND 1 PRECEDING)
+        ORDER BY event_id
+    """,
+    "q38_unpivot_heatmap": """
+        SELECT event_dow, hour_bucket, cnt FROM (
+            SELECT dayname(ts) AS event_dow,
+                   count(*) FILTER (hour(ts) = 0) AS h0,
+                   count(*) FILTER (hour(ts) = 6) AS h6,
+                   count(*) FILTER (hour(ts) = 12) AS h12,
+                   count(*) FILTER (hour(ts) = 18) AS h18
+            FROM events
+            WHERE hour(ts) IN (0, 6, 12, 18)
+            GROUP BY 1
+        ) UNPIVOT (cnt FOR hour_bucket IN (h0, h6, h12, h18))
+        ORDER BY event_dow, hour_bucket
+    """,
     "q32_collect_sets": """
         SELECT event_type,
                array_to_string(list_sort(list(DISTINCT user_id))[1:10], ',')
@@ -794,6 +919,9 @@ ORACLE_SQL: dict[str, str] = {
 QUERIES = {
     "q34_top_users_labeled": q34_top_users_labeled,
     "q35_ship_delay": q35_ship_delay,
+    "q36_session_windows": q36_session_windows,
+    "q37_prior_hour_window": q37_prior_hour_window,
+    "q38_unpivot_heatmap": q38_unpivot_heatmap,
     "q28_json_extract": q28_json_extract,
     "q29_approx_stats": q29_approx_stats,
     "q30_semi_anti": q30_semi_anti,
