@@ -34,10 +34,13 @@ HEADLINE = [
     "q20_shipping_priority",
     "q21_nation_revenue",
     "q27_asof_join",
+    "q36_session_windows",
+    "q37_prior_hour_window",
     # LLM-data extras
     "dedup_exact_groups",
     "dedup_minhash_pairs",
     "dedup_minhash_pairs_xxhash",  # production hash family (headline)
+    "dedup_neardup_groups",  # iterative connected components
     "dedup_simhash_pairs",
     "text_stats",
     "text_fingerprint",

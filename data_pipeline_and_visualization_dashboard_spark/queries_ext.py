@@ -521,6 +521,108 @@ def q38_unpivot_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# q39: interval (range) join — "follow-up orders within 7 days by the
+# same customer". Spark has no native range join; the naive spelling
+# is an inequality join that plans as BroadcastNestedLoopJoin (O(n·m)
+# — a scale-killer). The scale-safe composition: explode the probe
+# side's window into DAY BINS and equi-join on (customer, bin), then
+# verify the exact range. Fan-out is bounded (window/bin + 1 rows per
+# order), candidates are same-customer-adjacent-days only, and the
+# join is a plain hash join at any scale.
+# ----------------------------------------------------------------------
+
+_DAY_US = 86_400_000_000
+_FOLLOWUP_DAYS = 7
+
+
+def q39_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per order: count of the same customer's orders placed in the
+    following 7 days. Each (a, b) candidate matches in exactly ONE bin
+    (b's bin is unique and a's exploded bins are distinct), so no
+    post-join dedup is needed. Zero-followup orders are kept via a
+    left join of the counts back onto orders."""
+    orders = read_table(
+        spark, sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    us = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    win_us = _FOLLOWUP_DAYS * _DAY_US
+    a = orders.select(
+        F.col("o_orderkey").alias("a_key"),
+        F.col("o_custkey").alias("cust"),
+        us.alias("a_us"),
+    ).withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                (F.col("a_us") / _DAY_US).cast("long"),
+                ((F.col("a_us") + win_us) / _DAY_US).cast("long"),
+            )
+        ),
+    )
+    b = orders.select(
+        F.col("o_custkey").alias("cust"),
+        us.alias("b_us"),
+        (us / _DAY_US).cast("long").alias("bin"),
+    )
+    counts = (
+        a.join(b, ["cust", "bin"])
+        .filter(
+            (F.col("b_us") > F.col("a_us"))
+            & (F.col("b_us") <= F.col("a_us") + win_us)
+        )
+        .groupBy("a_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        orders.select(F.col("o_orderkey"))
+        .join(counts, orders.o_orderkey == counts.a_key, "left")
+        .select(
+            "o_orderkey",
+            F.coalesce("n", F.lit(0)).alias("n_followups_7d"),
+        )
+    )  # no terminal sort: O(n) output, order-insensitive compare
+
+
+# ----------------------------------------------------------------------
+# q40: salted skew join — the standard hot-key mitigation, spelled out
+# explicitly (AQE's skew-join handles moderate skew at runtime; salting
+# is the deterministic planning-time guarantee for known-skewed keys).
+# The fact side salts each row by a DETERMINISTIC hash of its unique
+# id; the dim side replicates NSALT-fold; the join key widens to
+# (key, salt) so one hot key spreads over NSALT reducers. Results are
+# identical to the unsalted join — which is exactly what the DuckDB
+# oracle checks.
+# ----------------------------------------------------------------------
+
+NSALT = 8
+
+
+def q40_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events joined to customer over a salted (user_id, salt) key,
+    rolled up per market segment. Shuffle cost: dim side grows NSALT×
+    (dims are small — that's why salting replicates the DIM, never the
+    fact); fact rows hash-spread evenly even if one user dominates."""
+    events = read_table(spark, sf_dir, "events", ["event_id", "user_id"])
+    cust = read_table(spark, sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    salted_ev = events.withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(NSALT)).cast("int")
+    )
+    salted_cust = cust.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(NSALT)]))
+    )
+    return (
+        salted_ev.join(
+            salted_cust,
+            (salted_ev.user_id == salted_cust.c_custkey)
+            & (salted_ev.salt == salted_cust.salt),
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("c_mktsegment")
+    )
+
+
+# ----------------------------------------------------------------------
 # sim_ivf_topk: IVF ANN with a TRAINED coarse quantizer — seeded
 # k-means (Lloyd) learns IVF_K centroids, corpus vectors land in their
 # nearest centroid's inverted list, queries probe their IVF_NPROBE
@@ -725,6 +827,21 @@ ORACLE_SQL: dict[str, str] = {
                    / 86400000000.0 AS delay_days
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     """,
+    "q39_interval_join": f"""
+        SELECT a.o_orderkey,
+               count(b.o_orderkey) AS n_followups_7d
+        FROM orders a LEFT JOIN orders b
+          ON a.o_custkey = b.o_custkey
+         AND b.o_orderdate > a.o_orderdate
+         AND b.o_orderdate <= a.o_orderdate + INTERVAL {_FOLLOWUP_DAYS} DAY
+        GROUP BY a.o_orderkey
+        ORDER BY a.o_orderkey
+    """,
+    "q40_salted_skew_join": """
+        SELECT c_mktsegment, count(*) AS n_events
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
     "q36_session_windows": """
         WITH flagged AS (
             SELECT user_id, ts,
@@ -922,6 +1039,8 @@ QUERIES = {
     "q36_session_windows": q36_session_windows,
     "q37_prior_hour_window": q37_prior_hour_window,
     "q38_unpivot_heatmap": q38_unpivot_heatmap,
+    "q39_interval_join": q39_interval_join,
+    "q40_salted_skew_join": q40_salted_skew_join,
     "q28_json_extract": q28_json_extract,
     "q29_approx_stats": q29_approx_stats,
     "q30_semi_anti": q30_semi_anti,

@@ -219,6 +219,53 @@ def run_sessionize_to_completion(spark: SparkSession, in_dir: str,
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
+def sessionize_stream_native(events: DataFrame,
+                             watermark: str = "10 minutes",
+                             gap: str = "30 minutes") -> DataFrame:
+    """NATIVE streaming session windows (session_window + watermark,
+    append mode) — the engine-owned twin of sessionize_stream's custom
+    applyInPandasWithState operator and of the batch q36. Sessions
+    merge across micro-batches inside the state store; a session is
+    emitted once the watermark passes its end (start + events + gap).
+    State size = |open sessions|, watermark-bounded — same model as
+    the custom operator but with merge logic owned by the engine."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window(F.col("ts"), gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_native_sessions_to_completion(
+    spark: SparkSession, in_dir: str,
+    query_name: str = "native_sessions_out",
+) -> DataFrame:
+    raw = (
+        spark.readStream.schema(_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    q = (
+        sessionize_stream_native(events)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
 def stream_to_parquet(spark: SparkSession, sf_dir: str, out_dir: str,
                       checkpoint_dir: str):
     """Production-shaped sink: foreachBatch + idempotent epoch overwrite

@@ -66,6 +66,42 @@ CASES = {
         ["CartesianProduct", "SortMergeJoin"],
         1,
     ),
+    "q34_top_users_labeled": (
+        # top-k must compile BEFORE the left join; dim broadcasts
+        ["TakeOrderedAndProject", "BroadcastHashJoin", "LeftOuter, BuildRight"],
+        ["SortMergeJoin", "CartesianProduct"],
+        2,  # agg shuffle + terminal 10-row sort
+    ),
+    "q35_ship_delay": (
+        [],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        3,
+    ),
+    "q36_session_windows": (
+        # one user_id exchange feeding the session aggregation
+        ["HashAggregate"],
+        ["CartesianProduct"],
+        1,
+    ),
+    "q37_prior_hour_window": (
+        # one user_id exchange feeding the range-frame window
+        ["Window", "RangeFrame, -3600000000, -1"],
+        ["SortMergeJoin", "CartesianProduct"],
+        1,
+    ),
+    "q39_interval_join": (
+        # the whole point: a range join that does NOT plan as a
+        # nested-loop — the bin-explode turns it into hash joins
+        [],
+        ["BroadcastNestedLoopJoin", "CartesianProduct"],
+        3,
+    ),
+    "q40_salted_skew_join": (
+        # salted dim still broadcasts; no nested loop from the 2-key join
+        ["BroadcastHashJoin"],
+        ["BroadcastNestedLoopJoin", "CartesianProduct", "SortMergeJoin"],
+        2,
+    ),
     "dedup_exact_groups": ([], ["Exchange rangepartitioning"], 1),
     "text_stats": ([], ["Exchange"], 0),
     "text_fingerprint": ([], ["Exchange"], 0),

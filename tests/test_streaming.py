@@ -26,6 +26,51 @@ def test_stream_matches_batch(spark):
     assert len(s) > 0
 
 
+def test_native_session_windows_match_batch(spark, tmp_path):
+    """Native streaming session windows over two time-split
+    micro-batches: every emitted session must appear in the batch
+    q36_session_windows result, sessions merge across the batch
+    boundary, and every batch session that ends safely below the final
+    watermark must have been emitted."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_and_visualization_dashboard_spark.io import read_table
+    from data_pipeline_and_visualization_dashboard_spark.queries_ext import (
+        q36_session_windows,
+    )
+
+    raw = spark.read.parquet(SF_SMOKE + "/events.parquet")  # ts as long ns
+    in_dir = str(tmp_path / "native_sess_in")
+    cut_ns = int(raw.selectExpr("percentile(ts, 0.5) AS m").first().m)
+    raw.filter(F.col("ts") <= cut_ns).coalesce(1).write.parquet(
+        in_dir, mode="append"
+    )
+    raw.filter(F.col("ts") > cut_ns).coalesce(1).write.parquet(
+        in_dir, mode="append"
+    )
+
+    streamed = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in streaming.run_native_sessions_to_completion(
+            spark, in_dir
+        ).collect()
+    }
+    batch = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in q36_session_windows(spark, SF_SMOKE).collect()
+    }
+    assert streamed <= batch  # append mode emits only final sessions
+    assert len(streamed) > 0
+    max_ts = read_table(spark, SF_SMOKE, "events").agg(
+        F.max("ts")
+    ).first()[0]
+    watermark = max_ts - dt.timedelta(minutes=10)
+    must_emit = {s for s in batch if s[2] < watermark}
+    assert must_emit <= streamed
+
+
 def test_stream_to_parquet_roundtrip(spark, tmp_path):
     """Production sink: drive stream_to_parquet to completion and
     assert the epoch-overwrite parquet equals the memory-sink result
