@@ -551,8 +551,13 @@ def q39_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("cust"),
         us.alias("a_us"),
     ).withColumn(
+        # explode_outer: plain explode would make Catalyst infer a
+        # size>0 filter that re-evaluates the sequence() per row just
+        # to prove it non-empty (it always is: end >= start). Outer ≡
+        # inner here; a null o_orderdate would yield a null bin that
+        # matches nothing — same rows either way.
         "bin",
-        F.explode(
+        F.explode_outer(
             F.sequence(
                 (F.col("a_us") / _DAY_US).cast("long"),
                 ((F.col("a_us") + win_us) / _DAY_US).cast("long"),

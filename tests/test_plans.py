@@ -162,6 +162,32 @@ def test_pipeline_output_partition_pruning(spark, tmp_path):
     assert n_files <= total_files // len(dates) + 1
 
 
+def test_minhash_explode_stays_above_repartition(spark):
+    """InferFiltersFromGenerate regression pin: a plain explode() over
+    the computed shingle array makes Catalyst synthesize a
+    `size(shingles) > 0` filter whose condition INLINES the whole
+    tokenize+shingle expression, then pushes it below the doc_id
+    repartition — so split(lower(trim(text))) runs 4× per row inside
+    the single-task scan stage (2.3s vs 0.2s at sf0.1). The
+    explode_outer spelling must keep the scan-side plan free of any
+    tokenizer work: below the Exchange there may be only the scan and
+    the pushed isnotnull(text) filter."""
+    from data_pipeline_and_visualization_dashboard_spark.extras import dedup
+
+    sh = dedup.shingle_sets(spark, SF_CORRECT)
+    from pyspark.sql import functions as F
+
+    ex = sh.select("doc_id", F.explode_outer("shingles").alias("s"))
+    plan = ex._jdf.queryExecution().executedPlan().toString()
+    below_exchange = plan.split("Exchange hashpartitioning", 1)[1]
+    assert "split(" not in below_exchange, below_exchange[:2000]
+    assert "transform(" not in below_exchange, below_exchange[:2000]
+    # and the explode itself must not have regrown an inferred filter
+    # node between Generate and the Exchange (size(shingles)>0 check)
+    head = plan.split("Exchange hashpartitioning", 1)[0]
+    assert "Filter" not in head, head[:2000]
+
+
 def test_projection_pushdown_reaches_scan(spark):
     """S2: a two-column projection must shrink the parquet ReadSchema
     (SURVEY §2.1) — reading all columns for a 2-column query is wrong."""
