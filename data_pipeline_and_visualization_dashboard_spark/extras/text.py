@@ -18,6 +18,7 @@ Oracle portability notes:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..io import read_table
 from .hashing import P_FP, duck_base_hash, spark_base_hash
@@ -126,6 +127,42 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )  # no terminal sort: O(n) output, order-insensitive compare
 
 
+# GPT-2-style pre-tokenizer (the regex BPE tokenizers split on before
+# merges): contraction suffixes | space-prefixed letter runs | digit
+# runs | punctuation runs | whitespace runs. Spelled without lookahead
+# so it compiles identically under Java regex (Spark) and RE2 (DuckDB);
+# \p{L}/\p{N} Unicode classes agree in both. Counting these pieces is
+# the standard cheap LLM-token estimate (BPE merges only ever split
+# pieces further by vocabulary, never across piece boundaries).
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc LLM-token accounting with the GPT-2 pre-tokenizer regex:
+    piece count, non-whitespace piece count (≈ BPE token floor), and
+    chars-per-token — the budget metric training-data pipelines
+    schedule by. Row-local codegen expressions; the pattern is passed
+    through the Python API (a SQL-literal spelling would need
+    double-escaped backslashes in Spark but not DuckDB)."""
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    pieces = F.regexp_extract_all("text", F.lit(BPE_PATTERN), F.lit(0))
+    # bind pieces and n_tokens as their own projections: both are
+    # multi-referenced below, which stops CollapseProject from inlining
+    # the regex scan / filter lambda into every consumer (HOF trap)
+    bound = docs.withColumn("pieces", pieces).withColumn(
+        "n_tokens",
+        F.size(F.filter("pieces", lambda p: ~p.rlike(r"^\s+$"))),
+    )
+    return bound.select(
+        "doc_id",
+        F.size("pieces").alias("n_pieces"),
+        "n_tokens",
+        (F.length("text").cast("double") / F.col("n_tokens")).alias(
+            "chars_per_token"
+        ),
+    )  # no terminal sort: O(n) output, order-insensitive compare
+
+
 _DUCK_TOKENS = r"string_split_regex(lower(trim(text)), '\s+')"
 
 ORACLE_SQL: dict[str, str] = {
@@ -163,6 +200,24 @@ ORACLE_SQL: dict[str, str] = {
                (({_PRED_CASE}) = lang) AS lang_match
         FROM scored ORDER BY doc_id
     """,
+    "text_tokens_bpe": f"""
+        WITH pieced AS (
+            SELECT doc_id, text,
+                   regexp_extract_all(text,
+                       '{BPE_PATTERN.replace("'", "''")}') AS pieces
+            FROM documents
+        ), counted AS (
+            SELECT doc_id, text, pieces,
+                   len(list_filter(pieces,
+                       p -> NOT regexp_full_match(p, '\\s+'))) AS n_tok
+            FROM pieced
+        )
+        SELECT doc_id,
+               CAST(len(pieces) AS INT) AS n_pieces,
+               CAST(n_tok AS INT) AS n_tokens,
+               CAST(length(text) AS DOUBLE) / n_tok AS chars_per_token
+        FROM counted ORDER BY doc_id
+    """,
     "text_fingerprint": f"""
         SELECT doc_id,
                CASE WHEN len({_DUCK_TOKENS}) = 0 THEN 0
@@ -179,5 +234,6 @@ ORACLE_SQL: dict[str, str] = {
 QUERIES = {
     "text_stats": text_stats,
     "text_lang_id": lang_id,
+    "text_tokens_bpe": tokens_bpe,
     "text_fingerprint": fingerprint,
 }

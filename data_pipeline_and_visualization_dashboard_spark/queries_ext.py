@@ -628,6 +628,45 @@ def q40_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# q41: CDC / upsert compaction — last-write-wins state table. The
+# standard incremental-ingest op: an append-only change stream keyed by
+# entity collapses to "latest row per key" (SCD type 1 / Kafka
+# compacted-topic semantics). Spark-first spelling: ONE hash shuffle on
+# the key feeding a row_number window; ties broken by the unique
+# event_id so the result is deterministic on any engine. At 100 TB the
+# shuffle is the unavoidable cost and it's linear; no join, no
+# collect. (A real MERGE INTO target needs a table format — Delta/
+# Iceberg — but the compaction operator itself is format-neutral.)
+# ----------------------------------------------------------------------
+
+def q41_latest_event_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest event per user: the compacted state of the events change
+    stream (value + type at last touch, plus per-user change count)."""
+    ev = read_table(
+        spark, sf_dir, "events",
+        ["event_id", "ts", "user_id", "event_type", "value"],
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_changes", F.count(F.lit(1)).over(Window.partitionBy("user_id"))
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_type"),
+            F.col("value").alias("last_value"),
+            "n_changes",
+        )
+    )  # no terminal sort: O(n) output, order-insensitive compare
+
+
+# ----------------------------------------------------------------------
 # sim_ivf_topk: IVF ANN with a TRAINED coarse quantizer — seeded
 # k-means (Lloyd) learns IVF_K centroids, corpus vectors land in their
 # nearest centroid's inverted list, queries probe their IVF_NPROBE
@@ -847,6 +886,18 @@ ORACLE_SQL: dict[str, str] = {
         FROM events JOIN customer ON user_id = c_custkey
         GROUP BY c_mktsegment ORDER BY c_mktsegment
     """,
+    "q41_latest_event_state": """
+        SELECT user_id,
+               event_id AS last_event_id,
+               ts AS last_ts,
+               event_type AS last_type,
+               value AS last_value,
+               count(*) OVER (PARTITION BY user_id) AS n_changes
+        FROM events
+        QUALIFY row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        ORDER BY user_id
+    """,
     "q36_session_windows": """
         WITH flagged AS (
             SELECT user_id, ts,
@@ -1046,6 +1097,7 @@ QUERIES = {
     "q38_unpivot_heatmap": q38_unpivot_heatmap,
     "q39_interval_join": q39_interval_join,
     "q40_salted_skew_join": q40_salted_skew_join,
+    "q41_latest_event_state": q41_latest_event_state,
     "q28_json_extract": q28_json_extract,
     "q29_approx_stats": q29_approx_stats,
     "q30_semi_anti": q30_semi_anti,

@@ -266,6 +266,105 @@ def run_native_sessions_to_completion(
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
+def view_purchase_join_stream(events: DataFrame,
+                              watermark: str = "10 minutes",
+                              horizon: str = "1 hour") -> DataFrame:
+    """Watermarked stream-stream INNER join: purchases attributed to a
+    prior view by the same user within the horizon — the canonical
+    funnel/attribution join, streaming edition. Both sides carry a
+    watermark and the join predicate bounds purchase_ts to
+    [view_ts, view_ts + horizon], so the state store retains each view
+    for horizon + watermark and each purchase for watermark only —
+    bounded state, the requirement for an unbounded run. Inner join in
+    append mode emits every match exactly once regardless of watermark
+    progress (the watermark only gates state EVICTION), which is what
+    makes the batch twin an exact oracle on finite input."""
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    ).withWatermark("view_ts", watermark)
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", watermark)
+    return purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr(f"INTERVAL {horizon}")
+        ),
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "view_id",
+        "purchase_ts",
+        "view_ts",
+        "purchase_value",
+    )
+
+
+def view_purchase_join_batch(events: DataFrame,
+                             horizon: str = "1 hour") -> DataFrame:
+    """Batch twin of view_purchase_join_stream over the same (static)
+    events frame — the parity oracle for the stream-stream join."""
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr(f"INTERVAL {horizon}")
+        ),
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "view_id",
+        "purchase_ts",
+        "view_ts",
+        "purchase_value",
+    )
+
+
+def run_view_purchase_join_to_completion(
+    spark: SparkSession, in_dir: str,
+    query_name: str = "vp_join_out",
+) -> DataFrame:
+    raw = (
+        spark.readStream.schema(_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    q = (
+        view_purchase_join_stream(events)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
 def stream_to_parquet(spark: SparkSession, sf_dir: str, out_dir: str,
                       checkpoint_dir: str):
     """Production-shaped sink: foreachBatch + idempotent epoch overwrite

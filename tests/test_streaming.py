@@ -71,6 +71,43 @@ def test_native_session_windows_match_batch(spark, tmp_path):
     assert must_emit <= streamed
 
 
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream self-join (purchase attributed to a
+    prior view within 1h) over two time-split micro-batches must emit
+    EXACTLY the batch join's matches: inner-join append mode emits each
+    match once, and the eviction threshold (view_ts + horizon <
+    watermark) only drops views whose matches were all in earlier
+    batches — time-split input makes that safe, so set equality, not
+    just containment."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_and_visualization_dashboard_spark.io import read_table
+
+    raw = spark.read.parquet(SF_SMOKE + "/events.parquet")  # ts as long ns
+    in_dir = str(tmp_path / "vp_join_in")
+    cut_ns = int(raw.selectExpr("percentile(ts, 0.5) AS m").first().m)
+    raw.filter(F.col("ts") <= cut_ns).coalesce(1).write.parquet(
+        in_dir, mode="append"
+    )
+    raw.filter(F.col("ts") > cut_ns).coalesce(1).write.parquet(
+        in_dir, mode="append"
+    )
+
+    streamed = {
+        (r.user_id, r.purchase_id, r.view_id)
+        for r in streaming.run_view_purchase_join_to_completion(
+            spark, in_dir
+        ).collect()
+    }
+    events = read_table(spark, SF_SMOKE, "events")
+    batch = {
+        (r.user_id, r.purchase_id, r.view_id)
+        for r in streaming.view_purchase_join_batch(events).collect()
+    }
+    assert streamed == batch
+    assert len(batch) > 0
+
+
 def test_stream_to_parquet_roundtrip(spark, tmp_path):
     """Production sink: drive stream_to_parquet to completion and
     assert the epoch-overwrite parquet equals the memory-sink result
