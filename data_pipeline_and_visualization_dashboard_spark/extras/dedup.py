@@ -215,6 +215,35 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )  # no terminal sort: O(n) output, order-insensitive compare
 
 
+def _lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
+    """Banded-LSH candidate pairs from a (cached) signature frame:
+    stack band hashes -> self-join per (band_idx, band_hash) bucket
+    with the MAX_BUCKET skew cap -> distinct ordered pairs. No
+    all-pairs stage: the join fan-out is bounded per bucket."""
+    band_cols = ", ".join(f"{b}, band_{b}" for b in range(BANDS))
+    buckets = sigs.selectExpr(
+        "doc_id", f"stack({BANDS}, {band_cols}) AS (band_idx, band_hash)"
+    )
+    sizes = buckets.groupBy("band_idx", "band_hash").agg(
+        F.count(F.lit(1)).alias("bucket_n")
+    )
+    buckets = buckets.join(
+        sizes.filter(F.col("bucket_n") <= MAX_BUCKET), ["band_idx", "band_hash"]
+    )
+    a = buckets.select(
+        F.col("band_idx"), F.col("band_hash"), F.col("doc_id").alias("doc_id_a")
+    )
+    b = buckets.select(
+        F.col("band_idx"), F.col("band_hash"), F.col("doc_id").alias("doc_id_b")
+    )
+    return (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b")
+        .distinct()
+    )
+
+
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str,
                         hash_impl: str = "md5") -> DataFrame:
     """LSH candidate pairs + verification.
@@ -250,28 +279,7 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str,
     # referenced 4× below; without this, concurrent subtrees race the
     # cache and each recomputes the hash pass
     shingled = shingle_sets(spark, sf_dir)
-    band_cols = ", ".join(f"{b}, band_{b}" for b in range(BANDS))
-    buckets = sigs.selectExpr(
-        "doc_id", f"stack({BANDS}, {band_cols}) AS (band_idx, band_hash)"
-    )
-    sizes = buckets.groupBy("band_idx", "band_hash").agg(
-        F.count(F.lit(1)).alias("bucket_n")
-    )
-    buckets = buckets.join(
-        sizes.filter(F.col("bucket_n") <= MAX_BUCKET), ["band_idx", "band_hash"]
-    )
-    a = buckets.select(
-        F.col("band_idx"), F.col("band_hash"), F.col("doc_id").alias("doc_id_a")
-    )
-    b = buckets.select(
-        F.col("band_idx"), F.col("band_hash"), F.col("doc_id").alias("doc_id_b")
-    )
-    pairs = (
-        a.join(b, ["band_idx", "band_hash"])
-        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
-        .select("doc_id_a", "doc_id_b")
-        .distinct()
-    )
+    pairs = _lsh_candidate_pairs(sigs)
     # enrich the (small) pair set: each join keeps pairs as the
     # broadcastable side, so neither signatures nor shingle arrays of
     # the full corpus ever shuffle
@@ -332,12 +340,33 @@ def dedup_neardup_groups(spark: SparkSession, sf_dir: str,
 
     Output: (doc_id, group_id) for every doc in the pair graph
     (singletons carry no dedup decision and are omitted)."""
-    pairs = dedup_minhash_pairs(spark, sf_dir, hash_impl).filter(
-        F.col("jaccard") >= NEARDUP_JACCARD
-    ).select("doc_id_a", "doc_id_b").cache()
+    # lean verification path: grouping only needs candidates + exact
+    # shingle Jaccard — the est_jaccard signature-agreement joins of the
+    # full dedup_minhash_pairs output (2 of its 4 enrichment joins and
+    # its terminal sort) are dead weight here, so skip them
+    sigs = minhash_signatures(spark, sf_dir, hash_impl).cache()
+    sigs.count()  # materialize before fan-out (see dedup_minhash_pairs)
+    cand = _lsh_candidate_pairs(sigs)
+    sh = shingle_sets(spark, sf_dir).select(
+        "doc_id", F.array_distinct("shingles").alias("sh")
+    )
+    sh_a = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    pairs = (
+        cand.join(sh_a, "doc_id_a")
+        .join(sh_b, "doc_id_b")
+        .filter(
+            inter.cast("double") / union.cast("double") >= NEARDUP_JACCARD
+        )
+        .select("doc_id_a", "doc_id_b")
+        .cache()
+    )
     pairs.count()  # materialize BEFORE the bidirectional union below —
     # its two branches otherwise each recompute the whole LSH pipeline
     # (2× signatures+joins; profiled 3.0s -> 1.5s at sf0.1)
+    sigs.unpersist()
     edges = (
         pairs.selectExpr("doc_id_a AS src", "doc_id_b AS dst")
         .unionByName(pairs.selectExpr("doc_id_b AS src", "doc_id_a AS dst"))

@@ -126,6 +126,29 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
     writer.parquet(path)
 
 
+def write_sorted(df: DataFrame, path: str, sort_cols: list[str],
+                 num_files: int | None = None,
+                 mode: str = "overwrite") -> None:
+    """S4b: scan-efficient data layout — range-partition rows across
+    files by `sort_cols`, then sort within each file. The written
+    parquet files carry NON-OVERLAPPING min/max ranges on the sort key,
+    so a point or range predicate prunes to a few files (footer stats)
+    and, within them, a few row groups. This is the 100 TB lever that
+    directory partitioning (write_parquet's partition_by) can't give
+    for high-cardinality keys like timestamps: partition dirs handle
+    the coarse key (date), the range-sorted layout handles the fine
+    key (ts) — together a ts-range query touches one directory and few
+    files in it. Cost: one range-exchange (sampled boundaries) + local
+    sort, both linear; no global sort barrier.
+    Proven in tests/test_io_sql.py: file-level min/max ranges disjoint,
+    and a ts filter's scan reads fewer rows than the table.
+    """
+    out = df.repartitionByRange(
+        *( [num_files] if num_files else [] ), *sort_cols
+    ).sortWithinPartitions(*sort_cols)
+    out.write.mode(mode).parquet(path)
+
+
 def register_views(spark: SparkSession, tables: dict[str, DataFrame]) -> None:
     """S5: expose frames to the SQL engine — zero-copy within Spark,
     mirroring `con.register(name, df.to_arrow())` (ipynb:242-243)."""

@@ -200,3 +200,61 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {t1}")
         spark.sql(f"DROP TABLE IF EXISTS {t2}")
+
+
+def test_write_sorted_layout_prunes_row_groups(spark, tmp_path):
+    """S4b scale layout: range-sorted parquet gives disjoint per-file
+    min/max ts ranges, and a narrow ts predicate physically reads far
+    fewer rows than the same predicate over an unsorted copy (row-group
+    stats pruning — the footer min/max actually doing work)."""
+    import pyarrow.parquet as pq
+
+    from data_pipeline_and_visualization_dashboard_spark.io import write_sorted
+
+    events = read_table(spark, SF_SMOKE, "events", ["event_id", "ts", "value"])
+    sorted_dir = str(tmp_path / "events_sorted")
+    shuffled_dir = str(tmp_path / "events_shuffled")
+    write_sorted(events, sorted_dir, ["ts"], num_files=8)
+    # unsorted control: same data, same file count, hash-scattered rows
+    events.repartition(8, "event_id").write.mode("overwrite").parquet(
+        shuffled_dir
+    )
+
+    # 1) file-level min/max ranges on ts are pairwise disjoint
+    import glob
+
+    ranges = []
+    for f in glob.glob(sorted_dir + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        st = md.row_group(0).column(idx["ts"]).statistics
+        lo, hi = st.min, st.max
+        for g in range(1, md.num_row_groups):
+            s2 = md.row_group(g).column(idx["ts"]).statistics
+            lo, hi = min(lo, s2.min), max(hi, s2.max)
+        ranges.append((lo, hi))
+    ranges.sort()
+    assert len(ranges) == 8
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev <= lo_next
+
+    def rows_read(path: str) -> int:
+        df = spark.read.parquet(path)
+        mid = df.selectExpr(
+            "timestamp_micros(cast(percentile(unix_micros(ts), 0.5) AS long)) AS m"
+        ).first().m
+        flt = df.filter(
+            (F.col("ts") >= F.lit(mid))
+            & (F.col("ts") <= F.lit(mid) + F.expr("INTERVAL 1 HOUR"))
+        )
+        flt.collect()
+        leaf = flt._jdf.queryExecution().executedPlan().collectLeaves().head()
+        return leaf.metrics().apply("numOutputRows").value()
+
+    total = events.count()
+    read_sorted = rows_read(sorted_dir)
+    read_shuffled = rows_read(shuffled_dir)
+    # the unsorted copy reads ~everything (every row group overlaps the
+    # range); the sorted copy skips all but the matching neighborhood
+    assert read_shuffled > total * 0.9
+    assert read_sorted < read_shuffled / 4
