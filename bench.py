@@ -46,6 +46,7 @@ HEADLINE = [
     "text_fingerprint",
     "sim_cosine_topk",
     "sim_lsh_topk",
+    "sim_sq_topk",  # int8 quantized scoring (production memory path)
     "media_features",
 ]
 

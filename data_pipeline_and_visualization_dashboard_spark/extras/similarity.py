@@ -181,6 +181,104 @@ def _duck_lsh_buckets_sql() -> str:
     )
 
 
+def _sq_vectors(emb: DataFrame, prefix: str) -> DataFrame:
+    """Normalize-then-quantize to int8 range: u = e/||e||, q[i] =
+    clip(floor(u[i]*127 + 0.5), -127, 127). floor(x+0.5) is half-up in
+    BOTH engines (unlike round(), whose half-way behavior differs), and
+    the post-quantization values are small exact integers — the whole
+    downstream ranking is integer arithmetic, immune to float drift."""
+    e = F.col("embedding").cast("array<double>")
+    bound = emb.select(
+        F.col("vec_id").alias(f"{prefix}_id"),
+        e.alias("e"),
+        F.sqrt(_dot(e, e)).alias("norm"),
+    )
+    qv = F.transform(
+        "e",
+        lambda x: F.greatest(
+            F.lit(-127),
+            F.least(F.lit(127), F.floor(x / F.col("norm") * 127.0 + 0.5)),
+        ).cast("int"),
+    )
+    return bound.select(f"{prefix}_id", qv.alias(f"{prefix}_qv"))
+
+
+def _idot(a, b) -> Column:
+    """Integer dot product (exact: |q|<=127, 64-dim => |dot| <= ~1.03M,
+    well inside bigint and exactly representable in double, so DuckDB's
+    list_dot_product agrees bit-for-bit after CAST)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via int8 scalar quantization: the production memory-bandwidth
+    lever. A float64 corpus quantized to int8 is 8x smaller on the wire
+    and in cache, and the scoring loop is integer multiply-add (SIMD-
+    friendly on the JVM). Quantized dot of unit vectors approximates
+    cosine*127^2; ranking by it is exact integer comparison — fully
+    deterministic, so unlike the float paths this one needs no rounding
+    policy at all. Recall vs exact cosine is bounded in pytest
+    (tests/test_extras.py); at 64-dim int8 the approximation is tight.
+
+    Scale: corpus quantization is row-local (one scan, no shuffle);
+    queries broadcast; per-query top-k window over a corpus-sized but
+    narrow (3 ints) candidate stream. Same linear scale-out as
+    cosine_topk with ~8x less data moved. Reference parity: the
+    reference has no ANN surface; this extends SURVEY 2.10's
+    similarity-search mandate (exact twin: cosine_topk)."""
+    emb = read_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = _sq_vectors(emb.filter(F.col("vec_id") < N_QUERIES), "q")
+    c = _sq_vectors(emb, "c")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("qsim"), F.asc("neighbor_id")
+    )
+    return (
+        F.broadcast(q)
+        .join(c, F.col("q_id") != F.col("c_id"))
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            _idot(F.col("q_qv"), F.col("c_qv")).alias("qsim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+_DUCK_SQ_QV = """
+        SELECT vec_id,
+               list_transform(
+                   CAST(embedding AS DOUBLE[]),
+                   x -> CAST(greatest(-127, least(127,
+                        floor(x / sqrt(list_dot_product(
+                                  CAST(embedding AS DOUBLE[]),
+                                  CAST(embedding AS DOUBLE[])))
+                              * 127.0 + 0.5))) AS INT)) AS qv
+        FROM embeddings
+"""
+
+_DUCK_SQ_TOPK = f"""
+    WITH qz AS ({_DUCK_SQ_QV}),
+    sims AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST(list_dot_product(q.qv, c.qv) AS BIGINT) AS qsim
+        FROM qz q, qz c
+        WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, qsim, CAST(rn AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY qsim DESC, neighbor_id) AS rn
+          FROM sims) t
+    WHERE rn <= {TOP_K}
+    ORDER BY query_id, rank
+"""
+
+
 def cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """numpy/Arrow variant of brute-force cosine: per-partition matrix
     multiply via mapInPandas. Same output contract as cosine_topk;
@@ -250,6 +348,7 @@ ORACLE_SQL: dict[str, str] = {
     "sim_cosine_topk": _DUCK_COSINE_BASE,
     "sim_cosine_topk_pandas": _DUCK_COSINE_BASE,
     "sim_lsh_buckets": _duck_lsh_buckets_sql(),
+    "sim_sq_topk": _DUCK_SQ_TOPK,
 }
 
 QUERIES = {
@@ -257,4 +356,5 @@ QUERIES = {
     "sim_cosine_topk_pandas": cosine_topk_pandas,
     "sim_lsh_topk": lsh_topk,
     "sim_lsh_buckets": lsh_buckets,
+    "sim_sq_topk": sq_topk,
 }

@@ -194,3 +194,21 @@ def test_removal_accounting_sums(spark):
     row = removal_accounting(events, cleaning_rules()).first().asDict()
     removed = sum(v for k, v in row.items() if k.startswith("removed_"))
     assert row["rows_in"] == row["rows_kept"] + removed
+
+
+def test_sq_topk_recall_against_bruteforce(spark):
+    """int8 scalar quantization: at 64-dim the quantization error is
+    small relative to neighbor gaps, so recall@10 vs exact cosine
+    should be near-perfect (floor 0.8), and the ranking must be
+    integer-deterministic (no float ties)."""
+    bf = {}
+    for r in similarity.cosine_topk(spark, SF_SMOKE).collect():
+        bf.setdefault(r.query_id, set()).add(r.neighbor_id)
+    sq_rows = similarity.sq_topk(spark, SF_SMOKE).collect()
+    assert len(sq_rows) > 0
+    hits = total = 0
+    for q, neigh in bf.items():
+        total += len(neigh)
+        sq_n = {r.neighbor_id for r in sq_rows if r.query_id == q}
+        hits += len(neigh & sq_n)
+    assert total > 0 and hits / total >= 0.8
