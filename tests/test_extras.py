@@ -212,3 +212,25 @@ def test_sq_topk_recall_against_bruteforce(spark):
         sq_n = {r.neighbor_id for r in sq_rows if r.query_id == q}
         hits += len(neigh & sq_n)
     assert total > 0 and hits / total >= 0.8
+
+
+def test_embedding_lsh_pairs_subset_of_allpairs(spark):
+    """The banded-LSH embedding near-dup path must emit a SUBSET of the
+    all-pairs twin (identical sims — same verification expression), be
+    non-empty, and clear a recall floor. At the demo threshold (0.4,
+    ~66deg) per-band collision probability is low by design; the
+    docstring derives >0.97 recall at production thresholds."""
+    from data_pipeline_and_visualization_dashboard_spark.extras.dedup import (
+        embedding_neardup_pairs, embedding_neardup_pairs_lsh,
+    )
+
+    ap = {
+        (r.vec_id_a, r.vec_id_b): r.sim
+        for r in embedding_neardup_pairs(spark, SF_SMOKE).collect()
+    }
+    lsh = embedding_neardup_pairs_lsh(spark, SF_SMOKE).collect()
+    assert len(lsh) > 0
+    for r in lsh:
+        assert (r.vec_id_a, r.vec_id_b) in ap
+        assert ap[(r.vec_id_a, r.vec_id_b)] == r.sim
+    assert len(lsh) / len(ap) >= 0.3
