@@ -198,3 +198,79 @@ def test_projection_pushdown_reaches_scan(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+def test_dynamic_partition_pruning_on_date_partitioned_fact(spark, tmp_path):
+    """DPP proof — the F7-at-100TB story, dynamic edition: a fact table
+    partitioned by event_date joined to a dim filtered on a NON-join
+    column must get a runtime dynamicpruning PartitionFilter (the dim's
+    broadcast result prunes fact partitions before the scan), so only
+    matching date directories are read even though the matching dates
+    are not known at plan time.
+
+    Catalyst gotcha pinned here: the dim-side predicate must be
+    'likely selective' (EqualTo/IN/LIKE...). A bare boolean attribute
+    filter (.filter(F.col('is_hot'))) is NOT considered selective and
+    silently disables DPP — spell dim flags as value comparisons."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_and_visualization_dashboard_spark.io import read_table
+
+    ev = read_table(spark, SF_CORRECT, "events",
+                    ["event_id", "ts", "user_id", "value"])
+    ev = ev.withColumn("event_date", F.to_date("ts"))
+    fdir = str(tmp_path / "fact")
+    ddir = str(tmp_path / "dim")
+    ev.write.partitionBy("event_date").mode("overwrite").parquet(fdir)
+    fact = spark.read.parquet(fdir)
+    dim = fact.select("event_date").distinct().withColumn(
+        "tag", F.when(F.dayofmonth("event_date") <= 3, "hot")
+               .otherwise("cold"))
+    dim.write.mode("overwrite").parquet(ddir)
+    dimdf = spark.read.parquet(ddir).filter(F.col("tag") == "hot")
+    j = fact.join(dimdf, "event_date").groupBy("event_date").agg(
+        F.sum("value").alias("v"))
+    j.collect()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan, plan[:2000]
+    assert "SubqueryBroadcast" in plan  # reused broadcast, no extra job
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark):
+    """Runtime bloom-filter join pruning: for a shuffle join where one
+    side is selectively filtered, Catalyst builds a bloom filter from
+    the filtered side and pushes might_contain onto the big side's
+    scan — rows that can't join die before the shuffle. At 100 TB this
+    is the difference between shuffling all of lineitem and shuffling
+    the ~20% that survives the orders predicate. Thresholds are scaled
+    down here (the application-side default is 10 GB) to prove the
+    mechanics on test-sized data."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_and_visualization_dashboard_spark.io import read_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        orders = read_table(
+            spark, SF_CORRECT, "orders", ["o_orderkey", "o_orderpriority"]
+        ).filter(F.col("o_orderpriority") == "1-URGENT")
+        li = read_table(spark, SF_CORRECT, "lineitem",
+                        ["l_orderkey", "l_quantity"])
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).agg(
+            F.sum("l_quantity").alias("qty"))
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan[:2000]
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
