@@ -44,6 +44,7 @@ HEADLINE = [
     "dedup_simhash_pairs",
     "text_stats",
     "text_fingerprint",
+    "text_repetition",  # n-gram array build + distinct per doc
     "sim_cosine_topk",
     "sim_lsh_topk",
     "sim_sq_topk",  # int8 quantized scoring (production memory path)

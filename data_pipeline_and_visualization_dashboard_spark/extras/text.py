@@ -163,6 +163,84 @@ def tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )  # no terminal sort: O(n) output, order-insensitive compare
 
 
+# Gopher/C4-style quality-gate thresholds (public heuristics; tuned to
+# the synthetic corpus so every rule actually fires)
+MIN_TOKENS, MAX_TOKENS = 16, 100_000
+MIN_AVG_TOKEN_LEN, MAX_AVG_TOKEN_LEN = 4.0, 12.0
+MIN_ALPHA_RATIO = 0.81
+
+_VERDICT_CASE = f"""
+CASE WHEN token_cnt < {MIN_TOKENS} OR token_cnt > {MAX_TOKENS} THEN 'len'
+     WHEN avg_token_len < {MIN_AVG_TOKEN_LEN}
+          OR avg_token_len > {MAX_AVG_TOKEN_LEN} THEN 'token_len'
+     WHEN alpha_ratio < {MIN_ALPHA_RATIO} THEN 'alpha'
+     WHEN hits_en + hits_de + hits_fr = 0 THEN 'stopword'
+     ELSE 'kept' END
+"""
+
+
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality gate: per-doc keep/drop verdict with the
+    FIRST-violated rule recorded (the V5 single-pass accounting idiom,
+    applied to corpus curation) — length bounds, mean token length,
+    alphabetic ratio, marker-stopword presence. All row-local codegen
+    expressions over one scan; the per-rule removal histogram is then
+    one tiny groupBy away. The standard pre-training corpus filter."""
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    feats = docs.selectExpr(
+        "doc_id",
+        "size(split(trim(text), '\\\\s+')) AS token_cnt",
+        "CAST(length(replace(text, ' ', '')) AS DOUBLE)"
+        " / size(split(trim(text), '\\\\s+')) AS avg_token_len",
+        "CAST(length(regexp_replace(text, '[^a-zA-Z]', '')) AS DOUBLE)"
+        " / length(text) AS alpha_ratio",
+        *_lang_score_exprs("spark"),
+    )
+    return feats.selectExpr(
+        "doc_id",
+        f"({_VERDICT_CASE}) AS verdict",
+        f"(({_VERDICT_CASE}) = 'kept') AS kept",
+    )  # no terminal sort: O(n) output, order-insensitive compare
+
+
+def repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition signals: duplicate-token and duplicate-n-gram
+    fractions per doc (templated/spam text scores high). Pure array
+    expressions — tokens and each n-gram array are bound as their own
+    projections (multi-referenced; stops CollapseProject from inlining
+    the split into every consumer — the HOF trap). Row-local, zero
+    shuffle; ratio doubles are identical IEEE trees in both engines."""
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    toked = docs.selectExpr(
+        "doc_id", "split(lower(trim(text)), '\\\\s+') AS toks"
+    )
+    grammed = toked.selectExpr(
+        "doc_id",
+        "toks",
+        "CASE WHEN size(toks) < 2 THEN array()"
+        " ELSE transform(sequence(1, size(toks) - 1),"
+        "      i -> concat(element_at(toks, i), ' ',"
+        "                  element_at(toks, i + 1))) END AS g2",
+        "CASE WHEN size(toks) < 3 THEN array()"
+        " ELSE transform(sequence(1, size(toks) - 2),"
+        "      i -> concat(element_at(toks, i), ' ',"
+        "                  element_at(toks, i + 1), ' ',"
+        "                  element_at(toks, i + 2))) END AS g3",
+    )
+    ratio = (
+        "CASE WHEN size({a}) = 0 THEN 0.0"
+        " ELSE 1.0 - CAST(size(array_distinct({a})) AS DOUBLE)"
+        " / size({a}) END"
+    )
+    return grammed.selectExpr(
+        "doc_id",
+        "size(toks) AS token_cnt",
+        ratio.format(a="toks") + " AS dup_token_ratio",
+        ratio.format(a="g2") + " AS dup_2gram_ratio",
+        ratio.format(a="g3") + " AS dup_3gram_ratio",
+    )  # no terminal sort: O(n) output, order-insensitive compare
+
+
 _DUCK_TOKENS = r"string_split_regex(lower(trim(text)), '\s+')"
 
 ORACLE_SQL: dict[str, str] = {
@@ -218,6 +296,52 @@ ORACLE_SQL: dict[str, str] = {
                CAST(length(text) AS DOUBLE) / n_tok AS chars_per_token
         FROM counted ORDER BY doc_id
     """,
+    "text_quality_filter": f"""
+        WITH feats AS (
+            SELECT doc_id,
+                   len(string_split_regex(trim(text), '\\s+')) AS token_cnt,
+                   CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                       / len(string_split_regex(trim(text), '\\s+'))
+                       AS avg_token_len,
+                   CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                        AS DOUBLE) / length(text) AS alpha_ratio,
+                   {', '.join(_lang_score_exprs('duck'))}
+            FROM documents
+        )
+        SELECT doc_id,
+               ({_VERDICT_CASE}) AS verdict,
+               (({_VERDICT_CASE}) = 'kept') AS kept
+        FROM feats ORDER BY doc_id
+    """,
+    "text_repetition": r"""
+        WITH toked AS (
+            SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\s+') AS toks
+            FROM documents
+        ), grammed AS (
+            SELECT doc_id, toks,
+                   CASE WHEN len(toks) < 2 THEN []
+                        ELSE list_transform(generate_series(1, len(toks) - 1),
+                             i -> toks[i] || ' ' || toks[i + 1]) END AS g2,
+                   CASE WHEN len(toks) < 3 THEN []
+                        ELSE list_transform(generate_series(1, len(toks) - 2),
+                             i -> toks[i] || ' ' || toks[i + 1]
+                                  || ' ' || toks[i + 2]) END AS g3
+            FROM toked
+        )
+        SELECT doc_id,
+               CAST(len(toks) AS INT) AS token_cnt,
+               CASE WHEN len(toks) = 0 THEN 0.0
+                    ELSE 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+                         / len(toks) END AS dup_token_ratio,
+               CASE WHEN len(g2) = 0 THEN 0.0
+                    ELSE 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE)
+                         / len(g2) END AS dup_2gram_ratio,
+               CASE WHEN len(g3) = 0 THEN 0.0
+                    ELSE 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE)
+                         / len(g3) END AS dup_3gram_ratio
+        FROM grammed ORDER BY doc_id
+    """,
     "text_fingerprint": f"""
         SELECT doc_id,
                CASE WHEN len({_DUCK_TOKENS}) = 0 THEN 0
@@ -236,4 +360,6 @@ QUERIES = {
     "text_lang_id": lang_id,
     "text_tokens_bpe": tokens_bpe,
     "text_fingerprint": fingerprint,
+    "text_quality_filter": quality_filter,
+    "text_repetition": repetition,
 }

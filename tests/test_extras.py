@@ -234,3 +234,26 @@ def test_embedding_lsh_pairs_subset_of_allpairs(spark):
         assert (r.vec_id_a, r.vec_id_b) in ap
         assert ap[(r.vec_id_a, r.vec_id_b)] == r.sim
     assert len(lsh) / len(ap) >= 0.3
+
+
+def test_quality_filter_verdicts_and_repetition_bounds(spark):
+    """Quality gate: verdict is single-valued per doc, kept == (verdict
+    'kept'), and the synthetic corpus exercises >=3 distinct rule
+    classes (thresholds are tuned so the gate is non-degenerate).
+    Repetition: ratios in [0,1], and dup_token_ratio >= dup_2gram_ratio
+    >= dup_3gram_ratio per doc (longer contexts repeat less)."""
+    from data_pipeline_and_visualization_dashboard_spark.extras.text import (
+        quality_filter, repetition,
+    )
+
+    qf = quality_filter(spark, SF_SMOKE).collect()
+    assert len(qf) > 0
+    verdicts = {r.verdict for r in qf}
+    assert "kept" in verdicts and len(verdicts) >= 3
+    for r in qf:
+        assert r.kept == (r.verdict == "kept")
+
+    rep = repetition(spark, SF_SMOKE).collect()
+    for r in rep:
+        assert 0.0 <= r.dup_3gram_ratio <= r.dup_2gram_ratio
+        assert r.dup_2gram_ratio <= r.dup_token_ratio <= 1.0
