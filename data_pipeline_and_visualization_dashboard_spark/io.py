@@ -149,6 +149,59 @@ def write_sorted(df: DataFrame, path: str, sort_cols: list[str],
     out.write.mode(mode).parquet(path)
 
 
+def read_jsonl(spark: SparkSession, path: str,
+               schema: SparkT.StructType | str | None = None) -> DataFrame:
+    """S8: JSON-Lines source — the interchange format LLM corpora ship
+    in (one JSON doc per line; HF datasets, CommonCrawl derivatives).
+    ALWAYS pass a schema in production: schema inference runs an extra
+    full scan of the data before the real read — at 100 TB that is a
+    second 100 TB pass. Inference is allowed here only for ad-hoc use.
+    Line-split JSONL is splittable, so a large file still parallelizes
+    across executors (unlike multiline JSON, which is one task per
+    file — never use multiline for bulk data)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S8b: JSON-Lines sink (one file per partition, one doc per line)."""
+    df.write.mode(mode).json(path)
+
+
+def compact_files(spark: SparkSession, path: str,
+                  target_file_bytes: int = 128 * 1024 * 1024) -> int:
+    """S9: small-files compaction — the operational fix for the classic
+    scale killer: a streaming or per-batch writer leaves thousands of
+    KB-sized parquet files, and every later scan pays one task + one
+    footer read per file (plus NameNode/object-store listing pressure).
+    Rewrite the directory into ceil(bytes/target) files via a single
+    repartition (wide, shuffle-based — preserves parallelism while
+    writing, unlike coalesce(n) which would collapse the WRITE stage's
+    upstream parallelism too). Returns the new file count.
+
+    Atomicity: writes to a sibling temp dir then renames, so a reader
+    never sees a half-compacted directory (rename is atomic on POSIX
+    and HDFS; on object stores use a manifest/table format instead)."""
+    import math
+    import shutil
+
+    size = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path) for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(size / target_file_bytes))
+    tmp = path.rstrip("/") + ".compacting"
+    spark.read.parquet(path).repartition(n_files).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    shutil.rmtree(path)
+    os.replace(tmp, path)
+    return n_files
+
+
 def register_views(spark: SparkSession, tables: dict[str, DataFrame]) -> None:
     """S5: expose frames to the SQL engine — zero-copy within Spark,
     mirroring `con.register(name, df.to_arrow())` (ipynb:242-243)."""

@@ -258,3 +258,44 @@ def test_write_sorted_layout_prunes_row_groups(spark, tmp_path):
     # range); the sorted copy skips all but the matching neighborhood
     assert read_shuffled > total * 0.9
     assert read_sorted < read_shuffled / 4
+
+
+def test_jsonl_round_trip_with_schema(spark, tmp_path):
+    """S8: documents -> JSONL -> read back with explicit schema equals
+    the original (exact-typed columns; explicit schema avoids the
+    inference pre-scan that doubles I/O at scale)."""
+    from data_pipeline_and_visualization_dashboard_spark.io import (
+        read_jsonl, write_jsonl,
+    )
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    d = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, d)
+    back = read_jsonl(spark, d, schema=docs.schema)
+    assert back.schema == docs.schema
+    a = sorted(tuple(r) for r in docs.collect())
+    b = sorted(tuple(r) for r in back.collect())
+    assert a == b
+
+
+def test_compact_files_reduces_file_count_losslessly(spark, tmp_path):
+    """S9: a 64-small-file directory compacts to the computed file
+    count; row content identical before/after."""
+    from data_pipeline_and_visualization_dashboard_spark.io import (
+        compact_files,
+    )
+
+    events = read_table(spark, SF_SMOKE, "events",
+                        ["event_id", "user_id", "value"])
+    d = str(tmp_path / "shattered")
+    events.repartition(64).write.mode("overwrite").parquet(d)
+    import glob
+
+    before_files = glob.glob(d + "/*.parquet")
+    assert len(before_files) == 64
+    before_rows = sorted(tuple(r) for r in spark.read.parquet(d).collect())
+    n = compact_files(spark, d, target_file_bytes=128 * 1024 * 1024)
+    after_files = glob.glob(d + "/*.parquet")
+    assert len(after_files) == n < 64
+    after_rows = sorted(tuple(r) for r in spark.read.parquet(d).collect())
+    assert before_rows == after_rows
