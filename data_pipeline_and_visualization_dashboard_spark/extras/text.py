@@ -179,14 +179,10 @@ CASE WHEN token_cnt < {MIN_TOKENS} OR token_cnt > {MAX_TOKENS} THEN 'len'
 """
 
 
-def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style quality gate: per-doc keep/drop verdict with the
-    FIRST-violated rule recorded (the V5 single-pass accounting idiom,
-    applied to corpus curation) — length bounds, mean token length,
-    alphabetic ratio, marker-stopword presence. All row-local codegen
-    expressions over one scan; the per-rule removal histogram is then
-    one tiny groupBy away. The standard pre-training corpus filter."""
-    docs = read_table(spark, sf_dir, "documents", ["doc_id", "text"])
+def quality_verdicts(docs: DataFrame) -> DataFrame:
+    """Verdict core of the quality gate over any (doc_id, text) frame —
+    batch or streaming (all expressions are row-local, so the same plan
+    fragment runs unchanged under Structured Streaming)."""
     feats = docs.selectExpr(
         "doc_id",
         "size(split(trim(text), '\\\\s+')) AS token_cnt",
@@ -201,6 +197,18 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"({_VERDICT_CASE}) AS verdict",
         f"(({_VERDICT_CASE}) = 'kept') AS kept",
     )  # no terminal sort: O(n) output, order-insensitive compare
+
+
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality gate: per-doc keep/drop verdict with the
+    FIRST-violated rule recorded (the V5 single-pass accounting idiom,
+    applied to corpus curation) — length bounds, mean token length,
+    alphabetic ratio, marker-stopword presence. All row-local codegen
+    expressions over one scan; the per-rule removal histogram is then
+    one tiny groupBy away. The standard pre-training corpus filter."""
+    return quality_verdicts(
+        read_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    )
 
 
 def repetition(spark: SparkSession, sf_dir: str) -> DataFrame:

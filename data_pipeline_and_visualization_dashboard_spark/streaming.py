@@ -365,6 +365,55 @@ def run_view_purchase_join_to_completion(
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
+_DOC_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def read_document_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents parquet — the streaming
+    face of the corpus-curation surface (kafka/object-store listing in
+    production; documents arrive continuously from crawlers)."""
+    return (
+        spark.readStream.schema(_DOC_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def curation_stats_stream(docs: DataFrame) -> DataFrame:
+    """Streaming corpus curation: the Gopher-style quality gate applied
+    per micro-batch (row-local expressions — the batch plan fragment
+    runs unchanged), rolled up into a running per-verdict histogram.
+    This is the live data-quality monitor a crawl-ingest pipeline
+    watches: drop-rate spikes surface immediately rather than at the
+    next batch audit. State = one row per verdict class (bounded)."""
+    from .extras.text import quality_verdicts
+
+    return quality_verdicts(docs).groupBy("verdict").agg(
+        F.count(F.lit(1)).alias("doc_cnt")
+    )
+
+
+def run_curation_to_completion(spark: SparkSession, sf_dir: str,
+                               query_name: str = "curation_stats"
+                               ) -> DataFrame:
+    """Drive the curation monitor over the finite corpus; the complete-
+    mode result must equal the batch quality histogram (tested)."""
+    agg = curation_stats_stream(read_document_stream(spark, sf_dir))
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
 def stream_to_parquet(spark: SparkSession, sf_dir: str, out_dir: str,
                       checkpoint_dir: str):
     """Production-shaped sink: foreachBatch + idempotent epoch overwrite

@@ -216,3 +216,29 @@ def test_stateful_sessionization_matches_batch(spark, tmp_path):
     }
     assert streamed == batch_closed
     assert len(streamed) > 0
+
+
+def test_streaming_curation_equals_batch_histogram(spark):
+    """Streaming quality-gate monitor == batch verdict histogram over
+    the same finite corpus (the batch/stream parity contract applied
+    to the curation surface)."""
+    from data_pipeline_and_visualization_dashboard_spark.extras.text import (
+        quality_filter,
+    )
+    from data_pipeline_and_visualization_dashboard_spark.streaming import (
+        run_curation_to_completion,
+    )
+
+    stream = {
+        (r.verdict, r.doc_cnt)
+        for r in run_curation_to_completion(spark, SF_SMOKE).collect()
+    }
+    batch = {
+        (r.verdict, r.doc_cnt)
+        for r in quality_filter(spark, SF_SMOKE)
+        .groupBy("verdict")
+        .count()
+        .withColumnRenamed("count", "doc_cnt")
+        .collect()
+    }
+    assert stream == batch and len(batch) >= 3
