@@ -849,7 +849,107 @@ def _centroid_sims(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------------------------------
+# q42: continuous-aggregate hierarchy — daily served FROM the hourly
+# rollup (the hypertable/materialized-rollup pattern)
+# ----------------------------------------------------------------------
+
+def q42_daily_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level rollup: hourly first, daily AS AN AGGREGATE OF HOURLY
+    (sum of partial counts/sums, not a rescan) — the continuous-
+    aggregate pattern behind every time-series store: at 100 TB the
+    hourly rollup is materialized once (a few MB/day) and every
+    coarser resolution — daily, weekly, monthly — is served from it
+    for ~zero cost instead of rescanning raw events. COUNT composes as
+    SUM of partial counts; SUM as SUM of partial sums (both
+    decomposable aggregates — the same property salted_group_agg
+    exploits). value_sum rounded 4dp: re-aggregating partials changes
+    the summation order, the one case the rounding policy exists for.
+    Shuffles: one on (date,hour) over events; the second groupBy runs
+    over the already-tiny hourly frame."""
+    ev = read_table(spark, sf_dir, "events", ["ts", "value"])
+    hourly = ev.groupBy(
+        F.to_date("ts").cast("string").alias("event_date"),
+        F.hour("ts").alias("event_hour"),
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("value").alias("vsum"),
+    )
+    return (
+        hourly.groupBy("event_date")
+        .agg(
+            F.sum("cnt").alias("event_cnt"),
+            F.round(F.sum("vsum"), 4).alias("value_sum"),
+            F.count(F.lit(1)).alias("active_hours"),
+        )
+        .orderBy("event_date")
+    )
+
+
+# ----------------------------------------------------------------------
+# q43: full-outer reconciliation — the one join type the surface did
+# not yet cover, in its canonical use (comparing two rollups)
+# ----------------------------------------------------------------------
+
+def q43_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconcile two independent daily rollups (events vs orders) with
+    a FULL OUTER join: days present on either side survive, absent
+    sides read as 0 with a presence label. The standard data-quality
+    cross-check between two pipelines. Both inputs aggregate BEFORE
+    the join (day-grain frames), so the full-outer join is tiny
+    regardless of fact size — the scale rule for reconciliation:
+    never full-outer-join raw facts."""
+    ev = read_table(spark, sf_dir, "events", ["ts"])
+    orders = read_table(spark, sf_dir, "orders", ["o_orderdate"])
+    ev_daily = ev.groupBy(F.to_date("ts").cast("string").alias("day")).agg(
+        F.count(F.lit(1)).alias("e_cnt")
+    )
+    ord_daily = orders.groupBy(
+        F.to_date("o_orderdate").cast("string").alias("day")
+    ).agg(F.count(F.lit(1)).alias("o_cnt"))
+    joined = ev_daily.join(ord_daily, "day", "full_outer")
+    return joined.select(
+        "day",
+        F.coalesce("e_cnt", F.lit(0)).alias("event_cnt"),
+        F.coalesce("o_cnt", F.lit(0)).alias("order_cnt"),
+        F.when(F.col("e_cnt").isNull(), "orders_only")
+        .when(F.col("o_cnt").isNull(), "events_only")
+        .otherwise("both")
+        .alias("presence"),
+    ).orderBy("day")
+
+
 ORACLE_SQL: dict[str, str] = {
+    "q42_daily_from_hourly": """
+        WITH hourly AS (
+            SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date,
+                   CAST(hour(ts) AS INT) AS event_hour,
+                   count(*) AS cnt, sum(value) AS vsum
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_date,
+               CAST(sum(cnt) AS BIGINT) AS event_cnt,
+               round(sum(vsum), 4) AS value_sum,
+               CAST(count(*) AS BIGINT) AS active_hours
+        FROM hourly GROUP BY event_date ORDER BY event_date
+    """,
+    "q43_full_outer_reconcile": """
+        WITH ev AS (
+            SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, count(*) AS e_cnt
+            FROM events GROUP BY 1
+        ), ord AS (
+            SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS day, count(*) AS o_cnt
+            FROM orders GROUP BY 1
+        )
+        SELECT COALESCE(ev.day, ord.day) AS day,
+               CAST(COALESCE(e_cnt, 0) AS BIGINT) AS event_cnt,
+               CAST(COALESCE(o_cnt, 0) AS BIGINT) AS order_cnt,
+               CASE WHEN e_cnt IS NULL THEN 'orders_only'
+                    WHEN o_cnt IS NULL THEN 'events_only'
+                    ELSE 'both' END AS presence
+        FROM ev FULL OUTER JOIN ord ON ev.day = ord.day
+        ORDER BY day
+    """,
     "q34_top_users_labeled": """
         WITH top AS (
             SELECT user_id, count(*) AS n_events
@@ -1098,6 +1198,8 @@ QUERIES = {
     "q39_interval_join": q39_interval_join,
     "q40_salted_skew_join": q40_salted_skew_join,
     "q41_latest_event_state": q41_latest_event_state,
+    "q42_daily_from_hourly": q42_daily_from_hourly,
+    "q43_full_outer_reconcile": q43_full_outer_reconcile,
     "q28_json_extract": q28_json_extract,
     "q29_approx_stats": q29_approx_stats,
     "q30_semi_anti": q30_semi_anti,
