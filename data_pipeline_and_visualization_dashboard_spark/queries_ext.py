@@ -919,7 +919,46 @@ def q43_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("day")
 
 
+# ----------------------------------------------------------------------
+# q44: grouped model fitting with built-in regression aggregates —
+# per-user value trend (slope/intercept over time)
+# ----------------------------------------------------------------------
+
+def q44_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares fit with BUILT-IN aggregates
+    (regr_slope/regr_intercept) — grouped model fitting without any
+    Python: one shuffle on user_id, co-moments accumulate map-side
+    like any decomposable aggregate, so it scales exactly like a
+    group-sum. x = days since epoch (keeps slopes O(1)). Rounded 6dp:
+    co-moment merge order differs across engines/partitionings — the
+    aggregate-rounding case of the parity policy."""
+    ev = read_table(spark, sf_dir, "events", ["user_id", "ts", "value"])
+    x = (F.unix_micros("ts").cast("double") / F.lit(86400000000.0)).alias("x")
+    return (
+        ev.select("user_id", x, "value")
+        .groupBy("user_id")
+        .agg(
+            F.round(F.expr("regr_slope(value, x)"), 6).alias("slope"),
+            F.round(F.expr("regr_intercept(value, x)"), 6).alias(
+                "intercept"
+            ),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
+    "q44_user_trend": """
+        SELECT user_id,
+               round(regr_slope(value, x), 6) AS slope,
+               round(regr_intercept(value, x), 6) AS intercept,
+               count(*) AS n_events
+        FROM (SELECT user_id, value,
+                     CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0 AS x
+              FROM events)
+        GROUP BY user_id ORDER BY user_id
+    """,
     "q42_daily_from_hourly": """
         WITH hourly AS (
             SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date,
@@ -1200,6 +1239,7 @@ QUERIES = {
     "q41_latest_event_state": q41_latest_event_state,
     "q42_daily_from_hourly": q42_daily_from_hourly,
     "q43_full_outer_reconcile": q43_full_outer_reconcile,
+    "q44_user_trend": q44_user_trend,
     "q28_json_extract": q28_json_extract,
     "q29_approx_stats": q29_approx_stats,
     "q30_semi_anti": q30_semi_anti,
