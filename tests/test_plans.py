@@ -102,6 +102,26 @@ CASES = {
         ["BroadcastNestedLoopJoin", "CartesianProduct", "SortMergeJoin"],
         2,
     ),
+    "q42_daily_from_hourly": (
+        # two-level rollup: (date,hour) agg + date re-agg + terminal sort
+        ["HashAggregate"],
+        ["SortMergeJoin", "CartesianProduct"],
+        3,
+    ),
+    "q43_full_outer_reconcile": (
+        # both sides aggregate BEFORE the join; the join reuses the agg
+        # partitioning on day, so: 2 agg shuffles + terminal sort only
+        ["FullOuter"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        3,
+    ),
+    "q44_user_trend": (
+        # one user_id exchange + terminal sort; regression co-moments
+        # accumulate map-side (partial HashAggregate)
+        ["HashAggregate"],
+        ["SortMergeJoin", "CartesianProduct"],
+        2,
+    ),
     "dedup_exact_groups": ([], ["Exchange rangepartitioning"], 1),
     "text_stats": ([], ["Exchange"], 0),
     "text_fingerprint": ([], ["Exchange"], 0),
