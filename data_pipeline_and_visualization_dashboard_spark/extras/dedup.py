@@ -217,18 +217,26 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
     """Banded-LSH candidate pairs from a (cached) signature frame:
-    stack band hashes -> self-join per (band_idx, band_hash) bucket
-    with the MAX_BUCKET skew cap -> distinct ordered pairs. No
-    all-pairs stage: the join fan-out is bounded per bucket."""
+    stack band hashes -> MAX_BUCKET skew cap -> per-bucket self-join
+    -> distinct ordered pairs. No all-pairs stage: the join fan-out is
+    bounded per bucket.
+
+    The cap is a window count over (band_idx, band_hash), not a
+    groupBy-sizes + join-back: ONE exchange on the bucket key (vs an
+    agg shuffle plus a size-frame join whose build side grows with
+    the number of distinct buckets at scale), and the self-join then
+    reuses that same partitioning — zero additional exchange."""
+    from pyspark.sql import Window
+
     band_cols = ", ".join(f"{b}, band_{b}" for b in range(BANDS))
     buckets = sigs.selectExpr(
         "doc_id", f"stack({BANDS}, {band_cols}) AS (band_idx, band_hash)"
     )
-    sizes = buckets.groupBy("band_idx", "band_hash").agg(
-        F.count(F.lit(1)).alias("bucket_n")
-    )
-    buckets = buckets.join(
-        sizes.filter(F.col("bucket_n") <= MAX_BUCKET), ["band_idx", "band_hash"]
+    w = Window.partitionBy("band_idx", "band_hash")
+    buckets = (
+        buckets.withColumn("bucket_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("bucket_n") <= MAX_BUCKET)
+        .drop("bucket_n")
     )
     a = buckets.select(
         F.col("band_idx"), F.col("band_hash"), F.col("doc_id").alias("doc_id_a")

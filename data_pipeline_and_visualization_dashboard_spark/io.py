@@ -202,6 +202,56 @@ def compact_files(spark: SparkSession, path: str,
     return n_files
 
 
+def ingest_incremental(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    state_path: str,
+    transform=None,
+) -> int:
+    """S10: manifest-based incremental batch ingest — process ONLY the
+    parquet files not seen by a previous run, append their (optionally
+    transformed) rows to out_dir, then durably record them in a
+    manifest. The batch-mode sibling of Structured Streaming's file
+    source (same contract: each input file contributes exactly once),
+    for pipelines that run as scheduled batches rather than a resident
+    stream. Returns the number of new files processed.
+
+    Crash-safety ordering: output append happens BEFORE the manifest
+    update, so a crash between the two re-processes those files on the
+    next run (at-least-once). Dedup downstream (exact dedup / CDC
+    upsert, both implemented here) upgrades that to effectively-once —
+    the same recipe streaming foreachBatch sinks use.
+
+    Scale: the manifest is one small text file of paths (object-store
+    listing scales far worse — this is why Auto-Loader-style ingest
+    keeps its own ledger); the per-run read is an explicit file list,
+    so Spark plans one scan over ONLY the new files."""
+    import glob
+
+    seen: set[str] = set()
+    if os.path.exists(state_path):
+        with open(state_path) as fh:
+            seen = {line.strip() for line in fh if line.strip()}
+    files = sorted(
+        f for f in glob.glob(os.path.join(in_dir, "*.parquet"))
+        if f not in seen
+    )
+    if not files:
+        return 0
+    df = spark.read.parquet(*files)
+    if transform is not None:
+        df = transform(df)
+    df.write.mode("append").parquet(out_dir)
+    os.makedirs(os.path.dirname(state_path) or ".", exist_ok=True)
+    tmp = state_path + ".tmp"
+    with open(tmp, "w") as fh:
+        for f in sorted(seen | set(files)):
+            fh.write(f + "\n")
+    os.replace(tmp, state_path)
+    return len(files)
+
+
 def register_views(spark: SparkSession, tables: dict[str, DataFrame]) -> None:
     """S5: expose frames to the SQL engine — zero-copy within Spark,
     mirroring `con.register(name, df.to_arrow())` (ipynb:242-243)."""

@@ -299,3 +299,62 @@ def test_compact_files_reduces_file_count_losslessly(spark, tmp_path):
     assert len(after_files) == n < 64
     after_rows = sorted(tuple(r) for r in spark.read.parquet(d).collect())
     assert before_rows == after_rows
+
+
+def test_incremental_ingest_processes_each_file_once(spark, tmp_path):
+    """S10: two ingest rounds — the second processes only the newly
+    arrived file; a third with nothing new is a no-op. Output equals
+    the union of all inputs exactly once."""
+    from data_pipeline_and_visualization_dashboard_spark.io import (
+        ingest_incremental,
+    )
+
+    nation = read_table(spark, SF_SMOKE, "nation")
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    state = str(tmp_path / "state" / "manifest.txt")
+    first = nation.filter(F.col("n_nationkey") < 10)
+    second = nation.filter(F.col("n_nationkey") >= 10)
+    first.coalesce(1).write.mode("overwrite").parquet(in_dir)
+
+    n1 = ingest_incremental(spark, in_dir, out_dir, state)
+    assert n1 >= 1
+    assert spark.read.parquet(out_dir).count() == first.count()
+
+    # a new file arrives (write via temp dir, move one parquet in)
+    import glob
+    import shutil
+
+    tmp2 = str(tmp_path / "stage2")
+    second.coalesce(1).write.mode("overwrite").parquet(tmp2)
+    src = glob.glob(tmp2 + "/*.parquet")[0]
+    shutil.copy(src, in_dir + "/part-new.parquet")
+
+    n2 = ingest_incremental(spark, in_dir, out_dir, state)
+    assert n2 == 1
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(out_dir)
+        .select(*nation.columns).collect()
+    )
+    want = sorted(tuple(r) for r in nation.collect())
+    assert got == want
+
+    assert ingest_incremental(spark, in_dir, out_dir, state) == 0
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    """mergeSchema: an ingest whose later files carry an added column
+    reads as the superset schema with nulls backfilled — the schema-
+    evolution contract a long-lived corpus directory needs."""
+    nation = read_table(spark, SF_SMOKE, "nation")
+    d = str(tmp_path / "evolving")
+    nation.select("n_nationkey", "n_name").write.mode(
+        "overwrite"
+    ).parquet(d)
+    nation.select(
+        "n_nationkey", "n_name", F.lit("round2").alias("ingest_tag")
+    ).write.mode("append").parquet(d)
+    merged = spark.read.option("mergeSchema", "true").parquet(d)
+    assert set(merged.columns) == {"n_nationkey", "n_name", "ingest_tag"}
+    n = nation.count()
+    assert merged.count() == 2 * n
+    assert merged.filter(F.col("ingest_tag").isNull()).count() == n
