@@ -41,6 +41,7 @@ HEADLINE = [
     "dedup_minhash_pairs",
     "dedup_minhash_pairs_xxhash",  # production hash family (headline)
     "dedup_neardup_groups",  # iterative connected components
+    "corpus_funnel",  # end-to-end: quality gate -> exact -> near-dup
     "dedup_simhash_pairs",
     "text_stats",
     "text_fingerprint",

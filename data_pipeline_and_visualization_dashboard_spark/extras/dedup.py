@@ -756,6 +756,130 @@ def _duck_emb_lsh_sql() -> str:
 
 
 # ----------------------------------------------------------------------
+# end-to-end corpus curation funnel
+# ----------------------------------------------------------------------
+
+def corpus_funnel(spark: SparkSession, sf_dir: str,
+                  hash_impl: str = "md5") -> DataFrame:
+    """THE END-TO-END LLM-CORPUS STORY in one accounting row: quality
+    gate -> exact dedup -> near-dup dedup, each stage applied to the
+    previous stage's survivors, with per-stage removal counts (the V5
+    single-pass accounting idiom at pipeline scope):
+
+        docs_in = removed_quality + removed_exact + removed_neardup
+                  + docs_out
+
+    Stage semantics (deterministic, hence fully oracle-backed):
+      1. quality: Gopher-style gate (extras.text.quality_verdicts).
+      2. exact: among quality-kept docs, keep the min doc_id per
+         md5(text) group (row_number over the hash).
+      3. near-dup: LSH+verified connected components over the FULL
+         corpus (dedup_neardup_groups); among stage-2 survivors, keep
+         the min surviving doc_id per component.
+
+    Scale: stage flags are columns on one doc-grain frame — the funnel
+    adds two hash-key shuffles (md5 rank, component keeper) on top of
+    the near-dup pipeline; no stage rescans raw text more than once.
+    """
+    from .text import quality_verdicts
+
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    qv = quality_verdicts(docs).select("doc_id", "kept")
+    hashed = docs.select("doc_id", F.md5("text").alias("h"))
+    kept_hashed = hashed.join(qv.filter(F.col("kept")).select("doc_id"),
+                              "doc_id")
+    w = Window.partitionBy("h").orderBy("doc_id")
+    exact_rank = kept_hashed.withColumn("rn", F.row_number().over(w))
+    groups = dedup_neardup_groups(spark, sf_dir, hash_impl)
+    flags = (
+        qv.join(exact_rank.select("doc_id", "rn"), "doc_id", "left")
+        .join(groups, "doc_id", "left")
+        .withColumn(
+            "pe",
+            F.coalesce(F.col("kept") & (F.col("rn") == 1), F.lit(False)),
+        )
+    )
+    keepers = (
+        flags.filter(F.col("pe") & F.col("group_id").isNotNull())
+        .groupBy("group_id")
+        .agg(F.min("doc_id").alias("g_keeper"))
+    )
+    final = flags.join(keepers, "group_id", "left").withColumn(
+        "pn",
+        F.col("pe")
+        & (F.col("group_id").isNull() | (F.col("doc_id") == F.col("g_keeper"))),
+    )
+    return final.agg(
+        F.count(F.lit(1)).alias("docs_in"),
+        F.sum(F.when(~F.col("kept"), 1).otherwise(0)).alias(
+            "removed_quality"
+        ),
+        F.sum(F.when(F.col("kept") & ~F.col("pe"), 1).otherwise(0)).alias(
+            "removed_exact"
+        ),
+        F.sum(F.when(F.col("pe") & ~F.col("pn"), 1).otherwise(0)).alias(
+            "removed_neardup"
+        ),
+        F.sum(F.when(F.col("pn"), 1).otherwise(0)).alias("docs_out"),
+    )
+
+
+def _duck_funnel_sql() -> str:
+    from .text import _VERDICT_CASE, _lang_score_exprs
+
+    return f"""
+        WITH feats AS (
+            SELECT doc_id,
+                   len(string_split_regex(trim(text), '\\s+')) AS token_cnt,
+                   CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                       / len(string_split_regex(trim(text), '\\s+'))
+                       AS avg_token_len,
+                   CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                        AS DOUBLE) / length(text) AS alpha_ratio,
+                   {', '.join(_lang_score_exprs('duck'))}
+            FROM documents
+        ), qv AS (
+            SELECT doc_id, (({_VERDICT_CASE}) = 'kept') AS kept FROM feats
+        ), hashed AS (
+            SELECT doc_id, md5(text) AS h FROM documents
+        ), kept_rank AS (
+            SELECT hh.doc_id,
+                   row_number() OVER (PARTITION BY hh.h
+                                      ORDER BY hh.doc_id) AS rn
+            FROM hashed hh JOIN qv USING (doc_id) WHERE qv.kept
+        ), groups AS (
+            SELECT * FROM ({_duck_neardup_groups_sql()}) g
+        ), pe_flags AS (
+            SELECT q.doc_id, q.kept,
+                   COALESCE(q.kept AND kr.rn = 1, FALSE) AS pe,
+                   g.group_id
+            FROM qv q
+            LEFT JOIN kept_rank kr USING (doc_id)
+            LEFT JOIN groups g USING (doc_id)
+        ), keepers AS (
+            SELECT group_id, min(doc_id) AS g_keeper
+            FROM pe_flags WHERE pe AND group_id IS NOT NULL
+            GROUP BY group_id
+        ), final AS (
+            SELECT p.*,
+                   (p.pe AND (p.group_id IS NULL
+                              OR p.doc_id = k.g_keeper)) AS pn
+            FROM pe_flags p LEFT JOIN keepers k USING (group_id)
+        )
+        SELECT count(*) AS docs_in,
+               CAST(sum(CASE WHEN NOT kept THEN 1 ELSE 0 END) AS BIGINT)
+                   AS removed_quality,
+               CAST(sum(CASE WHEN kept AND NOT pe THEN 1 ELSE 0 END)
+                    AS BIGINT) AS removed_exact,
+               CAST(sum(CASE WHEN pe AND NOT pn THEN 1 ELSE 0 END)
+                    AS BIGINT) AS removed_neardup,
+               CAST(sum(CASE WHEN pn THEN 1 ELSE 0 END) AS BIGINT)
+                   AS docs_out
+        FROM final
+    """
+
+
+# ----------------------------------------------------------------------
 # oracles
 # ----------------------------------------------------------------------
 
@@ -936,6 +1060,7 @@ ORACLE_SQL: dict[str, str] = {
     ),
     "dedup_minhash_pairs": _duck_pairs_sql(),
     "dedup_embedding_pairs_lsh": _duck_emb_lsh_sql(),
+    "corpus_funnel": _duck_funnel_sql(),
     "dedup_ngram_jaccard_topk": f"""
         WITH sh AS (
             SELECT doc_id, list_distinct({_DUCK_SHINGLES}) AS sh FROM documents
@@ -973,4 +1098,5 @@ QUERIES = {
     "dedup_simhash_hamming_topk": simhash_hamming_topk,
     "dedup_embedding_pairs": embedding_neardup_pairs,
     "dedup_embedding_pairs_lsh": embedding_neardup_pairs_lsh,
+    "corpus_funnel": corpus_funnel,
 }

@@ -257,3 +257,22 @@ def test_quality_filter_verdicts_and_repetition_bounds(spark):
     for r in rep:
         assert 0.0 <= r.dup_3gram_ratio <= r.dup_2gram_ratio
         assert r.dup_2gram_ratio <= r.dup_token_ratio <= 1.0
+
+
+def test_corpus_funnel_accounting_sums(spark):
+    """Funnel invariant: docs_in == removed_quality + removed_exact +
+    removed_neardup + docs_out; quality and near-dup stages must
+    actually fire on the synthetic corpus (exact-dup count is
+    data-driven — the generator emits no byte-identical docs — but the
+    stage's logic is still oracle-verified structurally)."""
+    from data_pipeline_and_visualization_dashboard_spark.extras.dedup import (
+        corpus_funnel,
+    )
+
+    row = corpus_funnel(spark, SF_SMOKE).first()
+    assert row.docs_in == (
+        row.removed_quality + row.removed_exact
+        + row.removed_neardup + row.docs_out
+    )
+    assert row.removed_quality > 0
+    assert row.docs_out > 0
