@@ -23,7 +23,7 @@ via idempotent epoch overwrite.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -412,6 +412,74 @@ def run_curation_to_completion(spark: SparkSession, sf_dir: str,
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def upsert_state_stream(spark: SparkSession, in_dir: str, state_dir: str,
+                        checkpoint_dir: str):
+    """Streaming CDC-upsert sink: maintain a compacted latest-state
+    table (one row per user: last event + change count) from an event
+    change stream — the streaming twin of q41_latest_event_state.
+
+    foreachBatch merge: each micro-batch is reduced to per-user
+    partials (latest row + count — both decomposable), merged with the
+    current state parquet, and the state is atomically replaced
+    (write-new + rename, same recipe as io.compact_files). State size
+    = |distinct users|, independent of stream length; the merge cost
+    per batch is state-size + batch-size, not history-size.
+    Idempotence: replaying a batch after a crash re-merges the same
+    rows into a max/sum — the count is NOT idempotent under replay,
+    which is why production engines pair this with batch ids in the
+    state (noted, out of scope for the parity harness)."""
+    import os as _os
+    import shutil as _shutil
+
+    raw = (
+        spark.readStream.schema(_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("last_ts"), F.desc("last_event_id")
+        )
+        partial = (
+            batch_df.select(
+                "user_id",
+                F.col("event_id").alias("last_event_id"),
+                F.col("ts").alias("last_ts"),
+                F.col("event_type").alias("last_type"),
+                F.col("value").alias("last_value"),
+            )
+            .withColumn("n_changes", F.lit(1).cast("long"))
+        )
+        if _os.path.exists(state_dir):
+            partial = partial.unionByName(
+                batch_df.sparkSession.read.parquet(state_dir)
+            )
+        merged = (
+            partial.withColumn("rn", F.row_number().over(w))
+            .withColumn(
+                "total_changes",
+                F.sum("n_changes").over(Window.partitionBy("user_id")),
+            )
+            .filter(F.col("rn") == 1)
+            .drop("rn", "n_changes")
+            .withColumnRenamed("total_changes", "n_changes")
+        )
+        tmp = state_dir.rstrip("/") + f".epoch{epoch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        if _os.path.exists(state_dir):
+            _shutil.rmtree(state_dir)
+        _os.replace(tmp, state_dir)
+
+    return (
+        events.writeStream.outputMode("append")
+        .foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
 
 
 def stream_to_parquet(spark: SparkSession, sf_dir: str, out_dir: str,

@@ -242,3 +242,40 @@ def test_streaming_curation_equals_batch_histogram(spark):
         .collect()
     }
     assert stream == batch and len(batch) >= 3
+
+
+def test_streaming_upsert_state_matches_batch_cdc(spark, tmp_path):
+    """Streaming CDC-upsert sink: after draining the event stream in
+    micro-batches, the maintained latest-state parquet equals the
+    batch CDC compaction (q41) over the same events."""
+    from data_pipeline_and_visualization_dashboard_spark.queries_ext import (
+        q41_latest_event_state,
+    )
+
+    raw = spark.read.parquet(SF_SMOKE + "/events.parquet")  # ts as long
+    in_dir = str(tmp_path / "cdc_in")
+    raw.filter("event_id % 2 = 0").coalesce(1).write.parquet(
+        in_dir, mode="append"
+    )
+    raw.filter("event_id % 2 = 1").coalesce(1).write.parquet(
+        in_dir, mode="append"
+    )
+    state_dir = str(tmp_path / "state")
+    q = streaming.upsert_state_stream(
+        spark, in_dir, state_dir, str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(state_dir)
+        .select("user_id", "last_event_id", "last_ts",
+                "last_type", "last_value", "n_changes").collect()
+    )
+    want = sorted(
+        tuple(r) for r in q41_latest_event_state(spark, SF_SMOKE)
+        .select("user_id", "last_event_id", "last_ts",
+                "last_type", "last_value", "n_changes").collect()
+    )
+    assert got == want
