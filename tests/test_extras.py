@@ -276,3 +276,30 @@ def test_corpus_funnel_accounting_sums(spark):
     )
     assert row.removed_quality > 0
     assert row.docs_out > 0
+
+
+def test_chunking_reconstructs_documents(spark):
+    """Chunking invariant: taking the first STRIDE tokens of every
+    chunk except the last, plus the whole last chunk, reconstructs the
+    original token sequence exactly — no token lost or duplicated
+    beyond the designed overlap. Multi-chunk fan-out must occur."""
+    from data_pipeline_and_visualization_dashboard_spark.extras.text import (
+        CHUNK_STRIDE, chunks,
+    )
+
+    rows = chunks(spark, SF_SMOKE).collect()
+    docs = read_table(spark, SF_SMOKE, "documents").collect()
+    orig = {
+        r.doc_id: " ".join(r.text.strip().lower().split()) for r in docs
+    }
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert any(len(v) > 1 for v in by_doc.values())
+    for doc_id, chs in by_doc.items():
+        chs.sort(key=lambda r: r.chunk_idx)
+        toks = []
+        for r in chs[:-1]:
+            toks.extend(r.chunk_text.split()[:CHUNK_STRIDE])
+        toks.extend(chs[-1].chunk_text.split())
+        assert " ".join(toks) == orig[doc_id], doc_id
