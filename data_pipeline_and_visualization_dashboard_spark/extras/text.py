@@ -321,6 +321,72 @@ _DUCK_CHUNKS_SQL = f"""
 """
 
 
+PACK_BUDGET = 128  # tokens per training pack (production: ctx length)
+PACK_SHARDS = 8    # packing parallelism unit
+
+
+def packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign chunked sequences to fixed-budget packs
+    (GPT-style concat packing — chunks are laid end-to-end in document
+    order and a pack boundary falls every PACK_BUDGET tokens; a chunk
+    belongs to the pack where it STARTS). Packing is sequential by
+    nature, so it is sharded: chunks hash to PACK_SHARDS independent
+    streams, each packed by a running-total window — at scale shards
+    pack in parallel with no coordination, and determinism is kept
+    because shard assignment and within-shard order are pure functions
+    of (doc_id, chunk_idx). Output: per-pack fill statistics (the
+    padding-waste metric training pipelines watch).
+
+    Plan: chunking fan-out (row-local) -> one shuffle on shard for the
+    running-total window -> per-pack agg reuses the shard partitioning."""
+    ch = chunks(spark, sf_dir).selectExpr(
+        "doc_id", "chunk_idx", "n_chunk_tokens",
+        f"doc_id % {PACK_SHARDS} AS shard",
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id", "chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    packed = ch.withColumn(
+        "start_tok",
+        F.sum("n_chunk_tokens").over(w) - F.col("n_chunk_tokens"),
+    ).selectExpr(
+        "shard", "n_chunk_tokens",
+        f"CAST(start_tok div {PACK_BUDGET} AS INT) AS pack_id",
+    )
+    return (
+        packed.groupBy("shard", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_chunk_tokens").alias("n_tokens"),
+        )
+        .orderBy("shard", "pack_id")
+    )
+
+
+_DUCK_PACKING_SQL = f"""
+    WITH ch AS ({{chunks}}), sharded AS (
+        SELECT doc_id, chunk_idx, n_chunk_tokens,
+               doc_id % {PACK_SHARDS} AS shard
+        FROM ch
+    ), packed AS (
+        SELECT shard, n_chunk_tokens,
+               CAST((sum(n_chunk_tokens) OVER (
+                         PARTITION BY shard ORDER BY doc_id, chunk_idx
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - n_chunk_tokens) // {PACK_BUDGET} AS INT) AS pack_id
+        FROM sharded
+    )
+    SELECT shard, pack_id,
+           count(*) AS n_chunks,
+           CAST(sum(n_chunk_tokens) AS BIGINT) AS n_tokens
+    FROM packed GROUP BY shard, pack_id ORDER BY shard, pack_id
+"""
+
+
 _DUCK_TOKENS = r"string_split_regex(lower(trim(text)), '\s+')"
 
 ORACLE_SQL: dict[str, str] = {
@@ -423,6 +489,7 @@ ORACLE_SQL: dict[str, str] = {
         FROM grammed ORDER BY doc_id
     """,
     "text_chunks": _DUCK_CHUNKS_SQL,
+    "text_packing": _DUCK_PACKING_SQL.format(chunks=_DUCK_CHUNKS_SQL),
     "text_fingerprint": f"""
         SELECT doc_id,
                CASE WHEN len({_DUCK_TOKENS}) = 0 THEN 0
@@ -444,4 +511,5 @@ QUERIES = {
     "text_quality_filter": quality_filter,
     "text_repetition": repetition,
     "text_chunks": chunks,
+    "text_packing": packing,
 }

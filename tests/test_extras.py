@@ -303,3 +303,34 @@ def test_chunking_reconstructs_documents(spark):
             toks.extend(r.chunk_text.split()[:CHUNK_STRIDE])
         toks.extend(chs[-1].chunk_text.split())
         assert " ".join(toks) == orig[doc_id], doc_id
+
+
+def test_packing_conserves_tokens_and_bounds_fill(spark):
+    """Packing invariants: total packed tokens == total chunk tokens
+    (nothing lost/duplicated), and within each shard every pack except
+    possibly the last is filled past the budget boundary (a chunk
+    STARTS in its pack, so fill >= BUDGET - max_chunk < fill is not
+    guaranteed, but cumulative starts mean pack k exists only once
+    k*BUDGET tokens were laid down)."""
+    from data_pipeline_and_visualization_dashboard_spark.extras.text import (
+        PACK_BUDGET, chunks, packing,
+    )
+
+    total = sum(
+        r.n_chunk_tokens for r in chunks(spark, SF_SMOKE).collect()
+    )
+    rows = packing(spark, SF_SMOKE).collect()
+    assert sum(r.n_tokens for r in rows) == total
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, packs in by_shard.items():
+        packs.sort(key=lambda r: r.pack_id)
+        # pack ids are consecutive from 0 (no empty packs)
+        assert [p.pack_id for p in packs] == list(range(len(packs)))
+        # all but the last pack carry at least one full budget between
+        # their start boundaries: cumulative fill reaches the boundary
+        cum = 0
+        for p in packs[:-1]:
+            cum += p.n_tokens
+            assert cum >= (p.pack_id + 1) * PACK_BUDGET
