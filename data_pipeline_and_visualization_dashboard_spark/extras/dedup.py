@@ -756,6 +756,79 @@ def _duck_emb_lsh_sql() -> str:
 
 
 # ----------------------------------------------------------------------
+# benchmark decontamination
+# ----------------------------------------------------------------------
+
+CONTAM_THRESHOLD = 0.5  # shingle-overlap ratio that marks a doc dirty
+
+
+def contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: per training doc, the fraction of
+    its distinct 3-gram shingles that also appear ANYWHERE in the eval
+    set (here: docs with doc_id % 10 == 9 stand in for the held-out
+    benchmark). The standard pre-training hygiene check — eval answers
+    leaking into training data inflate benchmark scores.
+
+    Shape: explode distinct shingles -> LEFT semi-flag join against
+    the eval set's distinct shingles -> per-doc overlap counts. The
+    join key is the shingle string; at 100 TB the eval shingle set is
+    usually small enough to broadcast (benchmarks are ~1e6 items), and
+    when it isn't, the same plan runs as a shuffle join or a bloom-
+    filter pre-pass (see test_runtime_bloom_filter_prunes_shuffle_join).
+    """
+    sh = shingle_sets(spark, sf_dir).select(
+        "doc_id", F.explode(F.array_distinct("shingles")).alias("s")
+    )
+    is_eval = F.col("doc_id") % 10 == 9
+    eval_sh = sh.filter(is_eval).select("s").distinct().withColumn(
+        "hit", F.lit(1)
+    )
+    train = sh.filter(~is_eval)
+    counted = (
+        train.join(F.broadcast(eval_sh), "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_overlap"),
+        )
+    )
+    ratio = F.col("n_overlap").cast("double") / F.col("n_shingles")
+    return counted.select(
+        "doc_id",
+        F.col("n_shingles").cast("int").alias("n_shingles"),
+        F.col("n_overlap").cast("int").alias("n_overlap"),
+        ratio.alias("overlap_ratio"),
+        (ratio >= CONTAM_THRESHOLD).alias("is_contaminated"),
+    )  # no terminal sort: O(n) output, order-insensitive compare
+
+
+_DUCK_CONTAMINATION_SQL = f"""
+    WITH sh AS (
+        SELECT doc_id, unnest(list_distinct({_DUCK_SHINGLES})) AS s
+        FROM documents
+    ), ev AS (
+        SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 9
+    ), tr AS (
+        SELECT doc_id, s FROM sh WHERE doc_id % 10 != 9
+    ), counted AS (
+        SELECT tr.doc_id,
+               count(*) AS n_shingles,
+               sum(CASE WHEN ev.s IS NOT NULL THEN 1 ELSE 0 END)
+                   AS n_overlap
+        FROM tr LEFT JOIN ev ON tr.s = ev.s
+        GROUP BY tr.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_shingles AS INT) AS n_shingles,
+           CAST(n_overlap AS INT) AS n_overlap,
+           CAST(n_overlap AS DOUBLE) / n_shingles AS overlap_ratio,
+           (CAST(n_overlap AS DOUBLE) / n_shingles
+            >= {CONTAM_THRESHOLD}) AS is_contaminated
+    FROM counted ORDER BY doc_id
+"""
+
+
+# ----------------------------------------------------------------------
 # end-to-end corpus curation funnel
 # ----------------------------------------------------------------------
 
@@ -1061,6 +1134,7 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_minhash_pairs": _duck_pairs_sql(),
     "dedup_embedding_pairs_lsh": _duck_emb_lsh_sql(),
     "corpus_funnel": _duck_funnel_sql(),
+    "dedup_contamination": _DUCK_CONTAMINATION_SQL,
     "dedup_ngram_jaccard_topk": f"""
         WITH sh AS (
             SELECT doc_id, list_distinct({_DUCK_SHINGLES}) AS sh FROM documents
@@ -1099,4 +1173,5 @@ QUERIES = {
     "dedup_embedding_pairs": embedding_neardup_pairs,
     "dedup_embedding_pairs_lsh": embedding_neardup_pairs_lsh,
     "corpus_funnel": corpus_funnel,
+    "dedup_contamination": contamination,
 }

@@ -321,6 +321,46 @@ _DUCK_CHUNKS_SQL = f"""
 """
 
 
+SPLIT_PCTS = (90, 95)  # train < 90, val < 95, test < 100
+
+
+def split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by content-independent
+    hash bucket: h60(doc_id) % 100 -> 90/5/5. Hash-based (not modulo
+    or range) so the split is stable under corpus growth, re-ordering,
+    and re-partitioning — a doc's split never changes when new docs
+    arrive, which is the property that keeps eval sets frozen across
+    corpus refreshes. Row-local, zero shuffle; the md5-derived h60
+    family makes it bit-identical in DuckDB."""
+    docs = read_table(spark, sf_dir, "documents", ["doc_id"])
+    return docs.selectExpr(
+        "doc_id",
+        f"CAST({spark_base_hash('CAST(doc_id AS STRING)')} % 100 AS INT)"
+        " AS bucket",
+    ).selectExpr(
+        "doc_id",
+        "bucket",
+        f"CASE WHEN bucket < {SPLIT_PCTS[0]} THEN 'train'"
+        f" WHEN bucket < {SPLIT_PCTS[1]} THEN 'val'"
+        " ELSE 'test' END AS split",
+    )  # no terminal sort: O(n) output, order-insensitive compare
+
+
+_DUCK_SPLIT_SQL = f"""
+    WITH bucketed AS (
+        SELECT doc_id,
+               CAST({duck_base_hash('CAST(doc_id AS VARCHAR)')} % 100
+                    AS INT) AS bucket
+        FROM documents
+    )
+    SELECT doc_id, bucket,
+           CASE WHEN bucket < {SPLIT_PCTS[0]} THEN 'train'
+                WHEN bucket < {SPLIT_PCTS[1]} THEN 'val'
+                ELSE 'test' END AS split
+    FROM bucketed ORDER BY doc_id
+"""
+
+
 PACK_BUDGET = 128  # tokens per training pack (production: ctx length)
 PACK_SHARDS = 8    # packing parallelism unit
 
@@ -490,6 +530,7 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "text_chunks": _DUCK_CHUNKS_SQL,
     "text_packing": _DUCK_PACKING_SQL.format(chunks=_DUCK_CHUNKS_SQL),
+    "text_split_assign": _DUCK_SPLIT_SQL,
     "text_fingerprint": f"""
         SELECT doc_id,
                CASE WHEN len({_DUCK_TOKENS}) = 0 THEN 0
@@ -512,4 +553,5 @@ QUERIES = {
     "text_repetition": repetition,
     "text_chunks": chunks,
     "text_packing": packing,
+    "text_split_assign": split_assign,
 }

@@ -334,3 +334,29 @@ def test_packing_conserves_tokens_and_bounds_fill(spark):
         for p in packs[:-1]:
             cum += p.n_tokens
             assert cum >= (p.pack_id + 1) * PACK_BUDGET
+
+
+def test_contamination_and_split_invariants(spark):
+    """Contamination: ratios in [0,1], flag == (ratio >= threshold),
+    eval docs excluded from output. Split: every doc assigned exactly
+    once, all three splits present, and assignment is a pure function
+    of doc_id (stable across corpus growth by construction)."""
+    from data_pipeline_and_visualization_dashboard_spark.extras.dedup import (
+        CONTAM_THRESHOLD, contamination,
+    )
+    from data_pipeline_and_visualization_dashboard_spark.extras.text import (
+        split_assign,
+    )
+
+    rows = contamination(spark, SF_SMOKE).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.doc_id % 10 != 9
+        assert 0.0 <= r.overlap_ratio <= 1.0
+        assert r.is_contaminated == (r.overlap_ratio >= CONTAM_THRESHOLD)
+
+    sp = split_assign(spark, SF_SMOKE).collect()
+    n_docs = read_table(spark, SF_SMOKE, "documents").count()
+    assert len(sp) == n_docs
+    kinds = {r.split for r in sp}
+    assert kinds == {"train", "val", "test"}
