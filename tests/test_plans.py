@@ -122,6 +122,26 @@ CASES = {
         ["SortMergeJoin", "CartesianProduct"],
         2,
     ),
+    "text_chunks": (
+        # 1->N fan-out must stay a map stage: zero shuffles
+        ["Generate posexplode"],
+        ["Exchange"],
+        0,
+    ),
+    "text_split_assign": ([], ["Exchange"], 0),
+    "text_packing": (
+        # shard window shuffle + terminal sort; per-pack agg reuses the
+        # shard partitioning
+        ["Window"],
+        ["SortMergeJoin", "CartesianProduct"],
+        2,
+    ),
+    "dedup_contamination": (
+        # eval shingle set broadcasts; explode->distinct->agg shuffles
+        ["BroadcastHashJoin"],
+        ["SortMergeJoin", "CartesianProduct"],
+        3,
+    ),
     "dedup_exact_groups": ([], ["Exchange rangepartitioning"], 1),
     "text_stats": ([], ["Exchange"], 0),
     "text_fingerprint": ([], ["Exchange"], 0),
