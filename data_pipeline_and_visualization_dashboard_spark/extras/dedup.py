@@ -832,6 +832,56 @@ _DUCK_CONTAMINATION_SQL = f"""
 # end-to-end corpus curation funnel
 # ----------------------------------------------------------------------
 
+def _funnel_flags(spark: SparkSession, sf_dir: str,
+                  hash_impl: str = "md5") -> DataFrame:
+    """Doc-grain stage flags (kept / pe / pn) shared by corpus_funnel
+    (accounting) and corpus_survivors (output ids). The flags frame is
+    cached: it is consumed twice (keeper derivation + final), and
+    without the cache the quality-gate text scan and md5 rank would
+    run twice — at 100 TB that is a second full-corpus pass."""
+    from .text import quality_verdicts
+
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    qv = quality_verdicts(docs).select("doc_id", "kept")
+    hashed = docs.select("doc_id", F.md5("text").alias("h"))
+    kept_hashed = hashed.join(qv.filter(F.col("kept")).select("doc_id"),
+                              "doc_id")
+    w = Window.partitionBy("h").orderBy("doc_id")
+    exact_rank = kept_hashed.withColumn("rn", F.row_number().over(w))
+    groups = dedup_neardup_groups(spark, sf_dir, hash_impl)
+    flags = (
+        qv.join(exact_rank.select("doc_id", "rn"), "doc_id", "left")
+        .join(groups, "doc_id", "left")
+        .withColumn(
+            "pe",
+            F.coalesce(F.col("kept") & (F.col("rn") == 1), F.lit(False)),
+        )
+        .cache()
+    )
+    keepers = (
+        flags.filter(F.col("pe") & F.col("group_id").isNotNull())
+        .groupBy("group_id")
+        .agg(F.min("doc_id").alias("g_keeper"))
+    )
+    return flags.join(keepers, "group_id", "left").withColumn(
+        "pn",
+        F.col("pe")
+        & (F.col("group_id").isNull() | (F.col("doc_id") == F.col("g_keeper"))),
+    )
+
+
+def corpus_survivors(spark: SparkSession, sf_dir: str,
+                     hash_impl: str = "md5") -> DataFrame:
+    """The cleaned corpus itself: doc_ids that pass every funnel stage
+    (what a user writes back out as the training corpus — join this on
+    documents to materialize surviving rows)."""
+    return (
+        _funnel_flags(spark, sf_dir, hash_impl)
+        .filter(F.col("pn"))
+        .select("doc_id")
+    )  # no terminal sort: O(n) output, order-insensitive compare
+
+
 def corpus_funnel(spark: SparkSession, sf_dir: str,
                   hash_impl: str = "md5") -> DataFrame:
     """THE END-TO-END LLM-CORPUS STORY in one accounting row: quality
@@ -854,35 +904,7 @@ def corpus_funnel(spark: SparkSession, sf_dir: str,
     adds two hash-key shuffles (md5 rank, component keeper) on top of
     the near-dup pipeline; no stage rescans raw text more than once.
     """
-    from .text import quality_verdicts
-
-    docs = read_table(spark, sf_dir, "documents", ["doc_id", "text"])
-    qv = quality_verdicts(docs).select("doc_id", "kept")
-    hashed = docs.select("doc_id", F.md5("text").alias("h"))
-    kept_hashed = hashed.join(qv.filter(F.col("kept")).select("doc_id"),
-                              "doc_id")
-    w = Window.partitionBy("h").orderBy("doc_id")
-    exact_rank = kept_hashed.withColumn("rn", F.row_number().over(w))
-    groups = dedup_neardup_groups(spark, sf_dir, hash_impl)
-    flags = (
-        qv.join(exact_rank.select("doc_id", "rn"), "doc_id", "left")
-        .join(groups, "doc_id", "left")
-        .withColumn(
-            "pe",
-            F.coalesce(F.col("kept") & (F.col("rn") == 1), F.lit(False)),
-        )
-    )
-    keepers = (
-        flags.filter(F.col("pe") & F.col("group_id").isNotNull())
-        .groupBy("group_id")
-        .agg(F.min("doc_id").alias("g_keeper"))
-    )
-    final = flags.join(keepers, "group_id", "left").withColumn(
-        "pn",
-        F.col("pe")
-        & (F.col("group_id").isNull() | (F.col("doc_id") == F.col("g_keeper"))),
-    )
-    return final.agg(
+    return _funnel_flags(spark, sf_dir, hash_impl).agg(
         F.count(F.lit(1)).alias("docs_in"),
         F.sum(F.when(~F.col("kept"), 1).otherwise(0)).alias(
             "removed_quality"
@@ -939,6 +961,11 @@ def _duck_funnel_sql() -> str:
                               OR p.doc_id = k.g_keeper)) AS pn
             FROM pe_flags p LEFT JOIN keepers k USING (group_id)
         )
+    """
+
+
+def _duck_funnel_accounting_sql() -> str:
+    return _duck_funnel_sql() + """
         SELECT count(*) AS docs_in,
                CAST(sum(CASE WHEN NOT kept THEN 1 ELSE 0 END) AS BIGINT)
                    AS removed_quality,
@@ -949,6 +976,12 @@ def _duck_funnel_sql() -> str:
                CAST(sum(CASE WHEN pn THEN 1 ELSE 0 END) AS BIGINT)
                    AS docs_out
         FROM final
+    """
+
+
+def _duck_survivors_sql() -> str:
+    return _duck_funnel_sql() + """
+        SELECT doc_id FROM final WHERE pn ORDER BY doc_id
     """
 
 
@@ -1133,7 +1166,8 @@ ORACLE_SQL: dict[str, str] = {
     ),
     "dedup_minhash_pairs": _duck_pairs_sql(),
     "dedup_embedding_pairs_lsh": _duck_emb_lsh_sql(),
-    "corpus_funnel": _duck_funnel_sql(),
+    "corpus_funnel": _duck_funnel_accounting_sql(),
+    "corpus_survivors": _duck_survivors_sql(),
     "dedup_contamination": _DUCK_CONTAMINATION_SQL,
     "dedup_ngram_jaccard_topk": f"""
         WITH sh AS (
@@ -1173,5 +1207,6 @@ QUERIES = {
     "dedup_embedding_pairs": embedding_neardup_pairs,
     "dedup_embedding_pairs_lsh": embedding_neardup_pairs_lsh,
     "corpus_funnel": corpus_funnel,
+    "corpus_survivors": corpus_survivors,
     "dedup_contamination": contamination,
 }
