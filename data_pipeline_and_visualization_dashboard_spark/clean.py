@@ -64,6 +64,34 @@ def clean_events_with_report(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     return clean_events(df), removal_accounting(df, cleaning_rules())
 
 
+def clean_events_observed(df: DataFrame) -> tuple[DataFrame, "Observation"]:
+    """Cleaning with FREE accounting: the V5 metrics ride whatever job
+    first materializes the cleaned frame (df.observe / CollectMetrics),
+    so persisting the clean corpus costs ONE pass total — the write —
+    instead of write + accounting scan. `Observation.get` blocks until
+    that job runs.
+
+    Trade-off, priced deliberately: CollectMetrics is a pushdown
+    barrier (Catalyst must not push the keep-filter below the observe
+    node — the metrics have to see the REJECTED rows too), so the scan
+    reads all rows rather than skipping via pushed filters. That is
+    exactly what the accounting semantics require — any implementation
+    must observe every input row once — and one full-scan pass beats
+    the two passes (pushed scan for the write + full scan for the
+    accounting) of the `clean_events_with_report` path whenever the
+    frame is materialized anyway. At 100 TB that second saved pass is
+    hours. Plan shape (CollectMetrics above the scan, filter above it)
+    is pinned in tests/test_plans.py."""
+    from pyspark.sql import Observation
+
+    from .validate import accounting_aggs
+
+    rules = cleaning_rules()
+    obs = Observation("cleaning_accounting")
+    observed = df.observe(obs, *accounting_aggs(rules))
+    return clean_events(observed), obs
+
+
 def split_events(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Quarantine variant: (good, bad_with_reason). The reference
     fail-stops or silently drops (ipynb:109-144); at 100 TB rejected

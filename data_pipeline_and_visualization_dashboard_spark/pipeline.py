@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from pyspark.sql import functions as F
 
-from .clean import clean_events_with_report
+from .clean import clean_events_observed, clean_events_with_report
 from .derive import derive_event_columns
 from .io import read_table, write_parquet
 from .schemas import EVENTS
@@ -48,14 +48,20 @@ def run_events_pipeline(
     raw = read_table(spark, sf_dir, "events")
     validate_schema(raw, EVENTS, timestamp_columns=["ts"])
 
-    cleaned, report_df = clean_events_with_report(raw)
-    report = report_df.first().asDict()
-    derived = derive_event_columns(cleaned)
-
     if out_path is not None:
+        # persist path: accounting metrics ride the sink job itself
+        # (df.observe) — ONE full pass total instead of write +
+        # accounting scan; see clean.clean_events_observed
+        cleaned, obs = clean_events_observed(raw)
+        derived = derive_event_columns(cleaned)
         derived = derived.withColumn("event_date", F.to_date("ts"))
         write_parquet(derived, out_path, partition_by=["event_date"])
+        report = dict(obs.get)
         derived = spark.read.parquet(out_path)
+    else:
+        cleaned, report_df = clean_events_with_report(raw)
+        report = report_df.first().asDict()
+        derived = derive_event_columns(cleaned)
 
     derived.createOrReplaceTempView("events_clean")
     return PipelineResult(derived, report, out_path)

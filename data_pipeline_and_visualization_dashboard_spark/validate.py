@@ -53,18 +53,13 @@ def null_counts(df: DataFrame) -> dict[str, int]:
     return row.asDict()
 
 
-def removal_accounting(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
-    """V5 as a single-pass aggregate.
-
-    `rules` maps reason -> KEEP predicate, applied in order. For each rule
-    we count rows that pass every earlier rule but fail this one (the
-    reference's sequential-delta semantics, ipynb:112-143), plus input and
-    surviving totals. Returns a 1-row DataFrame:
-    (rows_in, rows_kept, removed_<reason>...).
-
-    One scan, one tiny all-to-one agg — vs the reference's (and a naive
-    port's) N materializations.
-    """
+def accounting_aggs(rules: dict[str, Column]) -> list[Column]:
+    """The V5 aggregate expressions shared by `removal_accounting`
+    (standalone scan) and the `df.observe()` path (metrics that ride an
+    existing job, clean.clean_events_observed): for each rule, count
+    rows that pass every earlier rule but fail this one (the
+    reference's sequential-delta attribution, ipynb:112-143), plus
+    input and surviving totals."""
     aggs = [
         F.count(F.lit(1)).alias("rows_in"),
     ]
@@ -79,4 +74,16 @@ def removal_accounting(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
         passed = F.coalesce(keep, F.lit(False))
         so_far = passed if so_far is None else (so_far & passed)
     aggs.append(F.sum(F.when(so_far, 1).otherwise(0)).alias("rows_kept"))
-    return df.agg(*aggs)
+    return aggs
+
+
+def removal_accounting(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
+    """V5 as a single-pass aggregate. Returns a 1-row DataFrame:
+    (rows_in, rows_kept, removed_<reason>...).
+
+    One scan, one tiny all-to-one agg — vs the reference's (and a naive
+    port's) N materializations. When the cleaned frame is being
+    persisted anyway, prefer `clean.clean_events_observed`, which
+    collects these same metrics DURING the sink job (zero extra
+    passes)."""
+    return df.agg(*accounting_aggs(rules))

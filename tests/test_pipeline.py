@@ -38,6 +38,30 @@ def test_pipeline_end_to_end(spark, tmp_path):
     assert n == r["rows_kept"]
 
 
+def test_observed_accounting_matches_standalone(spark):
+    """clean_events_observed must report the same V5 metrics as the
+    standalone removal_accounting scan — but collected DURING the job
+    that materializes the cleaned frame (zero extra passes), with the
+    CollectMetrics node sitting between scan and keep-filter so the
+    metrics see rejected rows."""
+    from data_pipeline_and_visualization_dashboard_spark.clean import (
+        clean_events_observed, clean_events_with_report,
+    )
+    from data_pipeline_and_visualization_dashboard_spark.io import read_table
+
+    events = read_table(spark, SF_SMOKE, "events")
+    cleaned_obs, obs = clean_events_observed(events)
+    # metrics must NOT lose rejected rows to filter pushdown
+    plan = cleaned_obs._jdf.queryExecution().executedPlan().toString()
+    assert "CollectMetrics" in plan
+    cleaned_obs.write.mode("overwrite").format("noop").save()
+    got = dict(obs.get)
+    cleaned_ref, report_df = clean_events_with_report(events)
+    want = report_df.first().asDict()
+    assert got == want
+    assert got["rows_kept"] == cleaned_ref.count()
+
+
 def test_split_quarantine_consistent_with_accounting(spark):
     """good/bad split must reconcile with clean_events and the
     accounting report, and reasons must match the removal attribution."""
