@@ -249,6 +249,92 @@ def repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )  # no terminal sort: O(n) output, order-insensitive compare
 
 
+TFIDF_TOPK = 3
+
+
+def tfidf_topk(spark: SparkSession, sf_dir: str, k: int = TFIDF_TOPK) -> DataFrame:
+    """Per-doc top-k characteristic terms by TF-IDF — the classic
+    corpus-summarization / keyword-extraction operator (used in
+    training-data pipelines for topic balancing and near-dup triage).
+
+    Shape: explode tokens -> (doc, term) TF [one shuffle] -> term-grain
+    DF as an agg OVER THE TF FRAME (doc-term rows are already unique,
+    so count(*) per term == document frequency; no second corpus scan)
+    -> join TF⋈DF on term -> windowed top-k per doc. The DF frame is
+    vocab-grain: small enough to broadcast for most corpora, but the
+    join is left to AQE rather than forced — at 100 TB a web-scale
+    vocab exceeds broadcast and the term-key shuffle join is the
+    general path. Corpus size N rides a broadcast 1-row cross join.
+
+    Parity: tfidf = tf * ln(N/df) rounded 6dp — ln() is not required
+    to be correctly rounded (Java Math.log vs libm may differ in the
+    last ulp), so this is treated as an aggregate-derived value under
+    the rounding policy, and the top-k window orders by the ROUNDED
+    value (term asc tiebreak) so ranks agree across engines."""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    docs = docs.filter(F.col("text").isNotNull())
+    toks = docs.select(
+        "doc_id",
+        # explode_outer: InferFiltersFromGenerate trap (see dedup) —
+        # split() of non-null text is never null/empty, outer ≡ inner
+        F.explode_outer(F.split(F.lower(F.trim("text")), r"\s+")).alias(
+            "term"
+        ),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .join(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "tfidf", "rank")
+        .orderBy("doc_id", "rank")
+    )
+
+
+_DUCK_TFIDF_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+        FROM documents WHERE text IS NOT NULL
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+    ), df AS (
+        SELECT term, count(*) AS df FROM tf GROUP BY 1
+    ), n AS (
+        SELECT count(*) AS n_docs FROM (SELECT doc_id FROM documents
+                                        WHERE text IS NOT NULL)
+    ), scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf,
+               round(tf.tf * ln(CAST(n_docs AS DOUBLE) / df.df), 6) AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    ), ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, term) AS rank
+        FROM scored
+    )
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, tfidf,
+           CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {TFIDF_TOPK}
+    ORDER BY doc_id, rank
+"""
+
+
 # Sliding-window chunking: CHUNK-token windows advancing by STRIDE
 # (CHUNK-STRIDE tokens of overlap) — context-window prep for training
 # shards. Sized to the synthetic corpus (docs are 10-99 tokens) so
@@ -528,6 +614,7 @@ ORACLE_SQL: dict[str, str] = {
                          / len(g3) END AS dup_3gram_ratio
         FROM grammed ORDER BY doc_id
     """,
+    "text_tfidf_topk": _DUCK_TFIDF_SQL,
     "text_chunks": _DUCK_CHUNKS_SQL,
     "text_packing": _DUCK_PACKING_SQL.format(chunks=_DUCK_CHUNKS_SQL),
     "text_split_assign": _DUCK_SPLIT_SQL,
@@ -551,6 +638,7 @@ QUERIES = {
     "text_fingerprint": fingerprint,
     "text_quality_filter": quality_filter,
     "text_repetition": repetition,
+    "text_tfidf_topk": tfidf_topk,
     "text_chunks": chunks,
     "text_packing": packing,
     "text_split_assign": split_assign,

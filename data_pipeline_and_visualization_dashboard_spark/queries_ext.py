@@ -948,7 +948,116 @@ def q44_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------------------------------
+# q45: cohort retention — the canonical product-analytics triangle
+# ----------------------------------------------------------------------
+
+def q45_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users are cohorted by their first
+    active week; each later active week increments that cohort's
+    retention count at offset (week - cohort_week)/7. The classic
+    retention-triangle query every analytics dashboard grows into.
+
+    Shape: events collapse to (user, week) activity grain FIRST (one
+    shuffle; this is the only stage that sees fact-sized data), the
+    cohort week is a min-window over the user's activity rows (one
+    user_id exchange over user-week-grain data), and the final
+    (cohort, offset) rollup is tiny. Activity rows are unique per
+    (user, week), so count(*) == distinct users per cell — no
+    count-distinct needed. Week buckets via date_trunc('week') —
+    Monday-based in both engines; emitted as strings (DATE rendering
+    differs across engines, memory rule)."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events", ["user_id", "ts"])
+    uw = (
+        ev.select(
+            "user_id",
+            F.to_date(F.date_trunc("week", "ts")).alias("week"),
+        )
+        .groupBy("user_id", "week")
+        .agg(F.count(F.lit(1)).alias("n_ev"))
+    )
+    w = Window.partitionBy("user_id")
+    cohorted = uw.withColumn("cohort_week", F.min("week").over(w))
+    return (
+        cohorted.groupBy(
+            F.col("cohort_week").cast("string").alias("cohort_week"),
+            (F.datediff("week", "cohort_week") / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+# ----------------------------------------------------------------------
+# q46: per-group z-score anomaly detection
+# ----------------------------------------------------------------------
+
+Z_THRESHOLD = 3.0
+
+
+def q46_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical outlier flagging: events whose value sits more than
+    Z_THRESHOLD sample standard deviations from their event_type's
+    mean. The standard data-quality monitor for a metrics stream.
+
+    Shape: per-type mean/stddev is a tiny decomposable agg (map-side
+    partials, one shuffle on event_type), broadcast back onto the fact
+    scan — the fact table never shuffles. Parity: mu/sigma are
+    aggregates (summation order differs across engines), so THEY are
+    rounded 6dp; z is then an identical IEEE expression tree on
+    identical rounded inputs — bit-identical in both engines with no
+    row-level rounding, and the threshold filter cannot flip (memory
+    rule: round aggregates, never row-level derivations)."""
+    ev = read_table(spark, sf_dir, "events",
+                    ["event_id", "event_type", "value"])
+    stats = ev.groupBy("event_type").agg(
+        F.round(F.avg("value"), 6).alias("mu"),
+        F.round(F.stddev_samp("value"), 6).alias("sigma"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) >= Z_THRESHOLD)
+        .select("event_id", "event_type", "value", "z")
+        .orderBy("event_id")
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
+    "q45_cohort_retention": """
+        WITH uw AS (
+            SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week,
+                   count(*) AS n_ev
+            FROM events GROUP BY 1, 2
+        ), cohorted AS (
+            SELECT user_id, week,
+                   min(week) OVER (PARTITION BY user_id) AS cohort_week
+            FROM uw
+        )
+        SELECT CAST(cohort_week AS VARCHAR) AS cohort_week,
+               CAST((week - cohort_week) // 7 AS INT) AS week_offset,
+               count(*) AS n_users
+        FROM cohorted
+        GROUP BY 1, 2 ORDER BY cohort_week, week_offset
+    """,
+    "q46_value_anomalies": f"""
+        WITH stats AS (
+            SELECT event_type,
+                   round(avg(value), 6) AS mu,
+                   round(stddev_samp(value), 6) AS sigma
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_id, e.event_type, e.value,
+               (e.value - s.mu) / s.sigma AS z
+        FROM events e JOIN stats s USING (event_type)
+        WHERE abs((e.value - s.mu) / s.sigma) >= {Z_THRESHOLD}
+        ORDER BY event_id
+    """,
     "q44_user_trend": """
         SELECT user_id,
                round(regr_slope(value, x), 6) AS slope,
@@ -1240,6 +1349,8 @@ QUERIES = {
     "q42_daily_from_hourly": q42_daily_from_hourly,
     "q43_full_outer_reconcile": q43_full_outer_reconcile,
     "q44_user_trend": q44_user_trend,
+    "q45_cohort_retention": q45_cohort_retention,
+    "q46_value_anomalies": q46_value_anomalies,
     "q28_json_extract": q28_json_extract,
     "q29_approx_stats": q29_approx_stats,
     "q30_semi_anti": q30_semi_anti,
