@@ -1028,7 +1028,168 @@ def q46_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------------------------------
+# q47: SCD type-2 history build — change-detection windows
+# ----------------------------------------------------------------------
+
+# open-ended validity sentinel (standard SCD2 practice, and it keeps
+# nulls out of hashed timestamp outputs — cross-engine NaT trap).
+# NOT 9999-12-31: pandas/Arrow ns timestamps overflow past 2262, and
+# result frames cross that boundary in every comparison harness.
+SCD2_OPEN_END = "2200-01-01"
+
+
+def q47_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build from an event stream:
+    collapse each user's event sequence into validity intervals of
+    their current event_type 'state' — a row per state CHANGE with
+    [valid_from, valid_to) and an is_current flag. The standard
+    warehouse history-table derivation.
+
+    Shape: lag() detects changes, lead() closes intervals — BOTH
+    windows share one (user_id) partitioning ordered by (ts,
+    event_id), so the whole derivation costs ONE fact shuffle; the
+    change filter runs between the two window passes and shrinks the
+    lead input to change rows only. Deterministic under ts ties via
+    the event_id tiebreak."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events",
+                    ["event_id", "user_id", "ts", "event_type"])
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = ev.withColumn(
+        "prev_type", F.lag("event_type").over(w)
+    ).filter(
+        F.col("prev_type").isNull()
+        | (F.col("prev_type") != F.col("event_type"))
+    )
+    valid_to = F.coalesce(
+        F.lead("ts").over(w), F.lit(SCD2_OPEN_END).cast("timestamp")
+    )
+    return (
+        changed.withColumn("valid_to", valid_to)
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+            "valid_to",
+            (F.col("valid_to") == F.lit(SCD2_OPEN_END).cast("timestamp"))
+            .alias("is_current"),
+        )
+        .orderBy("user_id", "valid_from")
+    )
+
+
+# ----------------------------------------------------------------------
+# q48: funnel step conversion — ordered-step product analytics
+# ----------------------------------------------------------------------
+
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def q48_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion over ordered steps (view -> click ->
+    purchase): a user converts at step k iff their FIRST occurrence of
+    each step is in non-decreasing time order up to k. Output: one row
+    per step with users reaching it and conversion vs step 1.
+
+    Shape: the fact collapses to per-user first-touch timestamps in
+    ONE conditional-min aggregation (min(when(type=s, ts)) per step —
+    the A4/A5 conditional-agg idiom, map-side partial), then a tiny
+    step-count rollup; the unpivot to step rows is a literal stack
+    over one 1-row frame. One fact shuffle on user_id, nothing else.
+    Conversion pct rounded 6dp (ratio of counts — aggregate-derived)."""
+    ev = read_table(spark, sf_dir, "events", ["user_id", "ts", "event_type"])
+    firsts = ev.groupBy("user_id").agg(
+        *[
+            F.min(F.when(F.col("event_type") == s, F.col("ts"))).alias(
+                f"t_{i}"
+            )
+            for i, s in enumerate(FUNNEL_STEPS)
+        ]
+    )
+    # reached_k: every step up to k seen, in order
+    reach = None
+    reach_cols = []
+    for i in range(len(FUNNEL_STEPS)):
+        ok = F.col(f"t_{i}").isNotNull()
+        if i > 0:
+            ok = ok & (F.col(f"t_{i}") >= F.col(f"t_{i-1}"))
+        reach = ok if reach is None else (reach & ok)
+        reach_cols.append(
+            F.sum(reach.cast("long")).alias(f"n_{i}")
+        )
+    counts = firsts.agg(*reach_cols)
+    stack_args = ", ".join(
+        f"{i}, '{s}', n_{i}" for i, s in enumerate(FUNNEL_STEPS)
+    )
+    return (
+        counts.selectExpr(
+            f"stack({len(FUNNEL_STEPS)}, {stack_args})"
+            " AS (step_idx, step, n_users)",
+            "n_0 AS n_first",
+        )
+        .select(
+            "step_idx",
+            "step",
+            "n_users",
+            F.round(
+                F.col("n_users").cast("double") / F.col("n_first"), 6
+            ).alias("conversion"),
+        )
+        .orderBy("step_idx")
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
+    "q47_scd2_history": f"""
+        WITH ordered AS (
+            SELECT user_id, event_type, ts, event_id,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_type
+            FROM events
+        ), changes AS (
+            SELECT user_id, event_type, ts, event_id FROM ordered
+            WHERE prev_type IS NULL OR prev_type != event_type
+        ), closed AS (
+            SELECT user_id, event_type AS state, ts AS valid_from,
+                   COALESCE(lead(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id),
+                            TIMESTAMP '{SCD2_OPEN_END}') AS valid_to
+            FROM changes
+        )
+        SELECT user_id, state, valid_from, valid_to,
+               (valid_to = TIMESTAMP '{SCD2_OPEN_END}') AS is_current
+        FROM closed ORDER BY user_id, valid_from
+    """,
+    "q48_funnel_steps": f"""
+        WITH firsts AS (
+            SELECT user_id,
+                   {', '.join(
+                       "min(CASE WHEN event_type = '" + s + "' THEN ts END)"
+                       " AS t_" + str(i)
+                       for i, s in enumerate(FUNNEL_STEPS))}
+            FROM events GROUP BY user_id
+        ), counts AS (
+            SELECT
+                sum(CASE WHEN t_0 IS NOT NULL THEN 1 ELSE 0 END) AS n_0,
+                sum(CASE WHEN t_0 IS NOT NULL AND t_1 IS NOT NULL
+                         AND t_1 >= t_0 THEN 1 ELSE 0 END) AS n_1,
+                sum(CASE WHEN t_0 IS NOT NULL AND t_1 IS NOT NULL
+                         AND t_1 >= t_0 AND t_2 IS NOT NULL
+                         AND t_2 >= t_1 THEN 1 ELSE 0 END) AS n_2
+            FROM firsts
+        ), stacked AS (
+            {' UNION ALL '.join(
+                "SELECT " + str(i) + " AS step_idx, '" + s + "' AS step,"
+                " n_" + str(i) + " AS n_users, n_0 AS n_first FROM counts"
+                for i, s in enumerate(FUNNEL_STEPS))}
+        )
+        SELECT CAST(step_idx AS INT) AS step_idx, step,
+               CAST(n_users AS BIGINT) AS n_users,
+               round(CAST(n_users AS DOUBLE) / n_first, 6) AS conversion
+        FROM stacked ORDER BY step_idx
+    """,
     "q45_cohort_retention": """
         WITH uw AS (
             SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week,
@@ -1351,6 +1512,8 @@ QUERIES = {
     "q44_user_trend": q44_user_trend,
     "q45_cohort_retention": q45_cohort_retention,
     "q46_value_anomalies": q46_value_anomalies,
+    "q47_scd2_history": q47_scd2_history,
+    "q48_funnel_steps": q48_funnel_steps,
     "q28_json_extract": q28_json_extract,
     "q29_approx_stats": q29_approx_stats,
     "q30_semi_anti": q30_semi_anti,

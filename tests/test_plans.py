@@ -122,6 +122,43 @@ CASES = {
         ["SortMergeJoin", "CartesianProduct"],
         2,
     ),
+    "q45_cohort_retention": (
+        # fact collapses to (user,week) grain first; cohort min-window
+        # on user_id; tiny (cohort,offset) rollup + terminal sort
+        ["Window", "HashAggregate"],
+        ["SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"],
+        4,
+    ),
+    "q46_value_anomalies": (
+        # per-type stats broadcast back onto the fact scan: the fact
+        # table itself never shuffles (stats agg + terminal sort only)
+        ["BroadcastHashJoin"],
+        ["SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"],
+        2,
+    ),
+    "text_tfidf_topk": (
+        # corpus-size N rides a 1-row broadcast cross join (the one
+        # legitimate BroadcastNestedLoopJoin on the surface); top-k
+        # window per doc; no sort-merge or cartesian anywhere
+        ["Window"],
+        ["SortMergeJoin", "CartesianProduct"],
+        6,
+    ),
+    "q47_scd2_history": (
+        # lag-filter-lead SCD2 build: BOTH windows share ONE user_id
+        # exchange (plus the terminal sort) — change detection and
+        # interval closing never re-shuffle the fact
+        ["Window"],
+        ["SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"],
+        2,
+    ),
+    "q48_funnel_steps": (
+        # per-user first-touch mins partial-aggregate map-side; one
+        # user_id shuffle + the 1-row rollup — no joins anywhere
+        ["HashAggregate"],
+        ["SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"],
+        2,
+    ),
     "text_chunks": (
         # 1->N fan-out must stay a map stage: zero shuffles
         ["Generate posexplode"],
