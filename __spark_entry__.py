@@ -31,6 +31,9 @@ from data_pipeline_and_visualization_dashboard_spark.extras import (
 from data_pipeline_and_visualization_dashboard_spark.extras import (
     similarity as _sim,
 )
+from data_pipeline_and_visualization_dashboard_spark.extras import (
+    sketches as _sk,
+)
 from data_pipeline_and_visualization_dashboard_spark.extras import text as _text
 
 
@@ -49,6 +52,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     registry.update(_dedup.QUERIES)
     registry.update(_text.QUERIES)
     registry.update(_sim.QUERIES)
+    registry.update(_sk.QUERIES)
     registry.update(_mm.QUERIES)
     return registry
 
@@ -63,5 +67,6 @@ def oracle_sql() -> dict[str, str]:
     oracles.update(_dedup.ORACLE_SQL)
     oracles.update(_text.ORACLE_SQL)
     oracles.update(_sim.ORACLE_SQL)
+    oracles.update(_sk.ORACLE_SQL)
     oracles.update(_mm.ORACLE_SQL)
     return oracles

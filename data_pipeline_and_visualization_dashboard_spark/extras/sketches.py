@@ -1,0 +1,317 @@
+"""Deterministic frequency/cardinality sketches as DataFrame plans.
+
+Count-min and HyperLogLog are THE streaming/100 TB answers to "how
+often does each key occur" and "how many distinct keys" when exact
+state would be key-cardinality-sized. Spark ships approx_count_distinct
+(HLL++) as an opaque aggregate (q29, rows-only check); these operators
+instead BUILD the sketches openly from the md5-derived h60 hash family
+(extras.hashing) as ordinary groupBy plans — which makes them fully
+DuckDB-oracle-backed: same hash inputs, same registers, same estimates
+(modulo the aggregate-rounding policy), unlike typical sketch
+implementations whose internal RNG/hashing is engine-private.
+
+Scale shape (both sketches):
+  * one key-grain pre-aggregation (the only fact-sized shuffle),
+  * one sketch-grain aggregation over D×W (count-min) or M (HLL) cells
+    — constant-size output regardless of corpus size,
+  * estimation joins broadcast the constant-size sketch, never the
+    data.
+
+Merge property (why sketches work on clusters): both are max/sum over
+cells, so per-partition partial sketches combine associatively —
+Spark's partial aggregation does this automatically map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import read_table
+from .hashing import duck_h60, minhash_term, spark_h60
+
+# count-min: D independent universal hashes (reusing the MinHash
+# family's (a,b) parameters) into W buckets. eps ~ e/W, delta ~ e^-D.
+CM_D = 4
+CM_W = 256
+CM_TOPK = 10
+
+# HyperLogLog: M registers addressed by the low bits of h60; the
+# remaining 52 bits feed the leading-zero rank.
+HLL_M = 256  # 2^8 registers
+_HLL_REST_BITS = 52
+# bias correction for m >= 128 (Flajolet et al. 2007, public formula)
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+
+_SPARK_KEY = "CAST(user_id AS STRING)"
+_DUCK_KEY = "CAST(user_id AS VARCHAR)"
+
+
+def _spark_base(expr: str) -> str:
+    return f"({spark_h60(expr)} % 2147483647)"
+
+
+def _duck_base(expr: str) -> str:
+    return f"({duck_h60(expr)} % 2147483647)"
+
+
+# ----------------------------------------------------------------------
+# count-min
+# ----------------------------------------------------------------------
+
+def countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The D×W count-min table over event user_ids: cell (d, w) holds
+    the total event count of all keys hashing to bucket w under hash
+    d. Keys pre-aggregate FIRST (the only fact-sized shuffle); the D-way
+    fan-out then runs over key-grain rows and the cell aggregation
+    output is a constant 1024 rows at any corpus size."""
+    ev = read_table(spark, sf_dir, "events", ["user_id"])
+    keyed = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    base = _spark_base(_SPARK_KEY)
+    hashed = keyed.selectExpr(
+        "c",
+        *[
+            f"({minhash_term(j, base)} % {CM_W}) AS w_{j}"
+            for j in range(CM_D)
+        ],
+    )
+    stack_args = ", ".join(f"{j}, w_{j}" for j in range(CM_D))
+    return (
+        hashed.selectExpr(f"stack({CM_D}, {stack_args}) AS (d, w)", "c")
+        .groupBy("d", "w")
+        .agg(F.sum("c").alias("cnt"))
+        .selectExpr("CAST(d AS INT) AS d", "CAST(w AS INT) AS w", "cnt")
+    )  # no terminal sort: O(D*W) output, order-insensitive compare
+
+
+def countmin_topk_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min read path: estimate = min over the D cells a key maps
+    to (over-count only — collisions inflate, never deflate; the test
+    pins est >= true). Output: top-CM_TOPK users by TRUE count with
+    their sketch estimates, the standard sketch-accuracy readout. The
+    1024-cell sketch broadcasts; the fact is touched once for true
+    counts."""
+    ev = read_table(spark, sf_dir, "events", ["user_id"])
+    counts = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("true_cnt")
+    )
+    top = counts.orderBy(F.desc("true_cnt"), F.asc("user_id")).limit(
+        CM_TOPK
+    )
+    sketch = countmin_sketch(spark, sf_dir)
+    base = _spark_base(_SPARK_KEY)
+    hashed = top.selectExpr(
+        "user_id",
+        "true_cnt",
+        *[
+            f"CAST({minhash_term(j, base)} % {CM_W} AS INT) AS w_{j}"
+            for j in range(CM_D)
+        ],
+    )
+    stack_args = ", ".join(f"{j}, w_{j}" for j in range(CM_D))
+    stacked = hashed.selectExpr(
+        "user_id", "true_cnt", f"stack({CM_D}, {stack_args}) AS (d, w)"
+    )
+    return (
+        stacked.join(F.broadcast(sketch), ["d", "w"])
+        .groupBy("user_id", "true_cnt")
+        .agg(F.min("cnt").alias("est_cnt"))
+        .orderBy(F.desc("true_cnt"), F.asc("user_id"))
+    )
+
+
+# ----------------------------------------------------------------------
+# HyperLogLog
+# ----------------------------------------------------------------------
+
+def _spark_rank() -> str:
+    """Leading-zero rank of the 52 post-bucket bits: position of the
+    first 1-bit from the left, = 53 - bit_length(rest); all-zero rest
+    pins the max rank 53. bit_length via length(bin(x)) — identical
+    string semantics in Spark and DuckDB for positive BIGINTs."""
+    return (
+        "CAST(CASE WHEN rest = 0 THEN 53"
+        " ELSE 53 - length(bin(rest)) END AS INT)"
+    )
+
+
+def hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The M-register HLL state over distinct user_ids: register b
+    holds the max leading-zero rank among keys bucketed to b. Shuffles:
+    key-distinct (fact-sized, the unavoidable one) + the M-cell max —
+    constant-size state, mergeable by max() across partitions/days,
+    which is why HLL is the standard distributed distinct counter."""
+    ev = read_table(spark, sf_dir, "events", ["user_id"])
+    keys = ev.select("user_id").distinct()
+    h = spark_h60(_SPARK_KEY)
+    bucketed = keys.selectExpr(
+        f"CAST({h} % {HLL_M} AS INT) AS bucket",
+        f"CAST({h} div {HLL_M} AS BIGINT) AS rest",
+    )
+    ranked = bucketed.selectExpr("bucket", f"{_spark_rank()} AS rank")
+    return ranked.groupBy("bucket").agg(
+        F.max("rank").alias("max_rank")
+    )  # no terminal sort: O(M) output, order-insensitive compare
+
+
+def hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL readout next to ground truth: raw estimate
+    alpha*m^2 / sum(2^-reg) with the standard small-range linear-
+    counting correction (E <= 2.5m and empty registers present ->
+    m*ln(m/zeros)). One result row: exact distinct count, estimate,
+    relative error. Estimate rounded 4dp (register sum + ln are
+    aggregate-derived; rounding policy)."""
+    regs = hll_registers(spark, sf_dir)
+    # full register spine 0..M-1: empty registers count as rank 0
+    spine = spark.range(HLL_M).selectExpr("CAST(id AS INT) AS bucket")
+    full = spine.join(F.broadcast(regs), "bucket", "left").select(
+        "bucket", F.coalesce("max_rank", F.lit(0)).alias("r")
+    )
+    folded = full.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("denom"),
+        F.sum(F.when(F.col("r") == 0, 1).otherwise(0)).alias("zeros"),
+    )
+    raw = F.lit(HLL_ALPHA * HLL_M * HLL_M) / F.col("denom")
+    est = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (F.col("zeros") > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / F.col("zeros")),
+    ).otherwise(raw)
+    ev = read_table(spark, sf_dir, "events", ["user_id"])
+    exact = ev.agg(F.countDistinct("user_id").alias("n_exact"))
+    joined = exact.join(F.broadcast(folded))
+    return joined.select(
+        "n_exact",
+        F.round(est, 4).alias("hll_est"),
+        F.round(
+            F.abs(est - F.col("n_exact")) / F.col("n_exact"), 4
+        ).alias("rel_err"),
+    )
+
+
+# ----------------------------------------------------------------------
+# oracles
+# ----------------------------------------------------------------------
+
+def _duck_countmin_sql() -> str:
+    base = _duck_base(_DUCK_KEY)
+    hashes = ",\n                   ".join(
+        f"({minhash_term(j, base)} % {CM_W}) AS w_{j}" for j in range(CM_D)
+    )
+    union = "\n            UNION ALL\n".join(
+        f"            SELECT {j} AS d, w_{j} AS w, c FROM hashed"
+        for j in range(CM_D)
+    )
+    return f"""
+        WITH keyed AS (
+            SELECT user_id, count(*) AS c FROM events GROUP BY user_id
+        ), hashed AS (
+            SELECT c,
+                   {hashes}
+            FROM keyed
+        ), stacked AS (
+{union}
+        )
+        SELECT CAST(d AS INT) AS d, CAST(w AS INT) AS w,
+               CAST(sum(c) AS BIGINT) AS cnt
+        FROM stacked GROUP BY d, w ORDER BY d, w
+    """
+
+
+def _duck_countmin_est_sql() -> str:
+    base = _duck_base(_DUCK_KEY)
+    hashes = ",\n                   ".join(
+        f"CAST({minhash_term(j, base)} % {CM_W} AS INT) AS w_{j}"
+        for j in range(CM_D)
+    )
+    union = "\n            UNION ALL\n".join(
+        f"            SELECT user_id, true_cnt, {j} AS d, w_{j} AS w"
+        " FROM hashed"
+        for j in range(CM_D)
+    )
+    return f"""
+        WITH sketch AS ({_duck_countmin_sql()}),
+        counts AS (
+            SELECT user_id, count(*) AS true_cnt
+            FROM events GROUP BY user_id
+            ORDER BY true_cnt DESC, user_id LIMIT {CM_TOPK}
+        ), hashed AS (
+            SELECT user_id, true_cnt,
+                   {hashes}
+            FROM counts
+        ), stacked AS (
+{union}
+        )
+        SELECT s.user_id, s.true_cnt,
+               CAST(min(k.cnt) AS BIGINT) AS est_cnt
+        FROM stacked s JOIN sketch k ON s.d = k.d AND s.w = k.w
+        GROUP BY s.user_id, s.true_cnt
+        ORDER BY true_cnt DESC, user_id
+    """
+
+
+def _duck_hll_registers_sql() -> str:
+    h = duck_h60(_DUCK_KEY)
+    return f"""
+        WITH keys AS (
+            SELECT DISTINCT user_id FROM events
+        ), bucketed AS (
+            SELECT CAST({h} % {HLL_M} AS INT) AS bucket,
+                   CAST({h} // {HLL_M} AS BIGINT) AS rest
+            FROM keys
+        ), ranked AS (
+            SELECT bucket,
+                   CAST(CASE WHEN rest = 0 THEN 53
+                        ELSE 53 - length(bin(rest)) END AS INT)
+                       AS rank
+            FROM bucketed
+        )
+        SELECT bucket, CAST(max(rank) AS INT) AS max_rank
+        FROM ranked GROUP BY bucket ORDER BY bucket
+    """
+
+
+def _duck_hll_estimate_sql() -> str:
+    return f"""
+        WITH regs AS ({_duck_hll_registers_sql()}),
+        spine AS (
+            SELECT unnest(range(0, {HLL_M})) AS bucket
+        ), full_regs AS (
+            SELECT spine.bucket, COALESCE(regs.max_rank, 0) AS r
+            FROM spine LEFT JOIN regs ON spine.bucket = regs.bucket
+        ), folded AS (
+            SELECT sum(power(2.0, -r)) AS denom,
+                   sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS zeros
+            FROM full_regs
+        ), est_calc AS (
+            -- alpha*m^2 pre-folded in Python: a DECIMAL-typed literal
+            -- product overflows DuckDB's decimal multiplication
+            SELECT CASE WHEN {HLL_ALPHA * HLL_M * HLL_M!r} / denom
+                             <= {2.5 * HLL_M}
+                        AND zeros > 0
+                   THEN {float(HLL_M)} * ln({float(HLL_M)} / zeros)
+                   ELSE {HLL_ALPHA * HLL_M * HLL_M!r} / denom
+                   END AS est
+            FROM folded
+        ), exact AS (
+            SELECT count(DISTINCT user_id) AS n_exact FROM events
+        )
+        SELECT n_exact,
+               round(est, 4) AS hll_est,
+               round(abs(est - n_exact) / n_exact, 4) AS rel_err
+        FROM exact CROSS JOIN est_calc
+    """
+
+
+ORACLE_SQL: dict[str, str] = {
+    "sketch_countmin": _duck_countmin_sql(),
+    "sketch_countmin_topk_est": _duck_countmin_est_sql(),
+    "sketch_hll_registers": _duck_hll_registers_sql(),
+    "sketch_hll_estimate": _duck_hll_estimate_sql(),
+}
+
+QUERIES = {
+    "sketch_countmin": countmin_sketch,
+    "sketch_countmin_topk_est": countmin_topk_est,
+    "sketch_hll_registers": hll_registers,
+    "sketch_hll_estimate": hll_estimate,
+}

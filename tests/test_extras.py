@@ -360,3 +360,25 @@ def test_contamination_and_split_invariants(spark):
     assert len(sp) == n_docs
     kinds = {r.split for r in sp}
     assert kinds == {"train", "val", "test"}
+
+
+def test_sketch_properties(spark):
+    """Count-min: estimates can only over-count (min over D cells is
+    >= the key's true total; equality when no collision). HLL: the
+    256-register estimate lands within 10% of truth on this corpus and
+    registers carry sane ranks (1..53)."""
+    from data_pipeline_and_visualization_dashboard_spark.extras.sketches import (
+        countmin_topk_est, hll_estimate, hll_registers,
+    )
+
+    for r in countmin_topk_est(spark, SF_SMOKE).collect():
+        assert r.est_cnt >= r.true_cnt
+
+    regs = hll_registers(spark, SF_SMOKE).collect()
+    assert 0 < len(regs) <= 256
+    for r in regs:
+        assert 0 <= r.bucket < 256
+        assert 1 <= r.max_rank <= 53
+
+    est = hll_estimate(spark, SF_SMOKE).first()
+    assert est.rel_err < 0.10

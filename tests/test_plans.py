@@ -159,6 +159,19 @@ CASES = {
         ["SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"],
         2,
     ),
+    "sketch_countmin": (
+        # key-grain pre-agg (the only fact-sized shuffle) + the
+        # constant 1024-cell aggregation; no joins
+        ["HashAggregate"],
+        ["SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"],
+        2,
+    ),
+    "sketch_hll_registers": (
+        # key-distinct + the 256-register max — constant-size state
+        ["HashAggregate"],
+        ["SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"],
+        2,
+    ),
     "text_chunks": (
         # 1->N fan-out must stay a map stage: zero shuffles
         ["Generate posexplode"],
