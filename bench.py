@@ -36,6 +36,9 @@ HEADLINE = [
     "q27_asof_join",
     "q36_session_windows",
     "q37_prior_hour_window",
+    "q45_cohort_retention",
+    "q47_scd2_history",
+    "q48_funnel_steps",
     # LLM-data extras
     "dedup_exact_groups",
     "dedup_minhash_pairs",
@@ -49,6 +52,9 @@ HEADLINE = [
     "sim_cosine_topk",
     "sim_lsh_topk",
     "sim_sq_topk",  # int8 quantized scoring (production memory path)
+    "sketch_countmin",  # deterministic frequency sketch
+    "sketch_hll_estimate",  # deterministic cardinality sketch
+    "text_tfidf_topk",
     "media_features",
 ]
 
