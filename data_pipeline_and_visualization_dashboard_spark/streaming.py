@@ -482,6 +482,49 @@ def upsert_state_stream(spark: SparkSession, in_dir: str, state_dir: str,
     )
 
 
+def hll_register_stream(events: DataFrame) -> DataFrame:
+    """Streaming cardinality monitor: HyperLogLog registers maintained
+    over the event stream — the live "how many distinct users so far"
+    counter. The insert operation is max(), which is IDEMPOTENT: a
+    user seen a thousand times moves the registers exactly as far as a
+    user seen once, so unlike streaming count-distinct this needs NO
+    dedup state and no watermark — total state is the constant 256
+    registers regardless of stream length or key cardinality. That
+    merge-by-max property is also what makes per-partition partial
+    registers combine correctly (same plan fragment as the batch
+    extras.sketches.hll_registers, which is the parity oracle)."""
+    from .extras.sketches import HLL_M, _SPARK_KEY, _spark_rank, spark_h60
+
+    h = spark_h60(_SPARK_KEY)
+    bucketed = events.selectExpr(
+        f"CAST({h} % {HLL_M} AS INT) AS bucket",
+        f"CAST({h} div {HLL_M} AS BIGINT) AS rest",
+    ).selectExpr("bucket", f"{_spark_rank()} AS rank")
+    return bucketed.groupBy("bucket").agg(F.max("rank").alias("max_rank"))
+
+
+def run_hll_stream_to_completion(spark: SparkSession, in_dir: str,
+                                 query_name: str = "hll_out") -> DataFrame:
+    raw = (
+        spark.readStream.schema(_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(in_dir)
+    )
+    q = (
+        hll_register_stream(raw)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
 def stream_to_parquet(spark: SparkSession, sf_dir: str, out_dir: str,
                       checkpoint_dir: str):
     """Production-shaped sink: foreachBatch + idempotent epoch overwrite

@@ -279,3 +279,26 @@ def test_streaming_upsert_state_matches_batch_cdc(spark, tmp_path):
                 "last_type", "last_value", "n_changes").collect()
     )
     assert got == want
+
+
+def test_streaming_hll_registers_match_batch(spark):
+    """The streaming HLL monitor's complete-mode registers must equal
+    the batch sketch exactly: max-insert is idempotent, so duplicate
+    user arrivals across micro-batches cannot move a register past the
+    batch-distinct value."""
+    from data_pipeline_and_visualization_dashboard_spark import streaming
+    from data_pipeline_and_visualization_dashboard_spark.extras.sketches import (
+        hll_registers,
+    )
+
+    got = sorted(
+        (r.bucket, r.max_rank)
+        for r in streaming.run_hll_stream_to_completion(
+            spark, SF_SMOKE
+        ).collect()
+    )
+    want = sorted(
+        (r.bucket, r.max_rank)
+        for r in hll_registers(spark, SF_SMOKE).collect()
+    )
+    assert got == want and len(got) > 0
