@@ -364,3 +364,56 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark, tmp_path):
+    """AQE skew-join: a hot key whose shuffle partition dwarfs the
+    median gets SPLIT at runtime — the engine-owned complement to the
+    deterministic salting of q40 (salting pre-plans the spread; AQE
+    reacts to skew it discovers in the shuffle stats). At 100 TB this
+    is what keeps one boilerplate join key from pinning a single
+    executor for hours. Thresholds are scaled down to demonstrate the
+    mechanics on test-sized data; the assertion pins the runtime plan
+    markers (SortMergeJoin(skew=true), AQEShuffleRead ... skewed).
+
+    Note the test's join deliberately has NO downstream aggregation:
+    splitting a partition breaks the join's hash-partitioning
+    guarantee, so AQE declines the optimization when a downstream
+    stage depends on that partitioning — itself a scale lesson (pair
+    skew-join with sinks, or force with forceOptimizeSkewedJoin)."""
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path)
+    hot = spark.range(500_000).selectExpr("0 AS k", "id AS payload")
+    cold = spark.range(10_000).selectExpr(
+        "(id % 100) + 1 AS k", "id AS payload"
+    )
+    hot.unionAll(cold).write.mode("overwrite").parquet(d + "/fact")
+    spark.range(101).selectExpr(
+        "id AS k", "concat('dim_', id) AS label"
+    ).write.mode("overwrite").parquet(d + "/dim")
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        fact = spark.read.parquet(d + "/fact")
+        dim = spark.read.parquet(d + "/dim")
+        j = fact.join(dim, "k").select("payload", "label")
+        assert len(j.collect()) == 510_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin(skew=true)" in plan, plan[:2000]
+        assert "skewed" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
