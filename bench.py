@@ -45,6 +45,7 @@ HEADLINE = [
     "dedup_minhash_pairs_xxhash",  # production hash family (headline)
     "dedup_neardup_groups",  # iterative connected components
     "corpus_funnel",  # end-to-end: quality gate -> exact -> near-dup
+    "corpus_funnel_xxhash",  # same funnel on the production hash family
     "dedup_simhash_pairs",
     "text_stats",
     "text_fingerprint",

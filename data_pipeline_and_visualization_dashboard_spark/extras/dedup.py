@@ -1193,6 +1193,16 @@ def dedup_minhash_pairs_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_minhash_pairs(spark, sf_dir, hash_impl="xxhash64")
 
 
+def corpus_funnel_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION-hash corpus funnel: the full quality->exact->near-dup
+    pipeline on the xxhash64 family (no DuckDB twin, driver records
+    rows-only). The exact-Jaccard verification and every non-LSH stage
+    are hash-independent, so the accounting equals the md5 twin's
+    unless the two families' LSH bands disagree on a true near-dup
+    pair — asserted EQUAL in tests/test_extras.py at both test SFs."""
+    return corpus_funnel(spark, sf_dir, hash_impl="xxhash64")
+
+
 QUERIES = {
     "dedup_exact_groups": dedup_exact_groups,
     "dedup_exact_docs": dedup_exact_docs,
@@ -1207,6 +1217,7 @@ QUERIES = {
     "dedup_embedding_pairs": embedding_neardup_pairs,
     "dedup_embedding_pairs_lsh": embedding_neardup_pairs_lsh,
     "corpus_funnel": corpus_funnel,
+    "corpus_funnel_xxhash": corpus_funnel_xxhash,
     "corpus_survivors": corpus_survivors,
     "dedup_contamination": contamination,
 }

@@ -1141,7 +1141,66 @@ def q48_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------------------------------
+# q49: entity resolution via blocked fuzzy join (built-in levenshtein)
+# ----------------------------------------------------------------------
+
+FUZZY_MAX_DIST = 3
+
+
+def q49_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching on part names: pairs whose edit distance
+    is in [1, FUZZY_MAX_DIST] — near-but-not-identical names, the core
+    of dedup/entity-resolution over dirty catalogs. Built-in
+    F.levenshtein (SURVEY §2.12's preferred built-in), never a UDF.
+
+    Scale shape — BLOCKED, not all-pairs: candidates must share a
+    blocking key (first name token), so the self-join fans out only
+    within blocks (the same candidate-generation discipline as LSH
+    banding; at 100 TB the blocking key becomes phonetic/sorted-
+    neighborhood keys, same plan). Levenshtein runs on candidates
+    only. Deterministic top-k via (distance, key, key) ordering."""
+    part = read_table(spark, sf_dir, "part", ["p_partkey", "p_name"])
+    blocked = part.selectExpr(
+        "p_partkey", "p_name", "split_part(p_name, ' ', 1) AS blk"
+    )
+    a = blocked.selectExpr(
+        "blk", "p_partkey AS key_a", "p_name AS name_a"
+    )
+    b = blocked.selectExpr(
+        "blk", "p_partkey AS key_b", "p_name AS name_b"
+    )
+    lev = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, "blk")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("edit_dist", lev)
+        .filter(
+            (F.col("edit_dist") >= 1)
+            & (F.col("edit_dist") <= FUZZY_MAX_DIST)
+        )
+        .select("key_a", "name_a", "key_b", "name_b", "edit_dist")
+        .orderBy("edit_dist", "key_a", "key_b")
+        .limit(20)
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
+    "q49_fuzzy_name_match": f"""
+        WITH blocked AS (
+            SELECT p_partkey, p_name,
+                   split_part(p_name, ' ', 1) AS blk
+            FROM part
+        )
+        SELECT a.p_partkey AS key_a, a.p_name AS name_a,
+               b.p_partkey AS key_b, b.p_name AS name_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+        FROM blocked a JOIN blocked b
+          ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+        WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND {FUZZY_MAX_DIST}
+        ORDER BY edit_dist, key_a, key_b
+        LIMIT 20
+    """,
     "q47_scd2_history": f"""
         WITH ordered AS (
             SELECT user_id, event_type, ts, event_id,
@@ -1514,6 +1573,7 @@ QUERIES = {
     "q46_value_anomalies": q46_value_anomalies,
     "q47_scd2_history": q47_scd2_history,
     "q48_funnel_steps": q48_funnel_steps,
+    "q49_fuzzy_name_match": q49_fuzzy_name_match,
     "q28_json_extract": q28_json_extract,
     "q29_approx_stats": q29_approx_stats,
     "q30_semi_anti": q30_semi_anti,

@@ -382,3 +382,20 @@ def test_sketch_properties(spark):
 
     est = hll_estimate(spark, SF_SMOKE).first()
     assert est.rel_err < 0.10
+
+
+def test_corpus_funnel_hash_family_invariant(spark):
+    """The funnel accounting must be identical under the md5 (oracle)
+    and xxhash64 (production) hash families: every stage except LSH
+    candidate generation is hash-independent, and the exact-Jaccard
+    verification re-derives the same near-dup pairs as long as the
+    bands surface them — the property that licenses benching the fast
+    family while the md5 twin carries the correctness gate."""
+    from data_pipeline_and_visualization_dashboard_spark.extras.dedup import (
+        corpus_funnel,
+    )
+
+    md5 = corpus_funnel(spark, SF_SMOKE).first().asDict()
+    xx = corpus_funnel(spark, SF_SMOKE, hash_impl="xxhash64").first().asDict()
+    assert md5 == xx
+    assert md5["docs_out"] > 0
