@@ -1185,7 +1185,64 @@ def q49_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------------------------------
+# q50: equi-depth bucketing — ntile semantics without a global sort
+# ----------------------------------------------------------------------
+
+def q50_equidepth_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile (equi-depth) bucket assignment per event_type: the
+    ntile(4) answer computed scale-safely. A literal ntile() window
+    needs a TOTAL ORDER per partition — at 100 TB that is a full sort
+    of the fact; here the cutpoints (exact interpolated quartiles, a
+    decomposable-enough two-pass agg) are computed on a tiny per-type
+    frame and BROADCAST back, so the fact is scanned twice but never
+    sorted and never shuffled. Same cutpoint-vs-sort trade every
+    warehouse makes for histogram/decile features. avg rounded 6dp
+    (aggregate); bucket edges compare exactly (both engines interpolate
+    quantiles with the same IEEE arithmetic — proven by q23)."""
+    ev = read_table(spark, sf_dir, "events", ["event_type", "value"])
+    cuts = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25)").alias("c1"),
+        F.expr("percentile(value, 0.5)").alias("c2"),
+        F.expr("percentile(value, 0.75)").alias("c3"),
+    )
+    bucket = (
+        F.when(F.col("value") <= F.col("c1"), 0)
+        .when(F.col("value") <= F.col("c2"), 1)
+        .when(F.col("value") <= F.col("c3"), 2)
+        .otherwise(3)
+    )
+    return (
+        ev.join(F.broadcast(cuts), "event_type")
+        .withColumn("bucket", bucket)
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
+    "q50_equidepth_buckets": """
+        WITH cuts AS (
+            SELECT event_type,
+                   quantile_cont(value, 0.25) AS c1,
+                   quantile_cont(value, 0.5) AS c2,
+                   quantile_cont(value, 0.75) AS c3
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_type,
+               CAST(CASE WHEN e.value <= c.c1 THEN 0
+                    WHEN e.value <= c.c2 THEN 1
+                    WHEN e.value <= c.c3 THEN 2
+                    ELSE 3 END AS INT) AS bucket,
+               count(*) AS n_events,
+               round(avg(e.value), 6) AS avg_value
+        FROM events e JOIN cuts c USING (event_type)
+        GROUP BY 1, 2 ORDER BY event_type, bucket
+    """,
     "q49_fuzzy_name_match": f"""
         WITH blocked AS (
             SELECT p_partkey, p_name,
@@ -1574,6 +1631,7 @@ QUERIES = {
     "q47_scd2_history": q47_scd2_history,
     "q48_funnel_steps": q48_funnel_steps,
     "q49_fuzzy_name_match": q49_fuzzy_name_match,
+    "q50_equidepth_buckets": q50_equidepth_buckets,
     "q28_json_extract": q28_json_extract,
     "q29_approx_stats": q29_approx_stats,
     "q30_semi_anti": q30_semi_anti,

@@ -159,6 +159,20 @@ CASES = {
         ["SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"],
         2,
     ),
+    "q49_fuzzy_name_match": (
+        # blocked self-join broadcasts (dim-sized input); top-k
+        # compiles to TakeOrderedAndProject — zero shuffles total
+        ["BroadcastHashJoin", "TakeOrderedAndProject"],
+        ["SortMergeJoin", "CartesianProduct"],
+        0,
+    ),
+    "q50_equidepth_buckets": (
+        # cutpoints broadcast back onto the fact: percentile agg +
+        # (type,bucket) agg + terminal sort, never a fact-wide sort
+        ["BroadcastHashJoin"],
+        ["SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"],
+        3,
+    ),
     "sketch_countmin": (
         # key-grain pre-agg (the only fact-sized shuffle) + the
         # constant 1024-cell aggregation; no joins
