@@ -131,6 +131,71 @@ def sample_frames(media: DataFrame, n_frames: int = 4,
     return media.mapInPandas(run, schema=FRAME_SCHEMA)
 
 
+RESIZE_TARGET = 128  # target byte-"resolution" of the stub resizer
+
+RESIZE_SCHEMA = (
+    "doc_id long, in_bytes long, stride int, resized binary, "
+    "out_bytes long, checksum string"
+)
+
+
+def resize_media(media: DataFrame,
+                 target: int = RESIZE_TARGET) -> DataFrame:
+    """Resize stage for media columns — the downsample step between
+    decode and feature-extraction in an image pipeline. STUB transform
+    (no codecs in the sandbox): stride-subsample the byte stream to at
+    most `target` bytes (stride = ceil(n/target), output =
+    ceil(n/stride) bytes — pure integer arithmetic, so the size
+    contract is oracle-checkable even though DuckDB cannot stride a
+    BLOB). A real deployment swaps the inner transform for
+    PIL.Image.resize; the Arrow-batched 1->1 mapInPandas shape,
+    binary-in/binary-out schema, and chainability (the output feeds
+    extract_media_features unchanged) are the production parts.
+
+    Scale: row-local, no shuffle, output partitioning tracks input;
+    chained mapInPandas stages fuse into one pass over each partition."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, raw in zip(pdf["doc_id"], pdf["media_bytes"]):
+                raw = bytes(raw)
+                n = len(raw)
+                stride = 1 if n <= target else -(-n // target)
+                out = raw[::stride]
+                rows.append(
+                    (
+                        doc_id,
+                        n,
+                        stride,
+                        out,
+                        len(out),
+                        hashlib.sha256(out).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "in_bytes", "stride", "resized",
+                    "out_bytes", "checksum",
+                ],
+            )
+
+    return media.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+def media_resized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """queries() entry for the resize stage: the deterministic size
+    contract (stride + output length) — DuckDB reproduces the integer
+    arithmetic; the resized bytes/checksum are pytest-verified
+    (deterministic, chainable into extract_media_features)."""
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    out = resize_media(attach_fake_media(docs))
+    return out.select(
+        "doc_id", "in_bytes", "stride", "out_bytes"
+    )  # no terminal sort: O(n) output, order-insensitive compare
+
+
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """queries() entry: fake-media plumbing end-to-end. sha256/metadata
     are deterministic, so this is oracle-checkable on the metadata
@@ -143,6 +208,23 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_SQL: dict[str, str] = {
+    "media_resized": f"""
+        WITH sized AS (
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS in_bytes
+            FROM documents
+        ), strided AS (
+            SELECT doc_id, in_bytes,
+                   CAST(CASE WHEN in_bytes <= {RESIZE_TARGET} THEN 1
+                        ELSE (in_bytes + {RESIZE_TARGET} - 1)
+                             // {RESIZE_TARGET} END AS INT) AS stride
+            FROM sized
+        )
+        SELECT doc_id, in_bytes, stride,
+               CAST((in_bytes + stride - 1) // stride AS BIGINT)
+                   AS out_bytes
+        FROM strided ORDER BY doc_id
+    """,
     "media_features": """
         SELECT doc_id,
                'image/fake' AS media_type,
@@ -154,4 +236,5 @@ ORACLE_SQL: dict[str, str] = {
 
 QUERIES = {
     "media_features": media_features,
+    "media_resized": media_resized,
 }

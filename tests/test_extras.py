@@ -399,3 +399,40 @@ def test_corpus_funnel_hash_family_invariant(spark):
     xx = corpus_funnel(spark, SF_SMOKE, hash_impl="xxhash64").first().asDict()
     assert md5 == xx
     assert md5["docs_out"] > 0
+
+
+def test_resize_chains_into_feature_extraction(spark):
+    """Resize plumbing: output length honors the stride contract
+    (ceil(n/stride) <= target+1), checksums are deterministic across
+    runs, and the resized binary column chains directly into
+    extract_media_features (the decode->resize->featurize pipeline
+    shape)."""
+    from data_pipeline_and_visualization_dashboard_spark.extras.multimodal import (
+        RESIZE_TARGET, attach_fake_media, extract_media_features,
+        resize_media,
+    )
+    from data_pipeline_and_visualization_dashboard_spark.io import read_table
+
+    docs = read_table(spark, SF_SMOKE, "documents", ["doc_id", "text"])
+    media = attach_fake_media(docs)
+    resized = resize_media(media)
+    rows = {r.doc_id: r for r in resized.collect()}
+    assert len(rows) == docs.count()
+    for r in rows.values():
+        assert r.out_bytes == len(r.resized)
+        assert r.out_bytes <= RESIZE_TARGET + 1
+        assert (r.stride == 1) == (r.in_bytes <= RESIZE_TARGET)
+    again = {r.doc_id: r.checksum for r in resize_media(media).collect()}
+    assert again == {k: v.checksum for k, v in rows.items()}
+
+    chained = extract_media_features(
+        resized.selectExpr(
+            "doc_id", "resized AS media_bytes",
+            "'image/fake-small' AS media_type",
+        )
+    )
+    feats = chained.collect()
+    assert len(feats) == len(rows)
+    for f in feats:
+        assert f.n_bytes == rows[f.doc_id].out_bytes
+        assert len(f.feat) > 0
