@@ -1224,7 +1224,132 @@ def q50_equidepth_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------------------------------
+# q51: weighted PageRank on the nation trade graph — iterative algorithm
+# as a driver-side loop of broadcast joins (the centrality complement to
+# dedup_neardup_groups' connected components)
+# ----------------------------------------------------------------------
+
+PR_DAMPING = 0.85
+PR_ITERS = 3
+_N_NATIONS = 25  # TPC-H nation is fixed at 25 rows at every SF
+
+
+def q51_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (damping 0.85, PR_ITERS fixed iterations) over
+    the supplier-nation -> customer-nation trade graph: which nations
+    sit at the center of the trade network. Fixed iteration count keeps
+    it deterministic, hence fully oracle-backed (the DuckDB twin
+    unrolls the same iterations as chained CTEs).
+
+    Scale shape: the fact-sized work is ONE edge aggregation (the q5
+    join tree collapsed to a 25×25 edge list); every iteration then
+    operates on node/edge-sized frames — contributions = edges ⋈ ranks
+    (broadcast, node-grain), one tiny groupBy per round. At web-graph
+    scale the same loop runs with hash-partitioned edges co-located
+    across rounds and localCheckpoint lineage truncation, exactly as
+    dedup_neardup_groups demonstrates; dangling-node mass is dropped
+    (standard simplification, mirrored in the oracle). Final scores
+    rounded 6dp (sums of per-edge doubles — aggregate rounding)."""
+    li = read_table(spark, sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    orders = read_table(spark, sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = read_table(spark, sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    supp = read_table(spark, sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    nation = read_table(spark, sf_dir, "nation", ["n_nationkey", "n_name"])
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    norm = (
+        edges.join(outw, "src")
+        .select(
+            "src", "dst",
+            (F.col("w").cast("double") / F.col("out_w")).alias("p"),
+        )
+        .cache()
+    )
+    nodes = nation.select(F.col("n_nationkey").alias("node"), "n_name")
+    n = _N_NATIONS
+    base = (1.0 - PR_DAMPING) / n
+    ranks = nodes.select("node").withColumn("pr", F.lit(1.0 / n))
+    for _ in range(PR_ITERS):
+        contrib = (
+            norm.join(
+                ranks.withColumnRenamed("node", "src"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("p") * F.col("pr")).alias("m"))
+        )
+        ranks = (
+            nodes.select("node")
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(PR_DAMPING) * F.coalesce("m", F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+    return (
+        ranks.join(F.broadcast(nodes), "node")
+        .select(
+            F.col("n_name").alias("nation"),
+            F.round("pr", 6).alias("pagerank"),
+        )
+        .orderBy(F.desc("pagerank"), "nation")
+    )
+
+
+def _duck_pagerank_sql() -> str:
+    n = _N_NATIONS
+    base = (1.0 - PR_DAMPING) / n
+    its = []
+    for i in range(PR_ITERS):
+        prev = f"it{i}"
+        its.append(f"""
+        , it{i + 1} AS (
+            SELECT nodes.node,
+                   {base!r} + {PR_DAMPING!r} * COALESCE(m.s, 0.0) AS pr
+            FROM nodes LEFT JOIN (
+                SELECT norm.dst AS node, sum(norm.p * {prev}.pr) AS s
+                FROM norm JOIN {prev} ON norm.src = {prev}.node
+                GROUP BY 1) m USING (node)
+        )""")
+    return f"""
+        WITH edges AS (
+            SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+                   count(*) AS w
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2
+        ), outw AS (
+            SELECT src, sum(w) AS out_w FROM edges GROUP BY src
+        ), norm AS (
+            SELECT e.src, e.dst, CAST(e.w AS DOUBLE) / o.out_w AS p
+            FROM edges e JOIN outw o USING (src)
+        ), nodes AS (
+            SELECT n_nationkey AS node, n_name FROM nation
+        ), it0 AS (
+            SELECT node, {1.0 / n!r} AS pr FROM nodes
+        ){''.join(its)}
+        SELECT nodes.n_name AS nation, round(it{PR_ITERS}.pr, 6) AS pagerank
+        FROM it{PR_ITERS} JOIN nodes USING (node)
+        ORDER BY pagerank DESC, nation
+    """
+
+
 ORACLE_SQL: dict[str, str] = {
+    "q51_nation_pagerank": _duck_pagerank_sql(),
     "q50_equidepth_buckets": """
         WITH cuts AS (
             SELECT event_type,
@@ -1632,6 +1757,7 @@ QUERIES = {
     "q48_funnel_steps": q48_funnel_steps,
     "q49_fuzzy_name_match": q49_fuzzy_name_match,
     "q50_equidepth_buckets": q50_equidepth_buckets,
+    "q51_nation_pagerank": q51_nation_pagerank,
     "q28_json_extract": q28_json_extract,
     "q29_approx_stats": q29_approx_stats,
     "q30_semi_anti": q30_semi_anti,
