@@ -1268,7 +1268,7 @@ def q51_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     outw = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
     norm = (
-        edges.join(outw, "src")
+        edges.join(F.broadcast(outw), "src")
         .select(
             "src", "dst",
             (F.col("w").cast("double") / F.col("out_w")).alias("p"),
@@ -1280,16 +1280,20 @@ def q51_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = (1.0 - PR_DAMPING) / n
     ranks = nodes.select("node").withColumn("pr", F.lit(1.0 / n))
     for _ in range(PR_ITERS):
+        # ranks/contrib are node-grain (25 rows): broadcast them so
+        # every iteration is exchange-free on the edge side (without
+        # the hint, statless tiny frames plan as SortMergeJoins and
+        # the unrolled loop accumulates 20+ exchanges)
         contrib = (
             norm.join(
-                ranks.withColumnRenamed("node", "src"), "src"
+                F.broadcast(ranks.withColumnRenamed("node", "src")), "src"
             )
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("p") * F.col("pr")).alias("m"))
         )
         ranks = (
             nodes.select("node")
-            .join(contrib, "node", "left")
+            .join(F.broadcast(contrib), "node", "left")
             .select(
                 "node",
                 (

@@ -173,6 +173,15 @@ CASES = {
         ["SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"],
         3,
     ),
+    "q51_nation_pagerank": (
+        # node-grain loop frames broadcast each iteration — no
+        # sort-merge joins anywhere; the static plan repeats the
+        # (cached) edge subtree per unrolled iteration, hence the
+        # generous shuffle bound
+        ["BroadcastHashJoin"],
+        ["SortMergeJoin", "CartesianProduct"],
+        14,
+    ),
     "sketch_countmin": (
         # key-grain pre-agg (the only fact-sized shuffle) + the
         # constant 1024-cell aggregation; no joins
