@@ -39,6 +39,8 @@ HEADLINE = [
     "q45_cohort_retention",
     "q47_scd2_history",
     "q48_funnel_steps",
+    "q50_equidepth_buckets",
+    "q51_nation_pagerank",  # iterative loop, broadcast node frames
     # LLM-data extras
     "dedup_exact_groups",
     "dedup_minhash_pairs",
