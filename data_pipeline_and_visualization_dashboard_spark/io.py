@@ -80,21 +80,34 @@ def _ensure_session_confs(spark: SparkSession) -> None:
 
 
 def _restore_nanos_timestamps(df: DataFrame, name: str) -> DataFrame:
-    """Parquet TIMESTAMP(NANOS) columns arrive as LongType under
-    spark.sql.legacy.parquet.nanosAsLong (Spark has no nanos timestamp).
-    Where the declared contract says timestamp but the scan produced a
-    long, truncate ns -> us (integer div, same as DuckDB's conversion)
-    and rebuild the timestamp. No-op for tables already in ms/us."""
+    """Normalize timestamp columns to session-tz TIMESTAMP regardless of
+    the parquet flavor the generator used. Two flavors seen from the
+    driver's testdata across rounds:
+
+    - TIMESTAMP(NANOS): arrives as LongType under
+      spark.sql.legacy.parquet.nanosAsLong (Spark has no nanos
+      timestamp); truncate ns -> us (integer div, same as DuckDB's
+      conversion) and rebuild the timestamp.
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false): arrives as
+      TIMESTAMP_NTZ; cast to TIMESTAMP. The session tz is pinned UTC
+      (`_ensure_session_confs`), so the cast is wall-clock-preserving
+      and type-strict functions (unix_micros, window) accept the column.
+
+    No-op for tables already LTZ."""
     contract = TABLE_SCHEMAS.get(name)
     if contract is None:
         return df
     expected = {f.name: f.dataType for f in contract.fields}
     fixes = {}
     for f in df.schema.fields:
-        if isinstance(f.dataType, SparkT.LongType) and isinstance(
+        if not isinstance(
             expected.get(f.name), (SparkT.TimestampType, SparkT.TimestampNTZType)
         ):
+            continue
+        if isinstance(f.dataType, SparkT.LongType):
             fixes[f.name] = F.timestamp_micros(F.expr(f"`{f.name}` div 1000"))
+        elif isinstance(f.dataType, SparkT.TimestampNTZType):
+            fixes[f.name] = F.col(f.name).cast("timestamp")
     return df.withColumns(fixes) if fixes else df
 
 

@@ -27,10 +27,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
-# streaming needs an explicit schema; ts arrives as long (nanos) per the
-# driver parquet's TIMESTAMP(NANOS) encoding under nanosAsLong
+# streaming needs an explicit schema; the driver parquet stores ts as
+# TIMESTAMP(MICROS, isAdjustedToUTC=false) -> declare NTZ to match the
+# file exactly, then cast to session-tz TIMESTAMP (UTC-pinned, so the
+# cast is wall-clock-preserving) for watermarks/windows.
 _STREAM_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, "
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
     "value double, props string"
 )
 
@@ -44,7 +46,7 @@ def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def windowed_event_counts(events: DataFrame,
@@ -106,7 +108,7 @@ def run_dedup_to_completion(spark: SparkSession, in_dir: str,
         .option("maxFilesPerTrigger", "1")
         .parquet(in_dir)
     )
-    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    events = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     q = (
         dedup_event_stream(events)
         .writeStream.outputMode("append")
@@ -204,7 +206,7 @@ def run_sessionize_to_completion(spark: SparkSession, in_dir: str,
         .option("maxFilesPerTrigger", "1")
         .parquet(in_dir)
     )
-    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    events = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     q = (
         sessionize_stream(events)
         .writeStream.outputMode("append")
@@ -251,7 +253,7 @@ def run_native_sessions_to_completion(
         .option("maxFilesPerTrigger", "1")
         .parquet(in_dir)
     )
-    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    events = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     q = (
         sessionize_stream_native(events)
         .writeStream.outputMode("append")
@@ -350,7 +352,7 @@ def run_view_purchase_join_to_completion(
         .option("maxFilesPerTrigger", "1")
         .parquet(in_dir)
     )
-    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    events = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     q = (
         view_purchase_join_stream(events)
         .writeStream.outputMode("append")
@@ -438,7 +440,7 @@ def upsert_state_stream(spark: SparkSession, in_dir: str, state_dir: str,
         .option("maxFilesPerTrigger", "1")
         .parquet(in_dir)
     )
-    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    events = raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
     def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
         w = Window.partitionBy("user_id").orderBy(

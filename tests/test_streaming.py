@@ -4,11 +4,26 @@ aggregates), per the Structured Streaming model."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from data_pipeline_and_visualization_dashboard_spark import streaming
 from data_pipeline_and_visualization_dashboard_spark.queries import (
     q13_windowed_counts,
 )
 from tests.conftest import SF_SMOKE
+
+
+def _split_by_median_ts(raw, in_dir):
+    """Write raw events as two time-split micro-batch files (NTZ ts
+    preserved so the file matches streaming._STREAM_SCHEMA)."""
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    cut = raw.select(
+        F.expr(
+            "cast(percentile(unix_micros(cast(ts AS timestamp)), 0.5) AS long)"
+        ).alias("m")
+    ).first().m
+    raw.filter(us <= cut).coalesce(1).write.parquet(in_dir, mode="append")
+    raw.filter(us > cut).coalesce(1).write.parquet(in_dir, mode="append")
 
 
 def test_stream_matches_batch(spark):
@@ -41,15 +56,9 @@ def test_native_session_windows_match_batch(spark, tmp_path):
         q36_session_windows,
     )
 
-    raw = spark.read.parquet(SF_SMOKE + "/events.parquet")  # ts as long ns
+    raw = spark.read.parquet(SF_SMOKE + "/events.parquet")  # ts NTZ µs
     in_dir = str(tmp_path / "native_sess_in")
-    cut_ns = int(raw.selectExpr("percentile(ts, 0.5) AS m").first().m)
-    raw.filter(F.col("ts") <= cut_ns).coalesce(1).write.parquet(
-        in_dir, mode="append"
-    )
-    raw.filter(F.col("ts") > cut_ns).coalesce(1).write.parquet(
-        in_dir, mode="append"
-    )
+    _split_by_median_ts(raw, in_dir)
 
     streamed = {
         (r.user_id, r.session_start, r.session_end, r.n_events)
@@ -83,15 +92,9 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
 
     from data_pipeline_and_visualization_dashboard_spark.io import read_table
 
-    raw = spark.read.parquet(SF_SMOKE + "/events.parquet")  # ts as long ns
+    raw = spark.read.parquet(SF_SMOKE + "/events.parquet")  # ts NTZ µs
     in_dir = str(tmp_path / "vp_join_in")
-    cut_ns = int(raw.selectExpr("percentile(ts, 0.5) AS m").first().m)
-    raw.filter(F.col("ts") <= cut_ns).coalesce(1).write.parquet(
-        in_dir, mode="append"
-    )
-    raw.filter(F.col("ts") > cut_ns).coalesce(1).write.parquet(
-        in_dir, mode="append"
-    )
+    _split_by_median_ts(raw, in_dir)
 
     streamed = {
         (r.user_id, r.purchase_id, r.view_id)
@@ -142,7 +145,7 @@ def test_streaming_dedup_across_batches(spark, tmp_path):
     from data_pipeline_and_visualization_dashboard_spark.io import read_table
 
     events = read_table(spark, SF_SMOKE, "events")
-    raw = spark.read.parquet(SF_SMOKE + "/events.parquet")  # ts as long
+    raw = spark.read.parquet(SF_SMOKE + "/events.parquet")  # ts NTZ µs
     in_dir = str(tmp_path / "stream_in")
     # file A: ids [0, 600); file B: ids [300, 1000) -> 300 dups
     raw.filter("event_id < 600").coalesce(1).write.parquet(
@@ -166,17 +169,9 @@ def test_stateful_sessionization_matches_batch(spark, tmp_path):
 
     from data_pipeline_and_visualization_dashboard_spark.io import read_table
 
-    raw = spark.read.parquet(SF_SMOKE + "/events.parquet")  # ts as long ns
+    raw = spark.read.parquet(SF_SMOKE + "/events.parquet")  # ts NTZ µs
     in_dir = str(tmp_path / "sess_in")
-    cut_ns = int(
-        raw.selectExpr("percentile(ts, 0.5) AS m").first().m
-    )
-    raw.filter(F.col("ts") <= cut_ns).coalesce(1).write.parquet(
-        in_dir, mode="append"
-    )
-    raw.filter(F.col("ts") > cut_ns).coalesce(1).write.parquet(
-        in_dir, mode="append"
-    )
+    _split_by_median_ts(raw, in_dir)
 
     streamed = {
         (r.user_id, r.session_start, r.session_end, r.n_events)
@@ -252,7 +247,7 @@ def test_streaming_upsert_state_matches_batch_cdc(spark, tmp_path):
         q41_latest_event_state,
     )
 
-    raw = spark.read.parquet(SF_SMOKE + "/events.parquet")  # ts as long
+    raw = spark.read.parquet(SF_SMOKE + "/events.parquet")  # ts NTZ µs
     in_dir = str(tmp_path / "cdc_in")
     raw.filter("event_id % 2 = 0").coalesce(1).write.parquet(
         in_dir, mode="append"
