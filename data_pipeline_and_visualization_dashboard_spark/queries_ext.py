@@ -1312,6 +1312,115 @@ def q51_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------------------------------
+# q52: time-series gap fill — spine densification with zero-fill and
+# forward-fill (the hypertable/continuous-aggregate companion to q42)
+# ----------------------------------------------------------------------
+
+def q52_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly series per event_type over the full [min, max] hour
+    spine: missing (type, hour) cells appear as rows with n_events=0,
+    is_gap=true, and avg_value forward-filled from the last observed
+    hour (F.last ignorenulls over an explicit ROWS frame — the standard
+    LOCF spelling; leading gaps stay null).
+
+    Scale shape: the only fact-sized work is the hourly rollup (ONE
+    shuffle, map-side partial counts). The spine is dims × hours —
+    cardinality-sized, not fact-sized (720 hours × 5 types here; even
+    10 years × 1M series is ~1e11 CELLS only if you materialize every
+    series, which this plan never does globally: the window and join
+    both partition by series key, so each series' spine streams through
+    one task). The left join is rollup-sized ⋈ spine-sized — both tiny
+    relative to the fact at any SF."""
+    ev = read_table(spark, sf_dir, "events", ["event_type", "ts", "value"])
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine_h = bounds.select(
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hr")
+    )
+    types = ev.select("event_type").distinct()
+    spine = types.crossJoin(spine_h)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly, ["event_type", "hr"], "left")
+        .select(
+            "event_type",
+            "hr",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.last("avg_value", ignorenulls=True).over(w).alias(
+                "avg_value_ffill"
+            ),
+            F.col("n").isNull().alias("is_gap"),
+        )
+        .orderBy("event_type", "hr")
+    )
+
+
+# ----------------------------------------------------------------------
+# q53: incremental rollup maintenance — merge of partial aggregates
+# (late-data / IVM story: yesterday's materialized rollup + today's
+# delta re-aggregate WITHOUT rescanning history)
+# ----------------------------------------------------------------------
+
+def q53_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily rollup maintained INCREMENTALLY: a base rollup (the 80% of
+    events already materialized — here event_id % 5 != 0) merged with a
+    late-arriving delta rollup (event_id % 5 == 0, overlapping the same
+    days) by re-aggregating partial (count, sum) pairs. This is the
+    incremental-view-maintenance contract: merge(partial(A), partial(B))
+    == full(A ∪ B), which holds exactly because count/sum are
+    decomposable; avg is derived AFTER the merge, never averaged.
+
+    Scale: the base side is rollup-sized (days × types, not fact-sized)
+    — in production it is read back from the materialized store, so
+    only the delta partition rescans raw data. The merge groupBy
+    shuffles rollup-sized rows only. The DuckDB oracle computes the
+    FULL rollup directly, proving the merge identity cross-engine."""
+    ev = read_table(
+        spark, sf_dir, "events", ["event_id", "event_type", "ts", "value"]
+    ).withColumn(
+        # string-typed date: DATE rendering differs across engines'
+        # pandas bridges (same convention as q45 cohort weeks)
+        "event_date", F.to_date("ts").cast("string")
+    )
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_date", "event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("sv"),
+        )
+
+    base = partial(ev.filter(F.col("event_id") % 5 != 0))
+    delta = partial(ev.filter(F.col("event_id") % 5 == 0))
+    return (
+        base.unionByName(delta)
+        .groupBy("event_date", "event_type")
+        .agg(F.sum("n").alias("n_events"), F.sum("sv").alias("sv"))
+        .select(
+            "event_date",
+            "event_type",
+            "n_events",
+            F.round("sv", 6).alias("sum_value"),
+            F.round(F.col("sv") / F.col("n_events"), 6).alias("avg_value"),
+        )
+        .orderBy("event_date", "event_type")
+    )
+
+
 def _duck_pagerank_sql() -> str:
     n = _N_NATIONS
     base = (1.0 - PR_DAMPING) / n
@@ -1353,6 +1462,40 @@ def _duck_pagerank_sql() -> str:
 
 
 ORACLE_SQL: dict[str, str] = {
+    "q52_gap_fill": """
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS hr,
+                   count(*) AS n, round(avg(value), 6) AS avg_value
+            FROM events GROUP BY 1, 2
+        ), bounds AS (
+            SELECT date_trunc('hour', min(ts)) AS h0,
+                   date_trunc('hour', max(ts)) AS h1
+            FROM events
+        ), spine AS (
+            SELECT t.event_type, h.hr
+            FROM (SELECT DISTINCT event_type FROM events) t,
+                 (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR))
+                         AS hr FROM bounds) h
+        )
+        SELECT s.event_type, s.hr,
+               COALESCE(h.n, 0) AS n_events,
+               last_value(h.avg_value IGNORE NULLS) OVER (
+                   PARTITION BY s.event_type ORDER BY s.hr
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS avg_value_ffill,
+               (h.n IS NULL) AS is_gap
+        FROM spine s LEFT JOIN hourly h USING (event_type, hr)
+        ORDER BY event_type, hr
+    """,
+    "q53_incremental_rollup": """
+        SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date, event_type,
+               count(*) AS n_events,
+               round(sum(value), 6) AS sum_value,
+               round(sum(value) / count(*), 6) AS avg_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY event_date, event_type
+    """,
     "q51_nation_pagerank": _duck_pagerank_sql(),
     "q50_equidepth_buckets": """
         WITH cuts AS (
@@ -1762,6 +1905,8 @@ QUERIES = {
     "q49_fuzzy_name_match": q49_fuzzy_name_match,
     "q50_equidepth_buckets": q50_equidepth_buckets,
     "q51_nation_pagerank": q51_nation_pagerank,
+    "q52_gap_fill": q52_gap_fill,
+    "q53_incremental_rollup": q53_incremental_rollup,
     "q28_json_extract": q28_json_extract,
     "q29_approx_stats": q29_approx_stats,
     "q30_semi_anti": q30_semi_anti,

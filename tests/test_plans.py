@@ -182,6 +182,21 @@ CASES = {
         ["SortMergeJoin", "CartesianProduct"],
         14,
     ),
+    "q52_gap_fill": (
+        # the rollup⋈spine join broadcasts (both cardinality-sized);
+        # the only fact-sized shuffle is the hourly agg; the tiny
+        # types×hours cross join is a broadcast nested loop BY DESIGN
+        # (cardinality-sized, never fact-sized)
+        ["BroadcastHashJoin", "Window"],
+        ["SortMergeJoin", "CartesianProduct"],
+        6,
+    ),
+    "q53_incremental_rollup": (
+        # two partial aggs + merge agg + terminal sort; zero joins
+        ["HashAggregate"],
+        ["SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"],
+        3,
+    ),
     "sketch_countmin": (
         # key-grain pre-agg (the only fact-sized shuffle) + the
         # constant 1024-cell aggregation; no joins
