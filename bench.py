@@ -41,6 +41,8 @@ HEADLINE = [
     "q48_funnel_steps",
     "q50_equidepth_buckets",
     "q51_nation_pagerank",  # iterative loop, broadcast node frames
+    "q52_gap_fill",  # spine densification + LOCF
+    "q53_incremental_rollup",  # partial-agg merge (IVM)
     # LLM-data extras
     "dedup_exact_groups",
     "dedup_minhash_pairs",
@@ -55,6 +57,7 @@ HEADLINE = [
     "sim_cosine_topk",
     "sim_lsh_topk",
     "sim_sq_topk",  # int8 quantized scoring (production memory path)
+    "sim_pq_adc_topk",  # product quantization + ADC (billion-scale path)
     "sketch_countmin",  # deterministic frequency sketch
     "sketch_hll_estimate",  # deterministic cardinality sketch
     "text_tfidf_topk",

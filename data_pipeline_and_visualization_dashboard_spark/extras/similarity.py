@@ -321,6 +321,220 @@ def cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------------------------------
+# Product quantization (PQ): the classic billion-scale ANN memory path
+# (IVF-PQ's second stage). 64-dim unit vector -> PQ_BLOCKS sub-vectors,
+# each encoded as the index of its nearest sub-centroid -> 4 small ints
+# per vector (16x smaller than float64). Queries score corpus CODES via
+# a per-query lookup table (ADC), never touching raw corpus vectors.
+# ----------------------------------------------------------------------
+
+PQ_BLOCKS = 4
+PQ_BLOCK_DIM = 16  # 64 / PQ_BLOCKS
+PQ_CODES = 16  # codebook entries per block
+
+
+def _pq_unit_vectors(emb: DataFrame) -> DataFrame:
+    """(vec_id, u): L2-normalized float64 vectors. Normalizing first
+    makes PQ's squared-euclidean ranking equivalent to cosine ranking
+    (||a-b||^2 = 2 - 2cos for unit vectors) — same pre-step as sq_topk.
+    `nrm` is bound as its own column so the 64 lambda references hit a
+    cheap attribute, not 64 re-evaluated dot products."""
+    e = F.col("embedding").cast("array<double>")
+    bound = emb.select("vec_id", e.alias("e")).withColumn(
+        "nrm", F.sqrt(_dot(F.col("e"), F.col("e")))
+    )
+    return bound.select(
+        "vec_id",
+        F.transform("e", lambda x: x / F.col("nrm")).alias("u"),
+    )
+
+
+def _pq_codebook(spark: SparkSession, sf_dir: str):
+    """Sampled codebook: block-slices of the first PQ_CODES normalized
+    corpus vectors (k-means init by sampling; `train_centroids` in
+    queries_ext demonstrates the training loop itself). Collected
+    driver-side — PQ_CODES x 64 doubles, bounded like
+    cosine_topk_pandas' query block — and baked into the plan as
+    literals: the production shape for a trained codebook (broadcast
+    constants, fully row-local encode).
+
+    cents[b][j] = 16-dim python float list for block b, code j."""
+    emb = read_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"])
+    rows = _pq_unit_vectors(emb.filter(F.col("vec_id") < PQ_CODES)).collect()
+    by_id = {r.vec_id: list(r.u) for r in rows}
+    return [
+        [
+            by_id[j][b * PQ_BLOCK_DIM:(b + 1) * PQ_BLOCK_DIM]
+            for j in range(PQ_CODES)
+        ]
+        for b in range(PQ_BLOCKS)
+    ]
+
+
+def _pq_dist_expr(b: int, cent: list) -> Column:
+    """Ranking distance of a block slice to one sub-centroid:
+    ||c||^2 - 2<x_b, c>  (the ||x_b||^2 term is constant per row within
+    a block, so it cancels in the argmin). BOTH dots are in-plan
+    aggregate folds — bit-identical to DuckDB's list_dot_product, so
+    the argmin (and every ADC sum) reproduces exactly cross-engine."""
+    cl = F.array(*[F.lit(float(v)) for v in cent])
+    sl = F.slice("u", b * PQ_BLOCK_DIM + 1, PQ_BLOCK_DIM)
+    return _dot(cl, cl) - F.lit(2.0) * _dot(sl, cl)
+
+
+def _pq_code_cols(cents) -> list[Column]:
+    out = []
+    for b in range(PQ_BLOCKS):
+        dl = F.array(*[_pq_dist_expr(b, cents[b][j]) for j in range(PQ_CODES)])
+        out.append(
+            (F.array_position(dl, F.array_min(dl)) - 1)
+            .cast("int")
+            .alias(f"code_{b}")
+        )
+    return out
+
+
+def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encode: (vec_id, code_0..code_3). Fully row-local — literals
+    only, zero shuffle (plan-pinned); at 100 TB this is a map-only pass
+    that shrinks the ANN-servable corpus 16x. Deterministic given the
+    codebook, hence fully oracle-backed (argmin ties break to the
+    lowest code index in both engines via first-position-of-min)."""
+    emb = read_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"])
+    cents = _pq_codebook(spark, sf_dir)
+    return _pq_unit_vectors(emb).select(
+        "vec_id", *_pq_code_cols(cents)
+    )  # no terminal sort: O(n) output, order-insensitive compare
+
+
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ search via ADC (asymmetric distance computation): each query
+    precomputes a PQ_BLOCKS x PQ_CODES lookup table of block distances
+    (here: LUT arrays on the broadcast query frame); corpus rows are
+    scored by 4 array lookups summed in block order — no raw corpus
+    vector is ever read at query time. adc_score orders identically to
+    squared euclidean (the constant ||q||^2 is omitted), which on unit
+    vectors orders identically to cosine DESC.
+
+    Scale: corpus side carries 4 ints per row; queries broadcast; the
+    only wide operation is the per-query top-k window — the exact
+    shape of cosine_topk with 16x less data moved. Fully deterministic
+    (codebook literals + exact float reproduction) => oracle-backed,
+    unlike the LSH/IVF paths whose candidate sets are recall-bounded."""
+    emb = read_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"])
+    cents = _pq_codebook(spark, sf_dir)
+    unit = _pq_unit_vectors(emb)
+    codes = unit.select("vec_id", *_pq_code_cols(cents))
+    luts = unit.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        *[
+            F.array(
+                *[_pq_dist_expr(b, cents[b][j]) for j in range(PQ_CODES)]
+            ).alias(f"lut_{b}")
+            for b in range(PQ_BLOCKS)
+        ],
+    )
+    score = F.element_at("lut_0", F.col("code_0") + 1)
+    for b in range(1, PQ_BLOCKS):
+        score = score + F.element_at(f"lut_{b}", F.col(f"code_{b}") + 1)
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc"), F.asc("neighbor_id")
+    )
+    return (
+        F.broadcast(luts)
+        .join(codes, F.col("q_id") != F.col("vec_id"))
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            score.alias("adc"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("adc", 6).alias("adc_score"),
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+_DUCK_PQ_LO = [b * PQ_BLOCK_DIM + 1 for b in range(PQ_BLOCKS)]
+_DUCK_PQ_HI = [(b + 1) * PQ_BLOCK_DIM for b in range(PQ_BLOCKS)]
+
+
+def _duck_pq_base() -> str:
+    """Shared CTEs: normalized vectors + the codebook as ONE row whose
+    `cs` column is the ordered list of the first PQ_CODES unit vectors
+    (so cs[j+1] == code j's source vector — mirroring the Spark
+    literal order)."""
+    dls = []
+    for b in range(PQ_BLOCKS):
+        lo, hi = _DUCK_PQ_LO[b], _DUCK_PQ_HI[b]
+        dls.append(
+            f"list_transform(cs, c ->"
+            f" list_dot_product(list_slice(c, {lo}, {hi}),"
+            f" list_slice(c, {lo}, {hi}))"
+            f" - 2.0 * list_dot_product(list_slice(u, {lo}, {hi}),"
+            f" list_slice(c, {lo}, {hi})))"
+        )
+    code_cols = ", ".join(
+        f"CAST(list_position(dl_{b}, list_aggregate(dl_{b}, 'min')) - 1"
+        f" AS INT) AS code_{b}"
+        for b in range(PQ_BLOCKS)
+    )
+    dl_cols = ", ".join(f"{d} AS dl_{b}" for b, d in enumerate(dls))
+    return f"""
+        WITH unit AS (
+            SELECT vec_id,
+                   list_transform(
+                       CAST(embedding AS DOUBLE[]),
+                       x -> x / sqrt(list_dot_product(
+                                CAST(embedding AS DOUBLE[]),
+                                CAST(embedding AS DOUBLE[])))) AS u
+            FROM embeddings
+        ), cents AS (
+            SELECT list(u ORDER BY vec_id) AS cs
+            FROM unit WHERE vec_id < {PQ_CODES}
+        ), dists AS (
+            SELECT vec_id, u, {dl_cols}
+            FROM unit, cents
+        ), codes AS (
+            SELECT vec_id, {code_cols} FROM dists
+        )
+    """
+
+
+def _duck_pq_codes_sql() -> str:
+    cols = ", ".join(f"code_{b}" for b in range(PQ_BLOCKS))
+    return _duck_pq_base() + f"SELECT vec_id, {cols} FROM codes ORDER BY vec_id"
+
+
+def _duck_pq_adc_sql() -> str:
+    lut_cols = ", ".join(f"dl_{b} AS lut_{b}" for b in range(PQ_BLOCKS))
+    score = " + ".join(
+        f"q.lut_{b}[c.code_{b} + 1]" for b in range(PQ_BLOCKS)
+    )
+    return _duck_pq_base() + f""", qlut AS (
+            SELECT vec_id AS q_id, {lut_cols}
+            FROM dists WHERE vec_id < {N_QUERIES}
+        ), scored AS (
+            SELECT q.q_id AS query_id, c.vec_id AS neighbor_id,
+                   {score} AS adc
+            FROM qlut q, codes c WHERE q.q_id <> c.vec_id
+        )
+        SELECT query_id, neighbor_id, round(adc, 6) AS adc_score,
+               CAST(rn AS INT) AS rank
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY query_id ORDER BY adc, neighbor_id) AS rn
+              FROM scored) t
+        WHERE rn <= {TOP_K}
+        ORDER BY query_id, rank
+    """
+
+
 _DUCK_COSINE_BASE = f"""
     WITH q AS (
         SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS e
@@ -349,6 +563,8 @@ ORACLE_SQL: dict[str, str] = {
     "sim_cosine_topk_pandas": _DUCK_COSINE_BASE,
     "sim_lsh_buckets": _duck_lsh_buckets_sql(),
     "sim_sq_topk": _DUCK_SQ_TOPK,
+    "sim_pq_codes": _duck_pq_codes_sql(),
+    "sim_pq_adc_topk": _duck_pq_adc_sql(),
 }
 
 QUERIES = {
@@ -357,4 +573,6 @@ QUERIES = {
     "sim_lsh_topk": lsh_topk,
     "sim_lsh_buckets": lsh_buckets,
     "sim_sq_topk": sq_topk,
+    "sim_pq_codes": pq_codes,
+    "sim_pq_adc_topk": pq_adc_topk,
 }

@@ -182,6 +182,13 @@ CASES = {
         ["SortMergeJoin", "CartesianProduct"],
         14,
     ),
+    "sim_pq_codes": (
+        # PQ encode is a map-only pass: codebook baked in as literals,
+        # argmin per block row-local — zero shuffles at any corpus size
+        [],
+        ["Exchange"],
+        0,
+    ),
     "q52_gap_fill": (
         # the rollup⋈spine join broadcasts (both cardinality-sized);
         # the only fact-sized shuffle is the hourly agg; the tiny
