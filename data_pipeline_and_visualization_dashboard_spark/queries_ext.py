@@ -14,6 +14,88 @@ from .io import read_table
 
 
 # ----------------------------------------------------------------------
+# q54: deterministic hash-Bernoulli sampling — the production-preferred
+# sampling discipline (reproducible across engines, retries, and
+# cluster sizes, unlike RNG-seeded sample())
+# ----------------------------------------------------------------------
+
+HASH_SAMPLE_PCT = 10
+
+
+def q54_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% Bernoulli sample selected by CONTENT HASH of the row key,
+    not an RNG: a row is in the sample iff md5(event_id) mod 100 < 10.
+    This is what large pipelines actually want from sampling — the
+    sample is a pure function of the data, so task retries, different
+    partition counts, and different ENGINES all agree row-for-row
+    (q15/q19 document why RNG-seeded samples can never be
+    oracle-backed; this one is, via the shared md5-derived hash family
+    of extras.hashing). Filter is row-local — pushes to the scan,
+    zero shuffle (plan-pinned)."""
+    from .extras.hashing import spark_h60
+
+    ev = read_table(
+        spark, sf_dir, "events", ["event_id", "event_type", "value"]
+    )
+    bucket = F.expr(spark_h60("CAST(event_id AS STRING)")) % 100
+    return ev.filter(
+        bucket < HASH_SAMPLE_PCT
+    )  # no terminal sort: O(n) output, order-insensitive compare
+
+
+def _duck_hash_sample_sql() -> str:
+    from .extras.hashing import duck_h60
+
+    return f"""
+        SELECT event_id, event_type, value FROM events
+        WHERE ({duck_h60("CAST(event_id AS VARCHAR)")}) % 100
+              < {HASH_SAMPLE_PCT}
+        ORDER BY event_id
+    """
+
+
+# ----------------------------------------------------------------------
+# q55: rolling exact median — ordered-set aggregate over a sliding
+# ROWS frame (the robust-statistics twin of q31's moving average)
+# ----------------------------------------------------------------------
+
+def q55_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling median of the last 10 events (ROWS frame, exact
+    interpolated percentile — robust to the value spikes that drag
+    q31's moving MEAN). One shuffle on user_id; the frame is row-
+    bounded so state per partition is O(frame), not O(history).
+    (event_id tie-breaks equal timestamps for a total order — same
+    determinism discipline as q16/q47.) Interpolation parity between
+    Spark percentile() and DuckDB quantile_cont() is already proven by
+    q23."""
+    ev = read_table(
+        spark, sf_dir, "events", ["event_id", "user_id", "ts", "value"]
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.expr("percentile(value, 0.5)").over(w), 6).alias(
+            "rolling_median"
+        ),
+    )  # no terminal sort: O(n) output, order-insensitive compare
+
+
+_DUCK_ROLLING_MEDIAN_SQL = """
+    SELECT user_id, event_id,
+           round(quantile_cont(value, 0.5) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6)
+               AS rolling_median
+    FROM events ORDER BY user_id, event_id
+"""
+
+
+# ----------------------------------------------------------------------
 # q20: TPC-H Q3 shape — shipping priority (filter + 2 joins + group +
 # computed measure + top-k)
 # ----------------------------------------------------------------------
@@ -1462,6 +1544,8 @@ def _duck_pagerank_sql() -> str:
 
 
 ORACLE_SQL: dict[str, str] = {
+    "q54_hash_sample": _duck_hash_sample_sql(),
+    "q55_rolling_median": _DUCK_ROLLING_MEDIAN_SQL,
     "q52_gap_fill": """
         WITH hourly AS (
             SELECT event_type, date_trunc('hour', ts) AS hr,
@@ -1907,6 +1991,8 @@ QUERIES = {
     "q51_nation_pagerank": q51_nation_pagerank,
     "q52_gap_fill": q52_gap_fill,
     "q53_incremental_rollup": q53_incremental_rollup,
+    "q54_hash_sample": q54_hash_sample,
+    "q55_rolling_median": q55_rolling_median,
     "q28_json_extract": q28_json_extract,
     "q29_approx_stats": q29_approx_stats,
     "q30_semi_anti": q30_semi_anti,

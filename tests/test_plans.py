@@ -182,6 +182,19 @@ CASES = {
         ["SortMergeJoin", "CartesianProduct"],
         14,
     ),
+    "q54_hash_sample": (
+        # content-hash Bernoulli filter is row-local: scan + filter,
+        # nothing else
+        ["Filter"],
+        ["Exchange"],
+        0,
+    ),
+    "q55_rolling_median": (
+        # one user_id shuffle feeding the ROWS-framed window
+        ["Window"],
+        ["SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"],
+        1,
+    ),
     "sim_pq_codes": (
         # PQ encode is a map-only pass: codebook baked in as literals,
         # argmin per block row-local — zero shuffles at any corpus size
