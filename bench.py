@@ -58,6 +58,10 @@ HEADLINE = [
     "sim_lsh_topk",
     "sim_sq_topk",  # int8 quantized scoring (production memory path)
     "sim_pq_adc_topk",  # product quantization + ADC (billion-scale path)
+    # sim_ivf_topk / sim_ivfpq_topk are deliberately NOT benched: each
+    # call re-TRAINS the k-means index (3 Spark iterations), which is
+    # an index-build cost, not a query cost — timing build+query per
+    # sample would misstate both
     "sketch_countmin",  # deterministic frequency sketch
     "sketch_hll_estimate",  # deterministic cardinality sketch
     "text_tfidf_topk",

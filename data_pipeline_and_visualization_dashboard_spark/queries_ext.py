@@ -910,6 +910,88 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: the canonical billion-scale ANN serving architecture in
+    one plan — a TRAINED coarse quantizer (spherical k-means, k=16)
+    prunes the corpus to the query's IVF_NPROBE inverted lists, then
+    PQ-ADC scores ONLY those candidates from their 4-int codes via
+    per-query lookup tables. At scale the two stages compound: probe
+    cuts candidates ~nprobe/k, PQ cuts bytes-per-candidate 16×, so the
+    scored working set is ~1% of a brute-force scan's traffic. Corpus
+    vectors are read only at index-build time; query-time touches codes
+    and the centroid literals.
+
+    Rows-only by design (trained + doubly approximate); recall vs the
+    exact brute force is bounded in tests/test_extras.py, and each
+    stage's exactness is separately certified: the PQ encode/ADC
+    arithmetic by the sim_pq_* oracle rows, the probe assignment by
+    sim_centroid_assign."""
+    from .extras.similarity import (
+        N_QUERIES,
+        TOP_K,
+        _pq_code_cols,
+        _pq_codebook,
+        _pq_unit_vectors,
+        _pq_with_dls,
+        PQ_BLOCKS,
+    )
+
+    centroids = train_centroids(spark, sf_dir)
+    emb = read_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"])
+    bound = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("ev")
+    )
+    sim_structs = _centroid_sim_structs(centroids)
+    corpus = bound.select(
+        F.col("vec_id").alias("c_id"),
+        (-F.array_max(sim_structs).getField("ncid")).alias("centroid_id"),
+    )
+    probe = F.slice(F.sort_array(sim_structs, asc=False), 1, IVF_NPROBE)
+    q_probe = (
+        bound.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("q_id"), F.explode(probe).alias("cand"))
+        .select("q_id", (-F.col("cand").getField("ncid")).alias("centroid_id"))
+    )
+    cand = (
+        q_probe.join(corpus, "centroid_id")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id")
+        .distinct()
+    )
+
+    cents = _pq_codebook(spark, sf_dir)
+    dls = _pq_with_dls(_pq_unit_vectors(emb), cents)
+    codes = dls.select(F.col("vec_id").alias("c_id"), *_pq_code_cols())
+    luts = dls.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        *[F.col(f"dl_{b}").alias(f"lut_{b}") for b in range(PQ_BLOCKS)],
+    )
+    score = F.element_at("lut_0", F.col("code_0") + 1)
+    for b in range(1, PQ_BLOCKS):
+        score = score + F.element_at(f"lut_{b}", F.col(f"code_{b}") + 1)
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc"), F.asc("neighbor_id")
+    )
+    return (
+        cand.join(codes, "c_id")
+        .join(F.broadcast(luts), "q_id")
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            score.alias("adc"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("adc", 6).alias("adc_score"),
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 def _centroid_sims(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, centroid_id, sim) for all vector×centroid pairs —
     shared by assignment (argmax) and multiprobe (top-nprobe)."""
@@ -2000,6 +2082,7 @@ QUERIES = {
     "q32_collect_sets": q32_collect_sets,
     "sim_centroid_assign": sim_centroid_assign,
     "sim_ivf_topk": sim_ivf_topk,
+    "sim_ivfpq_topk": sim_ivfpq_topk,
     "q20_shipping_priority": q20_shipping_priority,
     "q21_nation_revenue": q21_nation_revenue,
     "q22_heatmap_pivot": q22_heatmap_pivot,

@@ -484,6 +484,80 @@ def upsert_state_stream(spark: SparkSession, in_dir: str, state_dir: str,
     )
 
 
+def rollup_merge_stream(spark: SparkSession, in_dir: str, state_dir: str,
+                        checkpoint_dir: str):
+    """Streaming incremental-view maintenance: a daily (date, type)
+    rollup maintained CONTINUOUSLY from the event stream — the
+    streaming twin of q53_incremental_rollup, and the same merge
+    identity: each micro-batch reduces to per-key partial
+    (count, sum) pairs (decomposable), which merge with the current
+    state by plain re-aggregation. avg is never stored — always
+    derived after merging, so it stays exact.
+
+    State size = |days × types| (rollup-sized, independent of stream
+    length); per-batch cost = state + batch, never history. The state
+    parquet is atomically replaced (write-new + rename), same recipe
+    as upsert_state_stream — readers see the old or new rollup, never
+    a partial write."""
+    import os as _os
+    import shutil as _shutil
+
+    raw = (
+        spark.readStream.schema(_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    events = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+
+    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        partial = batch_df.groupBy(
+            F.to_date("ts").cast("string").alias("event_date"),
+            "event_type",
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sv"),
+        )
+        if _os.path.exists(state_dir):
+            partial = partial.unionByName(
+                batch_df.sparkSession.read.parquet(state_dir)
+            )
+        merged = partial.groupBy("event_date", "event_type").agg(
+            F.sum("n_events").alias("n_events"), F.sum("sv").alias("sv")
+        )
+        tmp = state_dir.rstrip("/") + f".epoch{epoch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        if _os.path.exists(state_dir):
+            _shutil.rmtree(state_dir)
+        _os.replace(tmp, state_dir)
+
+    return (
+        events.writeStream.outputMode("append")
+        .foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def run_rollup_merge_to_completion(spark: SparkSession, in_dir: str,
+                                   state_dir: str,
+                                   checkpoint_dir: str) -> DataFrame:
+    """Drive the rollup-merge sink over the finite input and return the
+    final state shaped exactly like q53_incremental_rollup's output."""
+    q = rollup_merge_stream(spark, in_dir, state_dir, checkpoint_dir)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    state = spark.read.parquet(state_dir)
+    return state.select(
+        "event_date",
+        "event_type",
+        "n_events",
+        F.round("sv", 6).alias("sum_value"),
+        F.round(F.col("sv") / F.col("n_events"), 6).alias("avg_value"),
+    ).orderBy("event_date", "event_type")
+
+
 def hll_register_stream(events: DataFrame) -> DataFrame:
     """Streaming cardinality monitor: HyperLogLog registers maintained
     over the event stream — the live "how many distinct users so far"

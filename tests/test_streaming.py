@@ -276,6 +276,38 @@ def test_streaming_upsert_state_matches_batch_cdc(spark, tmp_path):
     assert got == want
 
 
+def test_streaming_rollup_merge_matches_batch(spark, tmp_path):
+    """Streaming IVM sink: after draining the stream, the continuously
+    merged daily rollup equals q53's batch merge (and hence the full
+    recompute). Counts compare exactly; float sums compare to 1e-6
+    (partials merge in a different order than the batch twin — the
+    merge identity is exact over counts, ulp-level over doubles)."""
+    from data_pipeline_and_visualization_dashboard_spark.queries_ext import (
+        q53_incremental_rollup,
+    )
+
+    raw = spark.read.parquet(SF_SMOKE + "/events.parquet")  # ts NTZ µs
+    in_dir = str(tmp_path / "rollup_in")
+    _split_by_median_ts(raw, in_dir)
+    got = {
+        (r.event_date, r.event_type): r
+        for r in streaming.run_rollup_merge_to_completion(
+            spark, in_dir, str(tmp_path / "rollup_state"),
+            str(tmp_path / "rollup_ckpt")
+        ).collect()
+    }
+    want = {
+        (r.event_date, r.event_type): r
+        for r in q53_incremental_rollup(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(want) and len(got) > 0
+    for k, w in want.items():
+        g = got[k]
+        assert g.n_events == w.n_events, k
+        assert abs(g.sum_value - w.sum_value) < 1e-6, k
+        assert abs(g.avg_value - w.avg_value) < 1e-6, k
+
+
 def test_streaming_hll_registers_match_batch(spark):
     """The streaming HLL monitor's complete-mode registers must equal
     the batch sketch exactly: max-insert is idempotent, so duplicate
