@@ -96,6 +96,83 @@ _DUCK_ROLLING_MEDIAN_SQL = """
 
 
 # ----------------------------------------------------------------------
+# q56: grouped bivariate statistics — corr/covar/stddev per key (the
+# statistics-family completion of q44's regr_slope)
+# ----------------------------------------------------------------------
+
+def q56_grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type Pearson correlation and covariance of value vs
+    hour-of-day, plus dispersion — one fact-sized shuffle, all
+    built-in decomposable aggregates (each maintains constant
+    per-group state: sums, squares, cross-products — the same
+    merge-safe shape as q53's partials, so this scales exactly like
+    a count). Rounded 6dp: both engines compute the same co-moment
+    recurrences (regr_slope parity already proven by q44)."""
+    ev = read_table(spark, sf_dir, "events", ["event_type", "ts", "value"])
+    h = F.hour("ts").cast("double")
+    v = F.col("value")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.corr(v, h), 6).alias("corr_value_hour"),
+            F.round(F.covar_samp(v, h), 6).alias("covar_value_hour"),
+            F.round(F.stddev_samp(v), 6).alias("stddev_value"),
+            F.round(F.var_samp(v), 6).alias("var_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_DUCK_GROUPED_STATS_SQL = """
+    SELECT event_type,
+           round(corr(value, CAST(hour(ts) AS DOUBLE)), 6)
+               AS corr_value_hour,
+           round(covar_samp(value, CAST(hour(ts) AS DOUBLE)), 6)
+               AS covar_value_hour,
+           round(stddev_samp(value), 6) AS stddev_value,
+           round(var_samp(value), 6) AS var_value
+    FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# ----------------------------------------------------------------------
+# q57: ranking-window family — percent_rank / cume_dist / ntile in one
+# pass (complements q17's row_number/rank and q50's sort-free quartiles)
+# ----------------------------------------------------------------------
+
+def q57_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full relative-rank family over one (event_type)-partitioned,
+    (value, event_id)-ordered window: percent_rank (rank-based),
+    cume_dist (count-based), ntile(4) (literal equal-height tiles —
+    q50 computes the same quartile answer WITHOUT the per-partition
+    total sort; this is the windowed spelling for when exact tile
+    numbers per row are required). One shuffle + one per-partition
+    sort shared by all three functions (single Window node —
+    plan-pinned). event_id tie-break keeps every engine's tile
+    boundaries identical."""
+    ev = read_table(spark, sf_dir, "events", ["event_id", "event_type", "value"])
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).alias("tile"),
+    )  # no terminal sort: O(n) output, order-insensitive compare
+
+
+_DUCK_RANK_FAMILY_SQL = """
+    SELECT event_id, event_type,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           CAST(ntile(4) OVER w AS INT) AS tile
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    ORDER BY event_id
+"""
+
+
+# ----------------------------------------------------------------------
 # q20: TPC-H Q3 shape — shipping priority (filter + 2 joins + group +
 # computed measure + top-k)
 # ----------------------------------------------------------------------
@@ -1628,6 +1705,8 @@ def _duck_pagerank_sql() -> str:
 ORACLE_SQL: dict[str, str] = {
     "q54_hash_sample": _duck_hash_sample_sql(),
     "q55_rolling_median": _DUCK_ROLLING_MEDIAN_SQL,
+    "q56_grouped_stats": _DUCK_GROUPED_STATS_SQL,
+    "q57_rank_family": _DUCK_RANK_FAMILY_SQL,
     "q52_gap_fill": """
         WITH hourly AS (
             SELECT event_type, date_trunc('hour', ts) AS hr,
@@ -2075,6 +2154,8 @@ QUERIES = {
     "q53_incremental_rollup": q53_incremental_rollup,
     "q54_hash_sample": q54_hash_sample,
     "q55_rolling_median": q55_rolling_median,
+    "q56_grouped_stats": q56_grouped_stats,
+    "q57_rank_family": q57_rank_family,
     "q28_json_extract": q28_json_extract,
     "q29_approx_stats": q29_approx_stats,
     "q30_semi_anti": q30_semi_anti,

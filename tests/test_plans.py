@@ -195,6 +195,19 @@ CASES = {
         ["SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"],
         1,
     ),
+    "q56_grouped_stats": (
+        # one fact-sized co-moment agg + terminal sort; no joins
+        ["HashAggregate"],
+        ["SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"],
+        2,
+    ),
+    "q57_rank_family": (
+        # all three rank functions share ONE window (one shuffle, one
+        # per-partition sort)
+        ["Window"],
+        ["SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"],
+        1,
+    ),
     "sim_pq_codes": (
         # PQ encode is a map pass: codebook baked in as literals,
         # argmin per block row-local. The ONE allowed exchange is the
