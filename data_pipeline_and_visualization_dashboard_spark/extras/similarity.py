@@ -47,8 +47,14 @@ def _dot(a, b) -> Column:
 
 
 def _with_norm(df: DataFrame, prefix: str) -> DataFrame:
+    """Spread the single-row-group embeddings scan across cores before
+    the per-row dot-product expressions (same single-file trap and fix
+    as dedup._read_docs_parallel / _pq_unit_vectors); for the filtered
+    query side the extra exchange moves N_QUERIES rows — noise."""
     e = F.col("embedding").cast("array<double>")
-    return df.select(
+    return df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, "vec_id"
+    ).select(
         F.col("vec_id").alias(f"{prefix}_id"),
         e.alias(f"{prefix}_e"),
         F.sqrt(_dot(e, e)).alias(f"{prefix}_norm"),
@@ -186,8 +192,12 @@ def _sq_vectors(emb: DataFrame, prefix: str) -> DataFrame:
     clip(floor(u[i]*127 + 0.5), -127, 127). floor(x+0.5) is half-up in
     BOTH engines (unlike round(), whose half-way behavior differs), and
     the post-quantization values are small exact integers — the whole
-    downstream ranking is integer arithmetic, immune to float drift."""
+    downstream ranking is integer arithmetic, immune to float drift.
+    Repartition: same single-row-group spread as _with_norm."""
     e = F.col("embedding").cast("array<double>")
+    emb = emb.repartition(
+        emb.sparkSession.sparkContext.defaultParallelism, "vec_id"
+    )
     bound = emb.select(
         F.col("vec_id").alias(f"{prefix}_id"),
         e.alias("e"),

@@ -358,3 +358,36 @@ def test_schema_evolution_merge(spark, tmp_path):
     n = nation.count()
     assert merged.count() == 2 * n
     assert merged.filter(F.col("ingest_tag").isNull()).count() == n
+
+
+def test_read_table_normalizes_both_timestamp_flavors(spark, tmp_path):
+    """The driver's testdata generator has shipped `ts` as parquet
+    TIMESTAMP(NANOS) (round 1, read as long under nanosAsLong) and as
+    TIMESTAMP(MICROS) NTZ (round 2). read_table must normalize BOTH to
+    session-tz TIMESTAMP with identical values, so a testdata
+    regeneration never breaks type-strict call sites (unix_micros,
+    window, watermarks) again."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = pq.read_table(SF_SMOKE + "/events.parquet")
+    i = src.schema.get_field_index("ts")
+
+    ns_dir = str(tmp_path / "flavor_ns")
+    ntz_dir = str(tmp_path / "flavor_ntz")
+    for d, typ in ((ns_dir, pa.timestamp("ns")), (ntz_dir, pa.timestamp("us"))):
+        cast = src.set_column(
+            i, pa.field("ts", typ), src.column("ts").cast(typ)
+        )
+        import os
+
+        os.makedirs(d)
+        pq.write_table(cast, d + "/events.parquet")
+
+    a = read_table(spark, ns_dir, "events")
+    b = read_table(spark, ntz_dir, "events")
+    assert dict(a.dtypes)["ts"] == "timestamp"
+    assert dict(b.dtypes)["ts"] == "timestamp"
+    va = [(r.event_id, r.ts) for r in a.orderBy("event_id").limit(50).collect()]
+    vb = [(r.event_id, r.ts) for r in b.orderBy("event_id").limit(50).collect()]
+    assert va == vb
