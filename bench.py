@@ -65,6 +65,7 @@ HEADLINE = [
     "sketch_countmin",  # deterministic frequency sketch
     "sketch_hll_estimate",  # deterministic cardinality sketch
     "text_tfidf_topk",
+    "text_vocab_encode",  # vocab build + id encode (embedding prep)
     "media_features",
 ]
 

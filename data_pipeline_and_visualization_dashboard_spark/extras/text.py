@@ -513,9 +513,136 @@ _DUCK_PACKING_SQL = f"""
 """
 
 
+# ----------------------------------------------------------------------
+# vocabulary build + token-id encoding — the embedding-table prep step
+# of a training pipeline (tokenize -> frequency-ranked vocab -> docs as
+# id arrays, OOV -> UNK)
+# ----------------------------------------------------------------------
+
+VOCAB_MIN_DF = 2  # tokens must appear in >= 2 docs; the rest encode as UNK
+UNK_ID = 0
+
+
+def vocab_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ranked vocabulary: (token, token_id, n_docs, n_occur)
+    with ids 1..|V| assigned by (document-frequency desc, total count
+    desc, token asc) — a deterministic total order, so both engines
+    mint identical ids. id 0 is reserved for UNK. Rare tokens
+    (df < VOCAB_MIN_DF) are excluded — they become UNK at encode time.
+
+    Shape: ONE (doc, token) grouped pass (the TF frame from tfidf),
+    then token-grain stats and a rank over the VOCAB-sized frame. The
+    global row_number window is deliberate: vocabularies are
+    vocab-grain (« corpus; even web-scale vocabs are ~1e6-1e8 rows =
+    one executor's work), and a total order is the contract."""
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    docs = docs.filter(F.col("text").isNotNull())
+    toks = docs.select(
+        "doc_id",
+        F.explode_outer(F.split(F.lower(F.trim("text")), r"\s+")).alias(
+            "token"
+        ),
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    stats = tf.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("tf").alias("n_occur")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(
+        F.desc("n_docs"), F.desc("n_occur"), F.asc("token")
+    )
+    return (
+        stats.filter(F.col("n_docs") >= VOCAB_MIN_DF)
+        .withColumn("token_id", F.row_number().over(w).cast("int"))
+        .select("token", "token_id", "n_docs", "n_occur")
+    )  # no terminal sort: O(|V|) output, order-insensitive compare
+
+
+def vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents as token-id arrays: positional explode -> left join
+    the vocab (vocab-grain: broadcastable for most corpora, left to
+    AQE) -> OOV coalesces to UNK_ID -> ids re-assembled in token
+    order via array_sort over (pos, id) structs. Output adds n_tokens
+    and n_unk — the coverage accounting a tokenizer report needs.
+
+    Scale: the fact-sized work is one explode + one join keyed on
+    token + one doc-grain re-assembly shuffle; the id arrays are the
+    exact input shape embedding-lookup training jobs consume."""
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    docs = docs.filter(F.col("text").isNotNull())
+    toks = docs.select(
+        "doc_id",
+        F.posexplode_outer(
+            F.split(F.lower(F.trim("text")), r"\s+")
+        ).alias("pos", "token"),
+    )
+    v = vocab_table(spark, sf_dir).select("token", "token_id")
+    enc = toks.join(v, "token", "left").withColumn(
+        "tid", F.coalesce("token_id", F.lit(UNK_ID)).cast("int")
+    )
+    ids = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+        lambda s: s.getField("tid"),
+    )
+    return enc.groupBy("doc_id").agg(
+        # canonical string form (comma-joined): list-typed result
+        # columns don't survive the cross-engine value compare (pandas
+        # bridges render them as numpy arrays); the array form is one
+        # split() away for consumers
+        F.array_join(ids, ",").alias("ids"),
+        F.count(F.lit(1)).cast("int").alias("n_tokens"),
+        F.sum(
+            F.when(F.col("tid") == UNK_ID, 1).otherwise(0)
+        ).cast("int").alias("n_unk"),
+    )  # no terminal sort: O(n) output, order-insensitive compare
+
+
 _DUCK_TOKENS = r"string_split_regex(lower(trim(text)), '\s+')"
 
+_DUCK_VOCAB_CTE = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_DUCK_TOKENS}) AS token,
+               unnest(range(1, len({_DUCK_TOKENS}) + 1)) AS pos
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2
+    ), stats AS (
+        SELECT token, count(*) AS n_docs, sum(tf) AS n_occur
+        FROM tf GROUP BY token
+    ), vocab AS (
+        SELECT token,
+               CAST(row_number() OVER (
+                   ORDER BY n_docs DESC, n_occur DESC, token) AS INT)
+                   AS token_id,
+               n_docs, n_occur
+        FROM stats WHERE n_docs >= {VOCAB_MIN_DF}
+    )
+"""
+
+_DUCK_VOCAB_SQL = _DUCK_VOCAB_CTE + """
+    SELECT token, token_id, n_docs,
+           CAST(n_occur AS BIGINT) AS n_occur
+    FROM vocab ORDER BY token_id
+"""
+
+_DUCK_VOCAB_ENCODE_SQL = _DUCK_VOCAB_CTE + f"""
+    , enc AS (
+        SELECT t.doc_id, t.pos,
+               CAST(COALESCE(v.token_id, {UNK_ID}) AS INT) AS tid
+        FROM toks t LEFT JOIN vocab v USING (token)
+    )
+    SELECT doc_id,
+           array_to_string(list(tid ORDER BY pos), ',') AS ids,
+           CAST(count(*) AS INT) AS n_tokens,
+           CAST(sum(CASE WHEN tid = {UNK_ID} THEN 1 ELSE 0 END) AS INT)
+               AS n_unk
+    FROM enc GROUP BY doc_id ORDER BY doc_id
+"""
+
 ORACLE_SQL: dict[str, str] = {
+    "text_vocab": _DUCK_VOCAB_SQL,
+    "text_vocab_encode": _DUCK_VOCAB_ENCODE_SQL,
     "text_stats": r"""
         SELECT doc_id,
                -- INT casts: Spark length()/size() are 32-bit, DuckDB's
@@ -642,4 +769,6 @@ QUERIES = {
     "text_chunks": chunks,
     "text_packing": packing,
     "text_split_assign": split_assign,
+    "text_vocab": vocab_table,
+    "text_vocab_encode": vocab_encode,
 }
