@@ -173,6 +173,47 @@ _DUCK_RANK_FAMILY_SQL = """
 
 
 # ----------------------------------------------------------------------
+# q58: dimension-enriched hourly rollup — the batch twin of the
+# stream-static broadcast enrichment (streaming.enriched_nation_counts)
+# ----------------------------------------------------------------------
+
+def q58_event_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event counts per customer nation: the fact stream
+    enriched through a two-dim join (customer -> nation, both
+    broadcast — the fact never shuffles for the join) then rolled up
+    per (hour, nation). This is the batch contract that
+    streaming.enriched_nation_counts_stream must reproduce
+    exactly (stream-static joins are stateless, so the parity is
+    row-exact, not watermark-approximate)."""
+    ev = read_table(spark, sf_dir, "events", ["user_id", "ts"])
+    cust = read_table(spark, sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nation = read_table(spark, sf_dir, "nation", ["n_nationkey", "n_name"])
+    dim = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).select(
+        F.col("c_custkey").alias("user_id"), F.col("n_name").alias("nation")
+    )
+    return (
+        ev.join(F.broadcast(dim), "user_id")
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), F.col("nation")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("hour", "nation")
+    )
+
+
+_DUCK_EVENT_NATION_SQL = """
+    SELECT date_trunc('hour', e.ts) AS hour, n.n_name AS nation,
+           count(*) AS n_events
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY 1, 2 ORDER BY hour, nation
+"""
+
+
+# ----------------------------------------------------------------------
 # q20: TPC-H Q3 shape — shipping priority (filter + 2 joins + group +
 # computed measure + top-k)
 # ----------------------------------------------------------------------
@@ -1707,6 +1748,7 @@ ORACLE_SQL: dict[str, str] = {
     "q55_rolling_median": _DUCK_ROLLING_MEDIAN_SQL,
     "q56_grouped_stats": _DUCK_GROUPED_STATS_SQL,
     "q57_rank_family": _DUCK_RANK_FAMILY_SQL,
+    "q58_event_nation_counts": _DUCK_EVENT_NATION_SQL,
     "q52_gap_fill": """
         WITH hourly AS (
             SELECT event_type, date_trunc('hour', ts) AS hr,
@@ -2156,6 +2198,7 @@ QUERIES = {
     "q55_rolling_median": q55_rolling_median,
     "q56_grouped_stats": q56_grouped_stats,
     "q57_rank_family": q57_rank_family,
+    "q58_event_nation_counts": q58_event_nation_counts,
     "q28_json_extract": q28_json_extract,
     "q29_approx_stats": q29_approx_stats,
     "q30_semi_anti": q30_semi_anti,

@@ -484,6 +484,56 @@ def upsert_state_stream(spark: SparkSession, in_dir: str, state_dir: str,
     )
 
 
+def enriched_nation_counts_stream(events: DataFrame,
+                                  dim: DataFrame) -> DataFrame:
+    """Stream-static broadcast enrichment — the canonical streaming
+    join pattern this module was missing: each micro-batch joins the
+    live events against a STATIC dimension (customer nation), then
+    rolls up per (1h window, nation). Stream-static inner joins are
+    STATELESS (the static side is re-resolved per micro-batch and
+    broadcast; nothing is buffered across batches), so unlike the
+    stream-stream join there is no watermark-bounded state and the
+    batch twin (q58_event_nation_counts) must match row-exactly."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .join(F.broadcast(dim), "user_id")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "nation")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("hour"), "nation", "n_events"
+        )
+    )
+
+
+def run_enriched_counts_to_completion(
+    spark: SparkSession, sf_dir: str,
+    query_name: str = "enriched_out",
+) -> DataFrame:
+    from .io import read_table
+
+    cust = read_table(spark, sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nation = read_table(spark, sf_dir, "nation", ["n_nationkey", "n_name"])
+    dim = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).select(
+        F.col("c_custkey").alias("user_id"), F.col("n_name").alias("nation")
+    )
+    agg = enriched_nation_counts_stream(
+        read_event_stream(spark, sf_dir), dim
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
 def rollup_merge_stream(spark: SparkSession, in_dir: str, state_dir: str,
                         checkpoint_dir: str):
     """Streaming incremental-view maintenance: a daily (date, type)

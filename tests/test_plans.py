@@ -208,6 +208,13 @@ CASES = {
         ["SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"],
         1,
     ),
+    "q58_event_nation_counts": (
+        # both dims broadcast — the fact shuffles only for the
+        # (hour, nation) rollup + terminal sort
+        ["BroadcastHashJoin"],
+        ["SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"],
+        2,
+    ),
     "sim_pq_codes": (
         # PQ encode is a map pass: codebook baked in as literals,
         # argmin per block row-local. The ONE allowed exchange is the

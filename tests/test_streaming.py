@@ -308,6 +308,27 @@ def test_streaming_rollup_merge_matches_batch(spark, tmp_path):
         assert abs(g.avg_value - w.avg_value) < 1e-6, k
 
 
+def test_stream_static_enrichment_matches_batch(spark):
+    """Stream-static broadcast join: the windowed per-nation counts
+    from the stream must equal the batch q58 rollup row-exactly — the
+    static side is stateless, so nothing is late/dropped."""
+    from data_pipeline_and_visualization_dashboard_spark.queries_ext import (
+        q58_event_nation_counts,
+    )
+
+    got = sorted(
+        (r.hour, r.nation, r.n_events)
+        for r in streaming.run_enriched_counts_to_completion(
+            spark, SF_SMOKE
+        ).collect()
+    )
+    want = sorted(
+        (r.hour, r.nation, r.n_events)
+        for r in q58_event_nation_counts(spark, SF_SMOKE).collect()
+    )
+    assert got == want and len(got) > 0
+
+
 def test_streaming_hll_registers_match_batch(spark):
     """The streaming HLL monitor's complete-mode registers must equal
     the batch sketch exactly: max-insert is idempotent, so duplicate
