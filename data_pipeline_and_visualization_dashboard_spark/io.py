@@ -178,6 +178,41 @@ def read_jsonl(spark: SparkSession, path: str,
     return reader.json(path)
 
 
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_jsonl_quarantined(
+    spark: SparkSession, path: str, schema: str
+) -> tuple[DataFrame, DataFrame]:
+    """S8c: JSONL source with corrupt-record quarantine — at corpus
+    scale some lines are ALWAYS malformed (truncated uploads, encoding
+    damage), and failing the whole 100 TB job on row one million is
+    not an option. PERMISSIVE mode parses what it can and lands the
+    raw text of unparseable lines in `_corrupt_record`; we split that
+    into (clean, quarantine) — the same two-output contract as
+    clean.split_events, so bad input is preserved for forensics, never
+    silently dropped.
+
+    The schema string must NOT already contain the corrupt column; it
+    is appended here. Spark requires caching-or-materialization
+    before filtering on the corrupt column alone (SPARK-21610: the
+    parser is lazy per referenced column) — selecting the data
+    columns alongside, as both outputs here do, is sufficient."""
+    full = f"{schema}, {CORRUPT_COL} string"
+    raw = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+        .cache()  # one parse feeds both outputs (and SPARK-21610)
+    )
+    clean = raw.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    quarantine = raw.filter(F.col(CORRUPT_COL).isNotNull()).select(
+        F.col(CORRUPT_COL).alias("raw_line")
+    )
+    return clean, quarantine
+
+
 def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """S8b: JSON-Lines sink (one file per partition, one doc per line)."""
     df.write.mode(mode).json(path)

@@ -391,3 +391,29 @@ def test_read_table_normalizes_both_timestamp_flavors(spark, tmp_path):
     va = [(r.event_id, r.ts) for r in a.orderBy("event_id").limit(50).collect()]
     vb = [(r.event_id, r.ts) for r in b.orderBy("event_id").limit(50).collect()]
     assert va == vb
+
+
+def test_jsonl_corrupt_record_quarantine(spark, tmp_path):
+    """Malformed JSONL lines must land in the quarantine output with
+    their raw text preserved; clean rows parse fully; nothing is
+    silently dropped (clean + quarantine == input lines)."""
+    from data_pipeline_and_visualization_dashboard_spark.io import (
+        read_jsonl_quarantined,
+    )
+
+    p = tmp_path / "docs.jsonl"
+    lines = [
+        '{"doc_id": 1, "text": "alpha"}',
+        '{"doc_id": 2, "text": "beta"',  # truncated — malformed
+        'not json at all',
+        '{"doc_id": 3, "text": "gamma"}',
+    ]
+    p.write_text("\n".join(lines) + "\n")
+    clean, quarantine = read_jsonl_quarantined(
+        spark, str(p), "doc_id long, text string"
+    )
+    got_clean = sorted((r.doc_id, r.text) for r in clean.collect())
+    assert got_clean == [(1, "alpha"), (3, "gamma")]
+    bad = sorted(r.raw_line for r in quarantine.collect())
+    assert bad == sorted([lines[1], lines[2]])
+    assert clean.count() + quarantine.count() == len(lines)
