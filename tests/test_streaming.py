@@ -329,6 +329,49 @@ def test_stream_static_enrichment_matches_batch(spark):
     assert got == want and len(got) > 0
 
 
+def test_streaming_rollup_survives_restart_without_double_merge(
+    spark, tmp_path
+):
+    """Stop/restart recovery: drain file A, STOP the query, land file
+    B, restart with the SAME checkpoint — the rollup must equal the
+    batch answer over A∪B. This is the critical property for a
+    foreachBatch MERGE sink: if the checkpoint failed to record A's
+    progress, the restart would re-merge A and double-count it."""
+    from data_pipeline_and_visualization_dashboard_spark.queries_ext import (
+        q53_incremental_rollup,
+    )
+
+    raw = spark.read.parquet(SF_SMOKE + "/events.parquet")  # ts NTZ µs
+    in_dir = str(tmp_path / "restart_in")
+    state = str(tmp_path / "restart_state")
+    ckpt = str(tmp_path / "restart_ckpt")
+    raw.filter("event_id % 2 = 0").coalesce(1).write.parquet(
+        in_dir, mode="append"
+    )
+    q = streaming.rollup_merge_stream(spark, in_dir, state, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    raw.filter("event_id % 2 = 1").coalesce(1).write.parquet(
+        in_dir, mode="append"
+    )
+    q2 = streaming.rollup_merge_stream(spark, in_dir, state, ckpt)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    got = {
+        (r.event_date, r.event_type): r.n_events
+        for r in spark.read.parquet(state).collect()
+    }
+    want = {
+        (r.event_date, r.event_type): r.n_events
+        for r in q53_incremental_rollup(spark, SF_SMOKE).collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_streaming_hll_registers_match_batch(spark):
     """The streaming HLL monitor's complete-mode registers must equal
     the batch sketch exactly: max-insert is idempotent, so duplicate
