@@ -162,6 +162,62 @@ def write_sorted(df: DataFrame, path: str, sort_cols: list[str],
     out.write.mode(mode).parquet(path)
 
 
+def write_zorder(df: DataFrame, path: str, col_a: str, col_b: str,
+                 bits: int = 4, num_files: int = 16,
+                 mode: str = "overwrite") -> None:
+    """S4c: Z-order (Morton) TWO-column clustering — the layout lever
+    when queries filter on either of two high-cardinality columns.
+    write_sorted gives perfect pruning on ONE key and none on others;
+    interleaving the bits of both keys' EQUI-DEPTH cell ids gives
+    PARTIAL pruning on each (a point filter on either column rules out
+    the file/row-group quadrants whose z-range can't contain it) — the
+    standard lakehouse trade (Delta/Iceberg `ZORDER BY`), spelled as
+    pure DataFrame expressions: bucket -> interleave -> ONE
+    range-exchange on z -> local sort. No global sort barrier.
+
+    Cells are equi-depth, NOT min-max scaled: skewed columns (long
+    upper tails) collapse onto a few min-max cells and lose their
+    pruning power, so the cell boundaries come from a one-pass
+    percentile_approx sketch collected at write time (constant driver
+    state — the same sampled-boundaries recipe as Spark's own
+    RangePartitioner and q50's broadcast cutpoints). 2^bits cells per
+    column; bucket id = sum of (col > cutpoint) indicators — a short
+    codegen-friendly comparison chain.
+
+    Numeric columns only (cast/extract upstream for timestamps)."""
+    n_cells = 1 << bits
+    qs = [i / n_cells for i in range(1, n_cells)]
+    r = df.agg(
+        F.percentile_approx(col_a, qs).alias("ca"),
+        F.percentile_approx(col_b, qs).alias("cb"),
+    ).first()
+
+    def bucket(col: str, cuts):
+        out = F.lit(0).cast("long")
+        for c in cuts:
+            out = out + F.when(
+                F.col(col) > F.lit(float(c)), 1
+            ).otherwise(0)
+        return out
+
+    a, b = bucket(col_a, r.ca), bucket(col_b, r.cb)
+    # disjoint bit positions, so summation == bitwise OR
+    z = None
+    for i in range(bits):
+        for c, off in ((a, 0), (b, 1)):
+            term = F.shiftleft(
+                F.shiftright(c, i).bitwiseAND(F.lit(1)), 2 * i + off
+            )
+            z = term if z is None else z + term
+    out = (
+        df.withColumn("_z", z)
+        .repartitionByRange(num_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
+    out.write.mode(mode).parquet(path)
+
+
 def read_jsonl(spark: SparkSession, path: str,
                schema: SparkT.StructType | str | None = None) -> DataFrame:
     """S8: JSON-Lines source — the interchange format LLM corpora ship

@@ -417,3 +417,61 @@ def test_jsonl_corrupt_record_quarantine(spark, tmp_path):
     bad = sorted(r.raw_line for r in quarantine.collect())
     assert bad == sorted([lines[1], lines[2]])
     assert clean.count() + quarantine.count() == len(lines)
+
+
+def test_write_zorder_prunes_on_both_columns(spark, tmp_path):
+    """S4c Z-order layout: after Morton-clustering events on
+    (user_id, value), footer min/max stats must rule out a large
+    fraction of row groups for a point filter on user_id AND for a
+    narrow range filter on value — partial pruning on BOTH columns is
+    the point of the interleave (the hash-scattered control admits
+    ~every row group for either predicate). Asserted directly on
+    parquet metadata so the result is reader-implementation-agnostic."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from data_pipeline_and_visualization_dashboard_spark.io import write_zorder
+
+    events = read_table(spark, SF_SMOKE, "events",
+                        ["event_id", "user_id", "value"])
+    z_dir = str(tmp_path / "events_z")
+    shuf_dir = str(tmp_path / "events_shuf")
+    write_zorder(events, z_dir, "user_id", "value", num_files=16)
+    events.repartition(16, "event_id").write.mode("overwrite").parquet(
+        shuf_dir
+    )
+
+    def admitted(path: str, col: str, lo, hi) -> tuple[int, int]:
+        """(row groups whose [min,max] intersects [lo,hi], total)."""
+        hit = total = 0
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = {md.schema.column(i).name: i
+                   for i in range(md.num_columns)}
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(idx[col]).statistics
+                total += 1
+                if st.min <= hi and st.max >= lo:
+                    hit += 1
+        return hit, total
+
+    # pick predicates guaranteed non-empty
+    some_user = events.groupBy("user_id").count().orderBy(
+        F.desc("count")
+    ).first().user_id
+    p50 = events.selectExpr("percentile(value, 0.5) AS m").first().m
+    v_lo, v_hi = p50, p50 + (events.agg(F.max("value")).first()[0] - p50) * 0.1
+
+    for col, lo, hi in (("user_id", some_user, some_user),
+                        ("value", v_lo, v_hi)):
+        hit_s, tot_s = admitted(shuf_dir, col, lo, hi)
+        hit_z, tot_z = admitted(z_dir, col, lo, hi)
+        assert hit_s == tot_s, f"scattered copy should admit all ({col})"
+        assert hit_z <= tot_z * 0.6, (
+            f"z-order should prune >=40% of row groups on {col}: "
+            f"{hit_z}/{tot_z}"
+        )
+
+    # layout is lossless
+    assert spark.read.parquet(z_dir).count() == events.count()
