@@ -406,14 +406,23 @@ def dedup_neardup_groups(spark: SparkSession, sf_dir: str,
             .localCheckpoint()  # eager: materializes, referenced every round
         )
         pairs.unpersist()
+        from pyspark.sql import Observation
+
+        obs0 = Observation()
         labels = (
             edges.select(F.col("src").alias("doc_id"))
             .distinct()
             .withColumn("label", F.col("doc_id"))
             .repartition(nparts, "doc_id")
+            .observe(obs0, F.sum("label").alias("s"))
             .localCheckpoint()
         )
-        prev_sum = labels.agg(F.sum("label")).first()[0]
+        # the convergence metric RIDES the checkpoint job (observe
+        # fires on the same action), so each round is ONE job, not a
+        # materialize-then-reaggregate pair — halves per-round fixed
+        # cost, identical semantics (sum(label) strictly decreases
+        # until fixpoint)
+        prev_sum = obs0.get["s"]
         while True:
             # edges hash-partitioned on src, labels on doc_id==src, both
             # nparts wide -> the join and the min-agg reuse the loop's
@@ -422,14 +431,16 @@ def dedup_neardup_groups(spark: SparkSession, sf_dir: str,
             neigh = edges.join(
                 labels.select(F.col("doc_id").alias("src"), "label"), "src"
             ).select(F.col("dst").alias("doc_id"), "label")
+            obs = Observation()
             new_labels = (
                 labels.unionByName(neigh)
                 .repartition(nparts, "doc_id")
                 .groupBy("doc_id")
                 .agg(F.min("label").alias("label"))
+                .observe(obs, F.sum("label").alias("s"))
                 .localCheckpoint()
             )
-            cur_sum = new_labels.agg(F.sum("label")).first()[0]
+            cur_sum = obs.get["s"]
             labels = new_labels
             if cur_sum == prev_sum:
                 break
