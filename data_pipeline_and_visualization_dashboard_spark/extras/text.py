@@ -535,8 +535,9 @@ def vocab_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     global row_number window is deliberate: vocabularies are
     vocab-grain (« corpus; even web-scale vocabs are ~1e6-1e8 rows =
     one executor's work), and a total order is the contract."""
-    docs = read_table(spark, sf_dir, "documents", ["doc_id", "text"])
-    docs = docs.filter(F.col("text").isNotNull())
+    from .dedup import _read_docs_parallel
+
+    docs = _read_docs_parallel(spark, sf_dir)  # single-file scan spread
     toks = docs.select(
         "doc_id",
         F.explode_outer(F.split(F.lower(F.trim("text")), r"\s+")).alias(
@@ -569,8 +570,9 @@ def vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the fact-sized work is one explode + one join keyed on
     token + one doc-grain re-assembly shuffle; the id arrays are the
     exact input shape embedding-lookup training jobs consume."""
-    docs = read_table(spark, sf_dir, "documents", ["doc_id", "text"])
-    docs = docs.filter(F.col("text").isNotNull())
+    from .dedup import _read_docs_parallel
+
+    docs = _read_docs_parallel(spark, sf_dir)  # single-file scan spread
     toks = docs.select(
         "doc_id",
         F.posexplode_outer(
