@@ -214,6 +214,74 @@ _DUCK_EVENT_NATION_SQL = """
 
 
 # ----------------------------------------------------------------------
+# q59: sliding-window distinct counts — the aggregate that does NOT
+# decompose (unlike q53's count/sum), so it needs the bounded fan-out
+# spelling
+# ----------------------------------------------------------------------
+
+SLIDING_HOURS = 24
+
+
+def q59_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 24h distinct-user count at every hour step. DISTINCT
+    does not merge across overlapping windows (no partial-agg trick
+    exists), so the scale-safe exact spelling is the bounded fan-out:
+    each event replicates to the window/slide = 24 window-ends it
+    belongs to (row-local sequence+explode), then ONE two-level
+    distinct aggregation. Fan-out is bounded by the overlap ratio —
+    never data-squared — and the (window_end, user) dedup shuffle is
+    the real cost; at web scale you swap exact distinct for the HLL
+    registers (extras.sketches) under the SAME fan-out, trading 1%
+    error for constant state. Window-ends clipped to the observed
+    hour span so leading partial windows match the oracle's spine."""
+    ev = read_table(spark, sf_dir, "events", ["user_id", "ts"])
+    b = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    fan = (
+        ev.join(F.broadcast(b))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.greatest(F.date_trunc("hour", "ts"), F.col("h0")),
+                    F.least(
+                        F.date_trunc("hour", "ts")
+                        + F.expr(f"INTERVAL {SLIDING_HOURS - 1} HOURS"),
+                        F.col("h1"),
+                    ),
+                    F.expr("INTERVAL 1 HOUR"),
+                )
+            ).alias("window_end"),
+        )
+    )
+    return (
+        fan.groupBy("window_end")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("window_end")
+    )
+
+
+_DUCK_SLIDING_DISTINCT_SQL = f"""
+    WITH bounds AS (
+        SELECT date_trunc('hour', min(ts)) AS h0,
+               date_trunc('hour', max(ts)) AS h1
+        FROM events
+    ), spine AS (
+        SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS window_end
+        FROM bounds
+    )
+    SELECT s.window_end, count(DISTINCT e.user_id) AS n_users
+    FROM spine s
+    JOIN events e
+      ON date_trunc('hour', e.ts) <= s.window_end
+     AND date_trunc('hour', e.ts) > s.window_end - INTERVAL {SLIDING_HOURS} HOURS
+    GROUP BY s.window_end ORDER BY window_end
+"""
+
+
+# ----------------------------------------------------------------------
 # q20: TPC-H Q3 shape — shipping priority (filter + 2 joins + group +
 # computed measure + top-k)
 # ----------------------------------------------------------------------
@@ -1749,6 +1817,7 @@ ORACLE_SQL: dict[str, str] = {
     "q56_grouped_stats": _DUCK_GROUPED_STATS_SQL,
     "q57_rank_family": _DUCK_RANK_FAMILY_SQL,
     "q58_event_nation_counts": _DUCK_EVENT_NATION_SQL,
+    "q59_sliding_distinct": _DUCK_SLIDING_DISTINCT_SQL,
     "q52_gap_fill": """
         WITH hourly AS (
             SELECT event_type, date_trunc('hour', ts) AS hr,
@@ -2199,6 +2268,7 @@ QUERIES = {
     "q56_grouped_stats": q56_grouped_stats,
     "q57_rank_family": q57_rank_family,
     "q58_event_nation_counts": q58_event_nation_counts,
+    "q59_sliding_distinct": q59_sliding_distinct,
     "q28_json_extract": q28_json_extract,
     "q29_approx_stats": q29_approx_stats,
     "q30_semi_anti": q30_semi_anti,

@@ -215,6 +215,14 @@ CASES = {
         ["SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"],
         2,
     ),
+    "q59_sliding_distinct": (
+        # explode fan-out must stay a map-stage Generate; two-level
+        # distinct agg + terminal sort; the 1-row bounds frame rides a
+        # broadcast nested loop by design
+        ["Generate", "HashAggregate"],
+        ["SortMergeJoin", "CartesianProduct"],
+        5,
+    ),
     "sim_pq_codes": (
         # PQ encode is a map pass: codebook baked in as literals,
         # argmin per block row-local. The ONE allowed exchange is the
