@@ -319,6 +319,83 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str,
     )
 
 
+def dedup_incremental_pairs(spark: SparkSession, sf_dir: str,
+                            hash_impl: str = "md5") -> DataFrame:
+    """INCREMENTAL near-dup: verify only the pairs that involve a
+    newly-ingested batch (here: doc_id % 10 == 0 stands in for the
+    delta), against the full corpus — the production shape for
+    continuously-curated corpora, where re-pairing the base against
+    itself on every ingest would be O(corpus) wasted work per batch.
+
+    Scale shape: signatures are computed for ALL docs (in production
+    the base's signatures are read back from the index store — see
+    dedup_minhash_pairs' cache discipline; recomputing here keeps the
+    query self-contained), but the LSH self-join is replaced by a
+    delta-buckets ⋈ all-buckets join: candidate generation scans only
+    buckets CONTAINING a delta doc, so per-batch cost is
+    O(delta × bucket_density), independent of base×base. Pair order
+    normalized via least/greatest so a (base, delta) collision yields
+    the same ordered row the full pipeline would emit; output is
+    exactly dedup_minhash_pairs restricted to delta-touching pairs
+    (the oracle twin IS that restriction, so the equivalence is
+    hash-checked, and pytest asserts it against the full pipeline)."""
+    sigs = minhash_signatures(spark, sf_dir, hash_impl).cache()
+    sigs.count()  # materialize before fan-out (see dedup_minhash_pairs)
+    is_delta = F.col("doc_id") % 10 == 0
+    band_cols = ", ".join(f"{b}, band_{b}" for b in range(BANDS))
+    buckets = sigs.selectExpr(
+        "doc_id", f"stack({BANDS}, {band_cols}) AS (band_idx, band_hash)"
+    )
+    w = Window.partitionBy("band_idx", "band_hash")
+    buckets = (
+        buckets.withColumn("bucket_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("bucket_n") <= MAX_BUCKET)
+        .drop("bucket_n")
+    )
+    delta_b = buckets.filter(is_delta).select(
+        "band_idx", "band_hash", F.col("doc_id").alias("d_id")
+    )
+    all_b = buckets.select(
+        "band_idx", "band_hash", F.col("doc_id").alias("o_id")
+    )
+    cand = (
+        delta_b.join(all_b, ["band_idx", "band_hash"])
+        .filter(F.col("d_id") != F.col("o_id"))
+        .select(
+            F.least("d_id", "o_id").alias("doc_id_a"),
+            F.greatest("d_id", "o_id").alias("doc_id_b"),
+        )
+        .distinct()
+    )
+    shingled = shingle_sets(spark, sf_dir)
+    sig_arr = F.array(*[F.col(f"sig_{j}") for j in range(NUM_HASHES)])
+    sa = sigs.select(F.col("doc_id").alias("doc_id_a"), sig_arr.alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_id_b"), sig_arr.alias("sig_b"))
+    sh = shingled.select("doc_id", F.array_distinct("shingles").alias("sh"))
+    sh_a = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b"))
+    agree = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .join(sh_a, "doc_id_a")
+        .join(sh_b, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            (agree.cast("double") / F.lit(float(NUM_HASHES))).alias("est_jaccard"),
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .orderBy("doc_id_a", "doc_id_b")
+    )
+
+
 # Verified-pair Jaccard threshold above which two docs belong to the
 # same near-dup group (sized to the synthetic corpus's dup clusters).
 NEARDUP_JACCARD = 0.5
@@ -1176,6 +1253,13 @@ ORACLE_SQL: dict[str, str] = {
         "FROM sigs ORDER BY doc_id"
     ),
     "dedup_minhash_pairs": _duck_pairs_sql(),
+    # the incremental pipeline must equal the full pipeline restricted
+    # to delta-touching pairs — the restriction IS the oracle
+    "dedup_incremental_pairs": (
+        "SELECT * FROM (" + _duck_pairs_sql() + ") t "
+        "WHERE doc_id_a % 10 = 0 OR doc_id_b % 10 = 0 "
+        "ORDER BY doc_id_a, doc_id_b"
+    ),
     "dedup_embedding_pairs_lsh": _duck_emb_lsh_sql(),
     "corpus_funnel": _duck_funnel_accounting_sql(),
     "corpus_survivors": _duck_survivors_sql(),
@@ -1220,6 +1304,7 @@ QUERIES = {
     "dedup_minhash_signatures": q_minhash_signatures,
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "dedup_minhash_pairs_xxhash": dedup_minhash_pairs_xxhash,
+    "dedup_incremental_pairs": dedup_incremental_pairs,
     "dedup_neardup_groups": dedup_neardup_groups,
     "dedup_ngram_jaccard_topk": ngram_jaccard_topk,
     "dedup_simhash_fingerprints": q_simhash_fingerprints,

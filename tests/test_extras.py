@@ -503,3 +503,19 @@ def test_resize_chains_into_feature_extraction(spark):
     for f in feats:
         assert f.n_bytes == rows[f.doc_id].out_bytes
         assert len(f.feat) > 0
+
+
+def test_incremental_pairs_equal_full_restricted(spark):
+    """The incremental (delta-vs-all) pipeline must produce EXACTLY the
+    full pipeline's pairs restricted to delta-touching ones — same
+    candidates (shared capped band buckets), same verification values."""
+    full = {
+        (r.doc_id_a, r.doc_id_b, r.jaccard)
+        for r in dedup.dedup_minhash_pairs(spark, SF_SMOKE).collect()
+        if r.doc_id_a % 10 == 0 or r.doc_id_b % 10 == 0
+    }
+    inc = {
+        (r.doc_id_a, r.doc_id_b, r.jaccard)
+        for r in dedup.dedup_incremental_pairs(spark, SF_SMOKE).collect()
+    }
+    assert inc == full and len(inc) > 0
