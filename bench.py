@@ -47,6 +47,7 @@ HEADLINE = [
     "dedup_exact_groups",
     "dedup_minhash_pairs",
     "dedup_minhash_pairs_xxhash",  # production hash family (headline)
+    "dedup_incremental_pairs",  # delta-vs-corpus (per-batch ingest cost)
     "dedup_neardup_groups",  # iterative connected components
     "corpus_funnel",  # end-to-end: quality gate -> exact -> near-dup
     "corpus_funnel_xxhash",  # same funnel on the production hash family
