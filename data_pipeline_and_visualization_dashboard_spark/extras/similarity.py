@@ -379,14 +379,27 @@ def _pq_codebook(spark: SparkSession, sf_dir: str):
 
     cents[b][j] = 16-dim python float list for block b, code j.
 
-    Cached per corpus dir: a serving system loads its codebook once,
-    not per query — and in the bench harness the collect would
-    otherwise re-run on every timed sample."""
-    if sf_dir in _PQ_CODEBOOK_CACHE:
-        return _PQ_CODEBOOK_CACHE[sf_dir]
+    Cached per (corpus dir, file mtime): a serving system loads its
+    codebook once, not per query — and in the bench harness the
+    collect would otherwise re-run on every timed sample. The mtime in
+    the key invalidates the entry when the corpus parquet is
+    regenerated in place (the harness does exactly that between
+    rounds); a stale codebook would silently diverge from the DuckDB
+    oracle, which always re-derives from the current file."""
+    key = (sf_dir, _embeddings_mtime(sf_dir))
+    if key in _PQ_CODEBOOK_CACHE:
+        return _PQ_CODEBOOK_CACHE[key]
     emb = read_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"])
     rows = _pq_unit_vectors(emb.filter(F.col("vec_id") < PQ_CODES)).collect()
     by_id = {r.vec_id: list(r.u) for r in rows}
+    missing = [j for j in range(PQ_CODES) if j not in by_id]
+    if missing:
+        raise ValueError(
+            "PQ codebook sampling expects vec_ids 0.."
+            f"{PQ_CODES - 1} to all be present in {sf_dir}/embeddings; "
+            f"missing: {missing}. Re-sample the codebook (e.g. lowest "
+            f"{PQ_CODES} available vec_ids) for this corpus."
+        )
     cents = [
         [
             by_id[j][b * PQ_BLOCK_DIM:(b + 1) * PQ_BLOCK_DIM]
@@ -394,11 +407,27 @@ def _pq_codebook(spark: SparkSession, sf_dir: str):
         ]
         for b in range(PQ_BLOCKS)
     ]
-    _PQ_CODEBOOK_CACHE[sf_dir] = cents
+    for k in [k for k in _PQ_CODEBOOK_CACHE if k[0] == sf_dir]:
+        del _PQ_CODEBOOK_CACHE[k]  # evict the stale generation
+    _PQ_CODEBOOK_CACHE[key] = cents
     return cents
 
 
-_PQ_CODEBOOK_CACHE: dict[str, list] = {}
+def _embeddings_mtime(sf_dir: str) -> float:
+    import os
+
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        if os.path.isdir(p):  # multi-file table: newest part wins
+            return max(
+                (e.stat().st_mtime_ns for e in os.scandir(p)), default=0
+            )
+        return os.stat(p).st_mtime_ns
+    except OSError:
+        return 0
+
+
+_PQ_CODEBOOK_CACHE: dict[tuple, list] = {}
 
 
 def _pq_cnorm(cent: list) -> float:

@@ -37,6 +37,77 @@ _STREAM_SCHEMA = (
 )
 
 
+# ---------------------------------------------------------------------------
+# Epoch-guarded atomic state commit for foreachBatch merge sinks.
+#
+# foreachBatch is AT-LEAST-ONCE: if the process dies after the state
+# swap but before the streaming checkpoint records the batch, restart
+# replays the same epoch. A last-write-wins merge is naturally
+# idempotent under that replay; an ADDITIVE merge (counts, sums) is
+# not — replaying double-counts. The fix is the standard batch-id
+# fence: persist the last-applied epoch_id WITH the state (a
+# `_LAST_EPOCH` sidecar inside the state dir — underscore-prefixed
+# files are ignored by parquet readers, same convention as _SUCCESS)
+# and make the merge a no-op for epoch_id <= last applied. The sidecar
+# rides the same atomic rename as the data, so state and fence can
+# never disagree.
+#
+# The swap itself never leaves a window with NO state dir (the old
+# rmtree-then-replace recipe did): the current dir is renamed ASIDE
+# (state -> state.old), the new dir renamed in (tmp -> state), then
+# the old removed. A crash between the two renames is recovered on the
+# next batch by restoring state.old; its fence epoch is < the replayed
+# epoch, so the replay re-merges exactly once.
+# ---------------------------------------------------------------------------
+
+_EPOCH_SIDECAR = "_LAST_EPOCH"
+
+
+def _state_recover(state_dir: str) -> None:
+    """Restore a swap interrupted between rename-aside and rename-in."""
+    import os as _os
+    import shutil as _shutil
+
+    old = state_dir.rstrip("/") + ".old"
+    if _os.path.exists(state_dir):
+        # state dir is whole (the .old, if present, is pre-swap debris
+        # from a crash after rename-in but before cleanup)
+        if _os.path.exists(old):
+            _shutil.rmtree(old)
+    elif _os.path.exists(old):
+        _os.replace(old, state_dir)
+
+
+def _state_last_epoch(state_dir: str) -> int:
+    import os as _os
+
+    p = _os.path.join(state_dir, _EPOCH_SIDECAR)
+    if _os.path.exists(p):
+        with open(p) as f:
+            return int(f.read().strip())
+    return -1
+
+
+def _state_commit(merged: DataFrame, state_dir: str, epoch_id: int) -> None:
+    """Write merged state to a tmp dir (with the epoch fence inside),
+    then swap it in without a no-state window."""
+    import os as _os
+    import shutil as _shutil
+
+    tmp = state_dir.rstrip("/") + f".epoch{epoch_id}"
+    old = state_dir.rstrip("/") + ".old"
+    merged.write.mode("overwrite").parquet(tmp)
+    with open(_os.path.join(tmp, _EPOCH_SIDECAR), "w") as f:
+        f.write(str(epoch_id))
+    if _os.path.exists(old):
+        _shutil.rmtree(old)
+    if _os.path.exists(state_dir):
+        _os.replace(state_dir, old)
+    _os.replace(tmp, state_dir)
+    if _os.path.exists(old):
+        _shutil.rmtree(old)
+
+
 def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (one file = one
     micro-batch in tests; kafka in production)."""
@@ -428,12 +499,11 @@ def upsert_state_stream(spark: SparkSession, in_dir: str, state_dir: str,
     (write-new + rename, same recipe as io.compact_files). State size
     = |distinct users|, independent of stream length; the merge cost
     per batch is state-size + batch-size, not history-size.
-    Idempotence: replaying a batch after a crash re-merges the same
-    rows into a max/sum — the count is NOT idempotent under replay,
-    which is why production engines pair this with batch ids in the
-    state (noted, out of scope for the parity harness)."""
+    Idempotence: the latest-row part is last-write-wins (naturally
+    replay-safe) but n_changes is additive, so the state carries the
+    `_LAST_EPOCH` fence (see _state_commit) and a replayed epoch is a
+    no-op — exactly-once on top of foreachBatch's at-least-once."""
     import os as _os
-    import shutil as _shutil
 
     raw = (
         spark.readStream.schema(_STREAM_SCHEMA)
@@ -443,6 +513,9 @@ def upsert_state_stream(spark: SparkSession, in_dir: str, state_dir: str,
     events = raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
     def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        _state_recover(state_dir)
+        if epoch_id <= _state_last_epoch(state_dir):
+            return  # replayed epoch: already merged, skip
         w = Window.partitionBy("user_id").orderBy(
             F.desc("last_ts"), F.desc("last_event_id")
         )
@@ -470,11 +543,7 @@ def upsert_state_stream(spark: SparkSession, in_dir: str, state_dir: str,
             .drop("rn", "n_changes")
             .withColumnRenamed("total_changes", "n_changes")
         )
-        tmp = state_dir.rstrip("/") + f".epoch{epoch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        if _os.path.exists(state_dir):
-            _shutil.rmtree(state_dir)
-        _os.replace(tmp, state_dir)
+        _state_commit(merged, state_dir, epoch_id)
 
     return (
         events.writeStream.outputMode("append")
@@ -545,12 +614,11 @@ def rollup_merge_stream(spark: SparkSession, in_dir: str, state_dir: str,
     derived after merging, so it stays exact.
 
     State size = |days × types| (rollup-sized, independent of stream
-    length); per-batch cost = state + batch, never history. The state
-    parquet is atomically replaced (write-new + rename), same recipe
-    as upsert_state_stream — readers see the old or new rollup, never
-    a partial write."""
+    length); per-batch cost = state + batch, never history. The merge
+    is ADDITIVE, so replay safety cannot come from last-write-wins:
+    the state carries the `_LAST_EPOCH` fence and the swap is the
+    no-gap rename dance — see _state_commit/_state_recover above."""
     import os as _os
-    import shutil as _shutil
 
     raw = (
         spark.readStream.schema(_STREAM_SCHEMA)
@@ -560,6 +628,9 @@ def rollup_merge_stream(spark: SparkSession, in_dir: str, state_dir: str,
     events = raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
     def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        _state_recover(state_dir)
+        if epoch_id <= _state_last_epoch(state_dir):
+            return  # replayed epoch: already merged, skip
         partial = batch_df.groupBy(
             F.to_date("ts").cast("string").alias("event_date"),
             "event_type",
@@ -574,11 +645,7 @@ def rollup_merge_stream(spark: SparkSession, in_dir: str, state_dir: str,
         merged = partial.groupBy("event_date", "event_type").agg(
             F.sum("n_events").alias("n_events"), F.sum("sv").alias("sv")
         )
-        tmp = state_dir.rstrip("/") + f".epoch{epoch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        if _os.path.exists(state_dir):
-            _shutil.rmtree(state_dir)
-        _os.replace(tmp, state_dir)
+        _state_commit(merged, state_dir, epoch_id)
 
     return (
         events.writeStream.outputMode("append")

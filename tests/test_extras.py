@@ -519,3 +519,44 @@ def test_incremental_pairs_equal_full_restricted(spark):
         for r in dedup.dedup_incremental_pairs(spark, SF_SMOKE).collect()
     }
     assert inc == full and len(inc) > 0
+
+def test_pq_codebook_cache_invalidates_on_regenerated_corpus(spark, tmp_path):
+    """The codebook cache keys on the embeddings file mtime: when the
+    corpus parquet is regenerated in place (the harness does this
+    between rounds), the stale codebook must be evicted, and a corpus
+    missing the sampled vec_ids must fail loudly, not KeyError."""
+    import time
+
+    from data_pipeline_and_visualization_dashboard_spark.extras import (
+        similarity as sim,
+    )
+
+    d = str(tmp_path)
+
+    def write_corpus(scale):
+        rows = [
+            (i, [float((i * 7 + j) % 13) * scale for j in range(64)])
+            for i in range(sim.PQ_CODES + 4)
+        ]
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        ).coalesce(1).write.mode("overwrite").parquet(d + "/embeddings.parquet")
+
+    write_corpus(1.0)
+    c1 = sim._pq_codebook(spark, d)
+    assert sim._pq_codebook(spark, d) is c1  # cache hit, same generation
+    time.sleep(0.05)
+    write_corpus(3.0)  # regenerate in place -> new mtime, new values
+    c2 = sim._pq_codebook(spark, d)
+    assert c2 is not c1 and c2 != c1
+    assert len([k for k in sim._PQ_CODEBOOK_CACHE if k[0] == d]) == 1
+
+    # corpus whose first PQ_CODES vec_ids are not all present
+    spark.createDataFrame(
+        [(i + 100, [float(i + j) for j in range(64)]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    ).coalesce(1).write.mode("overwrite").parquet(d + "/embeddings.parquet")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="missing"):
+        sim._pq_codebook(spark, d)

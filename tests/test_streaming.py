@@ -393,3 +393,72 @@ def test_streaming_hll_registers_match_batch(spark):
         for r in hll_registers(spark, SF_SMOKE).collect()
     )
     assert got == want and len(got) > 0
+
+def test_rollup_epoch_replay_is_noop(spark, tmp_path):
+    """The _LAST_EPOCH fence: replaying already-merged epochs must not
+    double-count. Drain the stream, then restart over the SAME input
+    and state with a FRESH checkpoint — every epoch replays from 0,
+    all are <= the fence, and the additive state must be unchanged."""
+    raw = spark.read.parquet(SF_SMOKE + "/events.parquet")  # ts NTZ µs
+    in_dir = str(tmp_path / "replay_in")
+    state = str(tmp_path / "replay_state")
+    _split_by_median_ts(raw, in_dir)
+    q = streaming.rollup_merge_stream(
+        spark, in_dir, state, str(tmp_path / "ckpt1")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    before = {
+        (r.event_date, r.event_type): (r.n_events, r.sv)
+        for r in spark.read.parquet(state).collect()
+    }
+    # fresh checkpoint => the file source re-delivers everything with
+    # epoch ids starting at 0 again: the worst-case replay storm
+    q2 = streaming.rollup_merge_stream(
+        spark, in_dir, state, str(tmp_path / "ckpt2")
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    after = {
+        (r.event_date, r.event_type): (r.n_events, r.sv)
+        for r in spark.read.parquet(state).collect()
+    }
+    assert after == before and len(before) > 0
+
+
+def test_state_commit_swap_has_no_gap_and_recovers(spark, tmp_path):
+    """_state_commit/_state_recover unit contract: the fence epoch is
+    persisted with the data, and each intermediate crash point (old
+    renamed aside / new renamed in / debris left) recovers to a whole
+    state dir with a consistent fence."""
+    import os
+    import shutil
+
+    state = str(tmp_path / "s")
+    df = spark.range(3).selectExpr("id", "id * 2 AS v")
+    streaming._state_commit(df, state, 0)
+    assert streaming._state_last_epoch(state) == 0
+    assert spark.read.parquet(state).count() == 3
+    # commit a second epoch on top (exercises the rename-aside path)
+    streaming._state_commit(df.limit(2), state, 1)
+    assert streaming._state_last_epoch(state) == 1
+    assert spark.read.parquet(state).count() == 2
+
+    # crash between rename-aside and rename-in: only .old exists
+    os.replace(state, state + ".old")
+    streaming._state_recover(state)
+    assert streaming._state_last_epoch(state) == 1
+    assert spark.read.parquet(state).count() == 2
+
+    # crash after rename-in but before .old cleanup: both exist —
+    # recover must keep the NEW state and drop the debris
+    shutil.copytree(state, state + ".old")
+    with open(os.path.join(state, streaming._EPOCH_SIDECAR), "w") as f:
+        f.write("2")
+    streaming._state_recover(state)
+    assert not os.path.exists(state + ".old")
+    assert streaming._state_last_epoch(state) == 2
