@@ -531,10 +531,13 @@ def vocab_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     (df < VOCAB_MIN_DF) are excluded — they become UNK at encode time.
 
     Shape: ONE (doc, token) grouped pass (the TF frame from tfidf),
-    then token-grain stats and a rank over the VOCAB-sized frame. The
-    global row_number window is deliberate: vocabularies are
-    vocab-grain (« corpus; even web-scale vocabs are ~1e6-1e8 rows =
-    one executor's work), and a total order is the contract."""
+    then token-grain stats and a DISTRIBUTED total-order rank over the
+    vocab-sized frame. The rank is the classic two-phase spelling (see
+    _global_row_number): range-partition by the sort key, row_number
+    within each partition, then add per-partition offsets — identical
+    ids to a global window (the order is strict: token is unique), but
+    no single task ever holds the whole vocabulary, so a 1e8-row
+    web-scale vocab sorts across the cluster instead of on one core."""
     from .dedup import _read_docs_parallel
 
     docs = _read_docs_parallel(spark, sf_dir)  # single-file scan spread
@@ -548,16 +551,70 @@ def vocab_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = tf.groupBy("token").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("tf").alias("n_occur")
     )
+    ranked = _global_row_number(
+        stats.filter(F.col("n_docs") >= VOCAB_MIN_DF),
+        [F.desc("n_docs"), F.desc("n_occur"), F.asc("token")],
+        "token_id",
+    )
+    return ranked.select(
+        "token", F.col("token_id").cast("int").alias("token_id"),
+        "n_docs", "n_occur",
+    )  # no terminal sort: O(|V|) output, order-insensitive compare
+
+
+def _global_row_number(df: DataFrame, order_keys: list,
+                       id_col: str) -> DataFrame:
+    """row_number over a STRICT total order without a single-partition
+    window. Phase 1: repartitionByRange on the sort keys (partition i
+    holds keys strictly before partition i+1's) and rank WITHIN each
+    partition. Phase 2: per-partition row counts — one row per
+    partition, so the cumulative-offset window is bounded by the
+    partition count, not the data — broadcast-joined back; the global
+    id is offset + local rank, starting at 1.
+
+    The sampled range boundaries need not be reproducible across runs:
+    any boundary placement yields the same ids, because local rank +
+    offset reconstructs the global rank for every split of a strict
+    order. (Keys MUST be duplicate-free — with ties, rows equal to a
+    boundary key could land on either side nondeterministically.)"""
     from pyspark.sql import Window
 
-    w = Window.orderBy(
-        F.desc("n_docs"), F.desc("n_occur"), F.asc("token")
+    p = df.sparkSession.sparkContext.defaultParallelism
+    with_pid = (
+        df.repartitionByRange(p, *order_keys)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    local = with_pid.withColumn(
+        "_lrank",
+        F.row_number().over(
+            Window.partitionBy("_pid").orderBy(*order_keys)
+        ),
+    )
+    # Offsets via a triangular self-join over the per-partition counts
+    # — a frame with ONE ROW PER SHUFFLE PARTITION, so the join is
+    # O(p²) pairs bounded by the partition count, never the data. This
+    # deliberately avoids a cumulative window: a no-partition window
+    # would (correctly) warn, and a constant partitionBy gets folded
+    # away by the optimizer. At runtime AQE reuses the range exchange
+    # between this branch and the rank branch (ReusedExchange), so the
+    # pipeline below it executes once, not twice.
+    cnts = with_pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    offsets = (
+        cnts.alias("a")
+        .join(
+            F.broadcast(cnts.alias("b")),
+            F.col("b._pid") < F.col("a._pid"),
+            "left",
+        )
+        .groupBy("a._pid")
+        .agg(F.coalesce(F.sum("b._n"), F.lit(0)).alias("_offset"))
+        .select(F.col("a._pid").alias("_pid"), "_offset")
     )
     return (
-        stats.filter(F.col("n_docs") >= VOCAB_MIN_DF)
-        .withColumn("token_id", F.row_number().over(w).cast("int"))
-        .select("token", "token_id", "n_docs", "n_occur")
-    )  # no terminal sort: O(|V|) output, order-insensitive compare
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(id_col, F.col("_offset") + F.col("_lrank"))
+        .drop("_pid", "_lrank", "_offset", "_n")
+    )
 
 
 def vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:

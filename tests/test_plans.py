@@ -507,3 +507,18 @@ def test_aqe_splits_skewed_join_at_runtime(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+def test_vocab_rank_has_no_single_partition_window(spark):
+    """vocab_table's total-order ids must come from the two-phase rank
+    (range partition + local row_number + offset join), never a global
+    window: every Window node in the plan must carry a real partition
+    spec, and the range exchange must be present."""
+    plan = _plan(spark, "text_vocab")
+    assert "Exchange rangepartitioning" in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line:
+            spec = line.split("windowspecdefinition(", 1)[1]
+            # partitioned window specs lead with the partition column
+            # (_pid#N); an empty partition spec would lead with the
+            # order key directly
+            assert spec.lstrip().startswith("_pid#"), line
