@@ -59,10 +59,17 @@ HEADLINE = [
     "sim_lsh_topk",
     "sim_sq_topk",  # int8 quantized scoring (production memory path)
     "sim_pq_adc_topk",  # product quantization + ADC (billion-scale path)
-    # sim_ivf_topk / sim_ivfpq_topk are deliberately NOT benched: each
-    # call re-TRAINS the k-means index (3 Spark iterations), which is
-    # an index-build cost, not a query cost — timing build+query per
-    # sample would misstate both
+    # the *_pretrained variants serve from the cached trained index —
+    # query cost only; the one-time k-means build is timed separately
+    # below and reported as index_build_sec (plain sim_ivf_topk /
+    # sim_ivfpq_topk re-train per call, which would misstate both)
+    "sim_ivf_topk_pretrained",
+    "sim_ivfpq_topk_pretrained",
+    # isolated MinHash base-hash stage: md5 (oracle family) vs native
+    # xxhash64 (production family) priced head-to-head without the LSH
+    # join cost that drowned the delta at funnel grain
+    "dedup_hash_stage_md5",
+    "dedup_hash_stage_xxhash",
     "sketch_countmin",  # deterministic frequency sketch
     "sketch_hll_estimate",  # deterministic cardinality sketch
     "text_tfidf_topk",
@@ -89,6 +96,26 @@ def main() -> None:
         registry[name](spark, sf_dir).write.mode("overwrite").format(
             "noop"
         ).save()
+
+    # index BUILD cost, timed once before anything touches the caches:
+    # the trained IVF centroids and PQ codebook are per-corpus
+    # artifacts (built offline in production), so their cost is a
+    # separate line, not part of any query's best-of-N
+    from data_pipeline_and_visualization_dashboard_spark.extras.similarity import (
+        _pq_codebook,
+    )
+    from data_pipeline_and_visualization_dashboard_spark.queries_ext import (
+        ivf_index,
+    )
+
+    t0 = time.perf_counter()
+    ivf_index(spark, sf_dir)
+    ivf_build = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    _pq_codebook(spark, sf_dir)
+    pq_build = round(time.perf_counter() - t0, 3)
+    print(f"# index build: ivf {ivf_build}s, pq codebook {pq_build}s",
+          flush=True)
 
     # warmup: one full pass primes JVM JIT, per-query codegen (janino
     # compiles the wide agg/stack expressions on first use) and the
@@ -117,6 +144,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "index_build_sec": {"ivf": ivf_build, "pq_codebook": pq_build},
         "sf": sf,
     }), flush=True)
 

@@ -49,9 +49,15 @@ def spark_base_hash(expr: str, impl: str = "md5") -> str:
 
     impl='md5' (default) is the ORACLE-PARITY path — DuckDB reproduces
     it bit-for-bit. impl='xxhash64' is the PRODUCTION path: Spark's
-    native 64-bit xxHash is several times cheaper than md5+conv and
-    statistically equivalent for MinHash/SimHash purposes, but has no
-    DuckDB twin, so only correctness-vs-oracle runs need md5.
+    native 64-bit xxHash is ~5.5x cheaper than md5+conv at the
+    FUNCTION grain (measured: 50M hashes of ~25-byte strings, 1.93s vs
+    0.35s on local[32]) and statistically equivalent for MinHash/
+    SimHash purposes, but has no DuckDB twin, so only
+    correctness-vs-oracle runs need md5. NOTE the stage-grain caveat:
+    in the full shingle pipeline tokenize+explode dominate, so the
+    end-to-end win is ~10% at bench SFs (see dedup_hash_stage_* in
+    bench.py for the isolated stage numbers) — the 5.5x matters when
+    hashing dominates, i.e. short docs / many hash families.
     `abs(... % M31)` because xxhash64 is signed."""
     if impl == "md5":
         return f"({spark_h60(expr)} % {M31})"

@@ -1038,14 +1038,43 @@ def train_centroids(
     return centroids
 
 
-def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivf_index(spark: SparkSession, sf_dir: str,
+              k: int = IVF_K, iters: int = IVF_ITERS):
+    """The IVF BUILD step as a first-class, once-per-corpus artifact:
+    train the spherical k-means centroids and cache them per (corpus
+    dir, embeddings mtime, k, iters) — exactly how a serving system
+    treats an index (built offline, loaded once, queried many times).
+    The mtime key invalidates on in-place corpus regeneration, same
+    contract as similarity._pq_codebook. Cached driver state is k×dim
+    doubles — the trained index IS that small; the corpus-sized work
+    all happened distributed inside train_centroids."""
+    from .extras.similarity import _embeddings_mtime
+
+    key = (sf_dir, _embeddings_mtime(sf_dir), k, iters)
+    if key not in _IVF_INDEX_CACHE:
+        for stale in [s for s in _IVF_INDEX_CACHE if s[0] == sf_dir]:
+            del _IVF_INDEX_CACHE[stale]
+        _IVF_INDEX_CACHE[key] = train_centroids(spark, sf_dir, k, iters)
+    return _IVF_INDEX_CACHE[key]
+
+
+_IVF_INDEX_CACHE: dict[tuple, list] = {}
+
+
+def sim_ivf_topk(spark: SparkSession, sf_dir: str,
+                 centroids: list | None = None) -> DataFrame:
     """Search over the TRAINED index: corpus vectors live in their
     top-1 learned inverted list; queries probe their IVF_NPROBE nearest
     lists (~nprobe/k of the corpus) and brute-force only there. Recall
     < 1 when a true neighbor lives across a centroid boundary — nprobe
     is the standard knob. Rows-only: approximate + iterative by design;
-    the pytest suite measures recall against the exact brute force."""
-    centroids = train_centroids(spark, sf_dir)
+    the pytest suite measures recall against the exact brute force.
+
+    With centroids=None each call re-trains (self-contained, what the
+    driver's correctness pass runs); pass a pre-built index (see
+    sim_ivf_topk_pretrained) to measure/serve QUERY cost alone."""
+    if centroids is None:
+        centroids = train_centroids(spark, sf_dir)
     emb = read_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"])
     e = F.col("embedding").cast("array<double>")
     vecs = emb.select("vec_id", e.alias("v"))
@@ -1096,7 +1125,8 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str,
+                   centroids: list | None = None) -> DataFrame:
     """IVF-PQ: the canonical billion-scale ANN serving architecture in
     one plan — a TRAINED coarse quantizer (spherical k-means, k=16)
     prunes the corpus to the query's IVF_NPROBE inverted lists, then
@@ -1111,7 +1141,10 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact brute force is bounded in tests/test_extras.py, and each
     stage's exactness is separately certified: the PQ encode/ADC
     arithmetic by the sim_pq_* oracle rows, the probe assignment by
-    sim_centroid_assign."""
+    sim_centroid_assign.
+
+    centroids=None re-trains per call; pass ivf_index(...) to serve
+    from the pre-built index (sim_ivfpq_topk_pretrained)."""
     from .extras.similarity import (
         N_QUERIES,
         TOP_K,
@@ -1122,7 +1155,8 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         PQ_BLOCKS,
     )
 
-    centroids = train_centroids(spark, sf_dir)
+    if centroids is None:
+        centroids = train_centroids(spark, sf_dir)
     emb = read_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"])
     bound = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("ev")
@@ -1176,6 +1210,26 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+def sim_ivf_topk_pretrained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF QUERY cost in isolation: serve from the cached trained index
+    (ivf_index) instead of re-training per call. First call per corpus
+    pays the build (and bench.py times that build separately, once);
+    every subsequent call is the pure serving path — the number that
+    matters at 100 TB, where the index is built offline. Result is
+    identical to sim_ivf_topk on the same corpus: the training is
+    deterministic, only WHERE it runs changes."""
+    return sim_ivf_topk(spark, sf_dir, centroids=ivf_index(spark, sf_dir))
+
+
+def sim_ivfpq_topk_pretrained(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """IVF-PQ QUERY cost in isolation: cached coarse centroids (the PQ
+    codebook was already cached per corpus in similarity._pq_codebook),
+    so a call prices probe + code-join + ADC scoring — the steady-state
+    serving cost of the billion-scale stack."""
+    return sim_ivfpq_topk(spark, sf_dir, centroids=ivf_index(spark, sf_dir))
 
 
 def _centroid_sims(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2277,6 +2331,8 @@ QUERIES = {
     "sim_centroid_assign": sim_centroid_assign,
     "sim_ivf_topk": sim_ivf_topk,
     "sim_ivfpq_topk": sim_ivfpq_topk,
+    "sim_ivf_topk_pretrained": sim_ivf_topk_pretrained,
+    "sim_ivfpq_topk_pretrained": sim_ivfpq_topk_pretrained,
     "q20_shipping_priority": q20_shipping_priority,
     "q21_nation_revenue": q21_nation_revenue,
     "q22_heatmap_pivot": q22_heatmap_pivot,

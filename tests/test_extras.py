@@ -12,7 +12,7 @@ from data_pipeline_and_visualization_dashboard_spark.extras import (
     similarity,
 )
 from data_pipeline_and_visualization_dashboard_spark.io import read_table
-from tests.conftest import SF_SMOKE
+from tests.conftest import SF_CORRECT, SF_SMOKE
 
 
 def test_minhash_est_tracks_true_jaccard(spark):
@@ -560,3 +560,38 @@ def test_pq_codebook_cache_invalidates_on_regenerated_corpus(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="missing"):
         sim._pq_codebook(spark, d)
+
+def test_hash_stage_md5_matches_duck_and_xxhash_counts(spark, duck):
+    """Isolated base-hash stage: the md5 family reproduces in DuckDB
+    value-for-value; the xxhash64 family shares every hash-independent
+    column (per-doc shingle count) with the md5 twin."""
+    from data_pipeline_and_visualization_dashboard_spark.extras import dedup
+
+    s = {tuple(r) for r in dedup.dedup_hash_stage_md5(spark, SF_CORRECT).collect()}
+    d = {tuple(r) for r in duck.execute(dedup._DUCK_HASH_STAGE_SQL).fetchall()}
+    assert s == d and len(s) > 0
+    x = {
+        (r.doc_id, r.n_shingles)
+        for r in dedup.dedup_hash_stage_xxhash(spark, SF_CORRECT).collect()
+    }
+    assert x == {(a, n) for (a, n, *_rest) in s}
+
+def test_pretrained_ivf_serving_equals_retrained(spark):
+    """The cached-index serving paths must return exactly what the
+    self-training variants return (training is deterministic — only
+    WHERE it runs changes), and the index cache must hit."""
+    from data_pipeline_and_visualization_dashboard_spark import queries_ext as qx
+
+    assert qx.ivf_index(spark, SF_SMOKE) is qx.ivf_index(spark, SF_SMOKE)
+    a = sorted(tuple(r) for r in qx.sim_ivf_topk(spark, SF_SMOKE).collect())
+    b = sorted(
+        tuple(r)
+        for r in qx.sim_ivf_topk_pretrained(spark, SF_SMOKE).collect()
+    )
+    assert a == b and len(a) > 0
+    c = sorted(tuple(r) for r in qx.sim_ivfpq_topk(spark, SF_SMOKE).collect())
+    d = sorted(
+        tuple(r)
+        for r in qx.sim_ivfpq_topk_pretrained(spark, SF_SMOKE).collect()
+    )
+    assert c == d and len(c) > 0
