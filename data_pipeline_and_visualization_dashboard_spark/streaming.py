@@ -734,3 +734,53 @@ def stream_to_parquet(spark: SparkSession, sf_dir: str, out_dir: str,
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def composed_pipeline_start(spark: SparkSession, in_dir: str,
+                            root: str) -> list:
+    """The end-to-end streaming story in ONE deployment: three
+    production sinks consuming the SAME event source, checkpointed
+    under one root so the whole set stops and restarts as a unit —
+    the shape of a real ingest service (monitor + latest-state table
+    + continuously-maintained rollup side by side):
+
+      monitor — HLL cardinality registers (idempotent max-merge, no
+                replay hazard by construction), memory sink
+      cdc     — upsert_state_stream: compacted latest-row-per-user
+                state under <root>/cdc_state
+      rollup  — rollup_merge_stream: additive daily (date, type)
+                rollup under <root>/rollup_state
+
+    Every query gets its own checkpoint SUBDIR (Structured Streaming
+    requires one per query) but they share the root: killing the set
+    mid-stream and restarting replays each query from its own offsets,
+    and the _LAST_EPOCH fences make the two merge sinks exactly-once
+    through the crash window. Batch parity for all three after a
+    mid-stream restart is tests/test_streaming.py::
+    test_composed_pipeline_survives_midstream_restart."""
+    import os as _os
+
+    raw = (
+        spark.readStream.schema(_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    monitor = (
+        hll_register_stream(raw)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("composed_hll")
+        .option(
+            "checkpointLocation", _os.path.join(root, "ckpt", "monitor")
+        )
+        .start()
+    )
+    cdc = upsert_state_stream(
+        spark, in_dir, _os.path.join(root, "cdc_state"),
+        _os.path.join(root, "ckpt", "cdc"),
+    )
+    rollup = rollup_merge_stream(
+        spark, in_dir, _os.path.join(root, "rollup_state"),
+        _os.path.join(root, "ckpt", "rollup"),
+    )
+    return [monitor, cdc, rollup]

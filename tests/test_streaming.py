@@ -462,3 +462,80 @@ def test_state_commit_swap_has_no_gap_and_recovers(spark, tmp_path):
     streaming._state_recover(state)
     assert not os.path.exists(state + ".old")
     assert streaming._state_last_epoch(state) == 2
+
+def test_composed_pipeline_survives_midstream_restart(spark, tmp_path):
+    """The composed deployment (HLL monitor + CDC upsert + IVM rollup
+    over ONE event source, checkpoints under one root) stopped after
+    the first file and restarted with the rest of the input must land
+    every sink exactly on its batch twin: upsert == q41, rollup == q53,
+    HLL registers == the batch sketch. This is the end-to-end streaming
+    story — per-operator parity and per-operator restart are covered
+    elsewhere; this drives all three through one shared lifecycle."""
+    from data_pipeline_and_visualization_dashboard_spark.extras.sketches import (
+        hll_registers,
+    )
+    from data_pipeline_and_visualization_dashboard_spark.queries_ext import (
+        q41_latest_event_state,
+        q53_incremental_rollup,
+    )
+
+    raw = spark.read.parquet(SF_SMOKE + "/events.parquet")  # ts NTZ µs
+    in_dir = str(tmp_path / "composed_in")
+    root = str(tmp_path / "composed")
+    raw.filter("event_id % 2 = 0").coalesce(1).write.parquet(
+        in_dir, mode="append"
+    )
+    qs = streaming.composed_pipeline_start(spark, in_dir, root)
+    try:
+        for q in qs:
+            q.processAllAvailable()
+    finally:
+        for q in qs:
+            q.stop()
+    raw.filter("event_id % 2 = 1").coalesce(1).write.parquet(
+        in_dir, mode="append"
+    )
+    qs = streaming.composed_pipeline_start(spark, in_dir, root)
+    try:
+        for q in qs:
+            q.processAllAvailable()
+    finally:
+        for q in qs:
+            q.stop()
+
+    got_cdc = sorted(
+        tuple(r)
+        for r in spark.read.parquet(root + "/cdc_state")
+        .select("user_id", "last_event_id", "last_ts",
+                "last_type", "last_value", "n_changes").collect()
+    )
+    want_cdc = sorted(
+        tuple(r)
+        for r in q41_latest_event_state(spark, SF_SMOKE)
+        .select("user_id", "last_event_id", "last_ts",
+                "last_type", "last_value", "n_changes").collect()
+    )
+    assert got_cdc == want_cdc and len(got_cdc) > 0
+
+    got_roll = {
+        (r.event_date, r.event_type): (r.n_events, round(r.sv, 6))
+        for r in spark.read.parquet(root + "/rollup_state").collect()
+    }
+    want_roll = {
+        (r.event_date, r.event_type): (r.n_events, round(r.sum_value, 6))
+        for r in q53_incremental_rollup(spark, SF_SMOKE).collect()
+    }
+    assert set(got_roll) == set(want_roll) and len(got_roll) > 0
+    for k, (n, s) in want_roll.items():
+        assert got_roll[k][0] == n, k
+        assert abs(got_roll[k][1] - s) < 1e-6, k
+
+    got_hll = sorted(
+        (r.bucket, r.max_rank)
+        for r in spark.sql("SELECT * FROM composed_hll").collect()
+    )
+    want_hll = sorted(
+        (r.bucket, r.max_rank)
+        for r in hll_registers(spark, SF_SMOKE).collect()
+    )
+    assert got_hll == want_hll and len(got_hll) > 0
