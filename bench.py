@@ -82,6 +82,14 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+    # optional subset (comma-separated names), e.g. the sf1 appendix
+    # run (scripts/gen_sf1.py) times only the scale-argument queries
+    subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    headline = (
+        [q.strip() for q in subset.split(",") if q.strip()]
+        if subset
+        else HEADLINE
+    )
     # NOTE: measured on this box, an oversized driver heap (48g) makes
     # identical queries 3-20x SLOWER (huge-heap GC/page-fault costs);
     # the 8g default is right for these working sets — raise only with
@@ -120,7 +128,7 @@ def main() -> None:
     # warmup: one full pass primes JVM JIT, per-query codegen (janino
     # compiles the wide agg/stack expressions on first use) and the
     # parquet footer cache — timings below are steady-state throughput
-    for name in HEADLINE:
+    for name in headline:
         run_noop(name)
 
     # best-of-N per query: a loaded box inflates single-sample timings
@@ -128,7 +136,7 @@ def main() -> None:
     # over 3 runs reports the engine's cost, not the neighbors'
     samples = int(os.environ.get("SPARK_GRAFT_BENCH_SAMPLES", "3"))
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         best = float("inf")
         for _ in range(samples):
             spark.catalog.clearCache()  # each run pays its own caching
