@@ -83,6 +83,10 @@ _CHECK_FIRST = [
     "sim_ivfpq_topk_pretrained",
     "dedup_hash_stage_xxhash",
     "dedup_hash_stage_md5",
+    "dedup_semantic",
+    "dedup_semantic_trained",
+    "text_scrub_pii",
+    "text_mix_sample",
 ]
 
 

@@ -74,6 +74,9 @@ HEADLINE = [
     "sketch_hll_estimate",  # deterministic cardinality sketch
     "text_tfidf_topk",
     "text_vocab_encode",  # vocab build + id encode (embedding prep)
+    "text_scrub_pii",  # regex redaction + per-rule accounting (codegen)
+    "text_mix_sample",  # domain-weighted token-budget sampling
+    "dedup_semantic",  # cluster -> within-cluster cosine dedup
     "media_features",
 ]
 

@@ -1302,6 +1302,166 @@ def corpus_funnel_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_funnel(spark, sf_dir, hash_impl="xxhash64")
 
 
+# ----------------------------------------------------------------------
+# Semantic dedup (SemDeDup-shaped): cluster embeddings, then drop
+# within-cluster near-duplicates by cosine — pairwise work is bounded
+# per cluster, never corpus².
+# ----------------------------------------------------------------------
+
+SEM_CENTROID_IDS = [0, 100, 200, 300]  # fixed sampled centroids
+SEM_THRESHOLD = 0.4  # cosine above which two cluster-mates are dups
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cluster_id, kept): SemDeDup-shaped semantic dedup —
+    assign every embedding to its nearest of k sampled centroids
+    (cosine argmax, 6dp round, centroid-id tie-break: the exact
+    sim_centroid_assign recipe, which is oracle-certified), then
+    within each cluster drop any vector that has a LOWER-id
+    cluster-mate with cosine >= SEM_THRESHOLD. Keep-lowest-id is the
+    deterministic survivor rule (same convention as exact dedup's
+    min(doc_id) keeper).
+
+    Scale: this is the whole point of the cluster step — candidate
+    pairs are generated per cluster (equi-join on cluster_id), so the
+    pairwise stage is Σ|cluster|², never corpus²; production grows k
+    with the corpus to keep clusters bounded (k ~ n/target_size, the
+    SemDeDup recipe), exactly like MAX_BUCKET bounds LSH buckets.
+    Sampled fixed centroids keep the op deterministic → fully
+    oracle-backed; swap in queries_ext.ivf_index for trained clusters
+    (then rows-only, like sim_ivf_topk)."""
+    emb = read_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"])
+    e = F.col("embedding").cast("array<double>")
+    vecs = emb.repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    ).select("vec_id", e.alias("v"))
+    cents = emb.filter(F.col("vec_id").isin(SEM_CENTROID_IDS)).select(
+        F.col("vec_id").alias("cluster_id"), e.alias("cv")
+    )
+    return _semantic_from_clusters(vecs, cents)
+
+
+def dedup_semantic_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_semantic on the TRAINED k-means clusters (queries_ext.
+    ivf_index, cached per corpus) instead of the fixed sampled
+    centroids — the production SemDeDup composition: better-balanced
+    clusters => tighter per-cluster pair bounds at the same k.
+    Rows-only (trained => no DuckDB twin); the survivor rule and the
+    pairwise arithmetic are certified by the oracle-backed
+    dedup_semantic, and the keep-lowest-id invariant is re-asserted on
+    this variant in tests."""
+    from ..queries_ext import ivf_index
+
+    emb = read_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"])
+    e = F.col("embedding").cast("array<double>")
+    vecs = emb.repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    ).select("vec_id", e.alias("v"))
+    cents_rows = ivf_index(spark, sf_dir)
+    cents = spark.createDataFrame(
+        [(cid, vec) for cid, vec in cents_rows],
+        "cluster_id int, cv array<double>",
+    )
+    return _semantic_from_clusters(vecs, cents)
+
+
+def _semantic_from_clusters(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """Shared assign -> within-cluster drop stage (see dedup_semantic
+    for the semantics and the scale argument)."""
+    from pyspark.sql import Window
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    sims = vecs.join(F.broadcast(cents)).select(
+        "vec_id",
+        "v",
+        "cluster_id",
+        F.round(
+            dot(F.col("v"), F.col("cv"))
+            / (
+                F.sqrt(dot(F.col("v"), F.col("v")))
+                * F.sqrt(dot(F.col("cv"), F.col("cv")))
+            ),
+            6,
+        ).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("sim"), F.asc("cluster_id")
+    )
+    assigned = (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cluster_id", "v")
+    )
+    a = assigned.select(
+        "cluster_id", F.col("vec_id").alias("vid_a"), F.col("v").alias("va")
+    )
+    b = assigned.select(
+        "cluster_id", F.col("vec_id").alias("vid_b"), F.col("v").alias("vb")
+    )
+    dropped = (
+        a.join(b, "cluster_id")
+        .filter(F.col("vid_b") < F.col("vid_a"))
+        .filter(
+            F.round(
+                dot(F.col("va"), F.col("vb"))
+                / (
+                    F.sqrt(dot(F.col("va"), F.col("va")))
+                    * F.sqrt(dot(F.col("vb"), F.col("vb")))
+                ),
+                6,
+            )
+            >= SEM_THRESHOLD
+        )
+        .select(F.col("vid_a").alias("vec_id"))
+        .distinct()
+        .withColumn("dropped", F.lit(True))
+    )
+    return assigned.join(dropped, "vec_id", "left").select(
+        "vec_id",
+        "cluster_id",
+        F.coalesce(~F.col("dropped"), F.lit(True)).alias("kept"),
+    )  # no terminal sort: O(n) output, order-insensitive compare
+
+
+_DUCK_SEMANTIC_SQL = f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), c AS (
+        SELECT vec_id AS cluster_id, v AS cv FROM e
+        WHERE vec_id IN ({", ".join(map(str, SEM_CENTROID_IDS))})
+    ), sims AS (
+        SELECT e.vec_id, c.cluster_id, e.v,
+               round(list_dot_product(e.v, c.cv)
+                     / (sqrt(list_dot_product(e.v, e.v))
+                        * sqrt(list_dot_product(c.cv, c.cv))), 6) AS sim
+        FROM e, c
+    ), assigned AS (
+        SELECT vec_id, cluster_id, v FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY sim DESC, cluster_id) AS rn
+            FROM sims) t
+        WHERE rn = 1
+    ), dropped AS (
+        SELECT DISTINCT a.vec_id
+        FROM assigned a JOIN assigned b
+          ON a.cluster_id = b.cluster_id AND b.vec_id < a.vec_id
+        WHERE round(list_dot_product(a.v, b.v)
+                    / (sqrt(list_dot_product(a.v, a.v))
+                       * sqrt(list_dot_product(b.v, b.v))), 6)
+              >= {SEM_THRESHOLD}
+    )
+    SELECT s.vec_id, s.cluster_id,
+           (d.vec_id IS NULL) AS kept
+    FROM assigned s LEFT JOIN dropped d ON s.vec_id = d.vec_id
+"""
+
+
 def _hash_stage(spark: SparkSession, sf_dir: str,
                 hash_impl: str) -> DataFrame:
     """The MinHash BASE-HASH stage in ISOLATION: tokenize -> shingle ->
@@ -1376,6 +1536,9 @@ QUERIES = {
     "dedup_contamination": contamination,
     "dedup_hash_stage_md5": dedup_hash_stage_md5,
     "dedup_hash_stage_xxhash": dedup_hash_stage_xxhash,
+    "dedup_semantic": dedup_semantic,
+    "dedup_semantic_trained": dedup_semantic_trained,
 }
 
 ORACLE_SQL["dedup_hash_stage_md5"] = _DUCK_HASH_STAGE_SQL
+ORACLE_SQL["dedup_semantic"] = _DUCK_SEMANTIC_SQL

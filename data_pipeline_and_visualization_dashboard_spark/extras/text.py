@@ -699,6 +699,165 @@ _DUCK_VOCAB_ENCODE_SQL = _DUCK_VOCAB_CTE + f"""
     FROM enc GROUP BY doc_id ORDER BY doc_id
 """
 
+# ----------------------------------------------------------------------
+# PII scrubbing with per-rule accounting — the redaction step of a
+# curation pipeline. Patterns avoid lookaround/backrefs so Java regex
+# (Spark) and RE2 (DuckDB) agree byte-for-byte.
+# ----------------------------------------------------------------------
+
+PII_RULES: list[tuple[str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("phone", r"\+?\d[\d() -]{6,}\d"),
+    ("digit_id", r"\d{6,}"),
+]
+PII_TOKEN = "[PII]"
+
+
+def scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, clean_text, n_email, n_phone, n_digit_id): redact the
+    three rule families and count hits per rule. Counts are taken on
+    the ORIGINAL text independently per rule (a phone number also
+    containing 6+ consecutive digits counts under both — the honest
+    per-rule accounting); redaction applies the rules in declared
+    order, so earlier rules consume their matches first.
+
+    Scale: pure regexp codegen expressions, row-local, zero shuffle —
+    the whole op rides the document scan. The driver corpus contains
+    no PII (all-zero counts; the oracle row pins the mechanics);
+    semantics on planted PII are pytest-verified on a synthetic corpus
+    through this same function."""
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    clean = F.col("text")
+    for _, pat in PII_RULES:
+        clean = F.regexp_replace(clean, pat, PII_TOKEN)
+    return docs.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        *[
+            F.regexp_count("text", F.lit(pat)).cast("int").alias(f"n_{name}")
+            for name, pat in PII_RULES
+        ],
+    )  # no terminal sort: O(n) output, order-insensitive compare
+
+
+def _duck_scrub_sql() -> str:
+    clean = "text"
+    for _, pat in PII_RULES:
+        clean = f"regexp_replace({clean}, '{pat}', '{PII_TOKEN}', 'g')"
+    counts = ",\n               ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS INT) AS n_{name}"
+        for name, pat in PII_RULES
+    )
+    return f"""
+        SELECT doc_id,
+               {clean} AS clean_text,
+               {counts}
+        FROM documents
+    """
+
+
+# ----------------------------------------------------------------------
+# Domain mixing — sample each source down to a token budget allocated
+# by per-source weights (the data-mixture step before training).
+# ----------------------------------------------------------------------
+
+MIX_NUM, MIX_DEN = 2, 5  # total budget = 2/5 of corpus tokens
+# deterministic per-source weight derived from the source name (src0,
+# src1, ...): weights 1..3 — both engines recompute it, no state
+_SPARK_MIX_W = "(CAST(substring(source, 4, 10) AS INT) % 3) + 1"
+_DUCK_MIX_W = "(CAST(substr(source, 4) AS INT) % 3) + 1"
+
+
+def mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-weighted sampling: per-source token budget
+    budget_s = (MIX_NUM * T * w_s) div (MIX_DEN * SW) (T = corpus
+    tokens, SW = sum of weights over sources present — integer math,
+    so both engines mint identical budgets), filled in md5-hash order
+    (h60 of doc_id, doc_id tie-break) so the SELECTION is reproducible
+    and unbiased wrt document content. A doc is kept while its
+    source's running token total stays within budget — first-fit by
+    hash rank, the standard reservoir-free spelling.
+
+    Scale: one doc-grain pass + a window per source + a broadcast of
+    the source-count-sized budget frame. Sources are the partition
+    key — a pathologically heavy domain makes a big window partition;
+    the production mitigation is the same two-phase rank as
+    _global_row_number applied within that source (documented knob,
+    not needed at these SFs)."""
+    from pyspark.sql import Window
+
+    docs = read_table(
+        spark, sf_dir, "documents", ["doc_id", "source", "text"]
+    )
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.expr(f"size({_SPARK_TOKENS_TXT})").alias("n_tokens"),
+        F.expr(spark_base_hash("CAST(doc_id AS STRING)")).alias("h"),
+    )
+    per_src = base.groupBy("source").agg(
+        F.sum("n_tokens").alias("src_tokens")
+    ).withColumn("w", F.expr(_SPARK_MIX_W).cast("long"))
+    totals = per_src.agg(
+        F.sum("src_tokens").alias("t"), F.sum("w").alias("sw")
+    )
+    budgets = per_src.crossJoin(F.broadcast(totals)).select(
+        "source",
+        F.expr(
+            f"(CAST({MIX_NUM} AS BIGINT) * t * w) div "
+            f"(CAST({MIX_DEN} AS BIGINT) * sw)"
+        ).alias("budget"),
+    )
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        base.withColumn("cum_tokens", F.sum("n_tokens").over(w_cum))
+        .join(F.broadcast(budgets), "source")
+        .filter(F.col("cum_tokens") <= F.col("budget"))
+        .select("doc_id", "source", "n_tokens")
+    )  # no terminal sort: O(n) output, order-insensitive compare
+
+
+# tokens over the RAW text column (mix_sample counts tokens the same
+# way the vocab/tfidf family does)
+_SPARK_TOKENS_TXT = "split(lower(trim(text)), '\\\\s+')"
+
+
+def _duck_mix_sample_sql() -> str:
+    return f"""
+        WITH base AS (
+            SELECT doc_id, source,
+                   len({_DUCK_TOKENS}) AS n_tokens,
+                   {duck_base_hash('CAST(doc_id AS VARCHAR)')} AS h
+            FROM documents
+        ), per_src AS (
+            SELECT source, sum(n_tokens) AS src_tokens,
+                   CAST({_DUCK_MIX_W} AS BIGINT) AS w
+            FROM base GROUP BY source
+        ), totals AS (
+            SELECT sum(src_tokens) AS t, sum(w) AS sw FROM per_src
+        ), budgets AS (
+            SELECT source,
+                   (CAST({MIX_NUM} AS BIGINT) * t * w)
+                       // (CAST({MIX_DEN} AS BIGINT) * sw) AS budget
+            FROM per_src, totals
+        ), cum AS (
+            SELECT doc_id, source, n_tokens,
+                   sum(n_tokens) OVER (PARTITION BY source
+                       ORDER BY h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_tokens
+            FROM base
+        )
+        SELECT c.doc_id, c.source, CAST(c.n_tokens AS INT) AS n_tokens
+        FROM cum c JOIN budgets b USING (source)
+        WHERE c.cum_tokens <= b.budget
+    """
+
+
 ORACLE_SQL: dict[str, str] = {
     "text_vocab": _DUCK_VOCAB_SQL,
     "text_vocab_encode": _DUCK_VOCAB_ENCODE_SQL,
@@ -830,4 +989,9 @@ QUERIES = {
     "text_split_assign": split_assign,
     "text_vocab": vocab_table,
     "text_vocab_encode": vocab_encode,
+    "text_scrub_pii": scrub_pii,
+    "text_mix_sample": mix_sample,
 }
+
+ORACLE_SQL["text_scrub_pii"] = _duck_scrub_sql()
+ORACLE_SQL["text_mix_sample"] = _duck_mix_sample_sql()

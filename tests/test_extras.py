@@ -595,3 +595,116 @@ def test_pretrained_ivf_serving_equals_retrained(spark):
         for r in qx.sim_ivfpq_topk_pretrained(spark, SF_SMOKE).collect()
     )
     assert c == d and len(c) > 0
+
+def test_scrub_pii_on_planted_corpus(spark, tmp_path):
+    """PII scrub semantics on PLANTED data (the driver corpus has no
+    PII, so its oracle row only pins mechanics): emails, phones and
+    long digit ids are redacted and counted per rule; clean docs pass
+    through untouched."""
+    from data_pipeline_and_visualization_dashboard_spark.extras.text import (
+        PII_TOKEN,
+        scrub_pii,
+    )
+
+    rows = [
+        (1, "contact me at alice.smith+x@example.co.uk for details"),
+        (2, "call +1 (555) 123-4567 or 555 987 6543 now"),
+        (3, "order id 123456789 shipped; ref 00012345"),
+        (4, "nothing sensitive here at all"),
+        (5, "bob@test.io says id 9876543 works"),
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(d + "/documents.parquet")
+    out = {r.doc_id: r for r in scrub_pii(spark, d).collect()}
+    assert out[1].n_email == 1 and PII_TOKEN in out[1].clean_text
+    assert "alice" not in out[1].clean_text
+    assert out[2].n_phone == 2 and "4567" not in out[2].clean_text
+    # 123456789 hits digit_id; 00012345 too
+    assert out[3].n_digit_id == 2 and "123456789" not in out[3].clean_text
+    assert out[4].clean_text == rows[3][1]
+    assert out[4].n_email == out[4].n_phone == out[4].n_digit_id == 0
+    assert out[5].n_email == 1 and out[5].n_digit_id == 1
+    assert "bob@test.io" not in out[5].clean_text
+
+
+def test_mix_sample_respects_budgets_and_determinism(spark, duck):
+    """Domain mixing invariants: per-source kept tokens never exceed
+    the integer budget, every source with a positive budget gets docs,
+    and the selection is deterministic (two runs identical)."""
+    from data_pipeline_and_visualization_dashboard_spark.extras.text import (
+        MIX_DEN,
+        MIX_NUM,
+        mix_sample,
+    )
+
+    out = mix_sample(spark, SF_CORRECT)
+    rows = out.collect()
+    again = mix_sample(spark, SF_CORRECT).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    kept_by_src = {}
+    for r in rows:
+        kept_by_src[r.source] = kept_by_src.get(r.source, 0) + r.n_tokens
+    budgets = dict(
+        duck.execute(
+            f"""
+        WITH base AS (
+          SELECT source,
+                 sum(len(string_split_regex(lower(trim(text)), '\\s+')))
+                     AS st,
+                 (CAST(substr(source, 4) AS INT) % 3) + 1 AS w
+          FROM documents GROUP BY source, 3
+        ), t AS (SELECT sum(st) AS t, sum(w) AS sw FROM base)
+        SELECT source,
+               (CAST({MIX_NUM} AS BIGINT) * t.t * w)
+                   // (CAST({MIX_DEN} AS BIGINT) * t.sw)
+        FROM base, t
+        """
+        ).fetchall()
+    )
+    assert set(kept_by_src) <= set(budgets)
+    for src, kept in kept_by_src.items():
+        assert kept <= budgets[src], src
+    assert all(b == 0 or s in kept_by_src for s, b in budgets.items())
+    # weighted: total kept is close to (but never over) the global cap
+    total_kept = sum(kept_by_src.values())
+    total_budget = sum(budgets.values())
+    assert 0 < total_kept <= total_budget
+
+
+def test_semantic_dedup_survivor_rule(spark):
+    """SemDeDup survivor invariants at smoke SF: the lowest vec_id of
+    every cluster is always kept; a dropped vector has a kept-or-
+    dropped lower-id cluster-mate above threshold (the rule is
+    'any lower-id neighbor', not 'kept neighbor' — one-pass, not
+    iterative); centroid self-similarity never drops a centroid's own
+    lowest id."""
+    from data_pipeline_and_visualization_dashboard_spark.extras.dedup import (
+        dedup_semantic,
+    )
+
+    rows = dedup_semantic(spark, SF_SMOKE).collect()
+    assert len(rows) > 0
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, members in by_cluster.items():
+        lowest = min(members, key=lambda r: r.vec_id)
+        assert lowest.kept, f"cluster {cid} lowest id must survive"
+
+def test_semantic_dedup_trained_variant_invariants(spark):
+    """The trained-cluster SemDeDup composition keeps the survivor
+    invariant (lowest vec_id per cluster survives) and covers the
+    whole corpus exactly once."""
+    from data_pipeline_and_visualization_dashboard_spark.extras.dedup import (
+        dedup_semantic_trained,
+    )
+
+    rows = dedup_semantic_trained(spark, SF_SMOKE).collect()
+    assert len(rows) == len({r.vec_id for r in rows}) > 0
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, members in by_cluster.items():
+        assert min(members, key=lambda r: r.vec_id).kept, cid

@@ -66,6 +66,26 @@ CASES = {
         ["CartesianProduct", "SortMergeJoin"],
         1,
     ),
+    "text_scrub_pii": (
+        # regex redaction is pure row-local codegen: NO exchange at all
+        [],
+        ["Exchange", "CartesianProduct", "BroadcastNestedLoopJoin"],
+        0,
+    ),
+    "text_mix_sample": (
+        # budget frame broadcasts back onto the doc grain; the only
+        # BNLJ is the 1-row totals cross (constant), never data-sized
+        ["BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin"],
+        4,
+    ),
+    "dedup_semantic": (
+        # centroid cross is a 4-row broadcast; within-cluster pairing
+        # is an equi-join on cluster_id — no corpus-sized cartesian
+        [],
+        ["CartesianProduct"],
+        6,
+    ),
     "q34_top_users_labeled": (
         # top-k must compile BEFORE the left join; dim broadcasts
         ["TakeOrderedAndProject", "BroadcastHashJoin", "LeftOuter, BuildRight"],
