@@ -87,6 +87,7 @@ _CHECK_FIRST = [
     "dedup_semantic_trained",
     "text_scrub_pii",
     "text_mix_sample",
+    "text_line_dedup",
 ]
 
 

@@ -77,6 +77,7 @@ HEADLINE = [
     "text_scrub_pii",  # regex redaction + per-rule accounting (codegen)
     "text_mix_sample",  # domain-weighted token-budget sampling
     "dedup_semantic",  # cluster -> within-cluster cosine dedup
+    "text_line_dedup",  # C4-style corpus-wide repeated-span removal
     "media_features",
 ]
 

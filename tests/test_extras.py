@@ -708,3 +708,33 @@ def test_semantic_dedup_trained_variant_invariants(spark):
         by_cluster.setdefault(r.cluster_id, []).append(r)
     for cid, members in by_cluster.items():
         assert min(members, key=lambda r: r.vec_id).kept, cid
+
+def test_line_dedup_on_planted_corpus(spark, tmp_path):
+    """Line-dedup semantics on planted data: a doc repeating another
+    doc's line loses exactly that window's tokens; the first occurrence
+    (lowest doc_id, line_idx) keeps everything; unique docs untouched."""
+    from data_pipeline_and_visualization_dashboard_spark.extras.text import (
+        LINE_TOKENS,
+        line_dedup,
+    )
+
+    boiler = " ".join(f"w{i}" for i in range(LINE_TOKENS))
+    uniq_a = " ".join(f"a{i}" for i in range(LINE_TOKENS))
+    uniq_b = " ".join(f"b{i}" for i in range(LINE_TOKENS))
+    rows = [
+        (1, f"{boiler} {uniq_a}"),       # first occurrence: keeps all
+        (2, f"{boiler} {uniq_b}"),       # dup of line 0 of doc 1
+        (3, f"{boiler} {boiler}"),       # two dups (both windows)
+        (4, "totally unique text here"),  # short doc, one partial line
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(d + "/documents.parquet")
+    out = {r.doc_id: r for r in line_dedup(spark, d).collect()}
+    assert out[1].n_dup_lines == 0 and out[1].tokens_removed == 0
+    assert out[2].n_dup_lines == 1
+    assert out[2].tokens_removed == LINE_TOKENS
+    assert out[3].n_dup_lines == 2
+    assert out[3].tokens_removed == 2 * LINE_TOKENS
+    assert out[4].n_dup_lines == 0 and out[4].n_lines == 1
