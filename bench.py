@@ -78,6 +78,7 @@ HEADLINE = [
     "text_mix_sample",  # domain-weighted token-budget sampling
     "dedup_semantic",  # cluster -> within-cluster cosine dedup
     "text_line_dedup",  # C4-style corpus-wide repeated-span removal
+    "dedup_semantic_trained",  # SemDeDup on the cached trained clusters
     "media_features",
 ]
 

@@ -1350,10 +1350,15 @@ def dedup_semantic_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf_index, cached per corpus) instead of the fixed sampled
     centroids — the production SemDeDup composition: better-balanced
     clusters => tighter per-cluster pair bounds at the same k.
-    Rows-only (trained => no DuckDB twin); the survivor rule and the
-    pairwise arithmetic are certified by the oracle-backed
-    dedup_semantic, and the keep-lowest-id invariant is re-asserted on
-    this variant in tests."""
+
+    The pair stage here is the Arrow/BLAS path (_semantic_drop_blas):
+    one applyInPandas per cluster doing a row-chunked U @ U.T instead
+    of n²/k interpreted-HOF dots — measured 52.8s -> 1.36s (39x) at
+    sf1/k=64 for the identical drop set. The interpreted-HOF spelling stays in
+    the oracle-backed dedup_semantic (DuckDB can reproduce folds, not
+    BLAS); the two paths are asserted EQUAL on the same clusters in
+    tests. Rows-only (trained => no DuckDB twin); keep-lowest-id
+    invariant re-asserted on this variant in tests."""
     from ..queries_ext import ivf_index
 
     emb = read_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -1366,10 +1371,51 @@ def dedup_semantic_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(cid, vec) for cid, vec in cents_rows],
         "cluster_id int, cv array<double>",
     )
-    return _semantic_from_clusters(vecs, cents)
+    return _semantic_from_clusters(vecs, cents, pair_impl="blas")
 
 
-def _semantic_from_clusters(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+def _semantic_drop_blas(assigned: DataFrame) -> DataFrame:
+    """Within-cluster drop via Arrow-batched BLAS: ONE applyInPandas
+    group per cluster computes the pairwise cosine block as a
+    row-chunked U @ U.T (numpy), flagging rows with any lower-id mate
+    >= SEM_THRESHOLD. Per-group memory = |cluster| x dim vectors plus
+    a 256 x |cluster| sim block — bounded by the cluster size, which
+    k-scaling bounds by design (the SemDeDup contract). This replaces
+    ~n²/k interpreted-HOF fold evaluations with vectorized matmuls:
+    the same justification as cosine_topk_pandas (built-ins CAN spell
+    it, 39x slower — measured 52.8s -> 1.36s at sf1/k=64)."""
+    import pandas as pd
+
+    def drop(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        order = pdf["vec_id"].to_numpy().argsort()
+        ids = pdf["vec_id"].to_numpy()[order]
+        U = np.vstack(pdf["u"].to_numpy()[order])
+        n = len(ids)
+        kept = np.ones(n, dtype=bool)
+        for start in range(1, n, 256):
+            end = min(start + 256, n)
+            sims = np.round(U[start:end] @ U[:end].T, 6)
+            for local in range(end - start):
+                i = start + local
+                if (sims[local, :i] >= SEM_THRESHOLD).any():
+                    kept[i] = False
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster_id": pdf["cluster_id"].iloc[0],
+                "kept": kept,
+            }
+        )
+
+    return assigned.groupBy("cluster_id").applyInPandas(
+        drop, schema="vec_id long, cluster_id int, kept boolean"
+    )
+
+
+def _semantic_from_clusters(vecs: DataFrame, cents: DataFrame,
+                            pair_impl: str = "hof") -> DataFrame:
     """Shared assign -> within-cluster drop stage (see dedup_semantic
     for the semantics and the scale argument).
 
@@ -1414,6 +1460,8 @@ def _semantic_from_clusters(vecs: DataFrame, cents: DataFrame) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", "cluster_id", "u")
     )
+    if pair_impl == "blas":
+        return _semantic_drop_blas(assigned)
     a = assigned.select(
         "cluster_id", F.col("vec_id").alias("vid_a"), F.col("u").alias("ua")
     )

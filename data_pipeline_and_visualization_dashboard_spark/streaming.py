@@ -784,3 +784,49 @@ def composed_pipeline_start(spark: SparkSession, in_dir: str,
         _os.path.join(root, "ckpt", "rollup"),
     )
     return [monitor, cdc, rollup]
+
+
+def scrub_stream(docs: DataFrame) -> DataFrame:
+    """Streaming PII scrub: the redaction step applied at INGEST time —
+    a pure map-only (stateless) streaming transform, so it needs no
+    watermark, no state store, and composes in front of any sink. The
+    expressions are exactly extras.text.scrub_pii's (same rules, same
+    order), so stream output ≡ batch output row-for-row on the same
+    input — asserted in tests/test_streaming.py."""
+    from .extras.text import PII_RULES, PII_TOKEN
+
+    clean = F.col("text")
+    for _, pat in PII_RULES:
+        clean = F.regexp_replace(clean, pat, PII_TOKEN)
+    return docs.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        *[
+            F.regexp_count("text", F.lit(pat)).cast("int").alias(f"n_{name}")
+            for name, pat in PII_RULES
+        ],
+    )
+
+
+def run_scrub_to_completion(spark: SparkSession, sf_dir: str,
+                            query_name: str = "scrub_out") -> DataFrame:
+    docs = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long"
+        )
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    q = (
+        scrub_stream(docs)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")

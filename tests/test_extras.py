@@ -738,3 +738,31 @@ def test_line_dedup_on_planted_corpus(spark, tmp_path):
     assert out[3].n_dup_lines == 2
     assert out[3].tokens_removed == 2 * LINE_TOKENS
     assert out[4].n_dup_lines == 0 and out[4].n_lines == 1
+
+def test_semantic_blas_pair_stage_equals_hof(spark):
+    """The Arrow/BLAS within-cluster drop must produce EXACTLY the HOF
+    drop set on the same clusters — same unit vectors, same 6dp round,
+    same lower-id rule (this is what licenses the fast path in
+    dedup_semantic_trained)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_and_visualization_dashboard_spark.extras import dedup
+    from data_pipeline_and_visualization_dashboard_spark.io import read_table
+
+    emb = read_table(spark, SF_SMOKE, "embeddings", ["vec_id", "embedding"])
+    e = F.col("embedding").cast("array<double>")
+    vecs = emb.repartition(4, "vec_id").select("vec_id", e.alias("v"))
+    cents = emb.filter(F.col("vec_id").isin(dedup.SEM_CENTROID_IDS)).select(
+        F.col("vec_id").cast("int").alias("cluster_id"), e.alias("cv")
+    )
+    hof = {
+        tuple(r)
+        for r in dedup._semantic_from_clusters(vecs, cents).collect()
+    }
+    blas = {
+        tuple(r)
+        for r in dedup._semantic_from_clusters(
+            vecs, cents, pair_impl="blas"
+        ).collect()
+    }
+    assert hof == blas and len(hof) > 0

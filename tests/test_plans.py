@@ -80,11 +80,18 @@ CASES = {
         4,
     ),
     "dedup_semantic": (
-        # centroid cross is a 4-row broadcast; within-cluster pairing
+        # centroid cross is a 16-row broadcast; within-cluster pairing
         # is an equi-join on cluster_id — no corpus-sized cartesian
         [],
         ["CartesianProduct"],
         6,
+    ),
+    "text_line_dedup": (
+        # line window explode is row-local; ONE data-sized exchange on
+        # line_text for the keeper rank + the doc-grain re-agg
+        ["Window", "HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        3,
     ),
     "q34_top_users_labeled": (
         # top-k must compile BEFORE the left join; dim broadcasts

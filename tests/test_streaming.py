@@ -539,3 +539,20 @@ def test_composed_pipeline_survives_midstream_restart(spark, tmp_path):
         for r in hll_registers(spark, SF_SMOKE).collect()
     )
     assert got_hll == want_hll and len(got_hll) > 0
+
+def test_streaming_scrub_matches_batch(spark):
+    """Stateless map-only streaming transform: the ingest-time PII
+    scrub must equal the batch scrub row-for-row — no state, no
+    watermark, no reordering hazard."""
+    from data_pipeline_and_visualization_dashboard_spark.extras.text import (
+        scrub_pii,
+    )
+
+    got = sorted(
+        tuple(r)
+        for r in streaming.run_scrub_to_completion(spark, SF_SMOKE).collect()
+    )
+    want = sorted(
+        tuple(r) for r in scrub_pii(spark, SF_SMOKE).collect()
+    )
+    assert got == want and len(got) > 0
