@@ -1061,8 +1061,67 @@ def ivf_index(spark: SparkSession, sf_dir: str,
 _IVF_INDEX_CACHE: dict[tuple, list] = {}
 
 
+def ann_disk_index(spark: SparkSession, sf_dir: str):
+    """The ON-DISK half of the ANN index: the per-vector IVF inverted-
+    list assignment and the PQ codes, persisted as parquet under
+    spark-warehouse/ann_index/<corpus>_<mtime>/ (gitignored scratch,
+    rebuilt on corpus regeneration via the mtime key). A serving
+    system NEVER re-derives these at query time — they ARE the index:
+    corpus vectors are read once at build, queries then touch only the
+    assignment (for probe pruning), the 16x-smaller codes (for ADC),
+    and the handful of query vectors. Returns (assign_df, codes_df).
+
+    Stale generations for the same corpus dir are removed on build."""
+    import os
+    import shutil
+
+    from .extras.similarity import (
+        _embeddings_mtime,
+        pq_codes,
+    )
+
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "spark-warehouse",
+        "ann_index",
+    )
+    base = os.path.basename(os.path.normpath(sf_dir))
+    d = os.path.join(root, f"{base}_{_embeddings_mtime(sf_dir)}")
+    assign_path = os.path.join(d, "ivf_assign.parquet")
+    codes_path = os.path.join(d, "pq_codes.parquet")
+    if not (os.path.exists(assign_path) and os.path.exists(codes_path)):
+        if os.path.isdir(root):
+            for stale in os.listdir(root):
+                if stale.startswith(base + "_"):
+                    shutil.rmtree(os.path.join(root, stale))
+        centroids = ivf_index(spark, sf_dir)
+        emb = read_table(
+            spark, sf_dir, "embeddings", ["vec_id", "embedding"]
+        )
+        bound = emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("ev")
+        )
+        assign = bound.select(
+            F.col("vec_id").alias("c_id"),
+            (
+                -F.array_max(
+                    _centroid_sim_structs(centroids)
+                ).getField("ncid")
+            ).alias("centroid_id"),
+        )
+        assign.write.mode("overwrite").parquet(assign_path)
+        pq_codes(spark, sf_dir).withColumnRenamed(
+            "vec_id", "c_id"
+        ).write.mode("overwrite").parquet(codes_path)
+    return (
+        spark.read.parquet(assign_path),
+        spark.read.parquet(codes_path),
+    )
+
+
 def sim_ivf_topk(spark: SparkSession, sf_dir: str,
-                 centroids: list | None = None) -> DataFrame:
+                 centroids: list | None = None,
+                 corpus_assign: DataFrame | None = None) -> DataFrame:
     """Search over the TRAINED index: corpus vectors live in their
     top-1 learned inverted list; queries probe their IVF_NPROBE nearest
     lists (~nprobe/k of the corpus) and brute-force only there. Recall
@@ -1081,9 +1140,15 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str,
     bound = emb.select("vec_id", e.alias("ev"))
     sim_structs = _centroid_sim_structs(centroids)
 
-    corpus = bound.select(
-        F.col("vec_id").alias("c_id"),
-        (-F.array_max(sim_structs).getField("ncid")).alias("centroid_id"),
+    corpus = (
+        corpus_assign
+        if corpus_assign is not None
+        else bound.select(
+            F.col("vec_id").alias("c_id"),
+            (-F.array_max(sim_structs).getField("ncid")).alias(
+                "centroid_id"
+            ),
+        )
     )
     # query side probes its top-IVF_NPROBE centroids: sort the struct
     # array desc, slice, explode — row-local, no window needed
@@ -1126,7 +1191,9 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str,
 
 
 def sim_ivfpq_topk(spark: SparkSession, sf_dir: str,
-                   centroids: list | None = None) -> DataFrame:
+                   centroids: list | None = None,
+                   corpus_assign: DataFrame | None = None,
+                   corpus_codes: DataFrame | None = None) -> DataFrame:
     """IVF-PQ: the canonical billion-scale ANN serving architecture in
     one plan — a TRAINED coarse quantizer (spherical k-means, k=16)
     prunes the corpus to the query's IVF_NPROBE inverted lists, then
@@ -1162,9 +1229,13 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str,
         "vec_id", F.col("embedding").cast("array<double>").alias("ev")
     )
     sim_structs = _centroid_sim_structs(centroids)
-    corpus = bound.select(
-        F.col("vec_id").alias("c_id"),
-        (-F.array_max(sim_structs).getField("ncid")).alias("centroid_id"),
+    corpus = (
+        corpus_assign
+        if corpus_assign is not None
+        else bound.select(
+            F.col("vec_id").alias("c_id"),
+            (-F.array_max(sim_structs).getField("ncid")).alias("centroid_id"),
+        )
     )
     probe = F.slice(F.sort_array(sim_structs, asc=False), 1, IVF_NPROBE)
     q_probe = (
@@ -1180,8 +1251,18 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str,
     )
 
     cents = _pq_codebook(spark, sf_dir)
-    dls = _pq_with_dls(_pq_unit_vectors(emb), cents)
-    codes = dls.select(F.col("vec_id").alias("c_id"), *_pq_code_cols())
+    # query-side LUT frame is N_QUERIES rows: pre-filter BEFORE the
+    # unit/dls expressions so the scan prunes to the query vectors when
+    # the corpus codes come from the disk index
+    dls_src = emb if corpus_codes is None else emb.filter(
+        F.col("vec_id") < N_QUERIES
+    )
+    dls = _pq_with_dls(_pq_unit_vectors(dls_src), cents)
+    codes = (
+        corpus_codes
+        if corpus_codes is not None
+        else dls.select(F.col("vec_id").alias("c_id"), *_pq_code_cols())
+    )
     luts = dls.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
         *[F.col(f"dl_{b}").alias(f"lut_{b}") for b in range(PQ_BLOCKS)],
@@ -1213,23 +1294,40 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str,
 
 
 def sim_ivf_topk_pretrained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF QUERY cost in isolation: serve from the cached trained index
-    (ivf_index) instead of re-training per call. First call per corpus
-    pays the build (and bench.py times that build separately, once);
-    every subsequent call is the pure serving path — the number that
-    matters at 100 TB, where the index is built offline. Result is
-    identical to sim_ivf_topk on the same corpus: the training is
-    deterministic, only WHERE it runs changes."""
-    return sim_ivf_topk(spark, sf_dir, centroids=ivf_index(spark, sf_dir))
+    """IVF QUERY cost in isolation: centroids from the cached trained
+    index (ivf_index) AND the corpus inverted-list assignment from the
+    persisted disk index (ann_disk_index) — query time touches only
+    the 5 query vectors, the assignment parquet, and the candidate
+    vectors. First call per corpus pays the build (bench.py times it
+    separately, once); every subsequent call is the pure serving path
+    — the number that matters at 100 TB, where the index is built
+    offline. Result is identical to sim_ivf_topk on the same corpus:
+    training is deterministic, only WHERE it runs changes (tested)."""
+    assign, _ = ann_disk_index(spark, sf_dir)
+    return sim_ivf_topk(
+        spark, sf_dir,
+        centroids=ivf_index(spark, sf_dir),
+        corpus_assign=assign,
+    )
 
 
 def sim_ivfpq_topk_pretrained(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
     """IVF-PQ QUERY cost in isolation: cached coarse centroids (the PQ
     codebook was already cached per corpus in similarity._pq_codebook),
-    so a call prices probe + code-join + ADC scoring — the steady-state
-    serving cost of the billion-scale stack."""
-    return sim_ivfpq_topk(spark, sf_dir, centroids=ivf_index(spark, sf_dir))
+    so a call prices probe + code-join + ADC scoring over the PERSISTED
+    codes parquet (ann_disk_index) — corpus embeddings are never read
+    at query time (only the 5 query vectors; filter pushed to scan).
+    The steady-state serving cost of the billion-scale stack; the
+    residual per-call cost at bench SFs is Catalyst planning of the
+    wide codebook-literal tree (README bench notes), not data work."""
+    assign, codes = ann_disk_index(spark, sf_dir)
+    return sim_ivfpq_topk(
+        spark, sf_dir,
+        centroids=ivf_index(spark, sf_dir),
+        corpus_assign=assign,
+        corpus_codes=codes,
+    )
 
 
 def _centroid_sims(spark: SparkSession, sf_dir: str) -> DataFrame:
