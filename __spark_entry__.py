@@ -88,6 +88,7 @@ _CHECK_FIRST = [
     "text_scrub_pii",
     "text_mix_sample",
     "text_line_dedup",
+    "dedup_neardup_groups_lsss",
 ]
 
 

@@ -49,6 +49,7 @@ HEADLINE = [
     "dedup_minhash_pairs_xxhash",  # production hash family (headline)
     "dedup_incremental_pairs",  # delta-vs-corpus (per-batch ingest cost)
     "dedup_neardup_groups",  # iterative connected components
+    "dedup_neardup_groups_lsss",  # web-scale large-star/small-star CC
     "corpus_funnel",  # end-to-end: quality gate -> exact -> near-dup
     "corpus_funnel_xxhash",  # same funnel on the production hash family
     "dedup_simhash_pairs",

@@ -404,6 +404,43 @@ def dedup_incremental_pairs(spark: SparkSession, sf_dir: str,
 NEARDUP_JACCARD = 0.5
 
 
+def _verified_pairs(spark: SparkSession, sf_dir: str,
+                    hash_impl: str = "md5") -> tuple[DataFrame, int]:
+    """Verified near-dup edge list (doc_id_a, doc_id_b): LSH candidates
+    whose exact shingle Jaccard clears NEARDUP_JACCARD. Shared front end
+    of both connected-components variants; returns the cached frame plus
+    its materialized count (the count doubles as the materialization
+    barrier — see dedup_minhash_pairs for why fan-out needs it)."""
+    # lean verification path: grouping only needs candidates + exact
+    # shingle Jaccard — the est_jaccard signature-agreement joins of the
+    # full dedup_minhash_pairs output (2 of its 4 enrichment joins and
+    # its terminal sort) are dead weight here, so skip them
+    sigs = minhash_signatures(spark, sf_dir, hash_impl).cache()
+    sigs.count()  # materialize before fan-out (see dedup_minhash_pairs)
+    cand = _lsh_candidate_pairs(sigs)
+    sh = shingle_sets(spark, sf_dir).select(
+        "doc_id", F.array_distinct("shingles").alias("sh")
+    )
+    sh_a = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    pairs = (
+        cand.join(sh_a, "doc_id_a")
+        .join(sh_b, "doc_id_b")
+        .filter(
+            inter.cast("double") / union.cast("double") >= NEARDUP_JACCARD
+        )
+        .select("doc_id_a", "doc_id_b")
+        .cache()
+    )
+    n_pairs = pairs.count()  # materialize BEFORE any bidirectional union
+    # — its branches otherwise each recompute the whole LSH pipeline
+    # (2× signatures+joins; profiled 3.0s -> 1.5s at sf0.1)
+    sigs.unpersist()
+    return pairs, n_pairs
+
+
 def dedup_neardup_groups(spark: SparkSession, sf_dir: str,
                          hash_impl: str = "md5") -> DataFrame:
     """Near-dup GROUPS: connected components over the verified LSH pair
@@ -428,33 +465,7 @@ def dedup_neardup_groups(spark: SparkSession, sf_dir: str,
 
     Output: (doc_id, group_id) for every doc in the pair graph
     (singletons carry no dedup decision and are omitted)."""
-    # lean verification path: grouping only needs candidates + exact
-    # shingle Jaccard — the est_jaccard signature-agreement joins of the
-    # full dedup_minhash_pairs output (2 of its 4 enrichment joins and
-    # its terminal sort) are dead weight here, so skip them
-    sigs = minhash_signatures(spark, sf_dir, hash_impl).cache()
-    sigs.count()  # materialize before fan-out (see dedup_minhash_pairs)
-    cand = _lsh_candidate_pairs(sigs)
-    sh = shingle_sets(spark, sf_dir).select(
-        "doc_id", F.array_distinct("shingles").alias("sh")
-    )
-    sh_a = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a"))
-    sh_b = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    pairs = (
-        cand.join(sh_a, "doc_id_a")
-        .join(sh_b, "doc_id_b")
-        .filter(
-            inter.cast("double") / union.cast("double") >= NEARDUP_JACCARD
-        )
-        .select("doc_id_a", "doc_id_b")
-        .cache()
-    )
-    n_pairs = pairs.count()  # materialize BEFORE the bidirectional union
-    # below — its two branches otherwise each recompute the whole LSH
-    # pipeline (2× signatures+joins; profiled 3.0s -> 1.5s at sf0.1)
-    sigs.unpersist()
+    pairs, n_pairs = _verified_pairs(spark, sf_dir, hash_impl)
 
     # Loop hygiene — three fixes that took the sf0.1 loop 3.0s -> 0.8s
     # without changing semantics, each one scale-motivated:
@@ -530,6 +541,125 @@ def dedup_neardup_groups(spark: SparkSession, sf_dir: str,
     return labels.select(
         "doc_id", F.col("label").alias("group_id")
     )  # no terminal sort: O(n) output, order-insensitive compare
+
+
+def dedup_neardup_groups_lsss(spark: SparkSession, sf_dir: str,
+                              hash_impl: str = "md5") -> DataFrame:
+    """Web-scale connected components: alternating LARGE-STAR /
+    SMALL-STAR (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) over the same verified LSH pair graph as
+    dedup_neardup_groups — the variant that min-label propagation's
+    docstring names as its 100 TB swap, implemented for real.
+
+    Why it wins at scale: label propagation needs O(component diameter)
+    rounds and re-shuffles the FULL |E| edge set plus |V| labels every
+    round. Large-star/small-star instead REWRITES the edge set each
+    round — large-star hangs every node's larger neighbors off its
+    neighborhood minimum, small-star folds the smaller neighbors onto
+    it — so long chains collapse geometrically: O(log² n) rounds
+    regardless of diameter, and the edge set it shuffles SHRINKS toward
+    one star edge per non-root node as components flatten. On web-crawl
+    dup graphs (rare million-doc mirror chains) diameter-bound loops
+    straggle; this one doesn't.
+
+    Round structure, all DataFrame ops (two shuffles per star phase —
+    a groupBy-min over the adjacency and the join attaching that min):
+      large-star(u): m = min(Γ(u) ∪ {u});  emit (v, m) ∀ v ∈ Γ(u), v > u
+      small-star(u): m = min(Γ⁻(u) ∪ {u}); emit (v, m) ∀ v ∈ Γ⁻(u) ∪ {u} − {m}
+    Both preserve connectivity (each emitted edge connects two nodes of
+    the same component through m) and both are monotone toward the
+    star fixpoint, where every edge is (node, component-min).
+    Edges stay canonical (u > v) throughout: large-star emits (v, m)
+    with v > u ≥ m; small-star emits minima m < v, u. The fixpoint test
+    rides the round's own checkpoint job via observe (count + edge
+    hash-sum stable ⇒ edge set stable), same fusion trick as the
+    min-label loop. Same lineage-truncation (localCheckpoint) and
+    AQE-off hygiene as dedup_neardup_groups — see its docstring.
+
+    Output contract is IDENTICAL to dedup_neardup_groups ((doc_id,
+    group_id), group_id = component min), so it shares that query's
+    DuckDB recursive-CTE oracle, and tests pin the two variants equal
+    row-for-row."""
+    pairs, n_pairs = _verified_pairs(spark, sf_dir, hash_impl)
+    if n_pairs == 0:
+        return pairs.selectExpr("doc_id_a AS doc_id",
+                                "doc_id_b AS group_id")
+    nparts = max(1, min(32, n_pairs // 100_000 + 1))
+    aqe_prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    from pyspark.sql import Observation
+
+    try:
+        edges = (
+            pairs.select(
+                F.greatest("doc_id_a", "doc_id_b").alias("u"),
+                F.least("doc_id_a", "doc_id_b").alias("v"),
+            )
+            .distinct()
+            .repartition(nparts, "u")
+            .localCheckpoint()
+        )
+        pairs.unpersist()
+        prev = None
+        while True:
+            # LARGE-STAR over the symmetric adjacency: per node u the
+            # neighborhood min m = min(min_v, u); larger neighbors
+            # re-attach to m. Canonical edges carry both directions
+            # after the union, so Γ(u) is complete.
+            sym = edges.unionByName(
+                edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            )
+            mins = (
+                sym.groupBy("u")
+                .agg(F.min("v").alias("mn"))
+                .select("u", F.least("mn", F.col("u")).alias("m"))
+            )
+            large = (
+                sym.join(mins, "u")
+                .where(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .where(F.col("u") != F.col("v"))
+                .distinct()
+            )
+            # SMALL-STAR: canonical (u > v) edges grouped by the large
+            # endpoint ARE Γ⁻(u); fold them (and u) onto its min.
+            mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+            folded = (
+                large.join(mins2, "u")
+                .where(F.col("v") != F.col("m"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            )
+            obs = Observation()
+            new_edges = (
+                folded.unionByName(mins2.select("u", F.col("m").alias("v")))
+                .where(F.col("u") != F.col("v"))
+                .distinct()
+                .repartition(nparts, "u")
+                .observe(
+                    obs,
+                    F.count(F.lit(1)).alias("n"),
+                    # decimal sum: a long sum of 64-bit hashes overflows
+                    # under ANSI; decimal(38,0) is exact to ~1e19 rows
+                    F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+                )
+                .localCheckpoint()
+            )
+            cur = (obs.get["n"], obs.get["h"])
+            edges = new_edges
+            if cur == prev:
+                break
+            prev = cur
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
+    # star fixpoint: every edge is (member, component-min); roots get
+    # their identity row back (they never appear as a large endpoint)
+    return edges.select(
+        F.col("u").alias("doc_id"), F.col("v").alias("group_id")
+    ).unionByName(
+        edges.select(
+            F.col("v").alias("doc_id"), F.col("v").alias("group_id")
+        ).distinct()
+    )
 
 
 def ngram_jaccard_topk(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
@@ -1199,6 +1329,8 @@ def _duck_neardup_groups_sql() -> str:
 
 ORACLE_SQL: dict[str, str] = {
     "dedup_neardup_groups": _duck_neardup_groups_sql(),
+    # same output contract (component min per node) -> same oracle
+    "dedup_neardup_groups_lsss": _duck_neardup_groups_sql(),
     "dedup_simhash_fingerprints": _duck_simhash_cte()
     + "SELECT doc_id, fp FROM fps ORDER BY doc_id",
     "dedup_simhash_pairs": _duck_simhash_cte()
@@ -1579,6 +1711,7 @@ QUERIES = {
     "dedup_minhash_pairs_xxhash": dedup_minhash_pairs_xxhash,
     "dedup_incremental_pairs": dedup_incremental_pairs,
     "dedup_neardup_groups": dedup_neardup_groups,
+    "dedup_neardup_groups_lsss": dedup_neardup_groups_lsss,
     "dedup_ngram_jaccard_topk": ngram_jaccard_topk,
     "dedup_simhash_fingerprints": q_simhash_fingerprints,
     "dedup_simhash_pairs": simhash_pairs,

@@ -766,3 +766,22 @@ def test_semantic_blas_pair_stage_equals_hof(spark):
         ).collect()
     }
     assert hof == blas and len(hof) > 0
+
+
+def test_lsss_components_equal_min_label_propagation(spark):
+    """The web-scale large-star/small-star CC must land on EXACTLY the
+    same (doc_id, group_id) set as the min-label loop — same verified
+    pair graph, same component-min contract (the shared DuckDB oracle
+    checks values; this pins the two Spark variants against each other
+    including on the smoke corpus the oracle never sees)."""
+    for sf in (SF_SMOKE, SF_CORRECT):
+        a = {
+            tuple(r)
+            for r in dedup.dedup_neardup_groups(spark, sf).collect()
+        }
+        b = [
+            tuple(r)
+            for r in dedup.dedup_neardup_groups_lsss(spark, sf).collect()
+        ]
+        assert len(b) == len(set(b))  # star fixpoint: one row per node
+        assert set(b) == a and len(a) > 0
