@@ -89,6 +89,9 @@ _CHECK_FIRST = [
     "text_mix_sample",
     "text_line_dedup",
     "dedup_neardup_groups_lsss",
+    "text_dup_ngrams",
+    "text_quality_score",
+    "text_dsir_weights",
 ]
 
 

@@ -79,6 +79,9 @@ HEADLINE = [
     "text_mix_sample",  # domain-weighted token-budget sampling
     "dedup_semantic",  # cluster -> within-cluster cosine dedup
     "text_line_dedup",  # C4-style corpus-wide repeated-span removal
+    "text_dup_ngrams",  # per-doc repeated-span (5-gram) accounting
+    "text_quality_score",  # hashing-trick linear classifier (codegen)
+    "text_dsir_weights",  # DSIR importance weights (profile broadcast)
     "dedup_semantic_trained",  # SemDeDup on the cached trained clusters
     "media_features",
 ]

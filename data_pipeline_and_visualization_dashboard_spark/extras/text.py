@@ -955,7 +955,297 @@ def _duck_mix_sample_sql() -> str:
     """
 
 
+# Hashing-trick classifier width. 2^12 buckets keeps the md5-derived
+# bucket ids cheap while giving unigram features a realistic collision
+# rate; production classifiers use 2^20+ and the plan is unchanged.
+QS_DIM = 4096
+
+
+def _qs_weight_exprs(dialect: str) -> str:
+    """Per-token classifier weight in [-1, 1], derived ONLY from
+    engine-neutral md5 arithmetic: bucket = h(token) % QS_DIM, then
+    weight = (h('qw' || bucket) % 2001 - 1000) / 1000.0 — a frozen
+    pseudo-random weight vector both engines materialize bit-identically
+    (this stands in for trained fastText weights; swapping in a real
+    model is a broadcast lookup join on `bucket`, same plan)."""
+    if dialect == "spark":
+        bucket = f"({spark_base_hash('t')} % {QS_DIM})"
+        seeded = f"concat('qw', CAST({bucket} AS STRING))"
+        return f"((({spark_base_hash(seeded)}) % 2001) - 1000) / 1000.0"
+    bucket = f"({duck_base_hash('t')} % {QS_DIM})"
+    seeded = f"concat('qw', CAST({bucket} AS VARCHAR))"
+    return f"((({duck_base_hash(seeded)}) % 2001) - 1000) / 1000.0"
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality classifier with the hashing trick (the fastText
+    recipe — Joulin et al. 2017; feature hashing per Weinberger et al.
+    2009): hash each token to one of QS_DIM buckets, score the doc as
+    the mean of the buckets' weights, keep if positive. This is how
+    production pipelines run learned quality filters at corpus scale —
+    and the whole scorer is ONE row-local projection: hash, transform,
+    aggregate are all built-in higher-order functions, zero shuffle,
+    zero Python, runs at scan speed inside whole-stage codegen.
+
+    The score stays LINEAR (no sigmoid): the keep decision is invariant
+    to the monotone link, and avoiding transcendentals keeps the
+    differential oracle exact — sum order matches too (left fold in
+    array order in both engines)."""
+    w = _qs_weight_exprs("spark")
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    return docs.selectExpr(
+        "doc_id",
+        "split(lower(trim(text)), '\\\\s+') AS tokens",
+    ).selectExpr(
+        "doc_id",
+        "size(tokens) AS token_cnt",
+        f"aggregate(transform(tokens, t -> {w}),"
+        " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) AS score_sum",
+    ).selectExpr(
+        "doc_id",
+        "token_cnt",
+        "score_sum",
+        "score_sum / token_cnt AS score_mean",
+        "(score_sum / token_cnt) > 0 AS kept",
+    )  # no terminal sort: O(n) output, order-insensitive compare
+
+
+def _duck_quality_score_sql() -> str:
+    w = _qs_weight_exprs("duck")
+    return rf"""
+        WITH toked AS (
+            SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\s+') AS tokens
+            FROM documents
+        ), scored AS (
+            SELECT doc_id,
+                   CAST(len(tokens) AS INT) AS token_cnt,
+                   list_reduce(list_transform(tokens, t -> {w}),
+                               (acc, x) -> acc + x) AS score_sum
+            FROM toked
+        )
+        SELECT doc_id, token_cnt, score_sum,
+               score_sum / token_cnt AS score_mean,
+               (score_sum / token_cnt) > 0 AS kept
+        FROM scored ORDER BY doc_id
+    """
+
+
+# DSIR feature space: hashed unigram+bigram buckets. 2^10 buckets is
+# the sandbox-sized stand-in for DSIR's 10^4; the plan (D-row profile
+# table broadcast onto the token stream) is dimension-independent.
+DSIR_DIM = 1024
+
+
+def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-resampling weights à la DSIR (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): model
+    target and raw corpora as bags of hashed n-gram features, score
+    every doc by the log-likelihood ratio sum(log p_target(f) /
+    p_raw(f)) over its features — docs that look like the target
+    domain (here: the 'en' slice) get high weight and win the
+    subsequent resample. Laplace +1 smoothing keeps every bucket ratio
+    finite and the whole computation deterministic.
+
+    Scale shape: the feature stream is row-local (tokenize → hash
+    uni+bigrams into DSIR_DIM buckets, explode); the learned profile is
+    ONE DSIR_DIM-row table (groupBy bucket with map-side partial aggs)
+    that broadcasts back onto the stream — per-doc scoring is a
+    broadcast join plus one doc-grain aggregation, so the 100 TB cost
+    is two passes over tokens and one tiny broadcast. Production DSIR
+    fits the target profile offline once; here both profiles come from
+    the same corpus read so the oracle can reproduce them exactly."""
+    d = DSIR_DIM
+    uni = f"transform(tokens, t -> {spark_base_hash('t')} % {d})"
+    bi = (
+        "CASE WHEN size(tokens) >= 2 THEN "
+        "transform(sequence(1, size(tokens) - 1), "
+        "i -> "
+        + spark_base_hash(
+            "concat(element_at(tokens, i), ' ', element_at(tokens, i + 1))"
+        )
+        + f" % {d}) ELSE array() END"
+    )
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "text", "lang"])
+    feats = (
+        docs.filter(F.col("text").isNotNull())
+        .selectExpr(
+            "doc_id", "lang", "split(lower(trim(text)), '\\\\s+') AS tokens"
+        )
+        .selectExpr("doc_id", "lang", f"concat({uni}, {bi}) AS bs")
+        .select("doc_id", "lang", F.explode_outer("bs").alias("b"))
+    )
+    counts = feats.groupBy("b").agg(
+        F.count(F.lit(1)).alias("c_raw"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("c_tgt"),
+    )
+    totals = counts.agg(
+        F.sum("c_raw").alias("nr"), F.sum("c_tgt").alias("nt")
+    )
+    ratio = (
+        counts.crossJoin(F.broadcast(totals))
+        .selectExpr(
+            "b",
+            # CASTs, not 1.0 literals: a bare 1.0 parses as DECIMAL in
+            # Spark SQL, dragging the ratio through scale-capped decimal
+            # division (≈1e-9 error) before ln — doubles all the way
+            # keeps the oracle exact
+            f"ln((CAST(c_tgt + 1 AS DOUBLE) / CAST(nt + {d} AS DOUBLE))"
+            f" / (CAST(c_raw + 1 AS DOUBLE) / CAST(nr + {d} AS DOUBLE)))"
+            " AS lr",
+        )
+    )
+    return (
+        feats.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("lr").alias("log_weight"),
+        )
+        .withColumn(
+            "weight_per_feat", F.col("log_weight") / F.col("n_feats")
+        )
+    )  # no terminal sort: O(n) output, order-insensitive compare
+
+
+def _duck_dsir_sql() -> str:
+    d = DSIR_DIM
+    uni = f"list_transform(tokens, t -> {duck_base_hash('t')} % {d})"
+    bi = (
+        "CASE WHEN len(tokens) >= 2 THEN "
+        "list_transform(generate_series(1, len(tokens) - 1), "
+        "i -> "
+        + duck_base_hash("concat(tokens[i], ' ', tokens[i + 1])")
+        + f" % {d}) ELSE [] END"
+    )
+    return rf"""
+        WITH toked AS (
+            SELECT doc_id, lang,
+                   string_split_regex(lower(trim(text)), '\s+') AS tokens
+            FROM documents WHERE text IS NOT NULL
+        ), feats AS (
+            SELECT doc_id, lang, unnest(list_concat({uni}, {bi})) AS b
+            FROM toked
+        ), counts AS (
+            SELECT b, count(*) AS c_raw,
+                   sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_tgt
+            FROM feats GROUP BY b
+        ), tot AS (
+            SELECT sum(c_raw) AS nr, sum(c_tgt) AS nt FROM counts
+        ), ratio AS (
+            SELECT b, ln((CAST(c_tgt + 1 AS DOUBLE) / CAST(nt + {d} AS DOUBLE))
+                         / (CAST(c_raw + 1 AS DOUBLE) / CAST(nr + {d} AS DOUBLE))) AS lr
+            FROM counts, tot
+        )
+        SELECT f.doc_id, count(*) AS n_feats, sum(r.lr) AS log_weight,
+               sum(r.lr) / count(*) AS weight_per_feat
+        FROM feats f JOIN ratio r ON f.b = r.b
+        GROUP BY f.doc_id ORDER BY f.doc_id
+    """
+
+
+# Substring-level duplication: span width in words. 5-word grams are
+# wide enough that cross-doc repeats mean real text reuse (not stopword
+# coincidence) yet narrow enough to catch partial-overlap docs that
+# whole-doc MinHash misses (the motivation in Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better", which
+# dedups repeated spans rather than whole documents).
+DUP_NGRAM_N = 5
+
+
+def dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-span accounting: for each doc, how many of its distinct
+    word 5-grams occur in at least one OTHER document — the per-doc
+    signal behind substring-level dedup (a doc with dup_frac ~1 is a
+    copy even if no single whole-doc hash matches; a doc with 0.3 has a
+    boilerplate block worth cutting).
+
+    Plan shape (two shuffles, no joins): explode distinct grams
+    (row-local), hash each gram to its 16-byte md5 BEFORE the shuffle
+    (keys move, full 5-gram strings don't), count docs per gram with a
+    gram-partitioned window, then fold back to doc grain. Hot grams
+    (site-wide boilerplate) concentrate one gram's rows on one task —
+    bounded by the corpus's max gram frequency; the 100 TB guard is the
+    same MAX_BUCKET-style cap the LSH stage uses (drop grams hotter
+    than a threshold: past a few hundred docs a gram is boilerplate by
+    definition and 'duplicated' needs no exact count).
+
+    explode_outer not explode: with text non-null every gram array is
+    non-empty, so outer ≡ inner, and outer stops the optimizer from
+    synthesizing a size()>0 filter that re-runs the tokenizer against
+    the scan (see _read_docs_parallel in dedup.py for the profile)."""
+    from pyspark.sql import Window
+
+    n = DUP_NGRAM_N
+    docs = (
+        read_table(spark, sf_dir, "documents", ["doc_id", "text"])
+        .filter(F.col("text").isNotNull())
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+    toks = docs.selectExpr(
+        "doc_id", "split(lower(trim(text)), '\\\\s+') AS tokens"
+    )
+    grams = toks.selectExpr(
+        "doc_id",
+        f"""array_distinct(CASE WHEN size(tokens) >= {n} THEN
+              transform(sequence(1, size(tokens) - {n - 1}),
+                        i -> array_join(slice(tokens, i, {n}), ' '))
+            ELSE array(array_join(tokens, ' ')) END) AS grams""",
+    )
+    e = grams.select(
+        "doc_id", F.explode_outer("grams").alias("g")
+    ).select("doc_id", F.md5("g").alias("gh"))
+    marked = e.withColumn(
+        "n_docs", F.count(F.lit(1)).over(Window.partitionBy("gh"))
+    )
+    dup = F.when(F.col("n_docs") > 1, 1).otherwise(0)
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(dup).alias("n_dup_ngrams"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.col("n_dup_ngrams").cast("double") / F.col("n_ngrams"),
+        )
+    )  # no terminal sort: O(n) output, order-insensitive compare
+
+
+_DUCK_DUP_NGRAMS_SQL = f"""
+    WITH toked AS (
+        SELECT doc_id,
+               string_split_regex(lower(trim(text)), '\\s+') AS tokens
+        FROM documents WHERE text IS NOT NULL
+    ), grams AS (
+        SELECT doc_id, list_distinct(
+            CASE WHEN len(tokens) >= {DUP_NGRAM_N} THEN
+                list_transform(
+                    generate_series(1, len(tokens) - {DUP_NGRAM_N - 1}),
+                    i -> array_to_string(
+                        list_slice(tokens, i, i + {DUP_NGRAM_N - 1}), ' '))
+            ELSE [array_to_string(tokens, ' ')] END) AS gs
+        FROM toked
+    ), e AS (
+        SELECT doc_id, md5(g) AS gh
+        FROM (SELECT doc_id, unnest(gs) AS g FROM grams) t
+    ), counted AS (
+        SELECT doc_id, count(*) OVER (PARTITION BY gh) AS n_docs FROM e
+    )
+    SELECT doc_id,
+           count(*) AS n_ngrams,
+           CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_ngrams,
+           CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*) AS dup_frac
+    FROM counted GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
+    "text_dup_ngrams": _DUCK_DUP_NGRAMS_SQL,
+    "text_quality_score": _duck_quality_score_sql(),
+    "text_dsir_weights": _duck_dsir_sql(),
     "text_vocab": _DUCK_VOCAB_SQL,
     "text_vocab_encode": _DUCK_VOCAB_ENCODE_SQL,
     "text_stats": r"""
@@ -1089,6 +1379,9 @@ QUERIES = {
     "text_scrub_pii": scrub_pii,
     "text_mix_sample": mix_sample,
     "text_line_dedup": line_dedup,
+    "text_dup_ngrams": dup_ngrams,
+    "text_quality_score": quality_score,
+    "text_dsir_weights": dsir_weights,
 }
 
 ORACLE_SQL["text_scrub_pii"] = _duck_scrub_sql()

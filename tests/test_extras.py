@@ -785,3 +785,91 @@ def test_lsss_components_equal_min_label_propagation(spark):
         ]
         assert len(b) == len(set(b))  # star fixpoint: one row per node
         assert set(b) == a and len(a) > 0
+
+
+def test_dup_ngrams_on_planted_corpus(spark, tmp_path):
+    """Repeated-span accounting on planted data: byte-identical copies
+    score dup_frac 1.0, a doc sharing only a leading block is flagged
+    for exactly that block's spans, unique docs score 0, and a short
+    doc falls back to one whole-text gram."""
+    from data_pipeline_and_visualization_dashboard_spark.extras.text import (
+        DUP_NGRAM_N,
+        dup_ngrams,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(DUP_NGRAM_N + 3))  # 8 words
+    tail = " ".join(f"t{i}" for i in range(20))
+    rows = [
+        (1, f"{shared} {tail}"),  # shares its leading block with 2, 3
+        (2, f"{shared} {tail}"),  # exact copy of 1 -> dup_frac 1.0
+        (3, f"{shared} different ending entirely here now"),
+        (4, "no overlap with anything else at all in this doc"),
+        (5, "tiny"),  # < n tokens: whole-text fallback gram
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(d + "/documents.parquet")
+    out = {r.doc_id: r for r in dup_ngrams(spark, d).collect()}
+    # docs 1 and 2 are identical: every span duplicated
+    assert out[1].dup_frac == 1.0 and out[2].dup_frac == 1.0
+    # doc 3 shares exactly the grams fully inside the 8-word block:
+    # 8 - 5 + 1 = 4 of them
+    assert out[3].n_dup_ngrams == 4 and 0 < out[3].dup_frac < 1
+    assert out[4].n_dup_ngrams == 0 and out[4].dup_frac == 0.0
+    assert out[5].n_ngrams == 1 and out[5].n_dup_ngrams == 0
+    assert all(r.n_dup_ngrams <= r.n_ngrams for r in out.values())
+
+
+def test_quality_score_matches_hand_computed_weights(spark, tmp_path):
+    """The hashing-trick scorer on a planted doc must equal the weight
+    sum computed independently in Python from the same md5 formula —
+    pins the whole bucket->weight derivation, not just engine parity."""
+    import hashlib
+
+    from data_pipeline_and_visualization_dashboard_spark.extras.hashing import M31
+    from data_pipeline_and_visualization_dashboard_spark.extras.text import (
+        QS_DIM,
+        quality_score,
+    )
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % M31
+
+    words = ["alpha", "beta", "gamma", "alpha"]
+    expected = 0.0
+    for wd in words:
+        bucket = h(wd) % QS_DIM
+        expected += (h(f"qw{bucket}") % 2001 - 1000) / 1000.0
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id long, text string"
+    ).write.parquet(d + "/documents.parquet")
+    row = quality_score(spark, d).collect()[0]
+    assert row.token_cnt == 4
+    assert abs(row.score_sum - expected) < 1e-12
+    assert row.kept == (row.score_mean > 0)
+
+
+def test_dsir_weights_prefer_target_language(spark):
+    """DSIR importance weights exist to up-weight target-looking docs:
+    the mean per-feature log ratio of 'en' docs must exceed that of
+    non-'en' docs on the real corpus (by construction of the target
+    profile), and every doc must carry finite weights."""
+    import math
+
+    from data_pipeline_and_visualization_dashboard_spark.extras.text import dsir_weights
+    from data_pipeline_and_visualization_dashboard_spark.io import read_table
+
+    langs = {
+        r.doc_id: r.lang
+        for r in read_table(
+            spark, SF_CORRECT, "documents", ["doc_id", "lang"]
+        ).collect()
+    }
+    rows = dsir_weights(spark, SF_CORRECT).collect()
+    assert all(math.isfinite(r.log_weight) for r in rows)
+    en = [r.weight_per_feat for r in rows if langs[r.doc_id] == "en"]
+    other = [r.weight_per_feat for r in rows if langs[r.doc_id] != "en"]
+    assert en and other
+    assert sum(en) / len(en) > sum(other) / len(other)
