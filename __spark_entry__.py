@@ -92,6 +92,8 @@ _CHECK_FIRST = [
     "text_dup_ngrams",
     "text_quality_score",
     "text_dsir_weights",
+    "q60_bucketed_join",
+    "q61_profile_events",
 ]
 
 

@@ -43,6 +43,8 @@ HEADLINE = [
     "q51_nation_pagerank",  # iterative loop, broadcast node frames
     "q52_gap_fill",  # spine densification + LOCF
     "q53_incremental_rollup",  # partial-agg merge (IVM)
+    "q60_bucketed_join",  # pre-bucketed fact-fact join (zero exchange)
+    "q61_profile_events",  # one-pass dataset profile (expand + stack)
     # LLM-data extras
     "dedup_exact_groups",
     "dedup_minhash_pairs",

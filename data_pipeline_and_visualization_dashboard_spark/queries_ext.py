@@ -1963,7 +1963,174 @@ def _duck_pagerank_sql() -> str:
     """
 
 
+# ----------------------------------------------------------------------
+# q60: bucketed co-located fact-fact join — the storage-level answer to
+# the lineitem⋈orders shuffle (the single biggest cost in q5/q20/q21)
+# ----------------------------------------------------------------------
+
+N_BUCKETS = 8
+
+
+def _bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Bucketed twins of lineitem/orders for this corpus generation,
+    created once per (corpus, mtime) and reused: both tables written
+    with bucketBy(N_BUCKETS, join_key) + sortBy, repartitioned to one
+    file per bucket so the sorted-bucket metadata survives. Stale
+    generations (prior testdata regens) are dropped first."""
+    import os
+    import shutil
+
+    base = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    mt = int(os.path.getmtime(os.path.join(sf_dir, "lineitem.parquet")))
+    t_li = f"b_lineitem_{base}_{mt}"
+    t_or = f"b_orders_{base}_{mt}"
+    if not (spark.catalog.tableExists(t_li)
+            and spark.catalog.tableExists(t_or)):
+        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        wh_path = wh.removeprefix("file:")
+        if os.path.isdir(wh_path):
+            for stale in os.listdir(wh_path):
+                # drop stale generations AND current-name orphan dirs
+                # left by a previous session (the bucketing spec lives
+                # in the session catalog, so files alone are unusable)
+                if stale.startswith(
+                    (f"b_lineitem_{base}_", f"b_orders_{base}_")
+                ):
+                    spark.sql(f"DROP TABLE IF EXISTS {stale}")
+                    shutil.rmtree(os.path.join(wh_path, stale),
+                                  ignore_errors=True)
+        li = read_table(spark, sf_dir, "lineitem",
+                        ["l_orderkey", "l_extendedprice", "l_discount"])
+        orders = read_table(spark, sf_dir, "orders",
+                            ["o_orderkey", "o_orderpriority"])
+        # repartition to N_BUCKETS on the key first: bucketBy writes one
+        # file per (task, bucket), so without it every task emits every
+        # bucket and the sorted-run-per-bucket guarantee is lost
+        (li.repartition(N_BUCKETS, "l_orderkey").write
+           .bucketBy(N_BUCKETS, "l_orderkey").sortBy("l_orderkey")
+           .mode("overwrite").saveAsTable(t_li))
+        (orders.repartition(N_BUCKETS, "o_orderkey").write
+           .bucketBy(N_BUCKETS, "o_orderkey").sortBy("o_orderkey")
+           .mode("overwrite").saveAsTable(t_or))
+    return t_li, t_or
+
+
+def q60_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈fact join with ZERO exchanges: both sides pre-bucketed on
+    the join key at write time, so the SortMergeJoin consumes the
+    bucketed layout directly — no shuffle of either fact table at query
+    time. This is the canonical 100 TB answer when a big join recurs
+    (nightly revenue rollups, CDC reconciliation): pay the shuffle ONCE
+    at ingest, then every subsequent join is exchange-free. The merge
+    hint pins SMJ so the plan proof doesn't silently degrade to a
+    broadcast at small SF (plan-pinned: no Exchange, no
+    BroadcastExchange — tests/test_plans.py).
+
+    Same result as the plain-parquet twin by construction; the oracle
+    runs the un-bucketed SQL."""
+    t_li, t_or = _bucketed_pair(spark, sf_dir)
+    li, orders = spark.table(t_li), spark.table(t_or)
+    return (
+        li.hint("merge")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ----------------------------------------------------------------------
+# q61: one-pass dataset profile (the "dataset card" scan)
+# ----------------------------------------------------------------------
+
+_PROFILE_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+# numeric min/max source expression per column (None -> non-numeric);
+# timestamps profile as epoch micros so no engine-specific string
+# formatting enters the comparison
+_PROFILE_NUM = {
+    "event_id": "event_id",
+    "ts": "unix_micros(ts)",
+    "user_id": "user_id",
+    "value": "value",
+}
+
+
+def q61_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset profiling in ONE pass over the table: per-column null
+    count, exact distinct count, and numeric min/max — the stats block
+    of a dataset card / ingest contract check, computed as a single
+    wide aggregation then unpivoted with stack() (6 rows out, nothing
+    wide ever leaves the agg).
+
+    Scale notes: multiple exact COUNT(DISTINCT) in one aggregate makes
+    Catalyst plan an Expand (one duplicated stream per distinct column)
+    — exact and single-pass, but the row multiplier is the column
+    count; at 100 TB swap exact distinct for the HLL sketch column
+    (extras.sketches hll_estimate — same shape, constant state) and
+    this query keeps its schema. Everything else is plain
+    min/max/sum-of-null partial aggs at scan speed."""
+    ev = read_table(spark, sf_dir, "events", _PROFILE_COLS)
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"nn_{c}")
+        )
+        aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+    for c, e in _PROFILE_NUM.items():
+        aggs.append(F.expr(f"CAST(min({e}) AS DOUBLE)").alias(f"mn_{c}"))
+        aggs.append(F.expr(f"CAST(max({e}) AS DOUBLE)").alias(f"mx_{c}"))
+    wide = ev.agg(*aggs)
+    parts = []
+    for c in _PROFILE_COLS:
+        mn = f"mn_{c}" if c in _PROFILE_NUM else "CAST(NULL AS DOUBLE)"
+        mx = f"mx_{c}" if c in _PROFILE_NUM else "CAST(NULL AS DOUBLE)"
+        parts.append(f"'{c}', nn_{c}, nd_{c}, {mn}, {mx}")
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {', '.join(parts)}) AS "
+        "(col_name, n_nulls, n_distinct, min_num, max_num)"
+    )
+
+
+def _duck_profile_sql() -> str:
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs.append(
+            f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS nn_{c}"
+        )
+        aggs.append(f"count(DISTINCT {c}) AS nd_{c}")
+    for c, e in _PROFILE_NUM.items():
+        duck_e = e.replace("unix_micros(ts)", "epoch_us(ts)")
+        aggs.append(f"CAST(min({duck_e}) AS DOUBLE) AS mn_{c}")
+        aggs.append(f"CAST(max({duck_e}) AS DOUBLE) AS mx_{c}")
+    rows = []
+    for c in _PROFILE_COLS:
+        mn = f"mn_{c}" if c in _PROFILE_NUM else "CAST(NULL AS DOUBLE)"
+        mx = f"mx_{c}" if c in _PROFILE_NUM else "CAST(NULL AS DOUBLE)"
+        rows.append(
+            f"SELECT '{c}' AS col_name, nn_{c} AS n_nulls,"
+            f" nd_{c} AS n_distinct, {mn} AS min_num, {mx} AS max_num"
+            " FROM s"
+        )
+    return (
+        "WITH s AS (SELECT " + ", ".join(aggs) + " FROM events) "
+        + " UNION ALL ".join(rows)
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
+    "q60_bucketed_join": """
+        SELECT o_orderpriority, count(*) AS n_items,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "q61_profile_events": _duck_profile_sql(),
     "q54_hash_sample": _duck_hash_sample_sql(),
     "q55_rolling_median": _DUCK_ROLLING_MEDIAN_SQL,
     "q56_grouped_stats": _DUCK_GROUPED_STATS_SQL,
@@ -2439,4 +2606,6 @@ QUERIES = {
     "q25_set_ops": q25_set_ops,
     "q26_regex_filter": q26_regex_filter,
     "q27_asof_join": q27_asof_join,
+    "q60_bucketed_join": q60_bucketed_join,
+    "q61_profile_events": q61_profile_events,
 }

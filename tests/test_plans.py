@@ -549,3 +549,28 @@ def test_vocab_rank_has_no_single_partition_window(spark):
             # (_pid#N); an empty partition spec would lead with the
             # order key directly
             assert spec.lstrip().startswith("_pid#"), line
+
+
+def test_bucketed_join_query_is_exchange_free(spark):
+    """q60's whole point: with both facts bucketed on the join key at
+    write time, the SortMergeJoin must consume the bucketed layout —
+    no shuffle exchange AND no broadcast on either side (a broadcast
+    would hide the missing co-location at small SF). The final agg may
+    exchange on its (tiny) group key; the pin is on the join inputs:
+    no Exchange at all between the scans and the SMJ."""
+    from data_pipeline_and_visualization_dashboard_spark.queries_ext import (
+        q60_bucketed_join,
+    )
+    from tests.conftest import SF_SMOKE
+
+    df = q60_bucketed_join(spark, SF_SMOKE)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # examine only AQE's final plan (the appended "Initial Plan" echo
+    # repeats every node and would false-trip the Exchange scan below)
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" in plan, plan[:2000]
+    assert "BroadcastExchange" not in plan, plan[:2000]
+    join_part = plan.split("SortMergeJoin", 1)[1]
+    assert "Exchange hashpartitioning" not in join_part, join_part[:2000]
+    assert "Bucketed: true" in plan, plan[:2000]
