@@ -94,6 +94,8 @@ _CHECK_FIRST = [
     "text_dsir_weights",
     "q60_bucketed_join",
     "q61_profile_events",
+    "dedup_incremental_exact",
+    "text_gopher_rules",
 ]
 
 

@@ -50,6 +50,7 @@ HEADLINE = [
     "dedup_minhash_pairs",
     "dedup_minhash_pairs_xxhash",  # production hash family (headline)
     "dedup_incremental_pairs",  # delta-vs-corpus (per-batch ingest cost)
+    "dedup_incremental_exact",  # delta-vs-corpus exact tier (hash join)
     "dedup_neardup_groups",  # iterative connected components
     "dedup_neardup_groups_lsss",  # web-scale large-star/small-star CC
     "corpus_funnel",  # end-to-end: quality gate -> exact -> near-dup
@@ -83,6 +84,7 @@ HEADLINE = [
     "text_line_dedup",  # C4-style corpus-wide repeated-span removal
     "text_dup_ngrams",  # per-doc repeated-span (5-gram) accounting
     "text_quality_score",  # hashing-trick linear classifier (codegen)
+    "text_gopher_rules",  # full Gopher heuristic battery (codegen)
     "text_dsir_weights",  # DSIR importance weights (profile broadcast)
     "dedup_semantic_trained",  # SemDeDup on the cached trained clusters
     "media_features",

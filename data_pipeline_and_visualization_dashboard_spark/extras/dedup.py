@@ -79,6 +79,77 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )  # no terminal sort: O(n) output, order-insensitive compare
 
 
+def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL exact dedup: classify each doc of a newly-ingested
+    batch (doc_id % 10 == 0, the same delta convention as
+    dedup_incremental_pairs) against the existing corpus by content
+    hash — the cheap first tier every ingest runs before any near-dup
+    work. Verdicts: 'dup_of_base' (hash already in the base corpus,
+    dup_of = the base keeper), 'dup_in_delta' (first seen inside this
+    very batch, dup_of = the earlier delta doc), 'new' (genuinely novel
+    content, dup_of null).
+
+    Scale shape: the base side collapses to ONE row per distinct hash
+    (groupBy md5 with map-side partial min — 16-byte keys move, text
+    never does) before the join, so per-batch cost is O(delta +
+    distinct base hashes touched); in production the hash→keeper table
+    is a maintained state table (see streaming.upsert_state_stream for
+    the maintenance recipe) and this query's base aggregation is the
+    self-contained stand-in."""
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    hashed = docs.select("doc_id", F.md5("text").alias("h"))
+    is_delta = F.col("doc_id") % 10 == 0
+    base_min = (
+        hashed.filter(~is_delta)
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("base_keeper"))
+    )
+    delta = hashed.filter(is_delta)
+    delta_min = delta.groupBy("h").agg(
+        F.min("doc_id").alias("delta_keeper")
+    )
+    verdict = (
+        F.when(F.col("base_keeper").isNotNull(), F.lit("dup_of_base"))
+        .when(F.col("doc_id") > F.col("delta_keeper"), F.lit("dup_in_delta"))
+        .otherwise(F.lit("new"))
+    )
+    dup_of = (
+        F.when(F.col("base_keeper").isNotNull(), F.col("base_keeper"))
+        .when(F.col("doc_id") > F.col("delta_keeper"), F.col("delta_keeper"))
+        .otherwise(F.lit(None).cast("bigint"))
+    )
+    return (
+        delta.join(base_min, "h", "left")
+        .join(delta_min, "h")
+        .select("doc_id", verdict.alias("verdict"), dup_of.alias("dup_of"))
+    )  # no terminal sort: O(delta) output, order-insensitive compare
+
+
+_DUCK_INCREMENTAL_EXACT_SQL = """
+    WITH hashed AS (
+        SELECT doc_id, md5(text) AS h FROM documents
+    ), base_min AS (
+        SELECT h, min(doc_id) AS base_keeper FROM hashed
+        WHERE doc_id % 10 != 0 GROUP BY h
+    ), delta AS (
+        SELECT doc_id, h FROM hashed WHERE doc_id % 10 = 0
+    ), delta_min AS (
+        SELECT h, min(doc_id) AS delta_keeper FROM delta GROUP BY h
+    )
+    SELECT d.doc_id,
+           CASE WHEN b.base_keeper IS NOT NULL THEN 'dup_of_base'
+                WHEN d.doc_id > m.delta_keeper THEN 'dup_in_delta'
+                ELSE 'new' END AS verdict,
+           CASE WHEN b.base_keeper IS NOT NULL THEN b.base_keeper
+                WHEN d.doc_id > m.delta_keeper THEN m.delta_keeper
+                ELSE NULL END AS dup_of
+    FROM delta d
+    LEFT JOIN base_min b ON d.h = b.h
+    JOIN delta_min m ON d.h = m.h
+    ORDER BY d.doc_id
+"""
+
+
 # ----------------------------------------------------------------------
 # MinHash + LSH near-dup
 # ----------------------------------------------------------------------
@@ -1396,6 +1467,7 @@ ORACLE_SQL: dict[str, str] = {
         "ORDER BY doc_id_a, doc_id_b"
     ),
     "dedup_embedding_pairs_lsh": _duck_emb_lsh_sql(),
+    "dedup_incremental_exact": _DUCK_INCREMENTAL_EXACT_SQL,
     "corpus_funnel": _duck_funnel_accounting_sql(),
     "corpus_survivors": _duck_survivors_sql(),
     "dedup_contamination": _DUCK_CONTAMINATION_SQL,
@@ -1706,6 +1778,7 @@ _DUCK_HASH_STAGE_SQL = f"""
 QUERIES = {
     "dedup_exact_groups": dedup_exact_groups,
     "dedup_exact_docs": dedup_exact_docs,
+    "dedup_incremental_exact": dedup_incremental_exact,
     "dedup_minhash_signatures": q_minhash_signatures,
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "dedup_minhash_pairs_xxhash": dedup_minhash_pairs_xxhash,

@@ -955,6 +955,135 @@ def _duck_mix_sample_sql() -> str:
     """
 
 
+# Gopher-style quality rule thresholds (Rae et al. 2021, "Scaling
+# Language Models: ... Gopher", Appendix A — the de-facto standard
+# heuristic battery for web-text curation). Word-count lower bound is
+# corpus-sized (the canonical 50 would fail most synthetic short docs,
+# drowning the signal of the other rules).
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 10, 100_000
+GOPHER_MIN_WORD_LEN, GOPHER_MAX_WORD_LEN = 3.0, 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_BULLET_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_FRAC = 0.3
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.8
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Gopher heuristic battery with PER-RULE accounting —
+    word-count bounds, mean word length, symbol-to-word ratio, bullet /
+    ellipsis line fractions, alphabetic-word fraction, stopword
+    presence — each as its own boolean plus the failure count, so
+    curation can report WHY docs die, not just that they died (the
+    per-rule histogram is how thresholds get tuned on a new corpus).
+
+    Everything is one row-local projection over split/filter/aggregate
+    higher-order functions — zero shuffle, scan-speed codegen; the
+    companion text_quality_filter is the smaller production gate, this
+    is the diagnostic sweep."""
+    sw = " + ".join(
+        f"(CASE WHEN {_occurrences(_PADDED, w)} > 0 THEN 1 ELSE 0 END)"
+        for w in GOPHER_STOPWORDS
+    )
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    feats = docs.selectExpr(
+        "doc_id",
+        "split(trim(text), '\\\\s+') AS words",
+        "split(text, '\\n') AS lines",
+        f"({sw}) AS n_stopwords",
+        # symbol occurrences: '#' anywhere plus literal '...' runs
+        "(length(text) - length(replace(text, '#', '')))"
+        " + ((length(text) - length(replace(text, '...', ''))) div 3)"
+        " AS n_symbols",
+    ).selectExpr(
+        "doc_id",
+        "size(words) AS n_words",
+        "aggregate(transform(words, w -> length(w)),"
+        " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        " / CAST(size(words) AS DOUBLE) AS mean_word_len",
+        "n_symbols / CAST(size(words) AS DOUBLE) AS symbol_ratio",
+        "size(filter(lines, l -> trim(l) LIKE '-%' OR trim(l) LIKE '*%'))"
+        " / CAST(size(lines) AS DOUBLE) AS bullet_frac",
+        "size(filter(lines, l -> rtrim(l) LIKE '%...'))"
+        " / CAST(size(lines) AS DOUBLE) AS ellipsis_frac",
+        "size(filter(words, w -> w RLIKE '[A-Za-z]'))"
+        " / CAST(size(words) AS DOUBLE) AS alpha_word_frac",
+        "n_stopwords",
+    )
+    fails = " + ".join(
+        f"(CASE WHEN {c} THEN 0 ELSE 1 END)"
+        for c in [
+            f"n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}",
+            f"mean_word_len BETWEEN {GOPHER_MIN_WORD_LEN}"
+            f" AND {GOPHER_MAX_WORD_LEN}",
+            f"symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}",
+            f"bullet_frac <= {GOPHER_MAX_BULLET_FRAC}",
+            f"ellipsis_frac <= {GOPHER_MAX_ELLIPSIS_FRAC}",
+            f"alpha_word_frac >= {GOPHER_MIN_ALPHA_WORD_FRAC}",
+            f"n_stopwords >= {GOPHER_MIN_STOPWORDS}",
+        ]
+    )
+    return feats.selectExpr(
+        "*",
+        f"CAST(({fails}) AS INT) AS n_rules_failed",
+        f"(({fails}) = 0) AS passes",
+    )  # no terminal sort: O(n) output, order-insensitive compare
+
+
+def _duck_gopher_sql() -> str:
+    sw = " + ".join(
+        f"(CASE WHEN {_duck_occurrences(_PADDED, w)} > 0 THEN 1 ELSE 0 END)"
+        for w in GOPHER_STOPWORDS
+    )
+    fails = " + ".join(
+        f"(CASE WHEN {c} THEN 0 ELSE 1 END)"
+        for c in [
+            f"n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}",
+            f"mean_word_len BETWEEN {GOPHER_MIN_WORD_LEN}"
+            f" AND {GOPHER_MAX_WORD_LEN}",
+            f"symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}",
+            f"bullet_frac <= {GOPHER_MAX_BULLET_FRAC}",
+            f"ellipsis_frac <= {GOPHER_MAX_ELLIPSIS_FRAC}",
+            f"alpha_word_frac >= {GOPHER_MIN_ALPHA_WORD_FRAC}",
+            f"n_stopwords >= {GOPHER_MIN_STOPWORDS}",
+        ]
+    )
+    return rf"""
+        WITH base AS (
+            SELECT doc_id,
+                   string_split_regex(trim(text), '\s+') AS words,
+                   string_split(text, chr(10)) AS lines,
+                   ({sw}) AS n_stopwords,
+                   (length(text) - length(replace(text, '#', '')))
+                   + ((length(text) - length(replace(text, '...', ''))) // 3)
+                       AS n_symbols
+            FROM documents
+        ), feats AS (
+            SELECT doc_id,
+                   CAST(len(words) AS INT) AS n_words,
+                   list_reduce(list_transform(words, w -> CAST(length(w) AS BIGINT)),
+                               (acc, x) -> acc + x)
+                       / CAST(len(words) AS DOUBLE) AS mean_word_len,
+                   n_symbols / CAST(len(words) AS DOUBLE) AS symbol_ratio,
+                   len(list_filter(lines, l -> trim(l) LIKE '-%'
+                                            OR trim(l) LIKE '*%'))
+                       / CAST(len(lines) AS DOUBLE) AS bullet_frac,
+                   len(list_filter(lines, l -> rtrim(l) LIKE '%...'))
+                       / CAST(len(lines) AS DOUBLE) AS ellipsis_frac,
+                   len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))
+                       / CAST(len(words) AS DOUBLE) AS alpha_word_frac,
+                   n_stopwords
+            FROM base
+        )
+        SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+               ellipsis_frac, alpha_word_frac, n_stopwords,
+               CAST(({fails}) AS INT) AS n_rules_failed,
+               (({fails}) = 0) AS passes
+        FROM feats ORDER BY doc_id
+    """
+
+
 # Hashing-trick classifier width. 2^12 buckets keeps the md5-derived
 # bucket ids cheap while giving unigram features a realistic collision
 # rate; production classifiers use 2^20+ and the plan is unchanged.
@@ -1246,6 +1375,7 @@ ORACLE_SQL: dict[str, str] = {
     "text_dup_ngrams": _DUCK_DUP_NGRAMS_SQL,
     "text_quality_score": _duck_quality_score_sql(),
     "text_dsir_weights": _duck_dsir_sql(),
+    "text_gopher_rules": _duck_gopher_sql(),
     "text_vocab": _DUCK_VOCAB_SQL,
     "text_vocab_encode": _DUCK_VOCAB_ENCODE_SQL,
     "text_stats": r"""
@@ -1382,6 +1512,7 @@ QUERIES = {
     "text_dup_ngrams": dup_ngrams,
     "text_quality_score": quality_score,
     "text_dsir_weights": dsir_weights,
+    "text_gopher_rules": gopher_rules,
 }
 
 ORACLE_SQL["text_scrub_pii"] = _duck_scrub_sql()

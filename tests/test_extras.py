@@ -873,3 +873,66 @@ def test_dsir_weights_prefer_target_language(spark):
     other = [r.weight_per_feat for r in rows if langs[r.doc_id] != "en"]
     assert en and other
     assert sum(en) / len(en) > sum(other) / len(other)
+
+
+def test_incremental_exact_agrees_with_exact_groups(spark):
+    """The incremental exact tier must agree with the batch exact
+    dedup: a delta doc labeled dup_of_base/dup_in_delta shares its
+    content-hash group with its dup_of; a 'new' doc is its own group's
+    keeper. Also pins the delta convention (doc_id % 10 == 0)."""
+    groups = {
+        r.keeper_doc_id: r.n_copies
+        for r in dedup.dedup_exact_groups(spark, SF_CORRECT).collect()
+    }
+    keeper_of = {}
+    docs = read_table(spark, SF_CORRECT, "documents", ["doc_id", "text"])
+    hashed = {
+        r.doc_id: r.h
+        for r in docs.selectExpr("doc_id", "md5(text) AS h").collect()
+    }
+    by_hash = {}
+    for d, h in sorted(hashed.items()):
+        by_hash.setdefault(h, d)
+        keeper_of[d] = by_hash[h]
+    rows = dedup.dedup_incremental_exact(spark, SF_CORRECT).collect()
+    assert rows and all(r.doc_id % 10 == 0 for r in rows)
+    for r in rows:
+        if r.verdict == "new":
+            assert r.dup_of is None
+            assert keeper_of[r.doc_id] == r.doc_id
+        else:
+            assert hashed[r.dup_of] == hashed[r.doc_id]
+            assert r.dup_of < r.doc_id
+            if r.verdict == "dup_of_base":
+                assert r.dup_of % 10 != 0
+            else:
+                assert r.dup_of % 10 == 0
+
+
+def test_gopher_rules_on_planted_docs(spark, tmp_path):
+    """Each Gopher rule must fire on a doc built to violate exactly
+    it (plus the incidental word-count/stopword interactions, which
+    the expectations account for)."""
+    from data_pipeline_and_visualization_dashboard_spark.extras.text import gopher_rules
+
+    good = ("the quick brown fox jumps with the energy of beasts that "
+            "have been to many places and the show goes on nicely")
+    bullets = "\n".join(f"- item {i} of the list to have" for i in range(10))
+    symbols = ("the " * 12) + "# # # # # # #"
+    ellipsis = "\n".join(
+        f"the line {i} of the doc that we have trails off..." for i in range(5)
+    )
+    nonalpha = " ".join(str(i) for i in range(30))
+    rows = [
+        (1, good), (2, bullets), (3, symbols), (4, ellipsis), (5, nonalpha),
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        d + "/documents.parquet"
+    )
+    out = {r.doc_id: r for r in gopher_rules(spark, d).collect()}
+    assert out[1].passes and out[1].n_rules_failed == 0
+    assert out[2].bullet_frac == 1.0 and not out[2].passes
+    assert out[3].symbol_ratio > 0.1 and not out[3].passes
+    assert out[4].ellipsis_frac == 1.0 and not out[4].passes
+    assert out[5].alpha_word_frac == 0.0 and not out[5].passes
