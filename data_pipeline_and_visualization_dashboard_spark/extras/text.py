@@ -563,7 +563,8 @@ def vocab_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _global_row_number(df: DataFrame, order_keys: list,
-                       id_col: str) -> DataFrame:
+                       id_col: str,
+                       rows_per_task: int = 1_000_000) -> DataFrame:
     """row_number over a STRICT total order without a single-partition
     window. Phase 1: repartitionByRange on the sort keys (partition i
     holds keys strictly before partition i+1's) and rank WITHIN each
@@ -579,7 +580,26 @@ def _global_row_number(df: DataFrame, order_keys: list,
     boundary key could land on either side nondeterministically.)"""
     from pyspark.sql import Window
 
-    p = df.sparkSession.sparkContext.defaultParallelism
+    # materialize the input ONCE before ranking: repartitionByRange runs
+    # a boundary-sampling job over its child, and the rank/offset
+    # branches below are two more consumers — without this, the entire
+    # upstream pipeline (for vocab: tokenize + two groupBys) executes
+    # three times (profiled 0.6s -> 1.4s at sf0.1 when this was left
+    # out). The frame is already at its output grain (vocab-sized), so
+    # the checkpoint holds |V| rows, not corpus rows.
+    df = df.localCheckpoint()
+    # rank width sized to the DATA (≈1M rows per rank task), not the
+    # cluster: a 30k-token test vocab ranks in one task (pin: partition
+    # SPEC is still _pid — no unpartitioned window anywhere), a 1e8-row
+    # web vocab fans out to ~100 — same contract as the CC loop's
+    # edge-sized partitioning
+    p = max(
+        1,
+        min(
+            df.sparkSession.sparkContext.defaultParallelism,
+            df.count() // rows_per_task + 1,
+        ),
+    )
     with_pid = (
         df.repartitionByRange(p, *order_keys)
         .withColumn("_pid", F.spark_partition_id())

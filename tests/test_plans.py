@@ -539,9 +539,11 @@ def test_vocab_rank_has_no_single_partition_window(spark):
     """vocab_table's total-order ids must come from the two-phase rank
     (range partition + local row_number + offset join), never a global
     window: every Window node in the plan must carry a real partition
-    spec, and the range exchange must be present."""
+    spec (the rank width is sized to the DATA — ~1M rows/task — so the
+    production path legitimately collapses to one range partition on a
+    30k-token test vocab; the multi-partition mechanics are pinned
+    below by forcing a small rows_per_task)."""
     plan = _plan(spark, "text_vocab")
-    assert "Exchange rangepartitioning" in plan
     for line in plan.splitlines():
         if "windowspecdefinition(" in line:
             spec = line.split("windowspecdefinition(", 1)[1]
@@ -549,6 +551,40 @@ def test_vocab_rank_has_no_single_partition_window(spark):
             # (_pid#N); an empty partition spec would lead with the
             # order key directly
             assert spec.lstrip().startswith("_pid#"), line
+
+
+def test_two_phase_rank_multi_partition_equals_window(spark):
+    """Force the two-phase rank to actually fan out (tiny
+    rows_per_task) and pin BOTH properties the scale argument needs:
+    the plan carries a real range exchange with no unpartitioned
+    window, and the ids are IDENTICAL to a single-partition
+    row_number over the same strict order."""
+    from pyspark.sql import Window, functions as F
+
+    from data_pipeline_and_visualization_dashboard_spark.extras.text import (
+        _global_row_number,
+    )
+    from data_pipeline_and_visualization_dashboard_spark.io import read_table
+
+    docs = read_table(spark, SF_CORRECT, "documents",
+                      ["doc_id", "n_chars"])
+    ranked = _global_row_number(
+        docs, [F.desc("n_chars"), F.asc("doc_id")], "rk",
+        rows_per_task=50,
+    )
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange rangepartitioning" in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line:
+            spec = line.split("windowspecdefinition(", 1)[1]
+            assert spec.lstrip().startswith("_pid#"), line
+    w = Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    expected = {
+        r.doc_id: r.rk
+        for r in docs.withColumn("rk", F.row_number().over(w)).collect()
+    }
+    got = {r.doc_id: r.rk for r in ranked.collect()}
+    assert got == expected
 
 
 def test_bucketed_join_query_is_exchange_free(spark):
