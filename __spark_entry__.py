@@ -96,6 +96,8 @@ _CHECK_FIRST = [
     "q61_profile_events",
     "dedup_incremental_exact",
     "text_gopher_rules",
+    "q62_skew_stats",
+    "sim_recall_eval",
 ]
 
 

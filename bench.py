@@ -45,6 +45,8 @@ HEADLINE = [
     "q53_incremental_rollup",  # partial-agg merge (IVM)
     "q60_bucketed_join",  # pre-bucketed fact-fact join (zero exchange)
     "q61_profile_events",  # one-pass dataset profile (expand + stack)
+    "q62_skew_stats",  # heavy-hitter shuffle-key diagnostics
+    "sim_recall_eval",  # LSH recall@k vs exact (eval as an operator)
     # LLM-data extras
     "dedup_exact_groups",
     "dedup_minhash_pairs",

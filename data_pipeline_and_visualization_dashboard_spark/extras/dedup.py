@@ -650,7 +650,16 @@ def dedup_neardup_groups_lsss(spark: SparkSession, sf_dir: str,
     Output contract is IDENTICAL to dedup_neardup_groups ((doc_id,
     group_id), group_id = component min), so it shares that query's
     DuckDB recursive-CTE oracle, and tests pin the two variants equal
-    row-for-row."""
+    row-for-row.
+
+    Measured honestly (BENCH_sf1_appendix round3): on THIS corpus the
+    dup components have diameter ≤ ~3, so min-label converges in ~3
+    cheap rounds and beats this variant (6.3s vs 9.9s at sf1) — the
+    two star phases cost 4 shuffles/round vs min-label's 2. Pick
+    min-label when dup groups are known-small (mirror-free corpora);
+    pick this when component diameter is unbounded (web-crawl chains),
+    where min-label's round count is the diameter and this stays
+    O(log² n)."""
     pairs, n_pairs = _verified_pairs(spark, sf_dir, hash_impl)
     if n_pairs == 0:
         return pairs.selectExpr("doc_id_a AS doc_id",

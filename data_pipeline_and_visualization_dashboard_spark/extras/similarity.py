@@ -167,24 +167,114 @@ def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )  # no terminal sort: O(n) output, order-insensitive compare
 
 
-def _duck_lsh_buckets_sql() -> str:
-    """Oracle twin of lsh_buckets: planes embedded as literals via
-    repr() round-trip (exact doubles both engines). Spark's aggregate
-    fold and DuckDB's list_dot_product both sum left-to-right, so the
-    sign tests agree exactly."""
+def _duck_bucket_expr(vec_expr: str) -> str:
+    """DuckDB spelling of _bucket_expr over an arbitrary DOUBLE[]
+    expression: planes embedded as literals via repr() round-trip
+    (exact doubles both engines). Spark's aggregate fold and DuckDB's
+    list_dot_product both sum left-to-right, so the sign tests agree
+    exactly."""
     planes = _hyperplanes()
     terms = []
     for i, plane in enumerate(planes):
         arr = "[" + ", ".join(repr(float(v)) for v in plane) + "]"
         terms.append(
-            f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]),\n"
+            f"(CASE WHEN list_dot_product({vec_expr},\n"
             f"           {arr}) >= 0 THEN {1 << i} ELSE 0 END)"
         )
-    expr = "\n         + ".join(terms)
+    return "CAST(" + "\n         + ".join(terms) + " AS INT)"
+
+
+def _duck_lsh_buckets_sql() -> str:
     return (
-        f"SELECT vec_id, CAST({expr} AS INT) AS bucket\n"
-        "FROM embeddings ORDER BY vec_id"
+        f"SELECT vec_id, {_duck_bucket_expr('CAST(embedding AS DOUBLE[])')}"
+        " AS bucket\nFROM embeddings ORDER BY vec_id"
     )
+
+
+def recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN evaluation AS AN ENGINE OPERATOR: per-query recall@k of the
+    LSH path against exact brute-force cosine — the metric that
+    decides N_PLANES / multiprobe settings before a corpus-wide
+    rollout. Production ANN work runs this on a held-out slice after
+    every index build; making it a first-class query means the number
+    lands in the same regression harness as the operators it audits.
+
+    Both sides are deterministic (seeded hyperplanes; strict
+    sim-then-id tie-break), so unlike the approximate paths themselves
+    this evaluation is FULLY oracle-backed: DuckDB recomputes exact
+    top-k, the bucketed LSH top-k, and the same recall division.
+
+    Scale: reuses cosine_topk (corpus never shuffles) and lsh_topk
+    (bucket-pruned); the recall join itself is queries×k rows."""
+    ex = cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    ap = lsh_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        ex.join(ap, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        ex.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (
+                F.coalesce("n_hits", F.lit(0)).cast("double")
+                / F.col("n_exact")
+            ).alias("recall"),
+        )
+    )  # no terminal sort: |Q| rows, order-insensitive compare
+
+
+def _duck_recall_eval_sql() -> str:
+    b = _duck_bucket_expr("CAST(embedding AS DOUBLE[])")
+    return f"""
+        WITH bkt AS (
+            SELECT vec_id, {b} AS bucket FROM embeddings
+        ), q AS (
+            SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings WHERE vec_id < {N_QUERIES}
+        ), c AS (
+            SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings
+        ), sims AS (
+            SELECT q.q_id AS query_id, c.c_id AS neighbor_id,
+                   round(list_dot_product(q.e, c.e)
+                         / (sqrt(list_dot_product(q.e, q.e))
+                            * sqrt(list_dot_product(c.e, c.e))), 6) AS sim
+            FROM q, c WHERE q.q_id <> c.c_id
+        ), exact AS (
+            SELECT query_id, neighbor_id
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY query_id
+                      ORDER BY sim DESC, neighbor_id) AS rn
+                  FROM sims) t
+            WHERE rn <= {TOP_K}
+        ), approx AS (
+            SELECT query_id, neighbor_id
+            FROM (SELECT s.*, row_number() OVER (
+                      PARTITION BY s.query_id
+                      ORDER BY s.sim DESC, s.neighbor_id) AS rn
+                  FROM sims s
+                  JOIN bkt qb ON s.query_id = qb.vec_id
+                  JOIN bkt cb ON s.neighbor_id = cb.vec_id
+                             AND cb.bucket = qb.bucket) t
+            WHERE rn <= {TOP_K}
+        )
+        SELECT e.query_id, count(*) AS n_exact,
+               CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+               CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL
+                             THEN 1 ELSE 0 END) AS DOUBLE)
+                   / count(*) AS recall
+        FROM exact e
+        LEFT JOIN approx a ON e.query_id = a.query_id
+                          AND e.neighbor_id = a.neighbor_id
+        GROUP BY e.query_id ORDER BY e.query_id
+    """
 
 
 def _sq_vectors(emb: DataFrame, prefix: str) -> DataFrame:
@@ -650,6 +740,7 @@ ORACLE_SQL: dict[str, str] = {
     "sim_cosine_topk": _DUCK_COSINE_BASE,
     "sim_cosine_topk_pandas": _DUCK_COSINE_BASE,
     "sim_lsh_buckets": _duck_lsh_buckets_sql(),
+    "sim_recall_eval": _duck_recall_eval_sql(),
     "sim_sq_topk": _DUCK_SQ_TOPK,
     "sim_pq_codes": _duck_pq_codes_sql(),
     "sim_pq_adc_topk": _duck_pq_adc_sql(),
@@ -660,6 +751,7 @@ QUERIES = {
     "sim_cosine_topk_pandas": cosine_topk_pandas,
     "sim_lsh_topk": lsh_topk,
     "sim_lsh_buckets": lsh_buckets,
+    "sim_recall_eval": recall_eval,
     "sim_sq_topk": sq_topk,
     "sim_pq_codes": pq_codes,
     "sim_pq_adc_topk": pq_adc_topk,

@@ -2045,6 +2045,61 @@ def q60_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# q62: shuffle-key skew diagnostics — the pre-flight check before any
+# big groupBy/join (feeds the salting / AQE-skew decisions in skew.py)
+# ----------------------------------------------------------------------
+
+SKEW_TOPN = 20
+
+
+def q62_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter profile of a prospective shuffle key: top-N keys by
+    row count with each key's share of the table and its hot-factor
+    (count / mean-count-per-key) — the exact numbers that decide
+    whether a join needs salting (q40), an AQE skew split, or nothing.
+    Run this BEFORE shipping a 100 TB join, not after it stragglers.
+
+    One aggregation at key grain (map-side partials absorb the very
+    skew being measured — each mapper emits one row per distinct key),
+    one single-row global roll-up broadcast back, top-N via
+    TakeOrderedAndProject. Cost is a count-by-key, output is N rows."""
+    ev = read_table(spark, sf_dir, "events", ["user_id"])
+    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = per_key.agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    return (
+        per_key.crossJoin(F.broadcast(tot))
+        .select(
+            "user_id",
+            "cnt",
+            F.round(F.col("cnt") / F.col("n_rows"), 6).alias("share"),
+            F.round(
+                F.col("cnt") * F.col("n_keys") / F.col("n_rows"), 6
+            ).alias("hot_factor"),
+        )
+        .orderBy(F.desc("cnt"), F.asc("user_id"))
+        .limit(SKEW_TOPN)
+    )
+
+
+_DUCK_SKEW_SQL = f"""
+    WITH per_key AS (
+        SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+    ), tot AS (
+        SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+               count(*) AS n_keys FROM per_key
+    )
+    SELECT user_id, cnt,
+           round(CAST(cnt AS DOUBLE) / n_rows, 6) AS share,
+           round(CAST(cnt AS DOUBLE) * n_keys / n_rows, 6) AS hot_factor
+    FROM per_key, tot
+    ORDER BY cnt DESC, user_id LIMIT {SKEW_TOPN}
+"""
+
+
+# ----------------------------------------------------------------------
 # q61: one-pass dataset profile (the "dataset card" scan)
 # ----------------------------------------------------------------------
 
@@ -2131,6 +2186,7 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
     "q61_profile_events": _duck_profile_sql(),
+    "q62_skew_stats": _DUCK_SKEW_SQL,
     "q54_hash_sample": _duck_hash_sample_sql(),
     "q55_rolling_median": _DUCK_ROLLING_MEDIAN_SQL,
     "q56_grouped_stats": _DUCK_GROUPED_STATS_SQL,
@@ -2608,4 +2664,5 @@ QUERIES = {
     "q27_asof_join": q27_asof_join,
     "q60_bucketed_join": q60_bucketed_join,
     "q61_profile_events": q61_profile_events,
+    "q62_skew_stats": q62_skew_stats,
 }

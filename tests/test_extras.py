@@ -936,3 +936,28 @@ def test_gopher_rules_on_planted_docs(spark, tmp_path):
     assert out[3].symbol_ratio > 0.1 and not out[3].passes
     assert out[4].ellipsis_frac == 1.0 and not out[4].passes
     assert out[5].alpha_word_frac == 0.0 and not out[5].passes
+
+
+def test_recall_eval_matches_pytest_computed_recall(spark):
+    """The recall operator must reproduce the recall the test harness
+    computes directly from the two top-k outputs (same corpus, same
+    tie-breaks) — and LSH recall must be positive but imperfect on the
+    near-uniform synthetic corpus (all-1.0 would mean the bucket
+    pruning isn't actually pruning)."""
+    bf = {}
+    for r in similarity.cosine_topk(spark, SF_SMOKE).collect():
+        bf.setdefault(r.query_id, set()).add(r.neighbor_id)
+    lsh = {}
+    for r in similarity.lsh_topk(spark, SF_SMOKE).collect():
+        lsh.setdefault(r.query_id, set()).add(r.neighbor_id)
+    rows = {r.query_id: r for r in
+            similarity.recall_eval(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(bf)
+    total_hits = 0
+    for q, exact in bf.items():
+        hits = len(exact & lsh.get(q, set()))
+        assert rows[q].n_exact == len(exact)
+        assert rows[q].n_hits == hits
+        assert abs(rows[q].recall - hits / len(exact)) < 1e-12
+        total_hits += hits
+    assert 0 < total_hits < sum(len(v) for v in bf.values())
