@@ -228,15 +228,28 @@ def _read_docs_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def shingle_sets_from(docs: DataFrame) -> DataFrame:
+    """shingle_sets over an ARBITRARY (doc_id, text) frame (streaming
+    micro-batches use this; the batch path wraps it with the parallel
+    corpus scan)."""
+    toks = docs.selectExpr("doc_id", f"{_SPARK_TOKENS} AS tokens")
+    return toks.selectExpr("doc_id", f"({_SPARK_SHINGLES_FROM_TOKENS}) AS shingles")
+
+
 def shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingles) with tokens bound as their own projection —
     multi-referenced columns stop CollapseProject from inlining the
     split() into every downstream lambda (which would re-tokenize per
     shingle index: the difference between O(tokens) and O(tokens²)
     per doc)."""
-    docs = _read_docs_parallel(spark, sf_dir)
-    toks = docs.selectExpr("doc_id", f"{_SPARK_TOKENS} AS tokens")
-    return toks.selectExpr("doc_id", f"({_SPARK_SHINGLES_FROM_TOKENS}) AS shingles")
+    return shingle_sets_from(_read_docs_parallel(spark, sf_dir))
+
+
+def signatures_from(docs: DataFrame,
+                    hash_impl: str = "md5") -> DataFrame:
+    """minhash_signatures over an ARBITRARY (doc_id, text) frame —
+    see minhash_signatures for the plan-shape notes."""
+    return _signatures_of_shingled(shingle_sets_from(docs), hash_impl)
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str,
@@ -256,7 +269,11 @@ def minhash_signatures(spark: SparkSession, sf_dir: str,
     hash_impl: 'md5' = oracle-parity (DuckDB-reproducible, the
     correctness gate); 'xxhash64' = production path, several times
     cheaper, no oracle (see extras.hashing)."""
-    shingled = shingle_sets(spark, sf_dir)
+    return _signatures_of_shingled(shingle_sets(spark, sf_dir), hash_impl)
+
+
+def _signatures_of_shingled(shingled: DataFrame,
+                            hash_impl: str = "md5") -> DataFrame:
     hashed = shingled.select(
         # explode_outer, NOT explode: see _read_docs_parallel — the
         # inner form's inferred non-empty filter drags the whole

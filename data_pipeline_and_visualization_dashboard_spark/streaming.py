@@ -830,3 +830,166 @@ def run_scrub_to_completion(spark: SparkSession, sf_dir: str,
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def minhash_index_stream(spark: SparkSession, in_dir: str, index_dir: str,
+                         pairs_dir: str, checkpoint_dir: str,
+                         hash_impl: str = "md5"):
+    """Streaming MinHash/LSH INDEX MAINTENANCE — the ingest-time shape
+    of dedup_incremental_pairs, run continuously: each micro-batch of
+    new documents (1) computes signatures + band buckets + shingle
+    sets for the batch ONLY, (2) joins the batch's buckets against the
+    persisted index (plus itself, for within-batch dups), (3) verifies
+    candidates with exact shingle Jaccard and emits the new near-dup
+    pairs, (4) appends the batch's rows to the index. Per-batch cost
+    is O(batch × bucket_density) — the base corpus is never re-paired
+    against itself, which is the whole point of maintaining the index.
+
+    Exactly-once without a fence: every write is an OVERWRITE of an
+    epoch-keyed subdirectory (index/epoch=N, pairs/epoch=N), so a
+    replayed epoch rewrites its own output byte-for-byte instead of
+    appending twice — idempotence by path layout, the simplest of the
+    replay-safety recipes in this module (cf. _state_commit's fence
+    for merges that must rewrite shared state). The epoch dirs double
+    as the append log: a real deployment writes them to an
+    LSM/lakehouse table (Delta/Iceberg append), which is byte-layout
+    identical to this pattern.
+
+    Every pair is emitted exactly once — when its LATER doc arrives
+    (earlier member is then in the index or the same batch), so the
+    union of all epochs' pairs equals the batch pipeline's output on
+    the same corpus (asserted in tests against dedup_minhash_pairs,
+    bucket-cap permitting)."""
+    import os as _os
+
+    from .extras.dedup import (
+        BANDS,
+        MAX_BUCKET,
+        NUM_HASHES,
+        shingle_sets_from,
+        signatures_from,
+    )
+
+    docs = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+
+    sig_arr = F.array(*[F.col(f"sig_{j}") for j in range(NUM_HASHES)])
+    band_cols = ", ".join(f"{b}, band_{b}" for b in range(BANDS))
+
+    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        ss = batch_df.sparkSession
+        batch = batch_df.filter(F.col("text").isNotNull())
+        sigs = signatures_from(batch, hash_impl)
+        sh = shingle_sets_from(batch).select(
+            "doc_id", F.array_distinct("shingles").alias("sh")
+        )
+        delta_meta = (
+            sigs.select(
+                "doc_id",
+                sig_arr.alias("sig"),
+                *[F.col(f"band_{b}") for b in range(BANDS)],
+            )
+            .join(sh, "doc_id")
+            .localCheckpoint()  # one materialization; read 3x below
+        )
+        if not delta_meta.take(1):
+            return
+        have_index = _os.path.isdir(index_dir)
+        if have_index:
+            all_meta = ss.read.parquet(index_dir).drop("epoch").unionByName(
+                delta_meta
+            )
+        else:
+            all_meta = delta_meta
+        delta_buckets = delta_meta.selectExpr(
+            "doc_id",
+            f"stack({BANDS}, {band_cols}) AS (band_idx, band_hash)",
+        )
+        all_buckets = all_meta.selectExpr(
+            "doc_id",
+            f"stack({BANDS}, {band_cols}) AS (band_idx, band_hash)",
+        )
+        # same skew guard as the batch path, over the CURRENT corpus
+        w = Window.partitionBy("band_idx", "band_hash")
+        capped = (
+            all_buckets.withColumn("n", F.count(F.lit(1)).over(w))
+            .filter(F.col("n") <= MAX_BUCKET)
+            .drop("n")
+        )
+        d = capped.join(
+            delta_buckets.select("doc_id").distinct(), "doc_id"
+        ).selectExpr("band_idx", "band_hash", "doc_id AS d_id")
+        o = capped.selectExpr("band_idx", "band_hash", "doc_id AS o_id")
+        cand = (
+            d.join(o, ["band_idx", "band_hash"])
+            .filter(F.col("d_id") != F.col("o_id"))
+            .select(
+                F.least("d_id", "o_id").alias("doc_id_a"),
+                F.greatest("d_id", "o_id").alias("doc_id_b"),
+            )
+            .distinct()
+        )
+        ma = all_meta.selectExpr(
+            "doc_id AS doc_id_a", "sig AS sig_a", "sh AS sh_a"
+        )
+        mb = all_meta.selectExpr(
+            "doc_id AS doc_id_b", "sig AS sig_b", "sh AS sh_b"
+        )
+        agree = F.aggregate(
+            F.zip_with(
+                "sig_a", "sig_b",
+                lambda x, y: F.when(x == y, 1).otherwise(0),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        union = F.size("sh_a") + F.size("sh_b") - inter
+        pairs = (
+            cand.join(ma, "doc_id_a")
+            .join(mb, "doc_id_b")
+            .select(
+                "doc_id_a",
+                "doc_id_b",
+                (agree.cast("double") / F.lit(float(NUM_HASHES))).alias(
+                    "est_jaccard"
+                ),
+                (inter.cast("double") / union.cast("double")).alias(
+                    "jaccard"
+                ),
+            )
+        )
+        pairs.write.mode("overwrite").parquet(
+            _os.path.join(pairs_dir, f"epoch={epoch_id}")
+        )
+        delta_meta.write.mode("overwrite").parquet(
+            _os.path.join(index_dir, f"epoch={epoch_id}")
+        )
+
+    return (
+        docs.writeStream.outputMode("append")
+        .foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def run_minhash_index_to_completion(spark: SparkSession, in_dir: str,
+                                    work_dir: str) -> DataFrame:
+    """Drive the index maintenance over the finite doc set; returns the
+    union of all epochs' emitted pairs (epoch partition column
+    dropped)."""
+    import os as _os
+
+    index_dir = _os.path.join(work_dir, "index")
+    pairs_dir = _os.path.join(work_dir, "pairs")
+    ckpt = _os.path.join(work_dir, "ckpt")
+    q = minhash_index_stream(spark, in_dir, index_dir, pairs_dir, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(pairs_dir).drop("epoch")

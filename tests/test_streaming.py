@@ -556,3 +556,38 @@ def test_streaming_scrub_matches_batch(spark):
         tuple(r) for r in scrub_pii(spark, SF_SMOKE).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_streaming_minhash_index_equals_batch_pairs(spark, tmp_path):
+    """The ingest-time MinHash index maintenance must discover EXACTLY
+    the batch pipeline's near-dup pairs (same est/exact jaccard values)
+    once the whole corpus has streamed through — each pair emitted by
+    the epoch in which its later member arrived, never twice."""
+    from data_pipeline_and_visualization_dashboard_spark.extras.dedup import (
+        dedup_minhash_pairs,
+    )
+    from data_pipeline_and_visualization_dashboard_spark.io import read_table
+    from data_pipeline_and_visualization_dashboard_spark.streaming import (
+        run_minhash_index_to_completion,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = read_table(spark, SF_SMOKE, "documents", ["doc_id", "text"])
+    in_dir = str(tmp_path / "in")
+    # four arrival waves interleaved by doc_id so cross-wave pairs
+    # exercise the delta-vs-index join in both directions
+    for i in range(4):
+        docs.filter(F.col("doc_id") % 4 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+    got = {
+        (r.doc_id_a, r.doc_id_b, round(r.est_jaccard, 9), round(r.jaccard, 9))
+        for r in run_minhash_index_to_completion(
+            spark, in_dir, str(tmp_path / "work")
+        ).collect()
+    }
+    want = {
+        (r.doc_id_a, r.doc_id_b, round(r.est_jaccard, 9), round(r.jaccard, 9))
+        for r in dedup_minhash_pairs(spark, SF_SMOKE).collect()
+    }
+    assert got == want and len(want) > 0
