@@ -63,6 +63,7 @@ HEADLINE = [
     "text_repetition",  # n-gram array build + distinct per doc
     "sim_cosine_topk",
     "sim_lsh_topk",
+    "sim_lsh_multiprobe_topk",  # Hamming-1 probe fan-out (recall lever)
     "sim_sq_topk",  # int8 quantized scoring (production memory path)
     "sim_pq_adc_topk",  # product quantization + ADC (billion-scale path)
     # the *_pretrained variants serve from the cached trained index —

@@ -118,8 +118,10 @@ def lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via random-hyperplane buckets: corpus bucketed row-locally,
     equi-join queries to their bucket, exact cosine within. Candidates
     drop ~2^N_PLANES-fold; recall is P(no bit differs | similar) —
-    tune N_PLANES / add multiprobe for the recall target. No oracle:
-    approximate by design (driver records rows-only)."""
+    tune N_PLANES or use lsh_multiprobe_topk for the recall target.
+    Approximate in RECALL but deterministic in OUTPUT (seeded planes,
+    strict tie-breaks), so it carries a full DuckDB oracle
+    (_duck_lsh_topk_sql); sim_recall_eval quantifies the recall."""
     emb = read_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"])
     planes = _hyperplanes()
     q = _with_norm(emb.filter(F.col("vec_id") < N_QUERIES), "q").withColumn(
@@ -189,6 +191,110 @@ def _duck_lsh_buckets_sql() -> str:
         f"SELECT vec_id, {_duck_bucket_expr('CAST(embedding AS DOUBLE[])')}"
         " AS bucket\nFROM embeddings ORDER BY vec_id"
     )
+
+
+def lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe LSH (Lv et al., VLDB'07): each query probes its own
+    bucket PLUS the N_PLANES buckets at Hamming distance 1 (one sign
+    bit flipped) — the standard recall lever that does NOT touch the
+    index: near neighbors that landed just across one hyperplane are
+    recovered at the cost of probing 9 buckets instead of 1, still
+    ~2^N_PLANES/9-fold candidate pruning. The probe fan-out is on the
+    QUERY side (N_QUERIES × (N_PLANES+1) rows — noise); the corpus
+    keeps one bucket per vector, so index size is unchanged.
+
+    Deterministic (seeded planes, strict tie-breaks) ⇒ fully
+    oracle-backed, like sim_lsh_buckets/sim_recall_eval. A corpus doc
+    cannot be double-counted: its single bucket matches at most one of
+    a query's 9 distinct probe values."""
+    emb = read_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"])
+    planes = _hyperplanes()
+    q0 = _with_norm(emb.filter(F.col("vec_id") < N_QUERIES), "q").withColumn(
+        "bucket0", _bucket_expr(F.col("q_e"), planes)
+    )
+    probes = F.array(
+        F.col("bucket0"),
+        *[
+            F.col("bucket0").bitwiseXOR(F.lit(1 << i))
+            for i in range(N_PLANES)
+        ],
+    )
+    q = q0.withColumn("bucket", F.explode(probes))
+    c = _with_norm(emb, "c").withColumn(
+        "bucket", _bucket_expr(F.col("c_e"), planes)
+    )
+    sim = F.round(
+        _dot(F.col("q_e"), F.col("c_e")) / (F.col("q_norm") * F.col("c_norm")), 6
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        F.broadcast(q)
+        .join(c, "bucket")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            sim.alias("sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+def _duck_lsh_topk_sql(multiprobe: bool) -> str:
+    """Full SQL twin of lsh_topk / lsh_multiprobe_topk: the outputs are
+    deterministic (seeded planes + strict tie-breaks), so 'approximate'
+    refers to recall vs true neighbors, not to reproducibility — the
+    candidate sets themselves are exactly reproducible in DuckDB."""
+    b = _duck_bucket_expr("CAST(embedding AS DOUBLE[])")
+    if multiprobe:
+        probe_list = "[b" + "".join(
+            f", xor(b, {1 << i})" for i in range(N_PLANES)
+        ) + "]"
+        qb = (
+            f"SELECT q_id, unnest({probe_list}) AS bucket FROM "
+            "(SELECT vec_id AS q_id, bkt.bucket AS b FROM bkt "
+            f"WHERE vec_id < {N_QUERIES}) t"
+        )
+    else:
+        qb = (
+            f"SELECT vec_id AS q_id, bucket FROM bkt "
+            f"WHERE vec_id < {N_QUERIES}"
+        )
+    return f"""
+        WITH bkt AS (
+            SELECT vec_id, {b} AS bucket FROM embeddings
+        ), qb AS (
+            {qb}
+        ), q AS (
+            SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings WHERE vec_id < {N_QUERIES}
+        ), c AS (
+            SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings
+        ), cand AS (
+            SELECT qb.q_id AS query_id, cb.vec_id AS neighbor_id
+            FROM qb JOIN bkt cb ON cb.bucket = qb.bucket
+            WHERE qb.q_id <> cb.vec_id
+        ), sims AS (
+            SELECT cand.query_id, cand.neighbor_id,
+                   round(list_dot_product(q.e, c.e)
+                         / (sqrt(list_dot_product(q.e, q.e))
+                            * sqrt(list_dot_product(c.e, c.e))), 6) AS sim
+            FROM cand
+            JOIN q ON q.q_id = cand.query_id
+            JOIN c ON c.c_id = cand.neighbor_id
+        )
+        SELECT query_id, neighbor_id, sim, CAST(rn AS INT) AS rank
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+              FROM sims) t
+        WHERE rn <= {TOP_K}
+        ORDER BY query_id, rank
+    """
 
 
 def recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -741,6 +847,10 @@ ORACLE_SQL: dict[str, str] = {
     "sim_cosine_topk_pandas": _DUCK_COSINE_BASE,
     "sim_lsh_buckets": _duck_lsh_buckets_sql(),
     "sim_recall_eval": _duck_recall_eval_sql(),
+    # deterministic candidate sets: the LSH top-k paths are fully
+    # SQL-reproducible even though their RECALL is approximate
+    "sim_lsh_topk": _duck_lsh_topk_sql(multiprobe=False),
+    "sim_lsh_multiprobe_topk": _duck_lsh_topk_sql(multiprobe=True),
     "sim_sq_topk": _DUCK_SQ_TOPK,
     "sim_pq_codes": _duck_pq_codes_sql(),
     "sim_pq_adc_topk": _duck_pq_adc_sql(),
@@ -751,6 +861,7 @@ QUERIES = {
     "sim_cosine_topk_pandas": cosine_topk_pandas,
     "sim_lsh_topk": lsh_topk,
     "sim_lsh_buckets": lsh_buckets,
+    "sim_lsh_multiprobe_topk": lsh_multiprobe_topk,
     "sim_recall_eval": recall_eval,
     "sim_sq_topk": sq_topk,
     "sim_pq_codes": pq_codes,

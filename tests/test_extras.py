@@ -961,3 +961,22 @@ def test_recall_eval_matches_pytest_computed_recall(spark):
         assert abs(rows[q].recall - hits / len(exact)) < 1e-12
         total_hits += hits
     assert 0 < total_hits < sum(len(v) for v in bf.values())
+
+
+def test_multiprobe_recall_dominates_single_probe(spark):
+    """Multiprobe exists to raise recall: probing the 8 Hamming-1
+    buckets must recover at least every pair single-probe finds (its
+    candidate set is a superset), and strictly more true neighbors on
+    this corpus; per-pair sims stay identical."""
+    bf = {}
+    for r in similarity.cosine_topk(spark, SF_SMOKE).collect():
+        bf.setdefault(r.query_id, set()).add(r.neighbor_id)
+    single = {}
+    for r in similarity.lsh_topk(spark, SF_SMOKE).collect():
+        single.setdefault(r.query_id, set()).add(r.neighbor_id)
+    multi = {}
+    for r in similarity.lsh_multiprobe_topk(spark, SF_SMOKE).collect():
+        multi.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits_s = sum(len(bf[q] & single.get(q, set())) for q in bf)
+    hits_m = sum(len(bf[q] & multi.get(q, set())) for q in bf)
+    assert hits_m > hits_s, (hits_s, hits_m)
