@@ -591,3 +591,56 @@ def test_streaming_minhash_index_equals_batch_pairs(spark, tmp_path):
         for r in dedup_minhash_pairs(spark, SF_SMOKE).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_streaming_minhash_index_survives_restart(spark, tmp_path):
+    """Stop the index-maintenance stream after the first waves, restart
+    it over a grown input, and the union of emitted pairs must still
+    equal the batch pipeline — the checkpoint resumes at the right
+    epoch and the epoch-keyed overwrite layout makes any replayed
+    epoch rewrite itself instead of duplicating pairs."""
+    import os
+    import time
+
+    from data_pipeline_and_visualization_dashboard_spark.extras.dedup import (
+        dedup_minhash_pairs,
+    )
+    from data_pipeline_and_visualization_dashboard_spark.io import read_table
+    from data_pipeline_and_visualization_dashboard_spark.streaming import (
+        minhash_index_stream,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = read_table(spark, SF_SMOKE, "documents", ["doc_id", "text"])
+    in_dir = str(tmp_path / "in")
+    work = str(tmp_path / "work")
+    index_dir, pairs_dir = os.path.join(work, "index"), os.path.join(
+        work, "pairs"
+    )
+    ckpt = os.path.join(work, "ckpt")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    q = minhash_index_stream(spark, in_dir, index_dir, pairs_dir, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()  # "crash" between waves
+    time.sleep(0.1)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    q2 = minhash_index_stream(spark, in_dir, index_dir, pairs_dir, ckpt)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    got = {
+        (r.doc_id_a, r.doc_id_b, round(r.jaccard, 9))
+        for r in spark.read.parquet(pairs_dir).drop("epoch").collect()
+    }
+    want = {
+        (r.doc_id_a, r.doc_id_b, round(r.jaccard, 9))
+        for r in dedup_minhash_pairs(spark, SF_SMOKE).collect()
+    }
+    assert got == want and len(want) > 0
