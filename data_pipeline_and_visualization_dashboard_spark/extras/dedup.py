@@ -711,12 +711,14 @@ def dedup_neardup_groups_lsss(spark: SparkSession, sf_dir: str,
                 .agg(F.min("v").alias("mn"))
                 .select("u", F.least("mn", F.col("u")).alias("m"))
             )
+            # no distinct here: small-star's groupBy-min and the final
+            # round distinct absorb duplicate edges, and dropping the
+            # intermediate dedup saves one exchange per round
             large = (
                 sym.join(mins, "u")
                 .where(F.col("v") > F.col("u"))
                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
                 .where(F.col("u") != F.col("v"))
-                .distinct()
             )
             # SMALL-STAR: canonical (u > v) edges grouped by the large
             # endpoint ARE Γ⁻(u); fold them (and u) onto its min.
