@@ -993,3 +993,58 @@ def run_minhash_index_to_completion(spark: SparkSession, in_dir: str,
     finally:
         q.stop()
     return spark.read.parquet(pairs_dir).drop("epoch")
+
+
+def quality_score_stream(docs: DataFrame) -> DataFrame:
+    """Streaming LEARNED quality gate: the hashing-trick linear
+    classifier (extras.text.quality_score) applied at ingest time.
+    Like scrub_stream it is a pure stateless projection — the batch
+    plan fragment runs unchanged per micro-batch, no watermark, no
+    state — which is exactly why the hashing-trick classifier shape
+    matters in production: a learned filter that is just codegen
+    expressions deploys on the stream with zero new infrastructure
+    (same rules, same frozen weights ⇒ stream ≡ batch row-for-row,
+    asserted in tests)."""
+    from .extras.text import _qs_weight_exprs
+
+    w = _qs_weight_exprs("spark")
+    return docs.selectExpr(
+        "doc_id",
+        "split(lower(trim(text)), '\\\\s+') AS tokens",
+    ).selectExpr(
+        "doc_id",
+        "size(tokens) AS token_cnt",
+        f"aggregate(transform(tokens, t -> {w}),"
+        " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) AS score_sum",
+    ).selectExpr(
+        "doc_id",
+        "token_cnt",
+        "score_sum",
+        "score_sum / token_cnt AS score_mean",
+        "(score_sum / token_cnt) > 0 AS kept",
+    )
+
+
+def run_quality_score_to_completion(spark: SparkSession, sf_dir: str,
+                                    query_name: str = "qscore_out"
+                                    ) -> DataFrame:
+    docs = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long"
+        )
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    q = (
+        quality_score_stream(docs)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")

@@ -980,3 +980,46 @@ def test_multiprobe_recall_dominates_single_probe(spark):
     hits_s = sum(len(bf[q] & single.get(q, set())) for q in bf)
     hits_m = sum(len(bf[q] & multi.get(q, set())) for q in bf)
     assert hits_m > hits_s, (hits_s, hits_m)
+
+
+def test_corpus_to_training_shards_composition(spark, tmp_path):
+    """The whole curation-to-training-prep chain composed for real:
+    survivors of the dedup funnel are materialized as their own corpus,
+    then chunked, packed, and split — with conservation invariants at
+    every hop (only survivor docs appear; chunk counts match the
+    chunking formula; packing conserves chunk counts; every surviving
+    doc gets exactly one split)."""
+    from data_pipeline_and_visualization_dashboard_spark.extras.dedup import (
+        corpus_survivors,
+    )
+    from data_pipeline_and_visualization_dashboard_spark.extras.text import (
+        chunks,
+        packing,
+        split_assign,
+    )
+
+    surv = {r.doc_id for r in corpus_survivors(spark, SF_SMOKE).collect()}
+    assert surv
+    docs = read_table(spark, SF_SMOKE, "documents")
+    d = str(tmp_path)
+    docs.filter(F.col("doc_id").isin(surv)).coalesce(2).write.parquet(
+        d + "/documents.parquet"
+    )
+    ch = chunks(spark, d).collect()
+    assert {r.doc_id for r in ch} == surv
+    per_doc = {}
+    for r in ch:
+        per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + 1
+    pk = packing(spark, d).collect()  # pack-grain fill stats
+    assert sum(r.n_chunks for r in pk) == len(ch)  # chunks conserved
+    assert sum(r.n_tokens for r in pk) == sum(
+        r.n_chunk_tokens for r in ch
+    )  # tokens conserved
+    sp = {r.doc_id: r.split for r in split_assign(spark, d).collect()}
+    assert set(sp) == surv
+    assert set(sp.values()) <= {"train", "val", "test"}
+    # the split must be the same assignment the full corpus would give
+    # (hash of doc_id only — stability under corpus filtering)
+    full = {r.doc_id: r.split for r in
+            split_assign(spark, SF_SMOKE).collect()}
+    assert all(full[d_] == s for d_, s in sp.items())

@@ -644,3 +644,25 @@ def test_streaming_minhash_index_survives_restart(spark, tmp_path):
         for r in dedup_minhash_pairs(spark, SF_SMOKE).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_streaming_quality_score_equals_batch(spark):
+    """The learned quality gate on the stream must equal the batch
+    scorer row-for-row — same frozen weights, same expressions, zero
+    stateful machinery."""
+    from data_pipeline_and_visualization_dashboard_spark.extras.text import (
+        quality_score,
+    )
+    from tests.conftest import SF_SMOKE
+
+    got = {
+        r.doc_id: (r.token_cnt, r.score_sum, r.kept)
+        for r in streaming.run_quality_score_to_completion(
+            spark, SF_SMOKE
+        ).collect()
+    }
+    want = {
+        r.doc_id: (r.token_cnt, r.score_sum, r.kept)
+        for r in quality_score(spark, SF_SMOKE).collect()
+    }
+    assert got == want and len(got) > 0
