@@ -1218,11 +1218,18 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents", ["doc_id", "text", "lang"])
     feats = (
         docs.filter(F.col("text").isNotNull())
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .selectExpr(
             "doc_id", "lang", "split(lower(trim(text)), '\\\\s+') AS tokens"
         )
         .selectExpr("doc_id", "lang", f"concat({uni}, {bi}) AS bs")
         .select("doc_id", "lang", F.explode_outer("bs").alias("b"))
+        # materialize the hashed feature stream ONCE: it feeds both the
+        # profile aggregation and the scoring join below — without this
+        # the tokenize+hash+explode pipeline runs twice (measured 2.4s
+        # -> ~1.4s at sf0.1). Production DSIR persists exactly this
+        # frame (the featurized corpus) between profile fit and scoring.
+        .localCheckpoint()
     )
     counts = feats.groupBy("b").agg(
         F.count(F.lit(1)).alias("c_raw"),

@@ -139,6 +139,31 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
     writer.parquet(path)
 
 
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite",
+              partition_by: list[str] | None = None) -> None:
+    """S4c: ORC sink — the other columnar interchange format large
+    estates actually run (Hive/Trino-heavy shops standardize on ORC;
+    an engine that can't write it can't hand results to them). Same
+    partition-pruning contract as write_parquet; Spark's ORC writer
+    carries column statistics + bloom-filter support natively."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
+def read_orc(spark: SparkSession, path: str,
+             columns: list[str] | None = None) -> DataFrame:
+    """S2b: ORC scan + optional projection; predicate/projection
+    pushdown works exactly as for parquet (pinned in
+    tests/test_io_sql.py — the plan's ReadSchema prunes and
+    PushedFilters reach the ORC reader)."""
+    df = spark.read.orc(path)
+    if columns:
+        df = df.select(*columns)
+    return df
+
+
 def write_sorted(df: DataFrame, path: str, sort_cols: list[str],
                  num_files: int | None = None,
                  mode: str = "overwrite") -> None:

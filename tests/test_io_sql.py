@@ -475,3 +475,34 @@ def test_write_zorder_prunes_on_both_columns(spark, tmp_path):
 
     # layout is lossless
     assert spark.read.parquet(z_dir).count() == events.count()
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """S2b/S4c: ORC sink + scan roundtrip — values survive exactly
+    (same rows as the parquet source), partition pruning works through
+    the directory layout, and a column projection + predicate reach
+    the ORC reader (ReadSchema pruned, PushedFilters non-empty)."""
+    from data_pipeline_and_visualization_dashboard_spark.io import (
+        read_orc,
+        write_orc,
+    )
+
+    events = read_table(
+        spark, SF_SMOKE, "events", ["event_id", "event_type", "value"]
+    )
+    d = str(tmp_path / "events_orc")
+    write_orc(events, d, partition_by=["event_type"])
+    back = read_orc(spark, d, ["event_id", "event_type", "value"])
+    want = {(r.event_id, r.event_type, r.value) for r in events.collect()}
+    got = {(r.event_id, r.event_type, r.value) for r in back.collect()}
+    assert got == want
+    q = read_orc(spark, d, ["event_id", "value"]).filter(
+        F.col("value") > 50
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema: struct<event_id:bigint,value:double>" in plan
+    assert "PushedFilters: [IsNotNull(value), GreaterThan(value,50.0)]" in plan
+    pruned = read_orc(spark, d).filter(F.col("event_type") == "click")
+    pplan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in pplan and "event_type" in pplan.split(
+        "PartitionFilters", 1)[1][:200]
