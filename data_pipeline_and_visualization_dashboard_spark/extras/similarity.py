@@ -310,10 +310,48 @@ def recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     this evaluation is FULLY oracle-backed: DuckDB recomputes exact
     top-k, the bucketed LSH top-k, and the same recall division.
 
-    Scale: reuses cosine_topk (corpus never shuffles) and lsh_topk
-    (bucket-pruned); the recall join itself is queries×k rows."""
-    ex = cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
-    ap = lsh_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    Scale: ONE scored frame serves both sides — queries broadcast
+    against the corpus once (exact sims), the LSH ranking is the same
+    frame filtered to bucket-equal rows (mirroring the oracle's shared
+    `sims` CTE), so the evaluation costs one corpus pass, not two; the
+    recall join itself is queries×k rows."""
+    emb = read_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"])
+    planes = _hyperplanes()
+    q = _with_norm(emb.filter(F.col("vec_id") < N_QUERIES), "q").withColumn(
+        "q_bucket", _bucket_expr(F.col("q_e"), planes)
+    )
+    c = _with_norm(emb, "c").withColumn(
+        "c_bucket", _bucket_expr(F.col("c_e"), planes)
+    )
+    sim = F.round(
+        _dot(F.col("q_e"), F.col("c_e")) / (F.col("q_norm") * F.col("c_norm")),
+        6,
+    )
+    sims = (
+        F.broadcast(q)
+        .join(c, F.col("q_id") != F.col("c_id"))
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            sim.alias("sim"),
+            (F.col("q_bucket") == F.col("c_bucket")).alias("same_bucket"),
+        )
+        .localCheckpoint()  # scored once, ranked twice below
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    ex = (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    ap = (
+        sims.filter("same_bucket")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
     hits = (
         ex.join(ap, ["query_id", "neighbor_id"], "left_semi")
         .groupBy("query_id")

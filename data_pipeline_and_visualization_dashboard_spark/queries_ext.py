@@ -1984,12 +1984,18 @@ def _bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     mt = int(os.path.getmtime(os.path.join(sf_dir, "lineitem.parquet")))
     t_li = f"b_lineitem_{base}_{mt}"
     t_or = f"b_orders_{base}_{mt}"
+    # explicit repo-local storage root (NOT the session warehouse dir,
+    # which is CWD-relative and may point anywhere in a harness
+    # process) — same placement contract as ann_disk_index
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "spark-warehouse",
+        "bucketed",
+    )
     if not (spark.catalog.tableExists(t_li)
             and spark.catalog.tableExists(t_or)):
-        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-        wh_path = wh.removeprefix("file:")
-        if os.path.isdir(wh_path):
-            for stale in os.listdir(wh_path):
+        if os.path.isdir(root):
+            for stale in os.listdir(root):
                 # drop stale generations AND current-name orphan dirs
                 # left by a previous session (the bucketing spec lives
                 # in the session catalog, so files alone are unusable)
@@ -1997,7 +2003,7 @@ def _bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
                     (f"b_lineitem_{base}_", f"b_orders_{base}_")
                 ):
                     spark.sql(f"DROP TABLE IF EXISTS {stale}")
-                    shutil.rmtree(os.path.join(wh_path, stale),
+                    shutil.rmtree(os.path.join(root, stale),
                                   ignore_errors=True)
         li = read_table(spark, sf_dir, "lineitem",
                         ["l_orderkey", "l_extendedprice", "l_discount"])
@@ -2008,9 +2014,11 @@ def _bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         # bucket and the sorted-run-per-bucket guarantee is lost
         (li.repartition(N_BUCKETS, "l_orderkey").write
            .bucketBy(N_BUCKETS, "l_orderkey").sortBy("l_orderkey")
+           .option("path", os.path.join(root, t_li))
            .mode("overwrite").saveAsTable(t_li))
         (orders.repartition(N_BUCKETS, "o_orderkey").write
            .bucketBy(N_BUCKETS, "o_orderkey").sortBy("o_orderkey")
+           .option("path", os.path.join(root, t_or))
            .mode("overwrite").saveAsTable(t_or))
     return t_li, t_or
 
