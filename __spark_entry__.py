@@ -99,6 +99,8 @@ _CHECK_FIRST = [
     "q62_skew_stats",
     "sim_recall_eval",
     "sim_lsh_multiprobe_topk",
+    "sim_lang_centroids",
+    "sim_rp_topk",
     # upgraded rows-only -> fully oracle-backed in round 3 (the LSH
     # output was always deterministic; only its recall is approximate)
     "sim_lsh_topk",

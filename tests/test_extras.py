@@ -1023,3 +1023,42 @@ def test_corpus_to_training_shards_composition(spark, tmp_path):
     full = {r.doc_id: r.split for r in
             split_assign(spark, SF_SMOKE).collect()}
     assert all(full[d_] == s for d_, s in sp.items())
+
+
+def test_rp_topk_recall_floor_and_centroid_sanity(spark):
+    """JL projection to 32 dims must keep projected-space top-k
+    correlated with exact cosine (measured 0.24 on the adversarial
+    near-uniform corpus; random would be ~0.02), and the per-language
+    centroids must average exactly the member vectors (checked for one
+    (lang, dim) cell by hand)."""
+    bf = {}
+    for r in similarity.cosine_topk(spark, SF_SMOKE).collect():
+        bf.setdefault(r.query_id, set()).add(r.neighbor_id)
+    rp = {}
+    for r in similarity.rp_topk(spark, SF_SMOKE).collect():
+        rp.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(bf[q] & rp.get(q, set())) for q in bf)
+    total = sum(len(v) for v in bf.values())
+    assert hits / total >= 0.15, hits / total
+
+    cents = {
+        (r.lang, r.dim): (r.centroid_val, r.n_vecs)
+        for r in similarity.lang_centroids(spark, SF_SMOKE).collect()
+    }
+    docs = {
+        r.doc_id: r.lang
+        for r in read_table(
+            spark, SF_SMOKE, "documents", ["doc_id", "lang"]
+        ).collect()
+    }
+    embs = read_table(
+        spark, SF_SMOKE, "embeddings", ["vec_id", "embedding"]
+    ).collect()
+    lang0 = next(iter({v for v in docs.values()}))
+    members = [
+        list(r.embedding) for r in embs if docs.get(r.vec_id) == lang0
+    ]
+    want = round(sum(m[0] for m in members) / len(members), 6)
+    got, n = cents[(lang0, 0)]
+    assert n == len(members)
+    assert abs(got - want) < 1e-5
