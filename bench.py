@@ -91,6 +91,7 @@ HEADLINE = [
     "text_quality_score",  # hashing-trick linear classifier (codegen)
     "text_gopher_rules",  # full Gopher heuristic battery (codegen)
     "text_dsir_weights",  # DSIR importance weights (profile broadcast)
+    "text_lm_logprob",  # bigram LM scoring (CCNet-style quality)
     "dedup_semantic_trained",  # SemDeDup on the cached trained clusters
     "media_features",
 ]

@@ -975,6 +975,97 @@ def _duck_mix_sample_sql() -> str:
     """
 
 
+def lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-fit bigram language-model scoring — the CCNet recipe
+    (Wenzek et al. 2020 score docs by LM perplexity; low-probability
+    docs are noise, VERY high-probability docs are boilerplate): fit
+    bigram/context counts over the corpus, then score each doc by its
+    mean Laplace-smoothed conditional log-probability
+    avg(ln (c(w1,w2)+1) / (c(w1·)+V)). The mean LOG-prob is reported
+    (perplexity = exp(-avg) is monotone in it; staying in log space
+    keeps the oracle exact and the numerics stable).
+
+    Shape: bigram fan-out is row-local; the count tables are two
+    grouped aggregations with map-side partials; scoring re-joins the
+    per-DISTINCT-bigram log-prob onto the doc stream (so the heavy ln
+    is computed once per distinct bigram, not per occurrence). At
+    100 TB the count table is the big object — production prunes
+    c < min_count to UNK (KenLM's discipline) or feature-hashes it
+    (DSIR's); both keep this exact plan shape.
+
+    CCNet uses a PRE-TRAINED KenLM; fitting on the scored corpus
+    itself (self-perplexity) is the self-contained stand-in that keeps
+    the whole computation oracle-reproducible."""
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    toks = docs.filter(F.col("text").isNotNull()).selectExpr(
+        "doc_id", "split(lower(trim(text)), '\\\\s+') AS tokens"
+    )
+    bi = toks.selectExpr(
+        "doc_id",
+        "CASE WHEN size(tokens) >= 2 THEN "
+        "transform(sequence(1, size(tokens) - 1), "
+        "i -> struct(element_at(tokens, i) AS w1, "
+        "element_at(tokens, i + 1) AS w2)) "
+        "ELSE array() END AS bs",
+    ).select("doc_id", F.explode_outer("bs").alias("b")).select(
+        "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    ).filter(F.col("w1").isNotNull())
+    big_counts = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    ctx_counts = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
+    vocab_n = toks.select(
+        F.explode_outer("tokens").alias("w")
+    ).agg(F.countDistinct("w").alias("v"))
+    lp = (
+        big_counts.join(ctx_counts, "w1")
+        .crossJoin(F.broadcast(vocab_n))
+        .selectExpr(
+            "w1", "w2",
+            "ln(CAST(cb + 1 AS DOUBLE) / CAST(cu + v AS DOUBLE)) AS lp",
+        )
+    )
+    return (
+        bi.join(lp, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("lp"), 6).alias("avg_logprob"),
+        )
+    )  # no terminal sort: O(n) output, order-insensitive compare
+
+
+_DUCK_LM_SQL = r"""
+    WITH toked AS (
+        SELECT doc_id,
+               string_split_regex(lower(trim(text)), '\s+') AS tokens
+        FROM documents WHERE text IS NOT NULL
+    ), bi AS (
+        SELECT doc_id, b['w1'] AS w1, b['w2'] AS w2 FROM (
+            SELECT doc_id, unnest(
+                CASE WHEN len(tokens) >= 2 THEN
+                    list_transform(generate_series(1, len(tokens) - 1),
+                        i -> {'w1': tokens[i], 'w2': tokens[i + 1]})
+                ELSE [] END) AS b
+            FROM toked) t
+    ), big_counts AS (
+        SELECT w1, w2, count(*) AS cb FROM bi GROUP BY w1, w2
+    ), ctx_counts AS (
+        SELECT w1, count(*) AS cu FROM bi GROUP BY w1
+    ), vocab_n AS (
+        SELECT count(DISTINCT w) AS v FROM (
+            SELECT unnest(tokens) AS w FROM toked) t
+    ), lp AS (
+        SELECT b.w1, b.w2,
+               ln(CAST(b.cb + 1 AS DOUBLE) / CAST(c.cu + v.v AS DOUBLE))
+                   AS lp
+        FROM big_counts b JOIN ctx_counts c ON b.w1 = c.w1, vocab_n v
+    )
+    SELECT bi.doc_id, count(*) AS n_bigrams,
+           round(avg(lp.lp), 6) AS avg_logprob
+    FROM bi JOIN lp ON bi.w1 = lp.w1 AND bi.w2 = lp.w2
+    GROUP BY bi.doc_id ORDER BY bi.doc_id
+"""
+
+
 # Gopher-style quality rule thresholds (Rae et al. 2021, "Scaling
 # Language Models: ... Gopher", Appendix A — the de-facto standard
 # heuristic battery for web-text curation). Word-count lower bound is
@@ -1403,6 +1494,7 @@ ORACLE_SQL: dict[str, str] = {
     "text_quality_score": _duck_quality_score_sql(),
     "text_dsir_weights": _duck_dsir_sql(),
     "text_gopher_rules": _duck_gopher_sql(),
+    "text_lm_logprob": _DUCK_LM_SQL,
     "text_vocab": _DUCK_VOCAB_SQL,
     "text_vocab_encode": _DUCK_VOCAB_ENCODE_SQL,
     "text_stats": r"""
@@ -1540,6 +1632,7 @@ QUERIES = {
     "text_quality_score": quality_score,
     "text_dsir_weights": dsir_weights,
     "text_gopher_rules": gopher_rules,
+    "text_lm_logprob": lm_logprob,
 }
 
 ORACLE_SQL["text_scrub_pii"] = _duck_scrub_sql()

@@ -1062,3 +1062,25 @@ def test_rp_topk_recall_floor_and_centroid_sanity(spark):
     got, n = cents[(lang0, 0)]
     assert n == len(members)
     assert abs(got - want) < 1e-5
+
+
+def test_lm_logprob_ranks_fluent_above_gibberish(spark, tmp_path):
+    """The LM scorer's whole purpose: a doc built from the corpus's
+    most common bigrams must out-score a doc of singleton gibberish
+    (higher mean conditional log-prob), and each bigram count/row is
+    accounted (n_bigrams = token count - 1)."""
+    from data_pipeline_and_visualization_dashboard_spark.extras.text import lm_logprob
+
+    common = "the cat sat on the mat " * 10
+    rows = [
+        (1, common.strip()),
+        (2, common.strip()),  # reinforce the common bigrams
+        (3, "zq xv qn wj kp dz yb mf tg rh"),  # singletons everywhere
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        d + "/documents.parquet"
+    )
+    out = {r.doc_id: r for r in lm_logprob(spark, d).collect()}
+    assert out[1].n_bigrams == 59 and out[3].n_bigrams == 9
+    assert out[1].avg_logprob > out[3].avg_logprob
