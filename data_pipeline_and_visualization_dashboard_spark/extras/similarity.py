@@ -499,7 +499,12 @@ def rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the PQ path but with no codebook to train).
 
     Deterministic end-to-end ⇒ fully oracle-backed: DuckDB reproduces
-    the same projection literals, norms, and tie-breaks."""
+    the same projection literals, norms, and tie-breaks.
+
+    Bench-number note: this self-contained query RE-PROJECTS the
+    corpus every run, and that encode dominates its bench line; a
+    serving deployment persists projections once per corpus (the
+    ann_disk_index pattern) and pays only the RP_DIM-wide scoring."""
     emb = read_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"])
     mat = _rp_matrix()
     e = F.col("embedding").cast("array<double>")
