@@ -65,6 +65,7 @@ HEADLINE = [
     "sim_lsh_topk",
     "sim_lsh_multiprobe_topk",  # Hamming-1 probe fan-out (recall lever)
     "sim_rp_topk",  # JL random-projection sketch scoring (2x cheaper)
+    "sim_rp_topk_pretrained",  # RP serving from persisted projections
     "sim_lang_centroids",  # domain-centroid table (elementwise mean)
     "sim_sq_topk",  # int8 quantized scoring (production memory path)
     "sim_pq_adc_topk",  # product quantization + ADC (billion-scale path)

@@ -489,23 +489,10 @@ def _rp_matrix(dim: int = 64):
     return rng.standard_normal((RP_DIM, dim)) / (RP_DIM ** 0.5)
 
 
-def rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN via random-projection sketching: project every vector to
-    RP_DIM dims with a shared seeded Gaussian matrix (row-local, the
-    matrix is plan literals — no broadcast variable), then run exact
-    cosine top-k IN THE PROJECTED SPACE. 2× fewer multiply-adds per
-    candidate and a 2× smaller vector store; recall vs true cosine is
-    the JL distortion price (floor-tested in pytest, structurally like
-    the PQ path but with no codebook to train).
-
-    Deterministic end-to-end ⇒ fully oracle-backed: DuckDB reproduces
-    the same projection literals, norms, and tie-breaks.
-
-    Bench-number note: this self-contained query RE-PROJECTS the
-    corpus every run, and that encode dominates its bench line; a
-    serving deployment persists projections once per corpus (the
-    ann_disk_index pattern) and pays only the RP_DIM-wide scoring."""
-    emb = read_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"])
+def rp_project(emb: DataFrame) -> DataFrame:
+    """(vec_id, p): the RP_DIM-dim JL projection of each embedding —
+    the encode stage shared by rp_topk (inline) and the persisted disk
+    index (ann_disk_index writes this frame once per corpus)."""
     mat = _rp_matrix()
     e = F.col("embedding").cast("array<double>")
     proj = F.array(
@@ -514,9 +501,16 @@ def rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             for row in mat
         ]
     )
-    p = emb.select("vec_id", proj.alias("p"))
+    return emb.select("vec_id", proj.alias("p"))
+
+
+def _rp_rank(p: DataFrame) -> DataFrame:
+    """Exact cosine top-k over a projected frame (vec_id, p) — the
+    serving-side half of the RP path."""
     q = _with_norm(
-        p.filter(F.col("vec_id") < N_QUERIES).withColumnRenamed("p", "embedding"),
+        p.filter(F.col("vec_id") < N_QUERIES).withColumnRenamed(
+            "p", "embedding"
+        ),
         "q",
     )
     c = _with_norm(p.withColumnRenamed("p", "embedding"), "c")
@@ -539,6 +533,27 @@ def rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .orderBy("query_id", "rank")
     )
+
+
+def rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-projection sketching: project every vector to
+    RP_DIM dims with a shared seeded Gaussian matrix (row-local, the
+    matrix is plan literals — no broadcast variable), then run exact
+    cosine top-k IN THE PROJECTED SPACE. 2× fewer multiply-adds per
+    candidate and a 2× smaller vector store; recall vs true cosine is
+    the JL distortion price (floor-tested in pytest, structurally like
+    the PQ path but with no codebook to train).
+
+    Deterministic end-to-end ⇒ fully oracle-backed: DuckDB reproduces
+    the same projection literals, norms, and tie-breaks.
+
+    Bench-number note: this self-contained query RE-PROJECTS the
+    corpus every run, and that encode dominates its bench line; a
+    serving deployment persists projections once per corpus
+    (ann_disk_index does; sim_rp_topk_pretrained serves from it) and
+    pays only the RP_DIM-wide scoring."""
+    emb = read_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"])
+    return _rp_rank(rp_project(emb))
 
 
 def _duck_rp_topk_sql() -> str:

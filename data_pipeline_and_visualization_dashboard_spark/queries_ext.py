@@ -1089,7 +1089,9 @@ def ann_disk_index(spark: SparkSession, sf_dir: str):
     d = os.path.join(root, f"{base}_{_embeddings_mtime(sf_dir)}")
     assign_path = os.path.join(d, "ivf_assign.parquet")
     codes_path = os.path.join(d, "pq_codes.parquet")
-    if not (os.path.exists(assign_path) and os.path.exists(codes_path)):
+    rp_path = os.path.join(d, "rp_proj.parquet")
+    if not (os.path.exists(assign_path) and os.path.exists(codes_path)
+            and os.path.exists(rp_path)):
         if os.path.isdir(root):
             for stale in os.listdir(root):
                 if stale.startswith(base + "_"):
@@ -1113,9 +1115,13 @@ def ann_disk_index(spark: SparkSession, sf_dir: str):
         pq_codes(spark, sf_dir).withColumnRenamed(
             "vec_id", "c_id"
         ).write.mode("overwrite").parquet(codes_path)
+        from .extras.similarity import rp_project
+
+        rp_project(emb).write.mode("overwrite").parquet(rp_path)
     return (
         spark.read.parquet(assign_path),
         spark.read.parquet(codes_path),
+        spark.read.parquet(rp_path),
     )
 
 
@@ -1303,7 +1309,7 @@ def sim_ivf_topk_pretrained(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the number that matters at 100 TB, where the index is built
     offline. Result is identical to sim_ivf_topk on the same corpus:
     training is deterministic, only WHERE it runs changes (tested)."""
-    assign, _ = ann_disk_index(spark, sf_dir)
+    assign, _, _ = ann_disk_index(spark, sf_dir)
     return sim_ivf_topk(
         spark, sf_dir,
         centroids=ivf_index(spark, sf_dir),
@@ -1321,13 +1327,27 @@ def sim_ivfpq_topk_pretrained(spark: SparkSession,
     The steady-state serving cost of the billion-scale stack; the
     residual per-call cost at bench SFs is Catalyst planning of the
     wide codebook-literal tree (README bench notes), not data work."""
-    assign, codes = ann_disk_index(spark, sf_dir)
+    assign, codes, _ = ann_disk_index(spark, sf_dir)
     return sim_ivfpq_topk(
         spark, sf_dir,
         centroids=ivf_index(spark, sf_dir),
         corpus_assign=assign,
         corpus_codes=codes,
     )
+
+
+def sim_rp_topk_pretrained(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """RP QUERY cost in isolation: rank in the projected space over
+    the PERSISTED projections (ann_disk_index) — corpus embeddings are
+    never re-encoded at query time, completing the serving symmetry
+    with the IVF/PQ pretrained paths. Projections round-trip parquet
+    exactly (doubles), so the output is IDENTICAL to sim_rp_topk and
+    shares its DuckDB oracle."""
+    from .extras.similarity import _rp_rank
+
+    _, _, proj = ann_disk_index(spark, sf_dir)
+    return _rp_rank(proj)
 
 
 def _centroid_sims(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2673,4 +2693,11 @@ QUERIES = {
     "q60_bucketed_join": q60_bucketed_join,
     "q61_profile_events": q61_profile_events,
     "q62_skew_stats": q62_skew_stats,
+    "sim_rp_topk_pretrained": sim_rp_topk_pretrained,
 }
+
+# identical output contract to sim_rp_topk (projections round-trip
+# parquet exactly) -> same oracle
+from .extras.similarity import _duck_rp_topk_sql as _rp_sql  # noqa: E402
+
+ORACLE_SQL["sim_rp_topk_pretrained"] = _rp_sql()
