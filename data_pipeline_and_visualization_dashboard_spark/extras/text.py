@@ -1322,10 +1322,12 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         # frame (the featurized corpus) between profile fit and scoring.
         .localCheckpoint()
     )
+    # the DSIR_DIM-row profile is read twice (totals + ratio); a
+    # checkpoint stops the bucket aggregation re-running per consumer
     counts = feats.groupBy("b").agg(
         F.count(F.lit(1)).alias("c_raw"),
         F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("c_tgt"),
-    )
+    ).localCheckpoint()
     totals = counts.agg(
         F.sum("c_raw").alias("nr"), F.sum("c_tgt").alias("nt")
     )

@@ -2092,7 +2092,14 @@ def q62_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     one single-row global roll-up broadcast back, top-N via
     TakeOrderedAndProject. Cost is a count-by-key, output is N rows."""
     ev = read_table(spark, sf_dir, "events", ["user_id"])
-    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    # materialize the key-grain counts ONCE: both the totals roll-up
+    # and the top-N consume them, and without the checkpoint each
+    # branch re-runs the full count-by-key pass over the fact table
+    per_key = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()
+    )
     tot = per_key.agg(
         F.sum("cnt").alias("n_rows"),
         F.count(F.lit(1)).alias("n_keys"),

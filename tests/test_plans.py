@@ -26,6 +26,54 @@ def _shuffles(plan: str) -> int:
 
 CASES = {
     # name: (must_contain, must_not_contain, max_shuffles)
+    "text_quality_score": (
+        # the learned classifier is ONE row-local codegen projection
+        [],
+        ["Exchange", "CartesianProduct", "BroadcastNestedLoopJoin"],
+        0,
+    ),
+    "text_gopher_rules": (
+        # the full rule battery is likewise zero-shuffle
+        [],
+        ["Exchange", "CartesianProduct", "BroadcastNestedLoopJoin"],
+        0,
+    ),
+    "text_dup_ngrams": (
+        # grams hash to md5 BEFORE the shuffle; one gram-keyed window
+        # exchange + one doc-grain agg exchange, no joins
+        ["Window", "HashAggregate"],
+        ["SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"],
+        3,  # repartition(doc_id) + gram window + doc agg
+    ),
+    "text_dsir_weights": (
+        # the DSIR_DIM-row profile must come BACK as broadcasts — the
+        # corpus-sized stream is never shuffled for the scoring join
+        ["BroadcastHashJoin"],
+        ["SortMergeJoin", "CartesianProduct"],
+        3,
+    ),
+    "q62_skew_stats": (
+        # heavy-hitter top-N: single-row totals broadcast back, top-N
+        # compiles to TakeOrderedAndProject — no global sort
+        ["TakeOrderedAndProject"],
+        ["SortMergeJoin", "CartesianProduct"],
+        2,
+    ),
+    "sim_lang_centroids": (
+        # doc-meta broadcasts onto the embedding scan; ONE grouped
+        # average at (lang, dim) grain
+        ["BroadcastHashJoin", "HashAggregate"],
+        ["SortMergeJoin", "CartesianProduct"],
+        1,
+    ),
+    "dedup_incremental_exact": (
+        # base collapses to hash-grain BEFORE the join; no broadcast
+        # assumption (at scale neither side fits), so shuffled
+        # hash-joins on the 16-byte key are the expected shape
+        ["HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        6,
+    ),
     "q1_top_nations": (
         ["BroadcastHashJoin", "TakeOrderedAndProject"],
         ["SortMergeJoin", "CartesianProduct", "GlobalLimit 10\n+- Sort"],
