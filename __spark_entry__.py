@@ -48,7 +48,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # exactly indices 0-49 of the round-2 registry order).  Entries that
 # have never earned a driver-green row enumerate first so the round-3
 # sample converts them; everything below the fold already has a green
-# row in CORRECTNESS_r01/r02.json.
+# row in CORRECTNESS_r01/r02.json.  Exactly 50 entries — media_features
+# is excluded because it already earned its driver row in round 1.
 _CHECK_FIRST = [
     # never driver-checked as of round 2 (VERDICT.md "Next round" #1)
     "corpus_funnel",
@@ -76,7 +77,6 @@ _CHECK_FIRST = [
     "text_chunks",
     "text_packing",
     "text_split_assign",
-    "media_features",
     "media_resized",
     # new in round 3 — also need their first driver row
     "sim_ivf_topk_pretrained",
