@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import read_table
+from .dedup import _DUCK_SHINGLES, _SPARK_SHINGLES_FROM_TOKENS, _SPARK_TOKENS
 from .hashing import duck_h60, minhash_term, spark_h60
 
 # count-min: D independent universal hashes (reusing the MinHash
@@ -189,6 +190,135 @@ def hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# KMV (K-minimum-values / bottom-k)
+# ----------------------------------------------------------------------
+
+# KMV is the third classic cardinality sketch (Bar-Yossef et al. 2002):
+# keep the K smallest hash values of the distinct keys; the k-th
+# minimum U_(k), normalized to [0,1), estimates the cardinality as
+# (K-1)/U_(k). Unlike HLL it supports SET INTERSECTION directly —
+# KMV(A ∪ B) is the K smallest of the two sketches' union, and the
+# fraction of that union sketch present in BOTH A and B is an unbiased
+# Jaccard estimator — which is THE corpus-curation question ("how much
+# does the new crawl overlap what we already have?") answered from two
+# constant-size sketches instead of a corpus×corpus join
+# (dedup_contamination is the exact counterpart of this estimate).
+#
+# Scale shape: one key-grain aggregation (the only fact-sized
+# shuffle), then a bottom-K — which Spark executes as
+# TakeOrderedAndProject: per-partition K-heaps merged on one reducer,
+# K rows of driver-independent state. Everything downstream of the
+# sketch is constant-size.
+
+KMV_K = 64  # user-id cardinality sketch
+KMV_OVL_K = 256  # shingle-overlap sketch (σ ≈ 1/√K ≈ 6%)
+# h60 is uniform on [0, 2^60); (K-1) * 2^60 pre-folded in Python so
+# both engines see one exact double literal (63 and 255 are ≤ 8 bits:
+# the product is exactly representable)
+_KMV_SPACE = float(2**60)
+
+
+def _kmv_est_expr(k: int):
+    """(k-1) * 2^60 / kth, exact when the sketch holds the whole set
+    (n_sk < k ⇒ every distinct value is in the sketch)."""
+    return F.when(
+        F.col("n_sk") < k, F.col("n_sk").cast("double")
+    ).otherwise(F.lit(float(k - 1) * _KMV_SPACE) / F.col("kth"))
+
+
+def kmv_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-user estimate next to ground truth (one row:
+    exact, estimate, relative error — the same readout contract as
+    hll_estimate). The exact side exists only for the error column;
+    a production pipeline would emit just the K-row sketch."""
+    ev = read_table(spark, sf_dir, "events", ["user_id"])
+    keys = ev.select("user_id").distinct()
+    hashed = keys.selectExpr(f"{spark_h60(_SPARK_KEY)} AS h")
+    sk = hashed.orderBy("h").limit(KMV_K)  # TakeOrderedAndProject
+    folded = sk.agg(
+        F.max("h").alias("kth"), F.count(F.lit(1)).alias("n_sk")
+    )
+    exact = ev.agg(F.countDistinct("user_id").alias("n_exact"))
+    est = _kmv_est_expr(KMV_K)
+    return exact.join(F.broadcast(folded)).select(
+        "n_exact",
+        F.round(est, 4).alias("kmv_est"),
+        F.round(
+            F.abs(est - F.col("n_exact")) / F.col("n_exact"), 4
+        ).alias("rel_err"),
+    )
+
+
+def kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus overlap from KMV sketches: corpus A = short-named
+    sources (src0-src9), corpus B = the rest; sets are their 3-word
+    shingle sets (the same shingle definition the MinHash dedup path
+    uses). One row: exact |A|, |B|, |A∩B| and Jaccard vs the KMV
+    estimates.
+
+    Estimator: over the union sketch (bottom-K of A ∪ B by hash),
+    ρ = |{h in sketch : h ∈ A and h ∈ B}| / K estimates J(A,B);
+    ρ · Est(|A∪B|) estimates the intersection size. The per-hash
+    in_a/in_b flags come from the same groupBy that dedupes the
+    shingles, so the sketch costs ONE fact-sized shuffle total.
+
+    The exact columns re-aggregate the deduped shingle frame (ground
+    truth for the rel-err readout, same two-pass contract as
+    countmin_topk_est); production emits only the estimate side."""
+    docs = read_table(
+        spark, sf_dir, "documents", ["source", "text"]
+    ).filter(F.col("text").isNotNull())
+    # spread the single-row-group scan before the shingle explode
+    # (same rationale as dedup._read_docs_parallel)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    toks = docs.selectExpr(
+        "length(source) <= 4 AS grp_a", f"{_SPARK_TOKENS} AS tokens"
+    )
+    sh = toks.selectExpr(
+        "grp_a",
+        f"explode_outer({_SPARK_SHINGLES_FROM_TOKENS}) AS shingle",
+    )
+    hs = (
+        sh.selectExpr(f"{spark_h60('shingle')} AS h", "grp_a")
+        .groupBy("h")
+        .agg(
+            F.max("grp_a").alias("in_a"),
+            F.max(~F.col("grp_a")).alias("in_b"),
+        )
+    )
+    sk = hs.orderBy("h").limit(KMV_OVL_K)
+    folded = sk.agg(
+        F.max("h").alias("kth"),
+        F.count(F.lit(1)).alias("n_sk"),
+        F.sum((F.col("in_a") & F.col("in_b")).cast("bigint")).alias(
+            "n_both"
+        ),
+    )
+    exact = hs.agg(
+        F.sum(F.col("in_a").cast("bigint")).alias("n_a"),
+        F.sum(F.col("in_b").cast("bigint")).alias("n_b"),
+        F.sum((F.col("in_a") & F.col("in_b")).cast("bigint")).alias(
+            "n_inter"
+        ),
+        F.count(F.lit(1)).alias("n_union"),
+    )
+    j = exact.join(F.broadcast(folded))
+    k_eff = F.least(F.lit(KMV_OVL_K), F.col("n_sk"))
+    jacc_est = F.col("n_both") / k_eff
+    union_est = _kmv_est_expr(KMV_OVL_K)
+    return j.select(
+        "n_a",
+        "n_b",
+        "n_inter",
+        F.round(F.col("n_inter") / F.col("n_union"), 4).alias(
+            "jacc_exact"
+        ),
+        F.round(jacc_est, 4).alias("jacc_est"),
+        F.round(jacc_est * union_est, 1).alias("inter_est"),
+    )
+
+
+# ----------------------------------------------------------------------
 # oracles
 # ----------------------------------------------------------------------
 
@@ -302,11 +432,84 @@ def _duck_hll_estimate_sql() -> str:
     """
 
 
+def _duck_kmv_estimate_sql() -> str:
+    h = duck_h60(_DUCK_KEY)
+    num = float(KMV_K - 1) * _KMV_SPACE
+    return f"""
+        WITH hashed AS (
+            SELECT {h} AS h FROM (
+                SELECT DISTINCT user_id FROM events
+            )
+        ), sk AS (
+            SELECT h FROM hashed ORDER BY h LIMIT {KMV_K}
+        ), folded AS (
+            SELECT max(h) AS kth, count(*) AS n_sk FROM sk
+        ), est_calc AS (
+            SELECT CASE WHEN n_sk < {KMV_K}
+                        THEN CAST(n_sk AS DOUBLE)
+                        ELSE {num!r} / kth END AS est
+            FROM folded
+        ), exact AS (
+            SELECT count(DISTINCT user_id) AS n_exact FROM events
+        )
+        SELECT n_exact,
+               round(est, 4) AS kmv_est,
+               round(abs(est - n_exact) / n_exact, 4) AS rel_err
+        FROM exact CROSS JOIN est_calc
+    """
+
+
+def _duck_kmv_overlap_sql() -> str:
+    num = float(KMV_OVL_K - 1) * _KMV_SPACE
+    return f"""
+        WITH sh AS (
+            SELECT length(source) <= 4 AS grp_a,
+                   unnest({_DUCK_SHINGLES}) AS shingle
+            FROM documents WHERE text IS NOT NULL
+        ), hs AS (
+            SELECT {duck_h60("shingle")} AS h,
+                   max(grp_a) AS in_a, max(NOT grp_a) AS in_b
+            FROM sh GROUP BY 1
+        ), sk AS (
+            SELECT * FROM hs ORDER BY h LIMIT {KMV_OVL_K}
+        ), folded AS (
+            SELECT max(h) AS kth, count(*) AS n_sk,
+                   CAST(sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_both
+            FROM sk
+        ), exact AS (
+            SELECT CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_a,
+                   CAST(sum(CASE WHEN in_b THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_b,
+                   CAST(sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_inter,
+                   count(*) AS n_union
+            FROM hs
+        ), calc AS (
+            SELECT *,
+                   CAST(n_both AS DOUBLE)
+                       / least({KMV_OVL_K}, n_sk) AS jacc_est_raw,
+                   CASE WHEN n_sk < {KMV_OVL_K}
+                        THEN CAST(n_sk AS DOUBLE)
+                        ELSE {num!r} / kth END AS union_est
+            FROM exact CROSS JOIN folded
+        )
+        SELECT n_a, n_b, n_inter,
+               round(CAST(n_inter AS DOUBLE) / n_union, 4) AS jacc_exact,
+               round(jacc_est_raw, 4) AS jacc_est,
+               round(jacc_est_raw * union_est, 1) AS inter_est
+        FROM calc
+    """
+
+
 ORACLE_SQL: dict[str, str] = {
     "sketch_countmin": _duck_countmin_sql(),
     "sketch_countmin_topk_est": _duck_countmin_est_sql(),
     "sketch_hll_registers": _duck_hll_registers_sql(),
     "sketch_hll_estimate": _duck_hll_estimate_sql(),
+    "sketch_kmv_estimate": _duck_kmv_estimate_sql(),
+    "sketch_kmv_overlap": _duck_kmv_overlap_sql(),
 }
 
 QUERIES = {
@@ -314,4 +517,6 @@ QUERIES = {
     "sketch_countmin_topk_est": countmin_topk_est,
     "sketch_hll_registers": hll_registers,
     "sketch_hll_estimate": hll_estimate,
+    "sketch_kmv_estimate": kmv_estimate,
+    "sketch_kmv_overlap": kmv_overlap,
 }

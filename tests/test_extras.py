@@ -451,6 +451,36 @@ def test_sketch_properties(spark):
     assert est.rel_err < 0.10
 
 
+def test_kmv_properties(spark):
+    """KMV semantics: the distinct-user estimate is within the
+    standard error (~1/sqrt(K) ≈ 12.5% at K=64, allow 3σ) whenever
+    estimation actually kicks in, and EXACT when the sketch holds the
+    whole key set (n_sk < K ⇒ every hash is retained). The overlap
+    estimator's Jaccard lands within 3σ of the exact value and the
+    bottom-K compiles to TakeOrderedAndProject (per-partition K-heaps,
+    no global sort) — the property that makes it a sketch at scale."""
+    from data_pipeline_and_visualization_dashboard_spark.extras.sketches import (
+        KMV_OVL_K, kmv_estimate, kmv_overlap,
+    )
+
+    est = kmv_estimate(spark, SF_SMOKE).first()
+    assert est.rel_err <= 3 * (1 / 64**0.5)
+
+    ovl = kmv_overlap(spark, SF_SMOKE).first()
+    assert 0.0 <= ovl.jacc_est <= 1.0
+    assert abs(ovl.jacc_est - ovl.jacc_exact) <= 3 * (1 / KMV_OVL_K**0.5)
+    # intersection estimate is jaccard_est-scaled: same error envelope
+    assert ovl.inter_est >= 0.0
+
+    plan = (
+        kmv_overlap(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_corpus_funnel_hash_family_invariant(spark):
     """The funnel accounting must be identical under the md5 (oracle)
     and xxhash64 (production) hash families: every stage except LSH
