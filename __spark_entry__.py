@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from data_pipeline_and_visualization_dashboard_spark import charts as _charts
 from data_pipeline_and_visualization_dashboard_spark import queries as _q
 from data_pipeline_and_visualization_dashboard_spark import queries_ext as _qx
+from data_pipeline_and_visualization_dashboard_spark.extras import bpe as _bpe
 from data_pipeline_and_visualization_dashboard_spark.extras import dedup as _dedup
 from data_pipeline_and_visualization_dashboard_spark.extras import (
     multimodal as _mm,
@@ -51,6 +52,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # row in CORRECTNESS_r01/r02.json.  Exactly 50 entries — media_features
 # is excluded because it already earned its driver row in round 1.
 _CHECK_FIRST = [
+    # new this round: iterative BPE trainer (hash-checked via an
+    # unrolled-CTE oracle) and the KMV overlap sketch
+    "text_bpe_train",
+    "text_bpe_apply",
+    "sketch_kmv_overlap",
     # never driver-checked as of round 2 (VERDICT.md "Next round" #1)
     "corpus_funnel",
     "corpus_survivors",
@@ -58,8 +64,6 @@ _CHECK_FIRST = [
     "dedup_neardup_groups",
     "dedup_contamination",
     "dedup_embedding_pairs_lsh",
-    "dedup_minhash_pairs_xxhash",
-    "corpus_funnel_xxhash",
     "sim_pq_codes",
     "sim_pq_adc_topk",
     "sim_sq_topk",
@@ -81,7 +85,6 @@ _CHECK_FIRST = [
     # new in round 3 — also need their first driver row
     "sim_ivf_topk_pretrained",
     "sim_ivfpq_topk_pretrained",
-    "dedup_hash_stage_xxhash",
     "dedup_hash_stage_md5",
     "dedup_semantic",
     "dedup_semantic_trained",
@@ -117,6 +120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     registry.update(_text.QUERIES)
     registry.update(_sim.QUERIES)
     registry.update(_sk.QUERIES)
+    registry.update(_bpe.QUERIES)
     registry.update(_mm.QUERIES)
     ordered = {k: registry[k] for k in _CHECK_FIRST if k in registry}
     ordered.update(registry)
@@ -134,5 +138,6 @@ def oracle_sql() -> dict[str, str]:
     oracles.update(_text.ORACLE_SQL)
     oracles.update(_sim.ORACLE_SQL)
     oracles.update(_sk.ORACLE_SQL)
+    oracles.update(_bpe.ORACLE_SQL)
     oracles.update(_mm.ORACLE_SQL)
     return oracles

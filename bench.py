@@ -82,6 +82,9 @@ HEADLINE = [
     "dedup_hash_stage_xxhash",
     "sketch_countmin",  # deterministic frequency sketch
     "sketch_hll_estimate",  # deterministic cardinality sketch
+    "sketch_kmv_overlap",  # bottom-k cross-corpus overlap estimate
+    "text_bpe_train",  # iterative BPE merge training (vocab-grain loop)
+    "text_bpe_apply",  # trained-merge tokenization (vocab-grain replay)
     "text_tfidf_topk",
     "text_vocab_encode",  # vocab build + id encode (embedding prep)
     "text_scrub_pii",  # regex redaction + per-rule accounting (codegen)

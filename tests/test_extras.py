@@ -481,6 +481,82 @@ def test_kmv_properties(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def _reference_bpe(word_freqs, n_merges):
+    """Textbook BPE trainer (Sennrich et al. 2016, fig. 1 shape):
+    dict-of-tuples state, recount pairs after every merge, greedy
+    left-to-right application. Independent of the SQL representation —
+    checks the ALGORITHM, not just Spark-vs-DuckDB agreement."""
+    state = {tuple(w): f for w, f in word_freqs.items()}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        counts = {}
+        for syms, f in state.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        (l, r), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, l, r, cnt))
+        new_state = {}
+        for syms, f in state.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_state[tuple(out)] = new_state.get(tuple(out), 0) + f
+        state = new_state
+    return merges
+
+
+def test_bpe_train_matches_reference_implementation(spark):
+    """The distributed trainer must reproduce textbook BPE exactly:
+    same merges, same ranks, same weighted pair counts — including the
+    greedy left-to-right application the doubled-separator replace
+    encodes. Also pins the apply-side invariants: merged token counts
+    never exceed character counts and never fall below 1 per word."""
+    import re
+
+    from data_pipeline_and_visualization_dashboard_spark.extras.bpe import (
+        N_MERGES, bpe_apply, train_bpe_merges,
+    )
+    from data_pipeline_and_visualization_dashboard_spark.io import read_table
+
+    docs = read_table(spark, SF_SMOKE, "documents", ["doc_id", "text"])
+    rows = docs.collect()
+    freqs = {}
+    for r in rows:
+        if r.text is None:
+            continue
+        for w in re.split(r"\s+", r.text.strip().lower()):
+            if re.fullmatch("[a-z]+", w):
+                freqs[w] = freqs.get(w, 0) + 1
+    expected = _reference_bpe(freqs, N_MERGES)
+    got = train_bpe_merges(spark, SF_SMOKE, N_MERGES)
+    assert got == expected
+
+    per_doc = {r.doc_id: r for r in bpe_apply(spark, SF_SMOKE).collect()}
+    for r in rows:
+        if r.text is None:
+            continue
+        words = [
+            w
+            for w in re.split(r"\s+", r.text.strip().lower())
+            if re.fullmatch("[a-z]+", w)
+        ]
+        if not words:
+            continue
+        out = per_doc[r.doc_id]
+        assert out.n_words == len(words)
+        assert len(words) <= out.n_tokens <= sum(len(w) for w in words)
+
+
 def test_corpus_funnel_hash_family_invariant(spark):
     """The funnel accounting must be identical under the md5 (oracle)
     and xxhash64 (production) hash families: every stage except LSH
