@@ -165,6 +165,17 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("merge_rank")
 
 
+def merge_chain_expr(merges: list, var: str = "word") -> str:
+    """The trained tokenizer as ONE codegen expression over ``var``:
+    seed the symbol string, then replay every merge as a literal
+    replace in rank order. Shippable anywhere an expression goes —
+    batch vocab tables, streaming projections, HOF lambdas."""
+    s = f"regexp_replace({var}, '(.)', '|$1|')"
+    for _, l, r, _cnt in merges:
+        s = f"replace({s}, '|{l}||{r}|', '|{l}{r}|')"
+    return s
+
+
 def bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc BPE token accounting with the trained merges — the
     tokenize-the-corpus serving path. The merge replay (20 chained
@@ -181,9 +192,7 @@ def bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", f"{_SPARK_WORDS} AS word"
     ).filter(F.col("word").rlike("^[a-z]+$"))
     vocab = fact.select("word").distinct()
-    s = "regexp_replace(word, '(.)', '|$1|')"
-    for _, l, r, _cnt in merges:
-        s = f"replace({s}, '|{l}||{r}|', '|{l}{r}|')"
+    s = merge_chain_expr(merges, "word")
     # bind the merge chain as its own projection: _SPARK_NTOK references
     # `s` twice, and the double reference keeps CollapseProject from
     # inlining (= re-evaluating) the 20-replace chain per use

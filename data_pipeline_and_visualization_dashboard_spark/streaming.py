@@ -1048,3 +1048,73 @@ def run_quality_score_to_completion(spark: SparkSession, sf_dir: str,
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def tokenize_stream(docs: DataFrame, merges: list) -> DataFrame:
+    """Streaming BPE tokenization: the trained merge table replayed as
+    plan literals at ingest. Like the quality gate, the tokenizer is a
+    pure stateless projection (no watermark, no state): the batch
+    path's vocab-grain join trick needs the corpus vocabulary up
+    front, so the stream pays the per-OCCURRENCE price instead — the
+    honest trade for statelessness; a long-lived deployment would
+    front it with a foreachBatch vocab cache. The merge chain is bound
+    as its own HOF projection so it runs once per word, not once per
+    downstream reference.
+
+    Row-for-row ≡ extras.bpe.bpe_apply on the same corpus+merges
+    (asserted in tests): docs with zero conforming words are dropped
+    to match the batch inner join."""
+    from .extras.bpe import merge_chain_expr
+
+    chain = merge_chain_expr(merges, "t")
+    return (
+        docs.selectExpr(
+            "doc_id",
+            "filter(split(lower(trim(text)), '\\\\s+'),"
+            " w -> w rlike '^[a-z]+$') AS words",
+        )
+        .selectExpr(
+            "doc_id",
+            "CAST(size(words) AS BIGINT) AS n_words",
+            f"transform(words, t -> {chain}) AS ss",
+        )
+        .selectExpr(
+            "doc_id",
+            "n_words",
+            "aggregate(transform(ss,"
+            " s -> CAST((length(s) - length(replace(s, '|', ''))) / 2"
+            " AS BIGINT)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            " AS n_tokens",
+        )
+        .filter("n_words > 0")
+    )
+
+
+def run_tokenize_to_completion(spark: SparkSession, sf_dir: str,
+                               query_name: str = "bpe_out") -> DataFrame:
+    """Train on the batch corpus, then tokenize the same corpus AS A
+    STREAM with the trained merges — the deploy shape: offline
+    training artifact, online application."""
+    from .extras.bpe import _trained_merges
+
+    merges = _trained_merges(spark, sf_dir)
+    docs = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long"
+        )
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    q = (
+        tokenize_stream(docs, merges)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")

@@ -358,6 +358,25 @@ CASES = {
         3,
     ),
     "dedup_exact_groups": ([], ["Exchange rangepartitioning"], 1),
+    "sketch_kmv_estimate": (
+        # bottom-K must be TakeOrderedAndProject (per-partition heaps),
+        # never a global Sort; the 1-row readout join may be BNLJ (1×1)
+        ["TakeOrderedAndProject"],
+        ["SortMergeJoin", "CartesianProduct"],
+        3,
+    ),
+    "sketch_kmv_overlap": (
+        ["TakeOrderedAndProject"],
+        ["SortMergeJoin", "CartesianProduct"],
+        3,
+    ),
+    "text_bpe_apply": (
+        # vocab-grain merge replay broadcast onto the exploded fact:
+        # vocab distinct + doc-grain agg are the only shuffles
+        ["BroadcastHashJoin"],
+        ["SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"],
+        2,
+    ),
     "text_stats": ([], ["Exchange"], 0),
     "text_fingerprint": ([], ["Exchange"], 0),
     "q12_derived_events": ([], ["Exchange"], 0),

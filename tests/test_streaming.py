@@ -666,3 +666,25 @@ def test_streaming_quality_score_equals_batch(spark):
         for r in quality_score(spark, SF_SMOKE).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_bpe_tokenize_equals_batch(spark):
+    """Streaming BPE tokenization with the offline-trained merges must
+    equal the batch bpe_apply row-for-row — the artifact-deploy shape:
+    train offline, apply as a stateless ingest projection."""
+    from data_pipeline_and_visualization_dashboard_spark.extras.bpe import (
+        bpe_apply,
+    )
+    from tests.conftest import SF_SMOKE
+
+    got = {
+        r.doc_id: (r.n_words, r.n_tokens)
+        for r in streaming.run_tokenize_to_completion(
+            spark, SF_SMOKE
+        ).collect()
+    }
+    want = {
+        r.doc_id: (r.n_words, r.n_tokens)
+        for r in bpe_apply(spark, SF_SMOKE).collect()
+    }
+    assert got == want and len(got) > 0
