@@ -205,6 +205,49 @@ def bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )  # no terminal sort: doc-grain output, order-insensitive compare
 
 
+def bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer evaluation as an operator (the sim_recall_eval
+    pattern): the corpus compression curve — total token count and
+    chars-per-token after each merge round, 0..N_MERGES. The quality
+    readout a tokenizer-training pipeline gates on (is another 10k
+    merges still buying compression?).
+
+    ONE vocab-grain pass: every round's symbol string is a bound
+    projection chained off the previous round (s_0..s_N), and all N+1
+    weighted token sums fold in a single aggregate; stack() unpivots
+    the wide result. No corpus re-scan per round."""
+    merges = _trained_merges(spark, sf_dir)
+    n = len(merges)
+    cur = _word_freqs(spark, sf_dir).withColumn(
+        "s_0", F.regexp_replace("word", "(.)", r"|$1|")
+    )
+    for i, (_, l, r, _cnt) in enumerate(merges, start=1):
+        cur = cur.withColumn(
+            f"s_{i}",
+            F.expr(f"replace(s_{i - 1}, '|{l}||{r}|', '|{l}{r}|')"),
+        )
+    tok = "CAST((length(s_{i}) - length(replace(s_{i}, '|', ''))) / 2 AS BIGINT)"
+    folded = cur.agg(
+        F.expr("CAST(sum(freq * length(word)) AS BIGINT)").alias(
+            "n_chars"
+        ),
+        *[
+            F.expr(f"sum(freq * {tok.format(i=i)})").alias(f"t_{i}")
+            for i in range(n + 1)
+        ],
+    )
+    stack_args = ", ".join(f"{i}, t_{i}" for i in range(n + 1))
+    return folded.selectExpr(
+        f"stack({n + 1}, {stack_args}) AS (merge_rank, total_tokens)",
+        "n_chars",
+    ).selectExpr(
+        "CAST(merge_rank AS INT) AS merge_rank",
+        "total_tokens",
+        "round(CAST(n_chars AS DOUBLE) / total_tokens, 4)"
+        " AS chars_per_token",
+    )  # no terminal sort: O(N_MERGES) output, order-insensitive compare
+
+
 # ----------------------------------------------------------------------
 # oracles: the same iterations unrolled as DuckDB CTEs
 # ----------------------------------------------------------------------
@@ -288,12 +331,40 @@ def _duck_apply_sql(n_merges: int = N_MERGES) -> str:
     """
 
 
+def _duck_compression_sql(n_merges: int = N_MERGES) -> str:
+    """Per-round corpus token totals read off the w{i} chain."""
+    ctes = ",\n        ".join(
+        [_duck_w0()] + [_duck_iteration(i) for i in range(1, n_merges + 1)]
+    )
+    tok = "((length(s) - length(replace(s, '|', ''))) // 2)"
+    union = "\n            UNION ALL\n".join(
+        f"            SELECT {i} AS merge_rank,"
+        f" CAST(sum(freq * {tok}) AS BIGINT) AS total_tokens FROM w{i}"
+        for i in range(n_merges + 1)
+    )
+    return f"""
+        WITH {ctes},
+        chars AS (
+            SELECT CAST(sum(freq * length(word)) AS BIGINT) AS n_chars
+            FROM w0
+        ), curve AS (
+{union}
+        )
+        SELECT CAST(merge_rank AS INT) AS merge_rank, total_tokens,
+               round(CAST(n_chars AS DOUBLE) / total_tokens, 4)
+                   AS chars_per_token
+        FROM curve CROSS JOIN chars ORDER BY merge_rank
+    """
+
+
 ORACLE_SQL: dict[str, str] = {
     "text_bpe_train": _duck_train_sql(),
     "text_bpe_apply": _duck_apply_sql(),
+    "text_bpe_compression": _duck_compression_sql(),
 }
 
 QUERIES = {
     "text_bpe_train": bpe_train,
     "text_bpe_apply": bpe_apply,
+    "text_bpe_compression": bpe_compression,
 }

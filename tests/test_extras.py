@@ -557,6 +557,28 @@ def test_bpe_train_matches_reference_implementation(spark):
         assert len(words) <= out.n_tokens <= sum(len(w) for w in words)
 
 
+def test_bpe_compression_curve_properties(spark):
+    """Round 0 must equal total character count (every char its own
+    symbol), each merge strictly reduces total tokens (the arg-max
+    pair has positive count), and chars-per-token grows monotonically
+    — the gate a tokenizer-training pipeline reads off this curve."""
+    from data_pipeline_and_visualization_dashboard_spark.extras.bpe import (
+        bpe_compression,
+    )
+
+    rows = sorted(
+        bpe_compression(spark, SF_SMOKE).collect(),
+        key=lambda r: r.merge_rank,
+    )
+    assert rows[0].merge_rank == 0
+    expected_chars = round(rows[0].chars_per_token * rows[0].total_tokens)
+    assert rows[0].total_tokens == expected_chars  # 1 char = 1 token
+    toks = [r.total_tokens for r in rows]
+    assert all(a > b for a, b in zip(toks, toks[1:]))
+    cpt = [r.chars_per_token for r in rows]
+    assert all(a < b for a, b in zip(cpt, cpt[1:]))
+
+
 def test_corpus_funnel_hash_family_invariant(spark):
     """The funnel accounting must be identical under the md5 (oracle)
     and xxhash64 (production) hash families: every stage except LSH
