@@ -30,6 +30,9 @@ from data_pipeline_and_visualization_dashboard_spark.extras import (
     multimodal as _mm,
 )
 from data_pipeline_and_visualization_dashboard_spark.extras import (
+    search as _srch,
+)
+from data_pipeline_and_visualization_dashboard_spark.extras import (
     similarity as _sim,
 )
 from data_pipeline_and_visualization_dashboard_spark.extras import (
@@ -121,6 +124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     registry.update(_sim.QUERIES)
     registry.update(_sk.QUERIES)
     registry.update(_bpe.QUERIES)
+    registry.update(_srch.QUERIES)
     registry.update(_mm.QUERIES)
     ordered = {k: registry[k] for k in _CHECK_FIRST if k in registry}
     ordered.update(registry)
@@ -139,5 +143,6 @@ def oracle_sql() -> dict[str, str]:
     oracles.update(_sim.ORACLE_SQL)
     oracles.update(_sk.ORACLE_SQL)
     oracles.update(_bpe.ORACLE_SQL)
+    oracles.update(_srch.ORACLE_SQL)
     oracles.update(_mm.ORACLE_SQL)
     return oracles

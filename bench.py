@@ -90,6 +90,9 @@ HEADLINE = [
     "text_bpe_apply",
     "text_bpe_compression",  # per-round token curve, one vocab pass
     "text_tfidf_topk",
+    "text_index_postings",  # inverted-index build (posting lists)
+    "text_search_phrase",  # positional phrase walk over postings
+    "text_search_ranked",  # tf-idf scored retrieval, top-k
     "text_vocab_encode",  # vocab build + id encode (embedding prep)
     "text_scrub_pii",  # regex redaction + per-rule accounting (codegen)
     "text_mix_sample",  # domain-weighted token-budget sampling

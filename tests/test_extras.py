@@ -1212,3 +1212,54 @@ def test_lm_logprob_ranks_fluent_above_gibberish(spark, tmp_path):
     out = {r.doc_id: r for r in lm_logprob(spark, d).collect()}
     assert out[1].n_bigrams == 59 and out[3].n_bigrams == 9
     assert out[1].avg_logprob > out[3].avg_logprob
+
+
+def test_search_family_semantics(spark):
+    """Retrieval semantics against a hand-rolled Python index on the
+    smoke corpus: AND results are exactly the docs containing every
+    query term; phrase counts equal the adjacent-bigram occurrence
+    counts; ranked results score only query terms and order by score
+    with the doc_id tiebreak."""
+    import re
+
+    from data_pipeline_and_visualization_dashboard_spark.extras.search import (
+        PHRASE, QUERY_AND, search_and, search_phrase, search_ranked,
+    )
+    from data_pipeline_and_visualization_dashboard_spark.io import read_table
+
+    corpus = {}
+    for r in read_table(spark, SF_SMOKE, "documents", ["doc_id", "text"]).collect():
+        if r.text is None:
+            continue
+        corpus[r.doc_id] = [
+            w
+            for w in re.split(r"\s+", r.text.strip().lower())
+            if re.fullmatch("[a-z]+", w)
+        ]
+
+    want_and = {
+        d: sum(w in QUERY_AND for w in toks)
+        for d, toks in corpus.items()
+        if all(t in toks for t in QUERY_AND)
+    }
+    got_and = {r.doc_id: r.n_hits for r in search_and(spark, SF_SMOKE).collect()}
+    assert got_and == want_and
+
+    want_ph = {}
+    for d, toks in corpus.items():
+        c = sum(
+            1
+            for a, b in zip(toks, toks[1:])
+            if (a, b) == PHRASE
+        )
+        if c:
+            want_ph[d] = c
+    got_ph = {
+        r.doc_id: r.n_phrase for r in search_phrase(spark, SF_SMOKE).collect()
+    }
+    assert got_ph == want_ph
+
+    ranked = search_ranked(spark, SF_SMOKE).collect()
+    assert 0 < len(ranked) <= 10
+    keys = [(-r.score, r.doc_id) for r in ranked]
+    assert keys == sorted(keys)

@@ -370,6 +370,25 @@ CASES = {
         ["SortMergeJoin", "CartesianProduct"],
         3,
     ),
+    "text_index_postings": (
+        # two-level agg: (term,doc) then term-grain — no joins at all
+        [],
+        ["SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"],
+        2,
+    ),
+    "text_search_phrase": (
+        # posting adjacency walk: one hash join, one doc-grain agg
+        ["BroadcastHashJoin"],
+        ["SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"],
+        2,
+    ),
+    "text_search_ranked": (
+        # scored retrieval must end in TakeOrderedAndProject; the
+        # 1-row n_docs factor rides a BNLJ broadcast (allowed)
+        ["TakeOrderedAndProject", "BroadcastHashJoin"],
+        ["SortMergeJoin", "CartesianProduct"],
+        5,
+    ),
     "text_bpe_apply": (
         # vocab-grain merge replay broadcast onto the exploded fact:
         # vocab distinct + doc-grain agg are the only shuffles

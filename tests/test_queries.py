@@ -79,11 +79,11 @@ def test_registry_has_no_silent_collisions():
     """Module registries must not shadow each other's query names."""
     from data_pipeline_and_visualization_dashboard_spark import charts, queries, queries_ext
     from data_pipeline_and_visualization_dashboard_spark.extras import (
-        bpe, dedup, multimodal, similarity, sketches, text,
+        bpe, dedup, multimodal, search, similarity, sketches, text,
     )
 
     mods = [queries, queries_ext, charts, dedup, text, similarity,
-            sketches, bpe, multimodal]
+            sketches, bpe, search, multimodal]
     total = sum(len(m.QUERIES) for m in mods)
     assert len(entrymod.queries()) == total
     total_oracles = sum(len(m.ORACLE_SQL) for m in mods)
