@@ -56,10 +56,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # is excluded because it already earned its driver row in round 1.
 _CHECK_FIRST = [
     # new this round: iterative BPE trainer (hash-checked via an
-    # unrolled-CTE oracle) and the KMV overlap sketch
+    # unrolled-CTE oracle), the KMV overlap sketch, and the
+    # inverted-index retrieval family
     "text_bpe_train",
     "text_bpe_apply",
     "sketch_kmv_overlap",
+    "text_index_postings",
+    "text_search_phrase",
+    "text_search_ranked",
     # never driver-checked as of round 2 (VERDICT.md "Next round" #1)
     "corpus_funnel",
     "corpus_survivors",
@@ -86,11 +90,8 @@ _CHECK_FIRST = [
     "text_split_assign",
     "media_resized",
     # new in round 3 — also need their first driver row
-    "sim_ivf_topk_pretrained",
-    "sim_ivfpq_topk_pretrained",
     "dedup_hash_stage_md5",
     "dedup_semantic",
-    "dedup_semantic_trained",
     "text_scrub_pii",
     "text_mix_sample",
     "text_line_dedup",

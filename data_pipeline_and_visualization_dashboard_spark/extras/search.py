@@ -115,16 +115,21 @@ def search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, pos + 1) — adjacency via posting intersection, the
     standard positional-index phrase walk."""
     pos = _positions(spark, sf_dir).filter(F.col("term").isin(*PHRASE))
-    a = pos.filter(F.col("term") == PHRASE[0]).select(
-        "doc_id", F.col("pos").alias("pos_a")
+    a = (
+        pos.filter(F.col("term") == PHRASE[0])
+        .select("doc_id", F.col("pos").alias("pos_a"))
+        .alias("a")
     )
-    b = pos.filter(F.col("term") == PHRASE[1]).select(
-        "doc_id", F.col("pos").alias("pos_b")
+    b = (
+        pos.filter(F.col("term") == PHRASE[1])
+        .select("doc_id", F.col("pos").alias("pos_b"))
+        .alias("b")
     )
     matched = a.join(
         b,
-        (a.doc_id == b.doc_id) & (a.pos_a + 1 == b.pos_b),
-    ).select(a.doc_id)
+        (F.col("a.doc_id") == F.col("b.doc_id"))
+        & (F.col("a.pos_a") + 1 == F.col("b.pos_b")),
+    ).select(F.col("a.doc_id").alias("doc_id"))
     return matched.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_phrase")
     )
