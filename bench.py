@@ -58,6 +58,7 @@ HEADLINE = [
     "corpus_funnel",  # end-to-end: quality gate -> exact -> near-dup
     "corpus_funnel_xxhash",  # same funnel on the production hash family
     "dedup_simhash_pairs",
+    "dedup_contamination_multi",  # N-benchmark screen, one corpus pass
     "text_stats",
     "text_fingerprint",
     "text_repetition",  # n-gram array build + distinct per doc

@@ -1122,6 +1122,97 @@ def contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )  # no terminal sort: O(n) output, order-insensitive compare
 
 
+# multi-benchmark decontamination: production pipelines screen against
+# DOZENS of eval benchmarks; doing it per benchmark re-scans the corpus
+# N times. The one-pass shape tags every benchmark's shingles with its
+# set name, unions them into ONE broadcast side, and folds per
+# (doc, benchmark) — corpus shingles are exploded exactly once.
+CONTAM_EVAL_MODS = (7, 8, 9)  # doc_id % 10 buckets standing in for
+#                               three held-out benchmarks
+
+
+def contamination_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (training doc, benchmark): shingle-overlap count/ratio and
+    the contamination flag — N-benchmark decontamination in one corpus
+    pass. The doc×benchmark spine (docs ⨯ 3-row set list, broadcast)
+    guarantees a row even for zero-overlap pairs, so downstream
+    per-benchmark accounting never misses silent zeros."""
+    sh = shingle_sets(spark, sf_dir).select(
+        "doc_id", F.explode(F.array_distinct("shingles")).alias("s")
+    )
+    mod = F.col("doc_id") % 10
+    is_eval = mod.isin(*CONTAM_EVAL_MODS)
+    eval_tagged = (
+        sh.filter(is_eval)
+        .select(
+            F.concat(F.lit("bench"), mod.cast("string")).alias(
+                "eval_set"
+            ),
+            "s",
+        )
+        .distinct()
+    )
+    train = sh.filter(~is_eval)
+    n_sh = train.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    hits = (
+        train.join(F.broadcast(eval_tagged), "s")
+        .groupBy("doc_id", "eval_set")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    sets = spark.createDataFrame(
+        [(f"bench{m}",) for m in CONTAM_EVAL_MODS], "eval_set string"
+    )
+    spine = n_sh.crossJoin(F.broadcast(sets))  # docs × 3 rows
+    joined = spine.join(hits, ["doc_id", "eval_set"], "left")
+    n_ov = F.coalesce("n_overlap", F.lit(0))
+    ratio = n_ov.cast("double") / F.col("n_shingles")
+    return joined.select(
+        "doc_id",
+        "eval_set",
+        F.col("n_shingles").cast("int").alias("n_shingles"),
+        n_ov.cast("int").alias("n_overlap"),
+        ratio.alias("overlap_ratio"),
+        (ratio >= CONTAM_THRESHOLD).alias("is_contaminated"),
+    )  # no terminal sort: O(n×sets) output, order-insensitive compare
+
+
+_DUCK_CONTAMINATION_MULTI_SQL = f"""
+    WITH sh AS (
+        SELECT doc_id, unnest(list_distinct({_DUCK_SHINGLES})) AS s
+        FROM documents
+    ), ev AS (
+        SELECT DISTINCT 'bench' || CAST(doc_id % 10 AS VARCHAR)
+                   AS eval_set, s
+        FROM sh WHERE doc_id % 10 IN {CONTAM_EVAL_MODS}
+    ), tr AS (
+        SELECT doc_id, s FROM sh
+        WHERE doc_id % 10 NOT IN {CONTAM_EVAL_MODS}
+    ), n_sh AS (
+        SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY doc_id
+    ), hits AS (
+        SELECT tr.doc_id, ev.eval_set, count(*) AS n_overlap
+        FROM tr JOIN ev ON tr.s = ev.s
+        GROUP BY tr.doc_id, ev.eval_set
+    ), sets AS (
+        SELECT 'bench' || CAST(unnest({list(CONTAM_EVAL_MODS)})
+                               AS VARCHAR) AS eval_set
+    )
+    SELECT n_sh.doc_id, sets.eval_set,
+           CAST(n_shingles AS INT) AS n_shingles,
+           CAST(COALESCE(n_overlap, 0) AS INT) AS n_overlap,
+           CAST(COALESCE(n_overlap, 0) AS DOUBLE) / n_shingles
+               AS overlap_ratio,
+           (CAST(COALESCE(n_overlap, 0) AS DOUBLE) / n_shingles
+            >= {CONTAM_THRESHOLD}) AS is_contaminated
+    FROM n_sh CROSS JOIN sets
+    LEFT JOIN hits ON hits.doc_id = n_sh.doc_id
+                  AND hits.eval_set = sets.eval_set
+    ORDER BY n_sh.doc_id, sets.eval_set
+"""
+
+
 _DUCK_CONTAMINATION_SQL = f"""
     WITH sh AS (
         SELECT doc_id, unnest(list_distinct({_DUCK_SHINGLES})) AS s
@@ -1200,6 +1291,68 @@ def corpus_survivors(spark: SparkSession, sf_dir: str,
         .filter(F.col("pn"))
         .select("doc_id")
     )  # no terminal sort: O(n) output, order-insensitive compare
+
+
+def survivor_policy(spark: SparkSession, sf_dir: str,
+                    hash_impl: str = "md5") -> DataFrame:
+    """Quality-aware survivor selection: per near-dup component, keep
+    the member with the BEST learned quality score (doc_id tiebreak)
+    instead of the min-doc_id default — the curation decision real
+    pipelines make ("of these near-duplicate crawls, keep the cleanest
+    copy"). Output per component: survivor, its score, member count.
+
+    Shape: the component table (dup docs only — a small fraction of
+    the corpus) joins the zero-shuffle quality scorer on doc_id; the
+    per-component arg-max is one window over component-partitioned
+    rows (components are dup-clusters: tiny partitions). Ordering
+    compares raw doubles — identical expression trees produce
+    identical doubles in both engines (row-level float policy)."""
+    from pyspark.sql import Window
+
+    from .text import quality_score
+
+    groups = dedup_neardup_groups(spark, sf_dir, hash_impl)
+    q = quality_score(spark, sf_dir).select("doc_id", "score_mean")
+    j = groups.join(q, "doc_id")
+    w = Window.partitionBy("group_id").orderBy(
+        F.desc("score_mean"), F.asc("doc_id")
+    )
+    ranked = j.select(
+        "group_id",
+        "doc_id",
+        "score_mean",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("group_id"))
+        .alias("n_members"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "group_id",
+        F.col("doc_id").alias("survivor_id"),
+        F.col("score_mean").alias("survivor_score"),
+        F.col("n_members").cast("int").alias("n_members"),
+    )  # no terminal sort: component-grain, order-insensitive compare
+
+
+def _duck_survivor_policy_sql() -> str:
+    from .text import ORACLE_SQL as _TEXT_ORACLES
+
+    return f"""
+        WITH groups AS ({_duck_neardup_groups_sql()}),
+        q AS ({_TEXT_ORACLES["text_quality_score"]}),
+        ranked AS (
+            SELECT g.group_id, g.doc_id, q.score_mean,
+                   row_number() OVER (PARTITION BY g.group_id
+                                      ORDER BY q.score_mean DESC,
+                                               g.doc_id) AS rn,
+                   count(*) OVER (PARTITION BY g.group_id) AS n_members
+            FROM groups g JOIN q ON g.doc_id = q.doc_id
+        )
+        SELECT group_id, doc_id AS survivor_id,
+               score_mean AS survivor_score,
+               CAST(n_members AS INT) AS n_members
+        FROM ranked WHERE rn = 1 ORDER BY group_id
+    """
 
 
 def corpus_funnel(spark: SparkSession, sf_dir: str,
@@ -1499,6 +1652,8 @@ ORACLE_SQL: dict[str, str] = {
     "corpus_funnel": _duck_funnel_accounting_sql(),
     "corpus_survivors": _duck_survivors_sql(),
     "dedup_contamination": _DUCK_CONTAMINATION_SQL,
+    "dedup_contamination_multi": _DUCK_CONTAMINATION_MULTI_SQL,
+    "dedup_survivor_policy": _duck_survivor_policy_sql(),
     "dedup_ngram_jaccard_topk": f"""
         WITH sh AS (
             SELECT doc_id, list_distinct({_DUCK_SHINGLES}) AS sh FROM documents
@@ -1823,6 +1978,8 @@ QUERIES = {
     "corpus_funnel_xxhash": corpus_funnel_xxhash,
     "corpus_survivors": corpus_survivors,
     "dedup_contamination": contamination,
+    "dedup_contamination_multi": contamination_multi,
+    "dedup_survivor_policy": survivor_policy,
     "dedup_hash_stage_md5": dedup_hash_stage_md5,
     "dedup_hash_stage_xxhash": dedup_hash_stage_xxhash,
     "dedup_semantic": dedup_semantic,

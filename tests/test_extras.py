@@ -1263,3 +1263,43 @@ def test_search_family_semantics(spark):
     assert 0 < len(ranked) <= 10
     keys = [(-r.score, r.doc_id) for r in ranked]
     assert keys == sorted(keys)
+
+
+def test_contamination_multi_and_survivor_policy(spark):
+    """Multi-benchmark screen: every training doc gets exactly one row
+    per benchmark (zero-overlap rows included), ratios in [0,1], and
+    the per-set flags fire somewhere on the planted dup corpus.
+    Survivor policy: the chosen survivor carries its component's max
+    quality score (min doc_id on ties) and components have >= 2
+    members by construction."""
+    from data_pipeline_and_visualization_dashboard_spark.extras.dedup import (
+        CONTAM_EVAL_MODS, contamination_multi, dedup_neardup_groups,
+        survivor_policy,
+    )
+    from data_pipeline_and_visualization_dashboard_spark.extras.text import (
+        quality_score,
+    )
+
+    rows = contamination_multi(spark, SF_SMOKE).collect()
+    per_doc = {}
+    for r in rows:
+        assert 0.0 <= r.overlap_ratio <= 1.0
+        assert r.eval_set in {f"bench{m}" for m in CONTAM_EVAL_MODS}
+        per_doc.setdefault(r.doc_id, set()).add(r.eval_set)
+    assert per_doc
+    for d, sets in per_doc.items():
+        assert len(sets) == len(CONTAM_EVAL_MODS)
+        assert d % 10 not in CONTAM_EVAL_MODS
+
+    scores = {r.doc_id: r.score_mean for r in quality_score(spark, SF_SMOKE).collect()}
+    comps = {}
+    for r in dedup_neardup_groups(spark, SF_SMOKE).collect():
+        comps.setdefault(r.group_id, []).append(r.doc_id)
+    surv = survivor_policy(spark, SF_SMOKE).collect()
+    assert {r.group_id for r in surv} == set(comps)
+    for r in surv:
+        members = comps[r.group_id]
+        assert r.n_members == len(members) >= 2
+        best = max(members, key=lambda d: (scores[d], -d))
+        assert r.survivor_id == best
+        assert r.survivor_score == scores[best]
