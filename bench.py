@@ -94,6 +94,7 @@ HEADLINE = [
     "text_index_postings",  # inverted-index build (posting lists)
     "text_search_phrase",  # positional phrase walk over postings
     "text_search_ranked",  # tf-idf scored retrieval, top-k
+    "text_index_merge",  # incremental postings merge == rebuild
     "text_vocab_encode",  # vocab build + id encode (embedding prep)
     "text_scrub_pii",  # regex redaction + per-rule accounting (codegen)
     "text_mix_sample",  # domain-weighted token-budget sampling

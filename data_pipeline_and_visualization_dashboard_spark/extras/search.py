@@ -174,6 +174,96 @@ def search_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# proximity window for text_search_near (positions within NEAR_K)
+NEAR_TERMS = ("dup", "key")
+NEAR_K = 3
+# delta partition for incremental index maintenance
+DELTA_MOD = 10  # doc_id % DELTA_MOD == 0 stands in for the new batch
+
+
+def search_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity retrieval: docs where NEAR_TERMS co-occur within
+    NEAR_K positions, with the qualifying pair count — the
+    position-list generalization of phrase search (equi-join on
+    doc_id, range residual on the position gap; never a corpus
+    re-scan)."""
+    pos = _positions(spark, sf_dir).filter(
+        F.col("term").isin(*NEAR_TERMS)
+    )
+    a = (
+        pos.filter(F.col("term") == NEAR_TERMS[0])
+        .select("doc_id", F.col("pos").alias("pos_a"))
+        .alias("a")
+    )
+    b = (
+        pos.filter(F.col("term") == NEAR_TERMS[1])
+        .select("doc_id", F.col("pos").alias("pos_b"))
+        .alias("b")
+    )
+    matched = a.join(
+        b,
+        (F.col("a.doc_id") == F.col("b.doc_id"))
+        & (
+            F.abs(F.col("a.pos_a") - F.col("b.pos_b")) <= NEAR_K
+        ),
+    ).select(F.col("a.doc_id").alias("doc_id"))
+    return matched.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_near")
+    )
+
+
+def _index_of(positions: DataFrame) -> DataFrame:
+    """(term, df, cf, doc-id array) index over an arbitrary positional
+    frame — array-typed postings so partial indexes stay mergeable."""
+    td = positions.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return td.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("c").alias("cf"),
+        F.sort_array(F.collect_list("doc_id")).alias("docs"),
+    )
+
+
+def index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance: index the DELTA batch (doc_id %
+    DELTA_MOD == 0 stands in for newly ingested docs) separately, then
+    merge it into the base index with one term-grain full-outer join —
+    df/cf add, posting arrays concatenate (doc sets are disjoint by
+    construction). Per-batch cost ∝ delta + |vocab|, never the base
+    corpus — the dedup_incremental_* shape applied to retrieval.
+
+    The correctness statement IS the oracle: the merged index must
+    hash-equal a from-scratch rebuild over the whole corpus
+    (text_index_postings' oracle, reused verbatim)."""
+    pos = _positions(spark, sf_dir)
+    is_delta = F.col("doc_id") % DELTA_MOD == 0
+    base = _index_of(pos.filter(~is_delta)).alias("b")
+    delta = _index_of(pos.filter(is_delta)).alias("d")
+    merged = base.join(delta, "term", "full")
+    empty = F.array().cast("array<bigint>")
+    return merged.select(
+        "term",
+        (
+            F.coalesce(F.col("b.df"), F.lit(0))
+            + F.coalesce(F.col("d.df"), F.lit(0))
+        ).alias("df"),
+        (
+            F.coalesce(F.col("b.cf"), F.lit(0))
+            + F.coalesce(F.col("d.cf"), F.lit(0))
+        ).alias("cf"),
+        F.concat_ws(
+            ",",
+            F.sort_array(
+                F.concat(
+                    F.coalesce(F.col("b.docs"), empty),
+                    F.coalesce(F.col("d.docs"), empty),
+                )
+            ),
+        ).alias("doc_list"),
+    )
+
+
 # ----------------------------------------------------------------------
 # oracles
 # ----------------------------------------------------------------------
@@ -250,11 +340,26 @@ def _duck_ranked_sql() -> str:
     """
 
 
+def _duck_near_sql() -> str:
+    return f"""
+        WITH pos AS ({_DUCK_POSITIONS})
+        SELECT a.doc_id, count(*) AS n_near
+        FROM pos a JOIN pos b
+          ON a.doc_id = b.doc_id
+         AND abs(a.pos - b.pos) <= {NEAR_K}
+        WHERE a.term = '{NEAR_TERMS[0]}' AND b.term = '{NEAR_TERMS[1]}'
+        GROUP BY a.doc_id ORDER BY a.doc_id
+    """
+
+
 ORACLE_SQL: dict[str, str] = {
     "text_index_postings": _duck_postings_sql(),
     "text_search_and": _duck_and_sql(),
     "text_search_phrase": _duck_phrase_sql(),
     "text_search_ranked": _duck_ranked_sql(),
+    "text_search_near": _duck_near_sql(),
+    # merged incremental index ≡ from-scratch rebuild: same oracle
+    "text_index_merge": _duck_postings_sql(),
 }
 
 QUERIES = {
@@ -262,4 +367,6 @@ QUERIES = {
     "text_search_and": search_and,
     "text_search_phrase": search_phrase,
     "text_search_ranked": search_ranked,
+    "text_search_near": search_near,
+    "text_index_merge": index_merge,
 }
