@@ -54,6 +54,15 @@ _SPARK_TOKENS = "split(lower(trim(text)), '\\\\s+')"
 _DUCK_TOKENS = r"regexp_split_to_array(lower(trim(text)), '\s+')"
 
 
+def _positions_from(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, term) over an ARBITRARY (doc_id, text) frame
+    (streaming micro-batches use this; the batch path wraps it with
+    the parallel corpus scan)."""
+    return docs.selectExpr(
+        "doc_id", f"posexplode_outer({_SPARK_TOKENS}) AS (pos, term)"
+    ).filter(F.col("term").rlike("^[a-z]+$"))
+
+
 def _positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, pos, term) — the exploded positional fact every index
     operator starts from. Scan spread before the explode (same
@@ -62,9 +71,7 @@ def _positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "documents", ["doc_id", "text"]
     ).filter(F.col("text").isNotNull())
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
-    return docs.selectExpr(
-        "doc_id", f"posexplode_outer({_SPARK_TOKENS}) AS (pos, term)"
-    ).filter(F.col("term").rlike("^[a-z]+$"))
+    return _positions_from(docs)
 
 
 def index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1118,3 +1118,74 @@ def run_tokenize_to_completion(spark: SparkSession, sf_dir: str,
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def postings_index_stream(spark: SparkSession, in_dir: str,
+                          index_dir: str, checkpoint_dir: str):
+    """Streaming inverted-index maintenance, LSM-style: each
+    micro-batch of new documents is indexed ALONE (term, df, cf,
+    posting array over just the batch) and written as an immutable
+    SEGMENT (index/epoch=N); readers merge segments on read and a
+    compactor can fold old segments with exactly the
+    extras.search.index_merge join. This is how real search engines
+    ingest — segment files + merge-on-read + background compaction —
+    and per-batch cost is O(batch), never the base corpus.
+
+    Replay safety: same epoch-keyed overwrite recipe as
+    minhash_index_stream — a replayed epoch rewrites its own segment
+    byte-for-byte instead of double-counting."""
+    import os as _os
+
+    from .extras.search import _index_of, _positions_from
+
+    docs = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+
+    def write_segment(batch_df: DataFrame, epoch_id: int) -> None:
+        batch = batch_df.filter(F.col("text").isNotNull())
+        seg = _index_of(_positions_from(batch))
+        seg.write.mode("overwrite").parquet(
+            _os.path.join(index_dir, f"epoch={epoch_id}")
+        )
+
+    return (
+        docs.writeStream.outputMode("append")
+        .foreachBatch(write_segment)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def read_postings_index(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Merge-on-read over the segment layout: df/cf add across
+    segments, posting arrays flatten — doc sets are disjoint across
+    epochs (each doc arrives once), so the merged view carries the
+    text_index_postings contract exactly (same column names/types:
+    term, df, cf, stringified sorted doc_list)."""
+    segs = spark.read.parquet(index_dir)
+    return segs.groupBy("term").agg(
+        F.sum("df").alias("df"),
+        F.sum("cf").alias("cf"),
+        F.concat_ws(
+            ",", F.sort_array(F.flatten(F.collect_list("docs")))
+        ).alias("doc_list"),
+    )
+
+
+def run_postings_index_to_completion(spark: SparkSession, in_dir: str,
+                                     work_dir: str) -> DataFrame:
+    """Drive the index maintenance over the finite doc set; returns
+    the merged (merge-on-read) index."""
+    import os as _os
+
+    index_dir = _os.path.join(work_dir, "index")
+    ckpt = _os.path.join(work_dir, "ckpt")
+    q = postings_index_stream(spark, in_dir, index_dir, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return read_postings_index(spark, index_dir)

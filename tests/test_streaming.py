@@ -688,3 +688,36 @@ def test_streaming_bpe_tokenize_equals_batch(spark):
         for r in bpe_apply(spark, SF_SMOKE).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_postings_index_equals_batch(spark, tmp_path):
+    """The segment-per-epoch streaming index, merged on read, must
+    equal the batch text_index_postings rebuild row-for-row once the
+    corpus has streamed through — df/cf add and posting lists
+    interleave correctly across arrival waves."""
+    from data_pipeline_and_visualization_dashboard_spark.extras.search import (
+        index_postings,
+    )
+    from data_pipeline_and_visualization_dashboard_spark.io import read_table
+    from data_pipeline_and_visualization_dashboard_spark.streaming import (
+        run_postings_index_to_completion,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = read_table(spark, SF_SMOKE, "documents", ["doc_id", "text"])
+    in_dir = str(tmp_path / "in")
+    for i in range(4):
+        docs.filter(F.col("doc_id") % 4 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+    got = {
+        r.term: (r.df, r.cf, r.doc_list)
+        for r in run_postings_index_to_completion(
+            spark, in_dir, str(tmp_path / "work")
+        ).collect()
+    }
+    want = {
+        r.term: (r.df, r.cf, r.doc_list)
+        for r in index_postings(spark, SF_SMOKE).collect()
+    }
+    assert got == want and len(want) > 0
