@@ -1151,6 +1151,33 @@ def test_corpus_to_training_shards_composition(spark, tmp_path):
     full = {r.doc_id: r.split for r in
             split_assign(spark, SF_SMOKE).collect()}
     assert all(full[d_] == s for d_, s in sp.items())
+    # final hop: tokenize the surviving corpus with merges trained on
+    # the FULL corpus (the production order — the tokenizer artifact
+    # predates filtering) and check the accounting composes: every
+    # surviving doc gets a token count, bounded by chars, and the
+    # count is identical to the same doc's count in the full-corpus
+    # tokenization (per-doc tokenization is corpus-independent given
+    # fixed merges)
+    from data_pipeline_and_visualization_dashboard_spark.extras.bpe import (
+        _trained_merges, bpe_apply,
+    )
+    from data_pipeline_and_visualization_dashboard_spark.streaming import (
+        tokenize_stream,
+    )
+
+    merges = _trained_merges(spark, SF_SMOKE)
+    surv_docs = docs.filter(F.col("doc_id").isin(surv)).select(
+        "doc_id", "text"
+    )
+    tok = {
+        r.doc_id: r.n_tokens
+        for r in tokenize_stream(surv_docs, merges).collect()
+    }
+    assert set(tok) == surv
+    full_tok = {
+        r.doc_id: r.n_tokens for r in bpe_apply(spark, SF_SMOKE).collect()
+    }
+    assert all(full_tok[d_] == t for d_, t in tok.items())
 
 
 def test_rp_topk_recall_floor_and_centroid_sanity(spark):
