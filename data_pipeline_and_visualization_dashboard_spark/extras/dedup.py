@@ -1134,9 +1134,12 @@ CONTAM_EVAL_MODS = (7, 8, 9)  # doc_id % 10 buckets standing in for
 def contamination_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per (training doc, benchmark): shingle-overlap count/ratio and
     the contamination flag — N-benchmark decontamination in one corpus
-    pass. The doc×benchmark spine (docs ⨯ 3-row set list, broadcast)
-    guarantees a row even for zero-overlap pairs, so downstream
-    per-benchmark accounting never misses silent zeros."""
+    pass. The left join against the union of set-tagged benchmark
+    shingles fans a training shingle out once per matching benchmark;
+    ONE doc-grain aggregation then folds N conditional overlap counts
+    plus the distinct-shingle total, and stack() unpivots to (doc,
+    benchmark) rows — zero-overlap rows come free from the unpivot,
+    with no doc×set spine join and no second corpus pass."""
     sh = shingle_sets(spark, sf_dir).select(
         "doc_id", F.explode(F.array_distinct("shingles")).alias("s")
     )
@@ -1153,26 +1156,31 @@ def contamination_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     train = sh.filter(~is_eval)
-    n_sh = train.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_shingles")
+    joined = train.join(F.broadcast(eval_tagged), "s", "left")
+    agg = joined.groupBy("doc_id").agg(
+        F.countDistinct("s").alias("n_shingles"),
+        *[
+            F.sum(
+                F.when(F.col("eval_set") == f"bench{m}", 1).otherwise(0)
+            ).alias(f"ov_{m}")
+            for m in CONTAM_EVAL_MODS
+        ],
     )
-    hits = (
-        train.join(F.broadcast(eval_tagged), "s")
-        .groupBy("doc_id", "eval_set")
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    stack_args = ", ".join(
+        f"'bench{m}', ov_{m}" for m in CONTAM_EVAL_MODS
     )
-    sets = spark.createDataFrame(
-        [(f"bench{m}",) for m in CONTAM_EVAL_MODS], "eval_set string"
+    stacked = agg.selectExpr(
+        "doc_id",
+        "n_shingles",
+        f"stack({len(CONTAM_EVAL_MODS)}, {stack_args})"
+        " AS (eval_set, n_overlap)",
     )
-    spine = n_sh.crossJoin(F.broadcast(sets))  # docs × 3 rows
-    joined = spine.join(hits, ["doc_id", "eval_set"], "left")
-    n_ov = F.coalesce("n_overlap", F.lit(0))
-    ratio = n_ov.cast("double") / F.col("n_shingles")
-    return joined.select(
+    ratio = F.col("n_overlap").cast("double") / F.col("n_shingles")
+    return stacked.select(
         "doc_id",
         "eval_set",
         F.col("n_shingles").cast("int").alias("n_shingles"),
-        n_ov.cast("int").alias("n_overlap"),
+        F.col("n_overlap").cast("int").alias("n_overlap"),
         ratio.alias("overlap_ratio"),
         (ratio >= CONTAM_THRESHOLD).alias("is_contaminated"),
     )  # no terminal sort: O(n×sets) output, order-insensitive compare

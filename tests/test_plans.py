@@ -358,6 +358,14 @@ CASES = {
         3,
     ),
     "dedup_exact_groups": ([], ["Exchange rangepartitioning"], 1),
+    "dedup_contamination_multi": (
+        # N-benchmark screen: tagged eval shingles broadcast, ONE
+        # doc-grain conditional-sum agg + stack — no doc×set spine
+        # join, no SortMergeJoin, no second corpus pass
+        ["BroadcastHashJoin"],
+        ["SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"],
+        3,
+    ),
     "sketch_kmv_estimate": (
         # bottom-K must be TakeOrderedAndProject (per-partition heaps),
         # never a global Sort; the 1-row readout join may be BNLJ (1×1)
