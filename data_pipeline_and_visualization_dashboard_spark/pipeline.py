@@ -65,3 +65,82 @@ def run_events_pipeline(
 
     derived.createOrReplaceTempView("events_clean")
     return PipelineResult(derived, report, out_path)
+
+
+@dataclass
+class CorpusPipelineResult:
+    funnel: dict        # per-stage removal accounting (corpus_funnel row)
+    out_dir: str
+    n_survivors: int
+    n_packs: int
+    n_merges: int
+
+
+def run_corpus_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+) -> CorpusPipelineResult:
+    """The LLM-corpus lifecycle as ONE runner — what a user points at a
+    raw documents table to get training artifacts out (the corpus twin
+    of run_events_pipeline):
+
+      1. quality → exact-dup → near-dup funnel with per-stage
+         accounting (corpus_funnel);
+      2. surviving docs materialized as their own corpus
+         (out/curated/documents.parquet — the layout every downstream
+         operator reads);
+      3. multi-benchmark decontamination report
+         (out/contamination.parquet);
+      4. BPE tokenizer trained on the FULL corpus (the artifact
+         predates filtering) → out/tokenizer_merges.parquet;
+      5. curated corpus chunked, packed, split →
+         out/packs.parquet, out/splits.parquet;
+      6. retrieval index over the curated corpus →
+         out/index.parquet.
+
+    Every artifact is a plain parquet table a cluster job can read
+    back; each stage is the already-oracle-backed operator, so the
+    runner adds orchestration, not new semantics."""
+    import os
+
+    from .extras.bpe import bpe_train
+    from .extras.dedup import contamination_multi, corpus_funnel, corpus_survivors
+    from .extras.search import index_postings
+    from .extras.text import packing, split_assign
+
+    funnel = corpus_funnel(spark, sf_dir).first().asDict()
+
+    docs = read_table(spark, sf_dir, "documents")
+    surv_ids = corpus_survivors(spark, sf_dir)
+    curated_dir = os.path.join(out_dir, "curated")
+    curated = docs.join(surv_ids, "doc_id")
+    write_parquet(curated, os.path.join(curated_dir, "documents.parquet"))
+
+    write_parquet(
+        contamination_multi(spark, sf_dir),
+        os.path.join(out_dir, "contamination.parquet"),
+    )
+    merges_df = bpe_train(spark, sf_dir)
+    write_parquet(
+        merges_df, os.path.join(out_dir, "tokenizer_merges.parquet")
+    )
+    packs = packing(spark, curated_dir)
+    write_parquet(packs, os.path.join(out_dir, "packs.parquet"))
+    write_parquet(
+        split_assign(spark, curated_dir),
+        os.path.join(out_dir, "splits.parquet"),
+    )
+    write_parquet(
+        index_postings(spark, curated_dir),
+        os.path.join(out_dir, "index.parquet"),
+    )
+    return CorpusPipelineResult(
+        funnel=funnel,
+        out_dir=out_dir,
+        n_survivors=int(funnel["docs_out"]),
+        n_packs=spark.read.parquet(
+            os.path.join(out_dir, "packs.parquet")
+        ).count(),
+        n_merges=merges_df.count(),
+    )

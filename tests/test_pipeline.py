@@ -131,3 +131,43 @@ def test_validate_schema_raises_on_dtype(spark):
     )
     with pytest.raises(SchemaValidationError):
         validate_schema(df, EVENTS, timestamp_columns=["ts"])
+
+
+def test_run_corpus_pipeline_writes_all_artifacts(spark, tmp_path):
+    """The corpus runner must leave a complete, consistent artifact
+    set: curated corpus = funnel survivors exactly; packs conserve the
+    curated chunks; every survivor gets one split; the tokenizer
+    carries all N_MERGES merges; the index covers the curated vocab;
+    the contamination report covers every training doc x benchmark."""
+    from data_pipeline_and_visualization_dashboard_spark.extras.bpe import (
+        N_MERGES,
+    )
+    from data_pipeline_and_visualization_dashboard_spark.extras.dedup import (
+        CONTAM_EVAL_MODS,
+    )
+    from data_pipeline_and_visualization_dashboard_spark.pipeline import (
+        run_corpus_pipeline,
+    )
+    from tests.conftest import SF_SMOKE
+
+    out = str(tmp_path / "artifacts")
+    res = run_corpus_pipeline(spark, SF_SMOKE, out)
+    assert res.funnel["docs_in"] == (
+        res.funnel["removed_quality"]
+        + res.funnel["removed_exact"]
+        + res.funnel["removed_neardup"]
+        + res.funnel["docs_out"]
+    )
+    curated = spark.read.parquet(f"{out}/curated/documents.parquet")
+    assert curated.count() == res.n_survivors > 0
+    splits = spark.read.parquet(f"{out}/splits.parquet")
+    assert splits.count() == res.n_survivors
+    packs = spark.read.parquet(f"{out}/packs.parquet")
+    assert res.n_packs == packs.count() > 0
+    merges = spark.read.parquet(f"{out}/tokenizer_merges.parquet")
+    assert merges.count() == res.n_merges == N_MERGES
+    idx = spark.read.parquet(f"{out}/index.parquet")
+    assert idx.count() > 0
+    contam = spark.read.parquet(f"{out}/contamination.parquet")
+    n_train_docs = contam.select("doc_id").distinct().count()
+    assert contam.count() == n_train_docs * len(CONTAM_EVAL_MODS)
