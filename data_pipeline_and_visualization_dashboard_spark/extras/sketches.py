@@ -319,6 +319,158 @@ def kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# histogram quantile sketch
+# ----------------------------------------------------------------------
+
+# The mergeable-quantile story (the t-digest/KLL role, in open form):
+# a fixed-bin equi-width histogram is a decomposable aggregate — bin
+# counts add across partitions, days, and corpora — so quantiles over
+# any slice combination come from merging constant-size states instead
+# of re-scanning values. Exactness trade: error ≤ one bin width.
+HIST_BINS = 128
+HIST_QS = (0.5, 0.95)
+
+
+def hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event_type, P50/P95 estimated from a shared 128-bin
+    equi-width histogram, next to the exact interpolated percentile
+    and the absolute error — the sketch-vs-truth readout contract of
+    hll_estimate/kmv_estimate, at GROUP grain.
+
+    Shape: one (type, bin) aggregation over the fact (the only
+    fact-sized shuffle; output ≤ types×128 rows), cumulative counts
+    via a window over that tiny frame, and the quantile row is the
+    unique bin where the cumulative count crosses q·N (linear
+    interpolation inside the bin). The global [min,max] frame and the
+    2-row quantile list ride broadcasts. The exact side re-aggregates
+    the fact once for ground truth (readout-only, same two-pass
+    contract as countmin_topk_est)."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events", ["event_type", "value"])
+    ev = ev.filter(F.col("value").isNotNull())
+    rng = ev.agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    binned = ev.join(F.broadcast(rng)).selectExpr(
+        "event_type",
+        f"CAST(least(floor((value - lo) * {HIST_BINS} / (hi - lo)),"
+        f" {HIST_BINS - 1}) AS INT) AS bin",
+        "lo",
+        "hi",
+    )
+    hist = binned.groupBy("event_type", "bin", "lo", "hi").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("event_type").orderBy("bin")
+    wt = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "bin",
+        "cnt",
+        "lo",
+        "hi",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(wt).alias("total"),
+    )
+    qs = spark.createDataFrame([(q,) for q in HIST_QS], "q double")
+    crossed = (
+        cum.join(F.broadcast(qs))
+        .withColumn("target", F.col("q") * F.col("total"))
+        .filter(
+            (F.col("cum") >= F.col("target"))
+            & (F.col("cum") - F.col("cnt") < F.col("target"))
+        )
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(HIST_BINS))
+    frac = (F.col("target") - (F.col("cum") - F.col("cnt"))) / F.col(
+        "cnt"
+    )
+    est = F.col("lo") + width * (F.col("bin") + frac)
+    sketch_side = crossed.select(
+        "event_type", "q", F.round(est, 4).alias("est")
+    )
+    # percentile() needs a foldable percentage: one aggregate per
+    # quantile literal, stack-unpivoted back to (type, q) grain
+    wide = ev.groupBy("event_type").agg(
+        *[
+            F.expr(f"percentile(value, {q!r})").alias(f"ex_{i}")
+            for i, q in enumerate(HIST_QS)
+        ]
+    )
+    stack_args = ", ".join(
+        f"CAST({q!r} AS DOUBLE), ex_{i}" for i, q in enumerate(HIST_QS)
+    )
+    exact = wide.selectExpr(
+        "event_type",
+        f"stack({len(HIST_QS)}, {stack_args}) AS (q, ex)",
+    ).select("event_type", "q", F.round("ex", 4).alias("exact"))
+    return sketch_side.join(exact, ["event_type", "q"]).select(
+        "event_type",
+        "q",
+        "est",
+        "exact",
+        F.round(F.abs(F.col("est") - F.col("exact")), 4).alias(
+            "abs_err"
+        ),
+    )
+
+
+def _duck_hist_quantiles_sql() -> str:
+    return f"""
+        WITH ev AS (
+            SELECT event_type, value FROM events
+            WHERE value IS NOT NULL
+        ), rng AS (
+            SELECT min(value) AS lo, max(value) AS hi FROM ev
+        ), binned AS (
+            SELECT event_type,
+                   CAST(least(floor((value - lo) * {HIST_BINS}
+                                    / (hi - lo)),
+                              {HIST_BINS - 1}) AS INT) AS bin,
+                   lo, hi
+            FROM ev CROSS JOIN rng
+        ), hist AS (
+            SELECT event_type, bin, lo, hi, count(*) AS cnt
+            FROM binned GROUP BY event_type, bin, lo, hi
+        ), cum AS (
+            SELECT event_type, bin, cnt, lo, hi,
+                   sum(cnt) OVER (PARTITION BY event_type
+                                  ORDER BY bin) AS cum,
+                   sum(cnt) OVER (PARTITION BY event_type) AS total
+            FROM hist
+        ), qs AS (
+            SELECT unnest({list(HIST_QS)}) AS q
+        ), crossed AS (
+            SELECT *, q * total AS target
+            FROM cum CROSS JOIN qs
+            WHERE cum >= q * total AND cum - cnt < q * total
+        ), sk AS (
+            SELECT event_type, q,
+                   round(lo + (hi - lo) / {float(HIST_BINS)}
+                         * (bin + (target - (cum - cnt)) / cnt),
+                         4) AS est
+            FROM crossed
+        ), exact AS (
+            -- quantile_cont needs constant parameters: one SELECT per
+            -- quantile literal (mirrors the Spark side's per-literal
+            -- aggregates)
+{chr(10).join(
+    f"            SELECT event_type, CAST({q!r} AS DOUBLE) AS q,"
+    f" round(quantile_cont(value, {q!r}), 4) AS exact"
+    f" FROM ev GROUP BY event_type"
+    + ("" if i == len(HIST_QS) - 1 else chr(10) + "            UNION ALL")
+    for i, q in enumerate(HIST_QS)
+)}
+        )
+        SELECT sk.event_type, sk.q, sk.est, exact.exact,
+               round(abs(sk.est - exact.exact), 4) AS abs_err
+        FROM sk JOIN exact USING (event_type, q)
+        ORDER BY event_type, q
+    """
+
+
+# ----------------------------------------------------------------------
 # oracles
 # ----------------------------------------------------------------------
 
@@ -510,6 +662,7 @@ ORACLE_SQL: dict[str, str] = {
     "sketch_hll_estimate": _duck_hll_estimate_sql(),
     "sketch_kmv_estimate": _duck_kmv_estimate_sql(),
     "sketch_kmv_overlap": _duck_kmv_overlap_sql(),
+    "sketch_hist_quantiles": _duck_hist_quantiles_sql(),
 }
 
 QUERIES = {
@@ -519,4 +672,5 @@ QUERIES = {
     "sketch_hll_estimate": hll_estimate,
     "sketch_kmv_estimate": kmv_estimate,
     "sketch_kmv_overlap": kmv_overlap,
+    "sketch_hist_quantiles": hist_quantiles,
 }

@@ -2213,6 +2213,83 @@ def _duck_profile_sql() -> str:
     )
 
 
+# ----------------------------------------------------------------------
+# q63: distribution-drift monitor (KL divergence per day vs corpus)
+# ----------------------------------------------------------------------
+
+def q63_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality drift monitor: per day, the KL divergence of that
+    day's event-type distribution from the whole-corpus distribution —
+    the pre-flight number behind "did yesterday's ingest change shape"
+    alerts (retrain triggers, upstream-schema-drift detection). KL is
+    finite here by construction: every day draws from the same
+    categorical support (absent types contribute 0 via the inner-join
+    semantics, the standard plug-in estimator).
+
+    Shape: ONE (date, type) aggregation over the fact; day totals and
+    the global distribution are window/broadcast folds over that tiny
+    frame — the fact is scanned once. ln() is aggregate-derived → the
+    6dp rounding policy; terminal sort by date (monitoring output)."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events", ["ts", "event_type"])
+    dt = ev.select(
+        F.to_date("ts").cast("string").alias("event_date"),
+        "event_type",
+    )
+    cell = dt.groupBy("event_date", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    day_tot = Window.partitionBy("event_date")
+    withp = cell.select(
+        "event_date",
+        "event_type",
+        "c",
+        F.sum("c").over(day_tot).alias("n_day"),
+    )
+    glob = cell.groupBy("event_type").agg(F.sum("c").alias("g"))
+    gtot = glob.agg(F.sum("g").alias("n_all"))
+    joined = (
+        withp.join(F.broadcast(glob), "event_type")
+        .join(F.broadcast(gtot))
+    )
+    p = F.col("c").cast("double") / F.col("n_day")
+    q = F.col("g").cast("double") / F.col("n_all")
+    return (
+        joined.groupBy("event_date")
+        .agg(
+            F.max("n_day").alias("n_events"),
+            F.round(F.sum(p * F.log(p / q)), 6).alias("kl_vs_corpus"),
+        )
+        .orderBy("event_date")
+    )
+
+
+_DUCK_DRIFT_SQL = """
+    WITH cell AS (
+        SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date,
+               event_type, count(*) AS c
+        FROM events GROUP BY 1, 2
+    ), withp AS (
+        SELECT event_date, event_type, c,
+               sum(c) OVER (PARTITION BY event_date) AS n_day
+        FROM cell
+    ), gdist AS (
+        SELECT event_type, sum(c) AS g FROM cell GROUP BY event_type
+    ), gtot AS (
+        SELECT sum(g) AS n_all FROM gdist
+    )
+    SELECT event_date,
+           CAST(max(n_day) AS BIGINT) AS n_events,
+           round(sum((CAST(c AS DOUBLE) / n_day)
+                     * ln((CAST(c AS DOUBLE) / n_day)
+                          / (CAST(g AS DOUBLE) / n_all))), 6)
+               AS kl_vs_corpus
+    FROM withp JOIN gdist USING (event_type) CROSS JOIN gtot
+    GROUP BY event_date ORDER BY event_date
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "q60_bucketed_join": """
         SELECT o_orderpriority, count(*) AS n_items,
@@ -2222,6 +2299,7 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "q61_profile_events": _duck_profile_sql(),
     "q62_skew_stats": _DUCK_SKEW_SQL,
+    "q63_drift_kl": _DUCK_DRIFT_SQL,
     "q54_hash_sample": _duck_hash_sample_sql(),
     "q55_rolling_median": _DUCK_ROLLING_MEDIAN_SQL,
     "q56_grouped_stats": _DUCK_GROUPED_STATS_SQL,
@@ -2700,6 +2778,7 @@ QUERIES = {
     "q60_bucketed_join": q60_bucketed_join,
     "q61_profile_events": q61_profile_events,
     "q62_skew_stats": q62_skew_stats,
+    "q63_drift_kl": q63_drift_kl,
     "sim_rp_topk_pretrained": sim_rp_topk_pretrained,
 }
 

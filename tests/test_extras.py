@@ -1330,3 +1330,43 @@ def test_contamination_multi_and_survivor_policy(spark):
         best = max(members, key=lambda d: (scores[d], -d))
         assert r.survivor_id == best
         assert r.survivor_score == scores[best]
+
+
+def test_hist_quantiles_error_bound_and_drift_nonneg(spark):
+    """The histogram sketch's defining guarantee: the q-th order
+    statistic lies inside the crossing bin, so the estimate is within
+    one bin width of it — and within TWO bin widths of the exact
+    INTERPOLATED percentile (interpolation between order statistics
+    can straddle a bin boundary). The drift monitor's defining
+    guarantee: KL >= 0 (Gibbs), one row per day present in the
+    data."""
+    from data_pipeline_and_visualization_dashboard_spark.extras.sketches import (
+        HIST_BINS, hist_quantiles,
+    )
+    from data_pipeline_and_visualization_dashboard_spark.queries_ext import (
+        q63_drift_kl,
+    )
+
+    vals = [
+        r.value
+        for r in read_table(spark, SF_SMOKE, "events", ["value"])
+        .filter(F.col("value").isNotNull())
+        .collect()
+    ]
+    bin_width = (max(vals) - min(vals)) / HIST_BINS
+    rows = hist_quantiles(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.abs_err <= 2 * bin_width + 1e-9, (r, bin_width)
+
+    drift = q63_drift_kl(spark, SF_SMOKE).collect()
+    n_days = (
+        read_table(spark, SF_SMOKE, "events", ["ts"])
+        .select(F.to_date("ts").alias("d"))
+        .distinct()
+        .count()
+    )
+    assert len(drift) == n_days
+    for r in drift:
+        assert r.kl_vs_corpus >= -1e-6
+        assert r.n_events > 0
