@@ -86,6 +86,7 @@ HEADLINE = [
     "sketch_kmv_overlap",  # bottom-k cross-corpus overlap estimate
     "sketch_hist_quantiles",  # mergeable fixed-bin quantile sketch
     "q63_drift_kl",  # per-day distribution drift vs corpus
+    "q64_weighted_sample",  # A-ES weighted top-k sample (row-local keys)
     # bpe training is a one-time artifact: its cost is the bpe_merges
     # line in index_build_sec; the query entries measure the artifact
     # readout (train) and the vocab-grain serving replay (apply)

@@ -39,6 +39,7 @@ from .hashing import (
     duck_base_hash,
     minhash_term,
     spark_base_hash,
+    spark_h60,
 )
 
 # Cap on LSH bucket size: buckets larger than this are near-certainly
@@ -1363,6 +1364,104 @@ def _duck_survivor_policy_sql() -> str:
     """
 
 
+TRIPLET_BUCKETS = 64
+
+
+def training_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(anchor, positive, negative) triplets — the data-prep step for
+    contrastive embedding training (SimCSE/E5-style): positives are
+    the VERIFIED near-dup pairs (jaccard ≥ threshold, both
+    directions), negatives are drawn deterministically by content
+    hash — bucket representative of h60('neg'||anchor) % B — and a
+    candidate that lands in the anchor's own near-dup component is
+    dropped (a false negative would poison the loss; rare by
+    construction, B ≫ component count).
+
+    Scale: the bucket-representative table is B rows (broadcast); the
+    component exclusion joins the pair-sized frame, never the corpus.
+    Everything is a pure function of the data (the q54 determinism
+    discipline), so the triplet set is reproducible across engines,
+    retries, and cluster sizes — fully oracle-backed."""
+    pairs = dedup_minhash_pairs(spark, sf_dir).filter(
+        F.col("jaccard") >= NEARDUP_JACCARD
+    )
+    # positives in both directions: anchor is each side once
+    both = pairs.selectExpr(
+        "doc_id_a AS anchor", "doc_id_b AS positive", "jaccard"
+    ).unionByName(
+        pairs.selectExpr(
+            "doc_id_b AS anchor", "doc_id_a AS positive", "jaccard"
+        )
+    )
+    docs = read_table(spark, sf_dir, "documents", ["doc_id"])
+    bucket = f"CAST({spark_h60('CAST(doc_id AS STRING)')} % {TRIPLET_BUCKETS} AS INT)"
+    reps = (
+        docs.selectExpr("doc_id", f"{bucket} AS bucket")
+        .groupBy("bucket")
+        .agg(F.min("doc_id").alias("negative"))
+    )
+    anchor_key = "concat('neg', CAST(anchor AS STRING))"
+    nb = (
+        f"CAST({spark_h60(anchor_key)}"
+        f" % {TRIPLET_BUCKETS} AS INT)"
+    )
+    cand = both.selectExpr("anchor", "positive", "jaccard", f"{nb} AS bucket").join(
+        F.broadcast(reps), "bucket"
+    )
+    groups = dedup_neardup_groups(spark, sf_dir)
+    ga = groups.selectExpr("doc_id AS anchor", "group_id AS comp_a")
+    gn = groups.selectExpr("doc_id AS negative", "group_id AS comp_n")
+    return (
+        cand.join(ga, "anchor")
+        .join(gn, "negative", "left")
+        .filter(
+            F.col("comp_n").isNull()
+            | (F.col("comp_n") != F.col("comp_a"))
+        )
+        .select("anchor", "positive", "negative", "jaccard")
+    )  # no terminal sort: O(pairs) output, order-insensitive compare
+
+
+def _duck_training_triplets_sql() -> str:
+    from .hashing import duck_h60
+
+    bucket = (
+        f"CAST({duck_h60('CAST(doc_id AS VARCHAR)')}"
+        f" % {TRIPLET_BUCKETS} AS INT)"
+    )
+    anchor_key = "concat('neg', CAST(anchor AS VARCHAR))"
+    nb = (
+        f"CAST({duck_h60(anchor_key)}"
+        f" % {TRIPLET_BUCKETS} AS INT)"
+    )
+    return f"""
+        WITH pairs AS (
+            SELECT doc_id_a, doc_id_b, jaccard
+            FROM ({_duck_pairs_sql()}) p
+            WHERE p.jaccard >= {NEARDUP_JACCARD}
+        ), both_dir AS (
+            SELECT doc_id_a AS anchor, doc_id_b AS positive, jaccard
+            FROM pairs
+            UNION ALL
+            SELECT doc_id_b, doc_id_a, jaccard FROM pairs
+        ), reps AS (
+            SELECT {bucket} AS bucket, min(doc_id) AS negative
+            FROM documents GROUP BY 1
+        ), groups AS ({_duck_neardup_groups_sql()}),
+        cand AS (
+            SELECT anchor, positive, jaccard, {nb} AS bucket
+            FROM both_dir
+        )
+        SELECT c.anchor, c.positive, r.negative, c.jaccard
+        FROM cand c
+        JOIN reps r USING (bucket)
+        JOIN groups ga ON ga.doc_id = c.anchor
+        LEFT JOIN groups gn ON gn.doc_id = r.negative
+        WHERE gn.group_id IS NULL OR gn.group_id != ga.group_id
+        ORDER BY anchor, positive
+    """
+
+
 def corpus_funnel(spark: SparkSession, sf_dir: str,
                   hash_impl: str = "md5") -> DataFrame:
     """THE END-TO-END LLM-CORPUS STORY in one accounting row: quality
@@ -1662,6 +1761,7 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_contamination": _DUCK_CONTAMINATION_SQL,
     "dedup_contamination_multi": _DUCK_CONTAMINATION_MULTI_SQL,
     "dedup_survivor_policy": _duck_survivor_policy_sql(),
+    "dedup_training_triplets": _duck_training_triplets_sql(),
     "dedup_ngram_jaccard_topk": f"""
         WITH sh AS (
             SELECT doc_id, list_distinct({_DUCK_SHINGLES}) AS sh FROM documents
@@ -1988,6 +2088,7 @@ QUERIES = {
     "dedup_contamination": contamination,
     "dedup_contamination_multi": contamination_multi,
     "dedup_survivor_policy": survivor_policy,
+    "dedup_training_triplets": training_triplets,
     "dedup_hash_stage_md5": dedup_hash_stage_md5,
     "dedup_hash_stage_xxhash": dedup_hash_stage_xxhash,
     "dedup_semantic": dedup_semantic,

@@ -2214,6 +2214,61 @@ def _duck_profile_sql() -> str:
 
 
 # ----------------------------------------------------------------------
+# q64: weighted sampling without replacement (A-ES, deterministic)
+# ----------------------------------------------------------------------
+
+WSAMPLE_K = 100
+
+
+def q64_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k WEIGHTED sample without replacement via the A-ES /
+    Efraimidis-Spirakis exponential-key trick: key = u^(1/w) with u a
+    content-hash uniform (q54's determinism discipline — retries,
+    partition counts, and engines all agree), top-k by key. P(select)
+    ∝ value weight; the corpus-mixing complement of text_mix_sample
+    (budgeted selection) and text_dsir_weights (importance weights).
+
+    Scale: the key is a row-local codegen expression on the scan and
+    top-k compiles to TakeOrderedAndProject — per-partition k-heaps,
+    no global sort, no RNG state. Cross-engine: pow/ln are not
+    required to be correctly rounded, so keys round to 9dp BEFORE
+    ranking with event_id as the total tie-break (the tfidf rounded-
+    rank policy)."""
+    from .extras.hashing import spark_h60
+
+    ev = read_table(
+        spark, sf_dir, "events", ["event_id", "event_type", "value"]
+    ).filter(F.col("value").isNotNull() & (F.col("value") > 0))
+    # u in (0,1): h60 is uniform on [0, 2^60); +1 keeps u > 0
+    u = (
+        F.expr(spark_h60("CAST(event_id AS STRING)")).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(2**60))
+    key = F.round(F.pow(u, F.lit(1.0) / F.col("value")), 9)
+    return (
+        ev.withColumn("sample_key", key)
+        .orderBy(F.desc("sample_key"), F.asc("event_id"))
+        .limit(WSAMPLE_K)
+    )
+
+
+def _duck_weighted_sample_sql() -> str:
+    from .extras.hashing import duck_h60
+
+    u = (
+        f"((CAST({duck_h60('CAST(event_id AS VARCHAR)')} AS DOUBLE)"
+        f" + 1.0) / {float(2**60)!r})"
+    )
+    return f"""
+        SELECT event_id, event_type, value,
+               round(pow({u}, 1.0 / value), 9) AS sample_key
+        FROM events
+        WHERE value IS NOT NULL AND value > 0
+        ORDER BY sample_key DESC, event_id LIMIT {WSAMPLE_K}
+    """
+
+
+# ----------------------------------------------------------------------
 # q63: distribution-drift monitor (KL divergence per day vs corpus)
 # ----------------------------------------------------------------------
 
@@ -2300,6 +2355,7 @@ ORACLE_SQL: dict[str, str] = {
     "q61_profile_events": _duck_profile_sql(),
     "q62_skew_stats": _DUCK_SKEW_SQL,
     "q63_drift_kl": _DUCK_DRIFT_SQL,
+    "q64_weighted_sample": _duck_weighted_sample_sql(),
     "q54_hash_sample": _duck_hash_sample_sql(),
     "q55_rolling_median": _DUCK_ROLLING_MEDIAN_SQL,
     "q56_grouped_stats": _DUCK_GROUPED_STATS_SQL,
@@ -2779,6 +2835,7 @@ QUERIES = {
     "q61_profile_events": q61_profile_events,
     "q62_skew_stats": q62_skew_stats,
     "q63_drift_kl": q63_drift_kl,
+    "q64_weighted_sample": q64_weighted_sample,
     "sim_rp_topk_pretrained": sim_rp_topk_pretrained,
 }
 

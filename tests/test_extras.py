@@ -1370,3 +1370,58 @@ def test_hist_quantiles_error_bound_and_drift_nonneg(spark):
     for r in drift:
         assert r.kl_vs_corpus >= -1e-6
         assert r.n_events > 0
+
+
+def test_weighted_sample_biases_toward_heavy_rows(spark):
+    """A-ES semantics: selection probability grows with weight, so the
+    sample's mean value must clearly exceed the population mean, keys
+    live in (0,1], and the plan is a TakeOrderedAndProject (no global
+    sort, no RNG nodes)."""
+    from data_pipeline_and_visualization_dashboard_spark.queries_ext import (
+        q64_weighted_sample,
+    )
+
+    df = q64_weighted_sample(spark, SF_SMOKE)
+    rows = df.collect()
+    assert 0 < len(rows) <= 100
+    for r in rows:
+        assert 0.0 < r.sample_key <= 1.0
+    pop = [
+        r.value
+        for r in read_table(spark, SF_SMOKE, "events", ["value"])
+        .filter(F.col("value").isNotNull() & (F.col("value") > 0))
+        .collect()
+    ]
+    samp_mean = sum(r.value for r in rows) / len(rows)
+    pop_mean = sum(pop) / len(pop)
+    assert samp_mean > 1.5 * pop_mean, (samp_mean, pop_mean)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_training_triplets_semantics(spark):
+    """Contrastive-prep contract: every positive is a verified
+    near-dup of its anchor (jaccard >= threshold, pair exists in the
+    LSH output), and no negative shares the anchor's near-dup
+    component (a false negative would poison the loss)."""
+    from data_pipeline_and_visualization_dashboard_spark.extras.dedup import (
+        NEARDUP_JACCARD, dedup_minhash_pairs, dedup_neardup_groups,
+        training_triplets,
+    )
+
+    pairs = {
+        frozenset((r.doc_id_a, r.doc_id_b)): r.jaccard
+        for r in dedup_minhash_pairs(spark, SF_SMOKE).collect()
+        if r.jaccard >= NEARDUP_JACCARD
+    }
+    comp = {
+        r.doc_id: r.group_id
+        for r in dedup_neardup_groups(spark, SF_SMOKE).collect()
+    }
+    trips = training_triplets(spark, SF_SMOKE).collect()
+    assert trips
+    for t in trips:
+        key = frozenset((t.anchor, t.positive))
+        assert key in pairs and abs(pairs[key] - t.jaccard) < 1e-12
+        assert comp.get(t.negative) != comp[t.anchor]
+        assert t.negative not in (t.anchor, t.positive)
