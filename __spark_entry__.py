@@ -114,12 +114,13 @@ _CHECK_FIRST = [
 ]
 # Rotation queue for the NEXT round's window (oracle-backed, local
 # differential green, but the 50 slots above outrank them this round):
-# sketch_kmv_estimate, text_bpe_compression, text_search_and,
-# text_search_near, text_index_merge, dedup_contamination_multi,
-# dedup_survivor_policy, sim_ivf_topk_pretrained,
-# sim_ivfpq_topk_pretrained, dedup_semantic_trained,
-# dedup_hash_stage_xxhash, dedup_minhash_pairs_xxhash,
-# corpus_funnel_xxhash.
+# sketch_kmv_estimate, sketch_hist_quantiles, text_bpe_compression,
+# text_search_and, text_search_near, text_index_merge,
+# dedup_contamination_multi, dedup_survivor_policy,
+# dedup_training_triplets, q63_drift_kl, q64_weighted_sample,
+# sim_ivf_topk_pretrained, sim_ivfpq_topk_pretrained,
+# dedup_semantic_trained, dedup_hash_stage_xxhash,
+# dedup_minhash_pairs_xxhash, corpus_funnel_xxhash.
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
