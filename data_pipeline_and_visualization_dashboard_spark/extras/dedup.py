@@ -520,7 +520,16 @@ def _verified_pairs(spark: SparkSession, sf_dir: str,
         .filter(
             inter.cast("double") / union.cast("double") >= NEARDUP_JACCARD
         )
-        .select("doc_id_a", "doc_id_b")
+        # keep the exact jaccard: free to compute here, and it lets
+        # training_triplets share THIS cached frame with the CC loop
+        # instead of running the full enriched pair pipeline twice
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            (inter.cast("double") / union.cast("double")).alias(
+                "jaccard"
+            ),
+        )
         .cache()
     )
     n_pairs = pairs.count()  # materialize BEFORE any bidirectional union
@@ -555,6 +564,7 @@ def dedup_neardup_groups(spark: SparkSession, sf_dir: str,
     Output: (doc_id, group_id) for every doc in the pair graph
     (singletons carry no dedup decision and are omitted)."""
     pairs, n_pairs = _verified_pairs(spark, sf_dir, hash_impl)
+    pairs = pairs.drop("jaccard")  # CC needs only the edge list
 
     # Loop hygiene — three fixes that took the sf0.1 loop 3.0s -> 0.8s
     # without changing semantics, each one scale-motivated:
@@ -679,6 +689,7 @@ def dedup_neardup_groups_lsss(spark: SparkSession, sf_dir: str,
     where min-label's round count is the diameter and this stays
     O(log² n)."""
     pairs, n_pairs = _verified_pairs(spark, sf_dir, hash_impl)
+    pairs = pairs.drop("jaccard")  # CC needs only the edge list
     if n_pairs == 0:
         return pairs.selectExpr("doc_id_a AS doc_id",
                                 "doc_id_b AS group_id")
@@ -1382,9 +1393,7 @@ def training_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     Everything is a pure function of the data (the q54 determinism
     discipline), so the triplet set is reproducible across engines,
     retries, and cluster sizes — fully oracle-backed."""
-    pairs = dedup_minhash_pairs(spark, sf_dir).filter(
-        F.col("jaccard") >= NEARDUP_JACCARD
-    )
+    pairs, _n = _verified_pairs(spark, sf_dir)
     # positives in both directions: anchor is each side once
     both = pairs.selectExpr(
         "doc_id_a AS anchor", "doc_id_b AS positive", "jaccard"
