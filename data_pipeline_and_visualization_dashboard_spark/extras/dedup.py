@@ -1471,6 +1471,69 @@ def _duck_training_triplets_sql() -> str:
     """
 
 
+def pair_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature table for TRAINING a learned near-dup verifier: per LSH
+    candidate pair, the signals a classifier would consume — MinHash
+    estimate, exact shingle Jaccard (the label source), SimHash
+    Hamming distance, length ratio, language agreement. Production
+    pipelines graduate from threshold rules to a learned verifier
+    exactly this way (cheap features in, expensive verification only
+    where the model is unsure); this op IS that feature-engineering
+    pass, composed from the already-certified signal operators.
+
+    Scale: pair-grain joins only (candidates ≪ corpus); the
+    fingerprint/meta sides key on doc_id and Spark picks
+    broadcast/shuffle by size. Everything deterministic (md5 family)
+    → fully oracle-backed."""
+    pairs = dedup_minhash_pairs(spark, sf_dir)
+    fp = simhash_fingerprints(spark, sf_dir)
+    meta = read_table(
+        spark, sf_dir, "documents", ["doc_id", "lang", "n_chars"]
+    )
+    side = meta.join(fp, "doc_id")
+    a = side.selectExpr(
+        "doc_id AS doc_id_a", "lang AS lang_a",
+        "n_chars AS nc_a", "fp AS fp_a",
+    )
+    b = side.selectExpr(
+        "doc_id AS doc_id_b", "lang AS lang_b",
+        "n_chars AS nc_b", "fp AS fp_b",
+    )
+    return (
+        pairs.join(a, "doc_id_a")
+        .join(b, "doc_id_b")
+        .selectExpr(
+            "doc_id_a",
+            "doc_id_b",
+            "est_jaccard",
+            "jaccard",
+            "CAST(bit_count(fp_a ^ fp_b) AS INT) AS sim_hamming",
+            "CAST(least(nc_a, nc_b) AS DOUBLE) / greatest(nc_a, nc_b)"
+            " AS len_ratio",
+            "lang_a = lang_b AS same_lang",
+        )
+    )  # no terminal sort: pair-grain output, order-insensitive compare
+
+
+def _duck_pair_features_sql() -> str:
+    return _duck_simhash_cte() + f""", pairs AS (
+            {_duck_pairs_sql()}
+        ), side AS (
+            SELECT d.doc_id, d.lang, d.n_chars, fps.fp
+            FROM documents d JOIN fps USING (doc_id)
+        )
+        SELECT p.doc_id_a, p.doc_id_b, p.est_jaccard, p.jaccard,
+               CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS sim_hamming,
+               CAST(least(a.n_chars, b.n_chars) AS DOUBLE)
+                   / greatest(a.n_chars, b.n_chars) AS len_ratio,
+               a.lang = b.lang AS same_lang
+        FROM pairs p
+        JOIN side a ON a.doc_id = p.doc_id_a
+        JOIN side b ON b.doc_id = p.doc_id_b
+        ORDER BY p.doc_id_a, p.doc_id_b
+    """
+
+
 def corpus_funnel(spark: SparkSession, sf_dir: str,
                   hash_impl: str = "md5") -> DataFrame:
     """THE END-TO-END LLM-CORPUS STORY in one accounting row: quality
@@ -1771,6 +1834,7 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_contamination_multi": _DUCK_CONTAMINATION_MULTI_SQL,
     "dedup_survivor_policy": _duck_survivor_policy_sql(),
     "dedup_training_triplets": _duck_training_triplets_sql(),
+    "dedup_pair_features": _duck_pair_features_sql(),
     "dedup_ngram_jaccard_topk": f"""
         WITH sh AS (
             SELECT doc_id, list_distinct({_DUCK_SHINGLES}) AS sh FROM documents
@@ -2098,6 +2162,7 @@ QUERIES = {
     "dedup_contamination_multi": contamination_multi,
     "dedup_survivor_policy": survivor_policy,
     "dedup_training_triplets": training_triplets,
+    "dedup_pair_features": pair_features,
     "dedup_hash_stage_md5": dedup_hash_stage_md5,
     "dedup_hash_stage_xxhash": dedup_hash_stage_xxhash,
     "dedup_semantic": dedup_semantic,

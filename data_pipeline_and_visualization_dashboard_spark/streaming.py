@@ -1189,3 +1189,62 @@ def run_postings_index_to_completion(spark: SparkSession, in_dir: str,
     finally:
         q.stop()
     return read_postings_index(spark, index_dir)
+
+
+def hist_segments_stream(spark: SparkSession, in_dir: str,
+                         seg_dir: str, checkpoint_dir: str,
+                         lo: float, hi: float):
+    """Streaming histogram-sketch maintenance — the LIVE demonstration
+    of the sketch's defining property (extras.sketches.hist_quantiles:
+    'bin counts add across partitions, days, and corpora'): each
+    micro-batch folds its events into a (type, bin, cnt) cell frame
+    over the FIXED [lo, hi] bin grid (fixed bins are what make
+    segments mergeable — the grid is the corpus-level contract, passed
+    in, never re-derived per batch) and writes it as an epoch segment;
+    readers sum cells across segments and get EXACTLY the batch
+    histogram (asserted in tests). Same epoch-overwrite replay safety
+    as the other index streams."""
+    import os as _os
+
+    from .extras.sketches import HIST_BINS
+
+    ev = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+
+    def write_segment(batch_df: DataFrame, epoch_id: int) -> None:
+        cells = (
+            batch_df.filter(F.col("value").isNotNull())
+            .selectExpr(
+                "event_type",
+                f"CAST(least(floor((value - {lo!r}) * {HIST_BINS}"
+                f" / ({hi!r} - {lo!r})), {HIST_BINS - 1}) AS INT)"
+                " AS bin",
+            )
+            .groupBy("event_type", "bin")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        cells.write.mode("overwrite").parquet(
+            _os.path.join(seg_dir, f"epoch={epoch_id}")
+        )
+
+    return (
+        ev.writeStream.outputMode("append")
+        .foreachBatch(write_segment)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def read_hist_segments(spark: SparkSession, seg_dir: str) -> DataFrame:
+    """Merge-on-read: cell counts add across epoch segments."""
+    return (
+        spark.read.parquet(seg_dir)
+        .groupBy("event_type", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )

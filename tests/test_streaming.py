@@ -721,3 +721,53 @@ def test_streaming_postings_index_equals_batch(spark, tmp_path):
         for r in index_postings(spark, SF_SMOKE).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_streaming_histogram_segments_merge_to_batch(spark, tmp_path):
+    """The mergeable-sketch property, live: per-epoch histogram
+    segments over a fixed bin grid, summed on read, must equal the
+    one-pass batch histogram cell-for-cell — and total counts must
+    conserve the corpus."""
+    from data_pipeline_and_visualization_dashboard_spark.extras.sketches import (
+        HIST_BINS,
+    )
+    from data_pipeline_and_visualization_dashboard_spark.io import read_table
+    from data_pipeline_and_visualization_dashboard_spark.streaming import (
+        hist_segments_stream, read_hist_segments,
+    )
+    from tests.conftest import SF_SMOKE
+
+    ev = read_table(spark, SF_SMOKE, "events").filter(
+        F.col("value").isNotNull()
+    )
+    lo, hi = ev.agg(F.min("value"), F.max("value")).first()
+    in_dir = str(tmp_path / "in")
+    for i in range(3):
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+    q = hist_segments_stream(
+        spark, in_dir, str(tmp_path / "seg"), str(tmp_path / "ckpt"),
+        lo, hi,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    merged = {
+        (r.event_type, r.bin): r.cnt
+        for r in read_hist_segments(spark, str(tmp_path / "seg")).collect()
+    }
+    batch = {
+        (r.event_type, r.bin): r.cnt
+        for r in ev.selectExpr(
+            "event_type",
+            f"CAST(least(floor((value - {lo!r}) * {HIST_BINS}"
+            f" / ({hi!r} - {lo!r})), {HIST_BINS - 1}) AS INT) AS bin",
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert merged == batch and len(merged) > 0
+    assert sum(merged.values()) == ev.count()
