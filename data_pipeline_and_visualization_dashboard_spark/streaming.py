@@ -1248,3 +1248,61 @@ def read_hist_segments(spark: SparkSession, seg_dir: str) -> DataFrame:
         .groupBy("event_type", "bin")
         .agg(F.sum("cnt").alias("cnt"))
     )
+
+
+def contamination_screen_stream(spark: SparkSession, in_dir: str,
+                                eval_shingles: DataFrame, out_dir: str,
+                                checkpoint_dir: str):
+    """Ingest-time benchmark decontamination: incoming docs are
+    screened against the STATIC eval-benchmark shingle set (a
+    benchmark is an offline artifact — the natural stream-static
+    broadcast) and per-doc overlap ratios + contamination flags are
+    written per epoch. Per-doc state is confined to its arrival batch
+    (a doc's shingles arrive together), so the screen is a per-batch
+    batch-plan replay inside foreachBatch — no watermark, no standing
+    state — with the epoch-overwrite replay safety of the other
+    ingest streams. Row-for-row ≡ the batch extras.dedup.contamination
+    on the same corpus (asserted in tests)."""
+    import os as _os
+
+    from .extras.dedup import CONTAM_THRESHOLD, shingle_sets_from
+
+    docs = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    ev = eval_shingles.withColumn("hit", F.lit(1))
+
+    def screen(batch_df: DataFrame, epoch_id: int) -> None:
+        batch = batch_df.filter(F.col("text").isNotNull())
+        sh = shingle_sets_from(batch).select(
+            "doc_id",
+            F.explode(F.array_distinct("shingles")).alias("s"),
+        )
+        counted = (
+            sh.join(F.broadcast(ev), "s", "left")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_shingles"),
+                F.sum(F.coalesce("hit", F.lit(0))).alias("n_overlap"),
+            )
+        )
+        ratio = F.col("n_overlap").cast("double") / F.col("n_shingles")
+        out = counted.select(
+            "doc_id",
+            F.col("n_shingles").cast("int").alias("n_shingles"),
+            F.col("n_overlap").cast("int").alias("n_overlap"),
+            ratio.alias("overlap_ratio"),
+            (ratio >= CONTAM_THRESHOLD).alias("is_contaminated"),
+        )
+        out.write.mode("overwrite").parquet(
+            _os.path.join(out_dir, f"epoch={epoch_id}")
+        )
+
+    return (
+        docs.writeStream.outputMode("append")
+        .foreachBatch(screen)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -88,3 +88,16 @@ def test_registry_has_no_silent_collisions():
     assert len(entrymod.queries()) == total
     total_oracles = sum(len(m.ORACLE_SQL) for m in mods)
     assert len(entrymod.oracle_sql()) == total_oracles
+
+
+def test_readme_counts_match_registry():
+    """README's headline registry counts must track the actual
+    registry — docs that overstate (or understate) coverage are worse
+    than no docs."""
+    import re
+
+    text = open("README.md").read()
+    m = re.search(r"(\d+) queries, (\d+) DuckDB-oracle-backed", text)
+    assert m, "README must state the registry counts"
+    assert int(m.group(1)) == len(entrymod.queries())
+    assert int(m.group(2)) == len(entrymod.oracle_sql())

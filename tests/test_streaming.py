@@ -771,3 +771,49 @@ def test_streaming_histogram_segments_merge_to_batch(spark, tmp_path):
     }
     assert merged == batch and len(merged) > 0
     assert sum(merged.values()) == ev.count()
+
+
+def test_streaming_contamination_screen_equals_batch(spark, tmp_path):
+    """Ingest-time decontamination against the static benchmark
+    shingle set must flag exactly what the batch screen flags: stream
+    the training docs in waves, union the epochs, compare row-for-row
+    with extras.dedup.contamination on the same corpus."""
+    from data_pipeline_and_visualization_dashboard_spark.extras.dedup import (
+        contamination, shingle_sets,
+    )
+    from data_pipeline_and_visualization_dashboard_spark.io import read_table
+    from data_pipeline_and_visualization_dashboard_spark.streaming import (
+        contamination_screen_stream,
+    )
+    from tests.conftest import SF_SMOKE
+
+    eval_sh = (
+        shingle_sets(spark, SF_SMOKE)
+        .filter(F.col("doc_id") % 10 == 9)
+        .select(F.explode(F.array_distinct("shingles")).alias("s"))
+        .distinct()
+    )
+    train = read_table(spark, SF_SMOKE, "documents", ["doc_id", "text"]).filter(
+        F.col("doc_id") % 10 != 9
+    )
+    in_dir = str(tmp_path / "in")
+    for i in range(3):
+        train.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+    q = contamination_screen_stream(
+        spark, in_dir, eval_sh, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r.doc_id: (r.n_shingles, r.n_overlap, r.is_contaminated)
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    want = {
+        r.doc_id: (r.n_shingles, r.n_overlap, r.is_contaminated)
+        for r in contamination(spark, SF_SMOKE).collect()
+    }
+    assert got == want and len(want) > 0
