@@ -2214,6 +2214,215 @@ def _duck_profile_sql() -> str:
 
 
 # ----------------------------------------------------------------------
+# q65-q68: classic hard-optimizer SQL shapes (TPC-H Q17/Q21/Q11 + ntile)
+# ----------------------------------------------------------------------
+
+def q65_small_quantity_revenue(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — the correlated scalar subquery ("lines below
+    20% of THEIR part's average quantity") decorrelated into a
+    per-part aggregate joined back to the fact: the rewrite every
+    optimizer must find, spelled explicitly so the plan is two scans +
+    one key join, never a per-row subquery. Per-part avgs are
+    part-grain (broadcastable); the fact joins on its own partkey.
+    Output: one row, avg-weekly-revenue-style scalar (sum/52, rounded
+    4dp — aggregate policy)."""
+    li = read_table(
+        spark, sf_dir, "lineitem",
+        ["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    joined = li.join(F.broadcast(per_part), "l_partkey").filter(
+        F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty")
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum("l_extendedprice") / F.lit(52.0), 4).alias(
+            "weekly_revenue"
+        ),
+    )
+
+
+_DUCK_Q65_SQL = """
+    WITH per_part AS (
+        SELECT l_partkey, avg(l_quantity) AS avg_qty
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT count(*) AS n_lines,
+           round(sum(l.l_extendedprice) / 52.0, 4) AS weekly_revenue
+    FROM lineitem l JOIN per_part p USING (l_partkey)
+    WHERE l.l_quantity < 0.2 * p.avg_qty
+"""
+
+Q66_LATE_DAYS = 90
+
+
+def q66_late_supplier_blame(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — the EXISTS / NOT-EXISTS double self-join:
+    suppliers whose line shipped late (> Q66_LATE_DAYS after the order
+    date) in a MULTI-supplier order where EVERY OTHER supplier shipped
+    on time — i.e., the one unambiguously to blame. Spelled as a semi-
+    join (another supplier exists) plus an anti-join (no other LATE
+    supplier exists) on the order key — the plan shape optimizers
+    struggle with when left as nested subqueries. Top-10 by blame
+    count with name tiebreak."""
+    li = read_table(
+        spark, sf_dir, "lineitem",
+        ["l_orderkey", "l_suppkey", "l_shipdate"],
+    )
+    o = read_table(spark, sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    s = read_table(spark, sf_dir, "supplier", ["s_suppkey", "s_name"])
+    lines = li.join(
+        o, li.l_orderkey == o.o_orderkey
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+            > Q66_LATE_DAYS
+        ).alias("late"),
+    )
+    l1 = lines.filter(F.col("late")).select("l_orderkey", "l_suppkey")
+    others = lines.selectExpr(
+        "l_orderkey AS o2_orderkey", "l_suppkey AS o2_suppkey",
+        "late AS o2_late",
+    )
+    has_other = l1.join(
+        others,
+        (F.col("l_orderkey") == F.col("o2_orderkey"))
+        & (F.col("l_suppkey") != F.col("o2_suppkey")),
+        "left_semi",
+    )
+    other_late = others.filter(F.col("o2_late"))
+    blamed = has_other.join(
+        other_late,
+        (F.col("l_orderkey") == F.col("o2_orderkey"))
+        & (F.col("l_suppkey") != F.col("o2_suppkey")),
+        "left_anti",
+    )
+    return (
+        blamed.distinct()
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_blamed"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "n_blamed")
+        .orderBy(F.desc("n_blamed"), F.asc("s_name"))
+        .limit(10)
+    )
+
+
+_DUCK_Q66_SQL = f"""
+    WITH lines AS (
+        SELECT l_orderkey, l_suppkey,
+               l_shipdate > o_orderdate + INTERVAL {Q66_LATE_DAYS} DAY
+                   AS late
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), l1 AS (
+        SELECT DISTINCT l_orderkey, l_suppkey FROM lines
+        WHERE late
+          AND EXISTS (SELECT 1 FROM lines o
+                      WHERE o.l_orderkey = lines.l_orderkey
+                        AND o.l_suppkey != lines.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lines o
+                          WHERE o.l_orderkey = lines.l_orderkey
+                            AND o.l_suppkey != lines.l_suppkey
+                            AND o.late)
+    )
+    SELECT s_name, count(*) AS n_blamed
+    FROM l1 JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_name
+    ORDER BY n_blamed DESC, s_name LIMIT 10
+"""
+
+Q67_MULTIPLE = 1.5  # keep parts above 1.5x the AVERAGE part share
+
+
+def q67_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape — HAVING against a scalar subquery: parts whose
+    total line value exceeds Q67_MULTIPLE times the average part's
+    share of the GLOBAL total (scale-free: meaningful at every SF,
+    unlike Q11's literal fraction). The global total+count is a 1-row
+    broadcast against the part-grain rollup (never the fact), so the
+    'subquery in HAVING' costs one extra reduction, not a second fact
+    scan."""
+    li = read_table(
+        spark, sf_dir, "lineitem",
+        ["l_partkey", "l_extendedprice", "l_discount"],
+    )
+    val = (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(val).alias("part_value")
+    )
+    total = per_part.agg(
+        F.sum("part_value").alias("grand"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(
+            F.col("part_value")
+            > F.lit(Q67_MULTIPLE) * F.col("grand") / F.col("n_parts")
+        )
+        .select(
+            "l_partkey", F.round("part_value", 4).alias("part_value")
+        )
+        .orderBy(F.desc("part_value"), F.asc("l_partkey"))
+    )
+
+
+_DUCK_Q67_SQL = f"""
+    WITH per_part AS (
+        SELECT l_partkey,
+               sum(l_extendedprice * (1 - l_discount)) AS part_value
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, round(part_value, 4) AS part_value
+    FROM per_part
+    WHERE part_value > {Q67_MULTIPLE}
+                       * (SELECT sum(part_value) / count(*)
+                          FROM per_part)
+    ORDER BY part_value DESC, l_partkey
+"""
+
+
+def q68_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type value deciles via ntile(10) — the distribution
+    summary a dashboard bins by. ntile is order-dependent, so the
+    window orders by (value, event_id): a TOTAL order, making decile
+    membership deterministic and cross-engine identical. Per-type
+    windows partition the shuffle; output is types×10 rows."""
+    from pyspark.sql import Window
+
+    ev = read_table(
+        spark, sf_dir, "events", ["event_id", "event_type", "value"]
+    ).filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    tiled = ev.withColumn("decile", F.ntile(10).over(w))
+    return tiled.groupBy("event_type", "decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )  # no terminal sort: types×10 output, order-insensitive compare
+
+
+_DUCK_Q68_SQL = """
+    WITH tiled AS (
+        SELECT event_type, value,
+               ntile(10) OVER (PARTITION BY event_type
+                               ORDER BY value, event_id) AS decile
+        FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_type, decile, count(*) AS n,
+           min(value) AS lo, max(value) AS hi
+    FROM tiled GROUP BY event_type, decile
+    ORDER BY event_type, decile
+"""
+
+
+# ----------------------------------------------------------------------
 # q64: weighted sampling without replacement (A-ES, deterministic)
 # ----------------------------------------------------------------------
 
@@ -2356,6 +2565,10 @@ ORACLE_SQL: dict[str, str] = {
     "q62_skew_stats": _DUCK_SKEW_SQL,
     "q63_drift_kl": _DUCK_DRIFT_SQL,
     "q64_weighted_sample": _duck_weighted_sample_sql(),
+    "q65_small_quantity_revenue": _DUCK_Q65_SQL,
+    "q66_late_supplier_blame": _DUCK_Q66_SQL,
+    "q67_important_parts": _DUCK_Q67_SQL,
+    "q68_value_deciles": _DUCK_Q68_SQL,
     "q54_hash_sample": _duck_hash_sample_sql(),
     "q55_rolling_median": _DUCK_ROLLING_MEDIAN_SQL,
     "q56_grouped_stats": _DUCK_GROUPED_STATS_SQL,
@@ -2836,6 +3049,10 @@ QUERIES = {
     "q62_skew_stats": q62_skew_stats,
     "q63_drift_kl": q63_drift_kl,
     "q64_weighted_sample": q64_weighted_sample,
+    "q65_small_quantity_revenue": q65_small_quantity_revenue,
+    "q66_late_supplier_blame": q66_late_supplier_blame,
+    "q67_important_parts": q67_important_parts,
+    "q68_value_deciles": q68_value_deciles,
     "sim_rp_topk_pretrained": sim_rp_topk_pretrained,
 }
 
