@@ -358,6 +358,15 @@ CASES = {
         3,
     ),
     "dedup_exact_groups": ([], ["Exchange rangepartitioning"], 1),
+    "q66_late_supplier_blame": (
+        # Q21 shape: EXISTS/NOT EXISTS must compile to semi + anti
+        # joins on the order key — fact-fact, so SortMergeJoin is the
+        # CORRECT strategy (neither side fits a broadcast at scale);
+        # what must never appear is a nested-loop fallback
+        ["LeftSemi", "LeftAnti"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        9,
+    ),
     "dedup_contamination_multi": (
         # N-benchmark screen: tagged eval shingles broadcast, ONE
         # doc-grain conditional-sum agg + stack — no doc×set spine
