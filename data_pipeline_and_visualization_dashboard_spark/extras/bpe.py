@@ -180,9 +180,12 @@ def bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc BPE token accounting with the trained merges — the
     tokenize-the-corpus serving path. The merge replay (20 chained
     replaces + the regexp seed) runs at VOCAB grain (once per distinct
-    word), broadcast back onto the exploded fact; per-doc totals are
+    word), joined back onto the exploded fact; per-doc totals are
     one fact-sized aggregation. This is the production shape: the
-    expensive expression runs |vocab| times, not |corpus| times."""
+    expensive expression runs |vocab| times, not |corpus| times. The
+    vocab join is left to AQE (the tfidf DF-join precedent): a test
+    corpus's vocab broadcasts, a web-scale 1e8-word vocab exceeds
+    broadcast and shuffle-joins on the token key."""
     merges = _trained_merges(spark, sf_dir)
     docs = read_table(
         spark, sf_dir, "documents", ["doc_id", "text"]
@@ -198,7 +201,7 @@ def bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     # inlining (= re-evaluating) the 20-replace chain per use
     vocab_s = vocab.selectExpr("word", f"{s} AS s")
     vocab_tok = vocab_s.selectExpr("word", f"{_SPARK_NTOK} AS word_toks")
-    joined = fact.join(F.broadcast(vocab_tok), "word")
+    joined = fact.join(vocab_tok, "word")
     return joined.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_words"),
         F.sum("word_toks").alias("n_tokens"),

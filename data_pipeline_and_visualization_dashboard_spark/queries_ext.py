@@ -2223,10 +2223,12 @@ def q65_small_quantity_revenue(spark: SparkSession,
     20% of THEIR part's average quantity") decorrelated into a
     per-part aggregate joined back to the fact: the rewrite every
     optimizer must find, spelled explicitly so the plan is two scans +
-    one key join, never a per-row subquery. Per-part avgs are
-    part-grain (broadcastable); the fact joins on its own partkey.
-    Output: one row, avg-weekly-revenue-style scalar (sum/52, rounded
-    4dp — aggregate policy)."""
+    one key join, never a per-row subquery. The per-part avg frame
+    is small at bench SFs but 200M+ rows at real TPC-H scale, so the
+    join strategy is LEFT TO AQE (the tfidf DF-join precedent): it
+    broadcasts when the frame fits and shuffle-joins on partkey when
+    it doesn't. Output: one row, avg-weekly-revenue-style scalar
+    (sum/52, rounded 4dp — aggregate policy)."""
     li = read_table(
         spark, sf_dir, "lineitem",
         ["l_partkey", "l_quantity", "l_extendedprice"],
@@ -2234,7 +2236,7 @@ def q65_small_quantity_revenue(spark: SparkSession,
     per_part = li.groupBy("l_partkey").agg(
         F.avg("l_quantity").alias("avg_qty")
     )
-    joined = li.join(F.broadcast(per_part), "l_partkey").filter(
+    joined = li.join(per_part, "l_partkey").filter(
         F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty")
     )
     return joined.agg(
