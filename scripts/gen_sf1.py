@@ -38,7 +38,9 @@ from data_pipeline_and_visualization_dashboard_spark.session import (  # noqa: E
 )
 
 SRC = "/root/testdata/sf0.1"
-COPIES = 10
+# $SPARK_GRAFT_SF_COPIES overrides the expansion factor (e.g. 30 for
+# an sf3 point on the scale ladder)
+COPIES = int(__import__("os").environ.get("SPARK_GRAFT_SF_COPIES", "10"))
 OFF = 10**9  # key offset unit: far above any sf0.1 key
 
 
