@@ -817,3 +817,53 @@ def test_streaming_contamination_screen_equals_batch(spark, tmp_path):
         for r in contamination(spark, SF_SMOKE).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_streaming_postings_index_survives_restart(spark, tmp_path):
+    """Stop the segment stream between arrival waves, restart over a
+    grown input, and merge-on-read must still equal the batch rebuild
+    — the checkpoint resumes at the right epoch and each segment is an
+    epoch-keyed overwrite, so a replay rewrites itself instead of
+    double-counting postings."""
+    import os
+    import time
+
+    from data_pipeline_and_visualization_dashboard_spark.extras.search import (
+        index_postings,
+    )
+    from data_pipeline_and_visualization_dashboard_spark.io import read_table
+    from data_pipeline_and_visualization_dashboard_spark.streaming import (
+        postings_index_stream, read_postings_index,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = read_table(spark, SF_SMOKE, "documents", ["doc_id", "text"])
+    in_dir = str(tmp_path / "in")
+    work = str(tmp_path / "work")
+    seg_dir, ckpt = os.path.join(work, "index"), os.path.join(work, "ckpt")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    q = postings_index_stream(spark, in_dir, seg_dir, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()  # "crash" between waves
+    time.sleep(0.1)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    q2 = postings_index_stream(spark, in_dir, seg_dir, ckpt)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    got = {
+        r.term: (r.df, r.cf, r.doc_list)
+        for r in read_postings_index(spark, seg_dir).collect()
+    }
+    want = {
+        r.term: (r.df, r.cf, r.doc_list)
+        for r in index_postings(spark, SF_SMOKE).collect()
+    }
+    assert got == want and len(want) > 0
