@@ -220,15 +220,21 @@ def bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted token sums fold in a single aggregate; stack() unpivots
     the wide result. No corpus re-scan per round."""
     merges = _trained_merges(spark, sf_dir)
-    n = len(merges)
+    # the curve always spans rounds 0..N_MERGES: if training exhausted
+    # early (pair supply ran dry), the remaining rounds are no-op
+    # copies — EXACTLY what the oracle's COALESCE(chr(1)) no-op
+    # replaces produce, so row counts agree on degenerate corpora too
+    n = N_MERGES
     cur = _word_freqs(spark, sf_dir).withColumn(
         "s_0", F.regexp_replace("word", "(.)", r"|$1|")
     )
-    for i, (_, l, r, _cnt) in enumerate(merges, start=1):
-        cur = cur.withColumn(
-            f"s_{i}",
-            F.expr(f"replace(s_{i - 1}, '|{l}||{r}|', '|{l}{r}|')"),
-        )
+    for i in range(1, n + 1):
+        if i <= len(merges):
+            _, l, r, _cnt = merges[i - 1]
+            expr = f"replace(s_{i - 1}, '|{l}||{r}|', '|{l}{r}|')"
+        else:
+            expr = f"s_{i - 1}"  # exhausted round: no-op
+        cur = cur.withColumn(f"s_{i}", F.expr(expr))
     tok = "CAST((length(s_{i}) - length(replace(s_{i}, '|', ''))) / 2 AS BIGINT)"
     folded = cur.agg(
         F.expr("CAST(sum(freq * length(word)) AS BIGINT)").alias(

@@ -36,7 +36,7 @@ beyond-reference LLM-data-pipeline surface (task brief).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import read_table

@@ -104,15 +104,34 @@ def run_corpus_pipeline(
     runner adds orchestration, not new semantics."""
     import os
 
+    from pyspark.sql import functions as SF
+
     from .extras.bpe import bpe_train
-    from .extras.dedup import contamination_multi, corpus_funnel, corpus_survivors
+    from .extras.dedup import _funnel_flags, contamination_multi
     from .extras.search import index_postings
     from .extras.text import packing, split_assign
 
-    funnel = corpus_funnel(spark, sf_dir).first().asDict()
+    # ONE _funnel_flags frame feeds both the accounting row and the
+    # survivor ids: corpus_funnel + corpus_survivors each rebuild it,
+    # and its CC loop runs eagerly per invocation — the runner's most
+    # expensive stage would otherwise be paid twice
+    flags = _funnel_flags(spark, sf_dir)
+    funnel = flags.agg(
+        SF.count(SF.lit(1)).alias("docs_in"),
+        SF.sum(SF.when(~SF.col("kept"), 1).otherwise(0)).alias(
+            "removed_quality"
+        ),
+        SF.sum(
+            SF.when(SF.col("kept") & ~SF.col("pe"), 1).otherwise(0)
+        ).alias("removed_exact"),
+        SF.sum(
+            SF.when(SF.col("pe") & ~SF.col("pn"), 1).otherwise(0)
+        ).alias("removed_neardup"),
+        SF.sum(SF.when(SF.col("pn"), 1).otherwise(0)).alias("docs_out"),
+    ).first().asDict()
 
     docs = read_table(spark, sf_dir, "documents")
-    surv_ids = corpus_survivors(spark, sf_dir)
+    surv_ids = flags.filter(SF.col("pn")).select("doc_id")
     curated_dir = os.path.join(out_dir, "curated")
     curated = docs.join(surv_ids, "doc_id")
     write_parquet(curated, os.path.join(curated_dir, "documents.parquet"))

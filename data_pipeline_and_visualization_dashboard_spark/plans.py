@@ -28,6 +28,26 @@ _JOIN_NODES = (
 )
 
 
+def _split_top_level(schema: str) -> list[str]:
+    """Split a struct body on commas OUTSIDE angle brackets, so nested
+    column types (array<string>, struct<a:int,b:int>) stay attached to
+    their column."""
+    parts, depth, cur = [], 0, []
+    for ch in schema:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return parts
+
+
 def physical_plan(df: DataFrame) -> str:
     """The final (post-AQE-initial) physical plan string."""
     return df._jdf.queryExecution().executedPlan().toString()
@@ -62,9 +82,11 @@ def plan_audit(df: DataFrame) -> dict:
         for node in _JOIN_NODES
         if plan.count(node)
     }
-    read_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    # greedy-to-end-of-line so nested types (array<...>, struct<...>)
+    # don't truncate the schema at their first '>'
+    read_schemas = re.findall(r"ReadSchema: struct<(.*)>", plan)
     scan_columns = [
-        [c.split(":")[0] for c in s.split(",") if c]
+        [c.split(":")[0] for c in _split_top_level(s) if c]
         for s in read_schemas
     ]
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)

@@ -2310,9 +2310,13 @@ def q66_late_supplier_blame(spark: SparkSession,
         .groupBy("l_suppkey")
         .agg(F.count(F.lit(1)).alias("n_blamed"))
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-        .select("s_name", "n_blamed")
-        .orderBy(F.desc("n_blamed"), F.asc("s_name"))
+        # group/order by the KEY, not the name: supplier names collide
+        # (the sf1 expansion clones them), and the suppkey tiebreak
+        # makes the top-10 boundary deterministic under such ties
+        .select("s_name", "n_blamed", "l_suppkey")
+        .orderBy(F.desc("n_blamed"), F.asc("s_name"), F.asc("l_suppkey"))
         .limit(10)
+        .select("s_name", "n_blamed")
     )
 
 
@@ -2333,10 +2337,12 @@ _DUCK_Q66_SQL = f"""
                             AND o.l_suppkey != lines.l_suppkey
                             AND o.late)
     )
-    SELECT s_name, count(*) AS n_blamed
-    FROM l1 JOIN supplier ON l_suppkey = s_suppkey
-    GROUP BY s_name
-    ORDER BY n_blamed DESC, s_name LIMIT 10
+    SELECT s_name, n_blamed FROM (
+        SELECT s_name, l_suppkey, count(*) AS n_blamed
+        FROM l1 JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_name, l_suppkey
+        ORDER BY n_blamed DESC, s_name, l_suppkey LIMIT 10
+    )
 """
 
 Q67_MULTIPLE = 1.5  # keep parts above 1.5x the AVERAGE part share
@@ -2362,15 +2368,20 @@ def q67_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("part_value").alias("grand"),
         F.count(F.lit(1)).alias("n_parts"),
     )
+    # threshold on ROUNDED aggregate-derived values (the 4dp policy):
+    # raw float sums near the cut could flip membership across engines
     return (
         per_part.join(F.broadcast(total))
-        .filter(
-            F.col("part_value")
-            > F.lit(Q67_MULTIPLE) * F.col("grand") / F.col("n_parts")
-        )
         .select(
-            "l_partkey", F.round("part_value", 4).alias("part_value")
+            "l_partkey",
+            F.round("part_value", 4).alias("part_value"),
+            F.round(
+                F.lit(Q67_MULTIPLE) * F.col("grand") / F.col("n_parts"),
+                4,
+            ).alias("cut"),
         )
+        .filter(F.col("part_value") > F.col("cut"))
+        .select("l_partkey", "part_value")
         .orderBy(F.desc("part_value"), F.asc("l_partkey"))
     )
 
@@ -2381,11 +2392,12 @@ _DUCK_Q67_SQL = f"""
                sum(l_extendedprice * (1 - l_discount)) AS part_value
         FROM lineitem GROUP BY l_partkey
     )
-    SELECT l_partkey, round(part_value, 4) AS part_value
-    FROM per_part
-    WHERE part_value > {Q67_MULTIPLE}
-                       * (SELECT sum(part_value) / count(*)
-                          FROM per_part)
+    SELECT l_partkey, part_value FROM (
+        SELECT l_partkey, round(part_value, 4) AS part_value,
+               round({Q67_MULTIPLE} * (SELECT sum(part_value) / count(*)
+                                       FROM per_part), 4) AS cut
+        FROM per_part
+    ) WHERE part_value > cut
     ORDER BY part_value DESC, l_partkey
 """
 

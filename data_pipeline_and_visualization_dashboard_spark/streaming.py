@@ -1272,7 +1272,11 @@ def contamination_screen_stream(spark: SparkSession, in_dir: str,
         .option("maxFilesPerTrigger", "1")
         .parquet(in_dir)
     )
-    ev = eval_shingles.withColumn("hit", F.lit(1))
+    # dedup defensively: the batch twin distincts its eval set
+    # internally, and a caller passing naturally-exploded benchmark
+    # shingles (duplicates) would otherwise fan every matching train
+    # shingle out per duplicate, inflating both counters
+    ev = eval_shingles.distinct().withColumn("hit", F.lit(1))
 
     def screen(batch_df: DataFrame, epoch_id: int) -> None:
         batch = batch_df.filter(F.col("text").isNotNull())
