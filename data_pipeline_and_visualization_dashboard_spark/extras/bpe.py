@@ -149,9 +149,12 @@ def _docs_mtime(sf_dir: str) -> float:
 
 
 def _trained_merges(spark: SparkSession, sf_dir: str) -> list:
-    key = (sf_dir, _docs_mtime(sf_dir))
+    # realpath-normalized so two spellings of one corpus dir (trailing
+    # slash, symlink, relative path) share a single training run
+    real = os.path.realpath(sf_dir)
+    key = (real, _docs_mtime(sf_dir))
     if key not in _MERGE_CACHE:
-        for k in [k for k in _MERGE_CACHE if k[0] == sf_dir]:
+        for k in [k for k in _MERGE_CACHE if k[0] == real]:
             del _MERGE_CACHE[k]  # evict the stale generation
         _MERGE_CACHE[key] = train_bpe_merges(spark, sf_dir)
     return _MERGE_CACHE[key]

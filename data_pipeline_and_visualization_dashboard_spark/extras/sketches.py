@@ -256,15 +256,22 @@ def kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     uses). One row: exact |A|, |B|, |A∩B| and Jaccard vs the KMV
     estimates.
 
-    Estimator: over the union sketch (bottom-K of A ∪ B by hash),
-    ρ = |{h in sketch : h ∈ A and h ∈ B}| / K estimates J(A,B);
-    ρ · Est(|A∪B|) estimates the intersection size. The per-hash
-    in_a/in_b flags come from the same groupBy that dedupes the
-    shingles, so the sketch costs ONE fact-sized shuffle total.
+    Estimator: a TRUE two-sketch deployment — corpus A and corpus B
+    each keep only their own bottom-K sketch; the union sketch is the
+    bottom-K of the merged sketch rows, and the per-hash in_a/in_b
+    flags record which SKETCH contributed the hash (never the full
+    frame). That is exact membership, not an approximation: any h in
+    bottom-K(A ∪ B) that belongs to A is among the K smallest of A
+    (A ⊆ A∪B), hence inside sketch A. Over the union sketch,
+    ρ = |{h : in_a ∧ in_b}| / K estimates J(A,B); ρ · Est(|A∪B|)
+    estimates the intersection size. The estimator path costs ONE
+    fact-sized shuffle (the hash dedupe), reused by all three
+    TakeOrdered branches via exchange reuse.
 
     The exact columns re-aggregate the deduped shingle frame (ground
     truth for the rel-err readout, same two-pass contract as
-    countmin_topk_est); production emits only the estimate side."""
+    countmin_topk_est); production emits only the two K-row
+    sketches."""
     docs = read_table(
         spark, sf_dir, "documents", ["source", "text"]
     ).filter(F.col("text").isNotNull())
@@ -286,7 +293,30 @@ def kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(~F.col("grp_a")).alias("in_b"),
         )
     )
-    sk = hs.orderBy("h").limit(KMV_OVL_K)
+    # the two per-corpus bottom-K sketches (the ONLY state a two-sided
+    # deployment ships; bottom-K of {h : h ∈ X} == bottom-K(X), so
+    # deriving them from the deduped frame reuses its exchange while
+    # keeping the estimator blind to anything outside the sketches)
+    sk_a = hs.filter("in_a").orderBy("h").limit(KMV_OVL_K).select("h")
+    sk_b = hs.filter("in_b").orderBy("h").limit(KMV_OVL_K).select("h")
+    sk = (
+        sk_a.select(
+            "h",
+            F.lit(True).alias("in_a"),
+            F.lit(False).alias("in_b"),
+        )
+        .unionByName(
+            sk_b.select(
+                "h",
+                F.lit(False).alias("in_a"),
+                F.lit(True).alias("in_b"),
+            )
+        )
+        .groupBy("h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+        .orderBy("h")
+        .limit(KMV_OVL_K)
+    )
     folded = sk.agg(
         F.max("h").alias("kth"),
         F.count(F.lit(1)).alias("n_sk"),

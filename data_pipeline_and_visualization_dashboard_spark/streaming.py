@@ -1209,10 +1209,7 @@ def hist_segments_stream(spark: SparkSession, in_dir: str,
     from .extras.sketches import HIST_BINS
 
     ev = (
-        spark.readStream.schema(
-            "event_id long, ts timestamp, user_id long,"
-            " event_type string, value double, props string"
-        )
+        spark.readStream.schema(_STREAM_SCHEMA)
         .option("maxFilesPerTrigger", "1")
         .parquet(in_dir)
     )
