@@ -1350,6 +1350,87 @@ def sim_rp_topk_pretrained(spark: SparkSession,
     return _rp_rank(proj)
 
 
+# serving-path recall floors, asserted ENGINE-SIDE (see the guard
+# queries below): the pytest floors promoted into the query plan so a
+# recall regression fails the driver row itself, not just local CI.
+# Values match tests/test_extras.py's measured envelopes on the
+# adversarial near-uniform synthetic corpus (IVF nprobe/k=1/4 measured
+# ≈0.54-0.66; IVF×PQ composed measured ≈0.24-0.28).
+IVF_RECALL_FLOOR = 0.30
+IVFPQ_RECALL_FLOOR = 0.12
+
+
+def _recall_guard(
+    spark: SparkSession,
+    sf_dir: str,
+    approx: DataFrame,
+    floor: float,
+    path: str,
+) -> DataFrame:
+    """One-row recall@k readout of an approximate serving path vs the
+    exact brute force, with the floor ASSERTED INSIDE THE PLAN:
+    `passed` is assert_true(recall >= floor) IS NULL, so a recall
+    regression turns the driver's rows-only green row into a hard
+    query error instead of silently shipping a degraded index. The
+    exact side is the N_QUERIES×TOP_K brute-force frame (queries
+    broadcast, one corpus pass); the hit join is queries×k rows."""
+    from .extras.similarity import cosine_topk
+
+    ex = cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    ap = approx.select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    folded = (
+        ex.join(ap, ["query_id", "neighbor_id"], "left")
+        .agg(
+            F.countDistinct("query_id").alias("n_queries"),
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_hits"),
+        )
+    )
+    recall = F.col("n_hits") / F.col("n_exact")
+    return folded.select(
+        F.lit(path).alias("path"),
+        "n_queries",
+        "n_exact",
+        F.col("n_hits").cast("bigint").alias("n_hits"),
+        F.round(recall, 4).alias("recall_at_k"),
+        F.lit(floor).alias("floor"),
+        F.assert_true(
+            recall >= F.lit(floor),
+            F.concat(
+                F.lit(f"{path} recall regression: "),
+                F.round(recall, 4).cast("string"),
+                F.lit(f" < floor {floor}"),
+            ),
+        ).isNull().alias("passed"),
+    )
+
+
+def sim_ivf_recall_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall floor for the PRETRAINED IVF serving path (the index a
+    production rollout would actually query), checked by the engine
+    itself — rows-only driver entry whose single green row encodes
+    recall_at_k >= floor (a regression raises in-plan, see
+    _recall_guard)."""
+    return _recall_guard(
+        spark, sf_dir,
+        sim_ivf_topk_pretrained(spark, sf_dir),
+        IVF_RECALL_FLOOR, "ivf_pretrained",
+    )
+
+
+def sim_ivfpq_recall_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall floor for the PRETRAINED IVF-PQ serving path — same
+    engine-side assertion contract as sim_ivf_recall_guard, at the
+    composed (coarse probe × ADC) stack's measured envelope."""
+    return _recall_guard(
+        spark, sf_dir,
+        sim_ivfpq_topk_pretrained(spark, sf_dir),
+        IVFPQ_RECALL_FLOOR, "ivfpq_pretrained",
+    )
+
+
 def _centroid_sims(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, centroid_id, sim) for all vector×centroid pairs —
     shared by assignment (argmax) and multiprobe (top-nprobe)."""
@@ -2150,9 +2231,11 @@ _PROFILE_NUM = {
 }
 
 
-def q61_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q61_profile_events(
+    spark: SparkSession, sf_dir: str, approx: bool = False
+) -> DataFrame:
     """Dataset profiling in ONE pass over the table: per-column null
-    count, exact distinct count, and numeric min/max — the stats block
+    count, distinct count, and numeric min/max — the stats block
     of a dataset card / ingest contract check, computed as a single
     wide aggregation then unpivoted with stack() (6 rows out, nothing
     wide ever leaves the agg).
@@ -2160,10 +2243,16 @@ def q61_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale notes: multiple exact COUNT(DISTINCT) in one aggregate makes
     Catalyst plan an Expand (one duplicated stream per distinct column)
     — exact and single-pass, but the row multiplier is the column
-    count; at 100 TB swap exact distinct for the HLL sketch column
-    (extras.sketches hll_estimate — same shape, constant state) and
-    this query keeps its schema. Everything else is plain
-    min/max/sum-of-null partial aggs at scan speed."""
+    count. ``approx=True`` is the 100 TB switch: same schema, but
+    n_distinct comes from the open HLL sketch (extras.sketches) — the
+    stack fan-out carries the same ×6 row multiplier as the Expand,
+    but the aggregation state drops from per-distinct-value hash sets
+    to a constant 6×(M+1) register cells with map-side combine, which
+    is what survives profiling a column with billions of distinct
+    values. Everything else is plain min/max/sum-of-null partial aggs
+    at scan speed in both modes."""
+    if approx:
+        return _profile_events_hll(spark, sf_dir)
     ev = read_table(spark, sf_dir, "events", _PROFILE_COLS)
     aggs = []
     for c in _PROFILE_COLS:
@@ -2184,6 +2273,182 @@ def q61_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_PROFILE_COLS)}, {', '.join(parts)}) AS "
         "(col_name, n_nulls, n_distinct, min_num, max_num)"
     )
+
+
+# canonical per-column hash-key text (the HLL input): must be
+# BIT-IDENTICAL across engines. Integers/timestamp-micros cast plainly;
+# doubles go through DECIMAL(30,6) (both engines print fixed-scale —
+# parity verified), which quantizes the distinct-ness to 6dp: an
+# acceptable contract for a profile ESTIMATE column.
+_PROFILE_KEY_SPARK = {
+    "event_id": "CAST(event_id AS STRING)",
+    "ts": "CAST(unix_micros(ts) AS STRING)",
+    "user_id": "CAST(user_id AS STRING)",
+    "event_type": "event_type",
+    "value": "CAST(CAST(value AS DECIMAL(30,6)) AS STRING)",
+    "props": "props",
+}
+_PROFILE_KEY_DUCK = {
+    "event_id": "CAST(event_id AS VARCHAR)",
+    "ts": "CAST(epoch_us(ts) AS VARCHAR)",
+    "user_id": "CAST(user_id AS VARCHAR)",
+    "event_type": "event_type",
+    "value": "CAST(CAST(value AS DECIMAL(30,6)) AS VARCHAR)",
+    "props": "props",
+}
+
+
+def _profile_events_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q61's approx=True body: ONE scan stacks every column into
+    (col_name, key, num) rows; nulls ride bucket -1, live keys ride
+    their HLL register (bucket = h60 % M, rank = leading-zero count of
+    the rest bits). A single (col, bucket)-grain aggregation — map-side
+    combined down to ≤ 6×(M+1) cells per partition — carries null
+    counts and numeric min/max alongside the registers, so the whole
+    profile is one shuffle of constant-size state. The per-column HLL
+    readout (alpha·M²/Σ2^-r with linear-counting correction, exactly
+    extras.sketches.hll_estimate) then folds 6×257 cells on one
+    reducer."""
+    from .extras.hashing import spark_h60
+    from .extras.sketches import HLL_ALPHA, HLL_M, _spark_rank
+
+    ev = read_table(spark, sf_dir, "events", _PROFILE_COLS)
+    parts = []
+    for c in _PROFILE_COLS:
+        num = (
+            f"CAST({_PROFILE_NUM[c]} AS DOUBLE)"
+            if c in _PROFILE_NUM
+            else "CAST(NULL AS DOUBLE)"
+        )
+        parts.append(f"'{c}', {_PROFILE_KEY_SPARK[c]}, {num}")
+    stacked = ev.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {', '.join(parts)}) AS "
+        "(col_name, key, num)"
+    )
+    h = spark_h60("key")
+    hashed = stacked.selectExpr(
+        "col_name",
+        "num",
+        "CASE WHEN key IS NULL THEN 1 ELSE 0 END AS is_null",
+        f"CASE WHEN key IS NULL THEN -1"
+        f" ELSE CAST({h} % {HLL_M} AS INT) END AS bucket",
+        f"CASE WHEN key IS NULL THEN CAST(0 AS BIGINT)"
+        f" ELSE CAST({h} div {HLL_M} AS BIGINT) END AS rest",
+    )
+    ranked = hashed.selectExpr(
+        "col_name", "num", "is_null", "bucket", f"{_spark_rank()} AS rank"
+    )
+    cells = ranked.groupBy("col_name", "bucket").agg(
+        F.max("rank").alias("max_rank"),
+        F.sum("is_null").alias("nn"),
+        F.min("num").alias("mn"),
+        F.max("num").alias("mx"),
+    )
+    # registers with a live key always have rank >= 1, so absent
+    # buckets ARE the zero registers: zeros = M - n_present and the
+    # missing cells contribute 2^-0 = 1 each to the denominator
+    per_col = cells.groupBy("col_name").agg(
+        F.sum("nn").cast("bigint").alias("n_nulls"),
+        F.sum(
+            F.when(
+                F.col("bucket") >= 0,
+                F.pow(F.lit(2.0), -F.col("max_rank")),
+            ).otherwise(0.0)
+        ).alias("denom_present"),
+        F.sum(
+            F.when(F.col("bucket") >= 0, 1).otherwise(0)
+        ).alias("n_present"),
+        F.min("mn").alias("min_num"),
+        F.max("mx").alias("max_num"),
+    )
+    zeros = F.lit(HLL_M) - F.col("n_present")
+    denom = F.col("denom_present") + zeros.cast("double")
+    raw = F.lit(HLL_ALPHA * HLL_M * HLL_M) / denom
+    est = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (zeros > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros),
+    ).otherwise(raw)
+    return per_col.select(
+        "col_name",
+        "n_nulls",
+        F.round(est, 0).cast("bigint").alias("n_distinct"),
+        "min_num",
+        "max_num",
+    )
+
+
+def q61_profile_events_approx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Registry wrapper for q61_profile_events(approx=True)."""
+    return q61_profile_events(spark, sf_dir, approx=True)
+
+
+def _duck_profile_approx_sql() -> str:
+    from .extras.hashing import duck_h60
+    from .extras.sketches import HLL_ALPHA, HLL_M
+
+    selects = []
+    for c in _PROFILE_COLS:
+        num = (
+            f"CAST({_PROFILE_NUM[c].replace('unix_micros(ts)', 'epoch_us(ts)')}"
+            " AS DOUBLE)"
+            if c in _PROFILE_NUM
+            else "CAST(NULL AS DOUBLE)"
+        )
+        selects.append(
+            f"SELECT '{c}' AS col_name, {_PROFILE_KEY_DUCK[c]} AS key,"
+            f" {num} AS num FROM events"
+        )
+    h = duck_h60("key")
+    return f"""
+        WITH stacked AS (
+            {" UNION ALL ".join(selects)}
+        ), hashed AS (
+            SELECT col_name, num,
+                   CASE WHEN key IS NULL THEN 1 ELSE 0 END AS is_null,
+                   CASE WHEN key IS NULL THEN -1
+                        ELSE CAST({h} % {HLL_M} AS INT) END AS bucket,
+                   CASE WHEN key IS NULL THEN CAST(0 AS BIGINT)
+                        ELSE CAST({h} // {HLL_M} AS BIGINT) END AS rest
+            FROM stacked
+        ), ranked AS (
+            SELECT col_name, num, is_null, bucket,
+                   CAST(CASE WHEN rest = 0 THEN 53
+                        ELSE 53 - length(bin(rest)) END AS INT) AS rank
+            FROM hashed
+        ), cells AS (
+            SELECT col_name, bucket, max(rank) AS max_rank,
+                   sum(is_null) AS nn, min(num) AS mn, max(num) AS mx
+            FROM ranked GROUP BY col_name, bucket
+        ), per_col AS (
+            SELECT col_name,
+                   CAST(sum(nn) AS BIGINT) AS n_nulls,
+                   sum(CASE WHEN bucket >= 0
+                            THEN power(2.0, -max_rank)
+                            ELSE 0 END) AS denom_present,
+                   sum(CASE WHEN bucket >= 0 THEN 1 ELSE 0 END)
+                       AS n_present,
+                   min(mn) AS min_num, max(mx) AS max_num
+            FROM cells GROUP BY col_name
+        ), est_calc AS (
+            SELECT col_name, n_nulls, min_num, max_num,
+                   {HLL_M} - n_present AS zeros,
+                   denom_present
+                       + CAST({HLL_M} - n_present AS DOUBLE) AS denom
+            FROM per_col
+        )
+        SELECT col_name, n_nulls,
+               CAST(round(
+                   CASE WHEN {HLL_ALPHA * HLL_M * HLL_M!r} / denom
+                             <= {2.5 * HLL_M}
+                        AND zeros > 0
+                   THEN {float(HLL_M)} * ln({float(HLL_M)} / zeros)
+                   ELSE {HLL_ALPHA * HLL_M * HLL_M!r} / denom
+                   END) AS BIGINT) AS n_distinct,
+               min_num, max_num
+        FROM est_calc
+    """
 
 
 def _duck_profile_sql() -> str:
@@ -2576,6 +2841,7 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
     "q61_profile_events": _duck_profile_sql(),
+    "q61_profile_events_approx": _duck_profile_approx_sql(),
     "q62_skew_stats": _DUCK_SKEW_SQL,
     "q63_drift_kl": _DUCK_DRIFT_SQL,
     "q64_weighted_sample": _duck_weighted_sample_sql(),
@@ -3050,6 +3316,8 @@ QUERIES = {
     "sim_ivfpq_topk": sim_ivfpq_topk,
     "sim_ivf_topk_pretrained": sim_ivf_topk_pretrained,
     "sim_ivfpq_topk_pretrained": sim_ivfpq_topk_pretrained,
+    "sim_ivf_recall_guard": sim_ivf_recall_guard,
+    "sim_ivfpq_recall_guard": sim_ivfpq_recall_guard,
     "q20_shipping_priority": q20_shipping_priority,
     "q21_nation_revenue": q21_nation_revenue,
     "q22_heatmap_pivot": q22_heatmap_pivot,
@@ -3060,6 +3328,7 @@ QUERIES = {
     "q27_asof_join": q27_asof_join,
     "q60_bucketed_join": q60_bucketed_join,
     "q61_profile_events": q61_profile_events,
+    "q61_profile_events_approx": q61_profile_events_approx,
     "q62_skew_stats": q62_skew_stats,
     "q63_drift_kl": q63_drift_kl,
     "q64_weighted_sample": q64_weighted_sample,

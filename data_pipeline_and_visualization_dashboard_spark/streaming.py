@@ -1307,3 +1307,79 @@ def contamination_screen_stream(spark: SparkSession, in_dir: str,
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def ivf_assign_stream(spark: SparkSession, in_dir: str, index_dir: str,
+                      checkpoint_dir: str, centroids: list):
+    """Streaming maintenance of the VECTOR index (the piece the
+    postings/MinHash streams didn't cover): newly arriving embeddings
+    are assigned to their inverted list under the FROZEN trained
+    coarse quantizer (queries_ext.ivf_index — in production the
+    centroids are an offline artifact; serving ingest only ever
+    assigns against them, retraining is a scheduled rebuild) and each
+    micro-batch's (c_id, centroid_id) rows land as an immutable
+    epoch segment of the same layout ann_disk_index persists. Readers
+    union segments — vec sets are disjoint across epochs — so the
+    merged view is byte-identical to the batch assignment and the
+    pretrained IVF serving path can probe a LIVE index.
+
+    Per-batch cost is O(batch × k·dim literals): centroids ride the
+    plan, nothing joins the base corpus. Replay safety: epoch-keyed
+    overwrite, same recipe as minhash/postings index streams."""
+    import os as _os
+
+    from .queries_ext import _centroid_sim_structs
+
+    emb = (
+        spark.readStream.schema(
+            "vec_id long, embedding array<float>, label int"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    sim_structs = _centroid_sim_structs(centroids)
+
+    def write_segment(batch_df: DataFrame, epoch_id: int) -> None:
+        assign = batch_df.select(
+            F.col("vec_id").alias("c_id"),
+            F.col("embedding").cast("array<double>").alias("ev"),
+        ).select(
+            "c_id",
+            (-F.array_max(sim_structs).getField("ncid")).alias(
+                "centroid_id"
+            ),
+        )
+        assign.write.mode("overwrite").parquet(
+            _os.path.join(index_dir, f"epoch={epoch_id}")
+        )
+
+    return (
+        emb.writeStream.outputMode("append")
+        .foreachBatch(write_segment)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def read_ivf_assign(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Merge-on-read over the assignment segments: plain union (vec
+    sets are disjoint across epochs), projected to the ann_disk_index
+    assignment contract (c_id, centroid_id)."""
+    return spark.read.parquet(index_dir).select("c_id", "centroid_id")
+
+
+def run_ivf_assign_to_completion(spark: SparkSession, in_dir: str,
+                                 work_dir: str,
+                                 centroids: list) -> DataFrame:
+    """Drive the vector-index maintenance over the finite embedding
+    set; returns the merged live assignment."""
+    import os as _os
+
+    index_dir = _os.path.join(work_dir, "index")
+    ckpt = _os.path.join(work_dir, "ckpt")
+    q = ivf_assign_stream(spark, in_dir, index_dir, ckpt, centroids)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return read_ivf_assign(spark, index_dir)

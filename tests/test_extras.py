@@ -4,6 +4,7 @@ queries): semantic properties the oracle can't express."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from data_pipeline_and_visualization_dashboard_spark.extras import (
@@ -183,6 +184,32 @@ def test_ivfpq_recall_against_bruteforce(spark):
         got_n = {r.neighbor_id for r in rows if r.query_id == q}
         hits += len(neigh & got_n)
     assert total > 0 and hits / total >= 0.12
+
+
+def test_recall_guards_assert_engine_side(spark):
+    """The serving-path recall guards must (a) pass at their installed
+    floors with a single row whose content encodes the check, and
+    (b) actually RAISE from inside the plan when the floor is not met
+    — the property that makes the driver's rows-only green row a real
+    recall regression gate, not a row count."""
+    from data_pipeline_and_visualization_dashboard_spark.queries_ext import (
+        _recall_guard,
+        sim_ivf_recall_guard,
+        sim_ivf_topk_pretrained,
+        sim_ivfpq_recall_guard,
+    )
+
+    for fn in (sim_ivf_recall_guard, sim_ivfpq_recall_guard):
+        row = fn(spark, SF_SMOKE).first()
+        assert row.passed is True
+        assert row.recall_at_k >= row.floor
+        assert row.n_queries == 5 and row.n_exact == 50
+    with pytest.raises(Exception, match="recall regression"):
+        _recall_guard(
+            spark, SF_SMOKE,
+            sim_ivf_topk_pretrained(spark, SF_SMOKE),
+            1.01, "impossible",
+        ).collect()
 
 
 def test_pandas_cosine_matches_builtin(spark):
@@ -479,6 +506,42 @@ def test_kmv_properties(spark):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_profile_approx_error_bounds(spark):
+    """q61's approx=True mode must agree with the exact profile on
+    everything that is NOT estimated (null counts, numeric min/max —
+    bit-identical) and land its HLL n_distinct within the sketch's
+    error envelope (3σ at σ = 1.04/√256 ≈ 6.5%; small cardinalities
+    ride linear counting, whose noise at n≈0.4·M is a few percent —
+    observed 6% on props at sf0.001 — so the same 3σ bound covers
+    both regimes). The value column is additionally quantized to 6dp
+    by the canonical hash key, which can only LOWER its count."""
+    from data_pipeline_and_visualization_dashboard_spark.queries_ext import (
+        q61_profile_events,
+    )
+
+    exact = {
+        r.col_name: r
+        for r in q61_profile_events(spark, SF_SMOKE).collect()
+    }
+    approx = {
+        r.col_name: r
+        for r in q61_profile_events(
+            spark, SF_SMOKE, approx=True
+        ).collect()
+    }
+    assert set(exact) == set(approx)
+    sigma3 = 3 * 1.04 / 256**0.5
+    for c, ex in exact.items():
+        ap = approx[c]
+        assert ap.n_nulls == ex.n_nulls, c
+        assert ap.min_num == ex.min_num, c
+        assert ap.max_num == ex.max_num, c
+        true_nd = ex.n_distinct
+        assert abs(ap.n_distinct - true_nd) <= max(
+            2, sigma3 * true_nd
+        ), f"{c}: approx {ap.n_distinct} vs exact {true_nd}"
 
 
 def _reference_bpe(word_freqs, n_merges):

@@ -867,3 +867,61 @@ def test_streaming_postings_index_survives_restart(spark, tmp_path):
         for r in index_postings(spark, SF_SMOKE).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_streaming_ivf_assign_survives_restart(spark, tmp_path):
+    """The vector-index maintenance stream: embeddings arriving in two
+    waves (with a stop/restart "crash" between them) must yield a
+    merged live assignment IDENTICAL to the batch ann_disk_index
+    assignment under the same frozen centroids — checkpoint resume +
+    epoch-keyed segment overwrite, mirroring the minhash/postings
+    restart contracts, now for the ANN side."""
+    import os
+    import time
+
+    from data_pipeline_and_visualization_dashboard_spark.io import read_table
+    from data_pipeline_and_visualization_dashboard_spark.queries_ext import (
+        ann_disk_index,
+        ivf_index,
+    )
+    from data_pipeline_and_visualization_dashboard_spark.streaming import (
+        ivf_assign_stream,
+        read_ivf_assign,
+    )
+    from tests.conftest import SF_SMOKE
+
+    emb = read_table(
+        spark, SF_SMOKE, "embeddings", ["vec_id", "embedding", "label"]
+    )
+    in_dir = str(tmp_path / "in")
+    work = str(tmp_path / "work")
+    index_dir, ckpt = os.path.join(work, "index"), os.path.join(
+        work, "ckpt"
+    )
+    centroids = ivf_index(spark, SF_SMOKE)
+    emb.filter(F.col("vec_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    q = ivf_assign_stream(spark, in_dir, index_dir, ckpt, centroids)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()  # "crash" between waves
+    time.sleep(0.1)
+    emb.filter(F.col("vec_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    q2 = ivf_assign_stream(spark, in_dir, index_dir, ckpt, centroids)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    got = {
+        (r.c_id, r.centroid_id)
+        for r in read_ivf_assign(spark, index_dir).collect()
+    }
+    want = {
+        (r.c_id, r.centroid_id)
+        for r in ann_disk_index(spark, SF_SMOKE)[0].collect()
+    }
+    assert got == want and len(want) > 0
