@@ -45,9 +45,12 @@ HEADLINE = [
     "q53_incremental_rollup",  # partial-agg merge (IVM)
     "q60_bucketed_join",  # pre-bucketed fact-fact join (zero exchange)
     "q61_profile_events",  # one-pass dataset profile (expand + stack)
+    "q61_profile_events_approx",  # HLL profile mode (constant agg state)
     "q62_skew_stats",  # heavy-hitter shuffle-key diagnostics
     "q66_late_supplier_blame",  # EXISTS/NOT-EXISTS double self-join
     "sim_recall_eval",  # LSH recall@k vs exact (eval as an operator)
+    "sim_ivf_recall_guard",  # pretrained-IVF recall floor, in-plan assert
+    "sim_ivfpq_recall_guard",  # pretrained-IVF-PQ floor, in-plan assert
     # LLM-data extras
     "dedup_exact_groups",
     "dedup_minhash_pairs",

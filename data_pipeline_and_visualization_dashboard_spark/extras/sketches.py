@@ -256,20 +256,21 @@ def kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     uses). One row: exact |A|, |B|, |A∩B| and Jaccard vs the KMV
     estimates.
 
-    Estimator: a TRUE two-sketch deployment — corpus A and corpus B
-    each keep only their own bottom-K sketch; the union sketch is the
-    bottom-K of the merged sketch rows, and the per-hash in_a/in_b
-    flags record which SKETCH contributed the hash (never the full
-    frame). That is exact membership, not an approximation: any h in
-    bottom-K(A ∪ B) that belongs to A is among the K smallest of A
-    (A ⊆ A∪B), hence inside sketch A. Over the union sketch,
-    ρ = |{h : in_a ∧ in_b}| / K estimates J(A,B); ρ · Est(|A∪B|)
-    estimates the intersection size. The estimator path costs ONE
-    fact-sized shuffle (the hash dedupe), reused by all three
-    TakeOrdered branches via exchange reuse.
+    Estimator: a TRUE two-sketch deployment — each corpus builds its
+    own bottom-K sketch FROM ITS OWN ROWS ONLY (the corpus predicate
+    is row-local, so it pushes into the scan: sketch A's pipeline
+    never reads corpus B), and the union sketch is the bottom-K of the
+    merged ≤2K sketch rows, with in_a/in_b recording which SKETCH
+    contributed the hash — never the full frame. That is exact
+    membership, not an approximation: any h in bottom-K(A ∪ B) that
+    belongs to A is among the K smallest of A (A ⊆ A∪B), hence inside
+    sketch A. Over the union sketch, ρ = |{h : in_a ∧ in_b}| / K
+    estimates J(A,B); ρ · Est(|A∪B|) estimates the intersection size.
+    Each sketch build is one key-grain shuffle over its corpus +
+    TakeOrderedAndProject; the merge touches 2K rows.
 
-    The exact columns re-aggregate the deduped shingle frame (ground
-    truth for the rel-err readout, same two-pass contract as
+    The exact columns aggregate the cross-corpus deduped shingle frame
+    (ground truth for the rel-err readout, same two-pass contract as
     countmin_topk_est); production emits only the two K-row
     sketches."""
     docs = read_table(
@@ -293,12 +294,24 @@ def kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(~F.col("grp_a")).alias("in_b"),
         )
     )
-    # the two per-corpus bottom-K sketches (the ONLY state a two-sided
-    # deployment ships; bottom-K of {h : h ∈ X} == bottom-K(X), so
-    # deriving them from the deduped frame reuses its exchange while
-    # keeping the estimator blind to anything outside the sketches)
-    sk_a = hs.filter("in_a").orderBy("h").limit(KMV_OVL_K).select("h")
-    sk_b = hs.filter("in_b").orderBy("h").limit(KMV_OVL_K).select("h")
+    # the two per-corpus bottom-K sketches — the ONLY state a
+    # two-sided deployment ships. Each branch filters to ITS corpus
+    # before hashing (row-local predicate → scan pushdown), dedupes
+    # that corpus's hashes (one key-grain shuffle over the corpus),
+    # and keeps K via TakeOrderedAndProject.
+    hashed = sh.selectExpr("grp_a", f"{spark_h60('shingle')} AS h")
+
+    def corpus_sketch(pred) -> DataFrame:
+        return (
+            hashed.filter(pred)
+            .select("h")
+            .distinct()
+            .orderBy("h")
+            .limit(KMV_OVL_K)
+        )
+
+    sk_a = corpus_sketch(F.col("grp_a"))
+    sk_b = corpus_sketch(~F.col("grp_a"))
     sk = (
         sk_a.select(
             "h",

@@ -383,9 +383,13 @@ CASES = {
         3,
     ),
     "sketch_kmv_overlap": (
+        # 4 shuffles since the true-two-sketch rewrite (ADVICE r3):
+        # per-corpus hash dedupe ×2 (each over its own corpus only),
+        # the cross-corpus dedupe for the exact readout, and its
+        # 1-row fold; each bottom-K is TakeOrderedAndProject
         ["TakeOrderedAndProject"],
         ["SortMergeJoin", "CartesianProduct"],
-        3,
+        4,
     ),
     "text_index_postings": (
         # two-level agg: (term,doc) then term-grain — no joins at all
