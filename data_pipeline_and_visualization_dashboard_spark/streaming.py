@@ -1191,6 +1191,81 @@ def run_postings_index_to_completion(spark: SparkSession, in_dir: str,
     return read_postings_index(spark, index_dir)
 
 
+def _compact_recover(index_dir: str) -> None:
+    """Finish or roll back an interrupted compaction: restore any
+    segments parked in the aside dir, drop a half-written compacted
+    output. After recovery the index is exactly its pre-compaction
+    self (the compactor re-runs from scratch — compaction is pure
+    optimization, never the only copy of data)."""
+    import os as _os
+    import shutil as _shutil
+
+    aside = index_dir.rstrip("/") + ".aside"
+    tmp = index_dir.rstrip("/") + ".compact_tmp"
+    if _os.path.isdir(aside):
+        for d in _os.listdir(aside):
+            dst = _os.path.join(index_dir, d)
+            if _os.path.exists(dst):
+                _shutil.rmtree(dst)  # half-installed compacted output
+            _os.replace(_os.path.join(aside, d), dst)
+        _os.rmdir(aside)
+    if _os.path.isdir(tmp):
+        _shutil.rmtree(tmp)
+
+
+def compact_postings_segments(spark: SparkSession, index_dir: str,
+                              keep_latest: int = 1) -> int:
+    """The background COMPACTION half of the LSM story (the stream
+    writes segments; this folds them): all completed epoch segments
+    except the newest `keep_latest` are merged — term-grain sums, one
+    flattened sorted posting array, exactly the index_merge
+    combination — into a single base segment that replaces them, so
+    merge-on-read cost stays O(#recent segments) instead of growing
+    with stream lifetime. The newest epochs are left alone because
+    foreachBatch is at-least-once: a replayed epoch must still find
+    its own segment dir to overwrite (compacting it away would let the
+    replay double-count into a folded base).
+
+    Crash safety (single-writer maintenance, like any LSM compactor):
+    victims are renamed ASIDE (outside index_dir, so partition
+    discovery never sees debris), the folded segment renamed in, then
+    the asides dropped; _compact_recover restores any interrupted
+    state before each run. Returns the number of segments folded (0 =
+    nothing to do)."""
+    import os as _os
+    import shutil as _shutil
+
+    _compact_recover(index_dir)
+    epochs = sorted(
+        int(d.split("=", 1)[1])
+        for d in _os.listdir(index_dir)
+        if d.startswith("epoch=")
+    )
+    victims = epochs[: len(epochs) - keep_latest] if keep_latest else epochs
+    if len(victims) <= 1:
+        return 0
+    segs = spark.read.parquet(
+        *[_os.path.join(index_dir, f"epoch={e}") for e in victims]
+    )
+    folded = segs.groupBy("term").agg(
+        F.sum("df").alias("df"),
+        F.sum("cf").alias("cf"),
+        F.sort_array(F.flatten(F.collect_list("docs"))).alias("docs"),
+    )
+    tmp = index_dir.rstrip("/") + ".compact_tmp"
+    aside = index_dir.rstrip("/") + ".aside"
+    folded.write.mode("overwrite").parquet(tmp)
+    _os.makedirs(aside)
+    for e in victims:
+        _os.replace(
+            _os.path.join(index_dir, f"epoch={e}"),
+            _os.path.join(aside, f"epoch={e}"),
+        )
+    _os.replace(tmp, _os.path.join(index_dir, f"epoch={victims[0]}"))
+    _shutil.rmtree(aside)
+    return len(victims)
+
+
 def hist_segments_stream(spark: SparkSession, in_dir: str,
                          seg_dir: str, checkpoint_dir: str,
                          lo: float, hi: float):

@@ -925,3 +925,73 @@ def test_streaming_ivf_assign_survives_restart(spark, tmp_path):
         for r in ann_disk_index(spark, SF_SMOKE)[0].collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_postings_compaction_preserves_index_and_ingest(spark, tmp_path):
+    """LSM compaction: folding all-but-the-newest epoch segments into
+    one base segment must leave the merge-on-read index IDENTICAL, and
+    ingest must continue cleanly on top of the compacted layout — the
+    full segment lifecycle (write → compact → keep ingesting) equals
+    the batch build at every step."""
+    import os
+
+    from data_pipeline_and_visualization_dashboard_spark.extras.search import (
+        index_postings,
+    )
+    from data_pipeline_and_visualization_dashboard_spark.io import read_table
+    from data_pipeline_and_visualization_dashboard_spark.streaming import (
+        compact_postings_segments,
+        postings_index_stream,
+        read_postings_index,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = read_table(spark, SF_SMOKE, "documents", ["doc_id", "text"])
+    in_dir = str(tmp_path / "in")
+    work = str(tmp_path / "work")
+    seg_dir, ckpt = os.path.join(work, "index"), os.path.join(work, "ckpt")
+    for wave in range(3):
+        docs.filter(F.col("doc_id") % 4 == wave).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+    q = postings_index_stream(spark, in_dir, seg_dir, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    before = {
+        r.term: (r.df, r.cf, r.doc_list)
+        for r in read_postings_index(spark, seg_dir).collect()
+    }
+    n_epochs = len([d for d in os.listdir(seg_dir) if d.startswith("epoch=")])
+    assert n_epochs >= 3
+    folded = compact_postings_segments(spark, seg_dir)
+    assert folded == n_epochs - 1
+    assert (
+        len([d for d in os.listdir(seg_dir) if d.startswith("epoch=")]) == 2
+    )
+    after = {
+        r.term: (r.df, r.cf, r.doc_list)
+        for r in read_postings_index(spark, seg_dir).collect()
+    }
+    assert after == before
+    # a second compaction is a no-op at the floor (base + newest)
+    assert compact_postings_segments(spark, seg_dir) == 0
+    # ingest continues on the compacted layout
+    docs.filter(F.col("doc_id") % 4 == 3).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    q2 = postings_index_stream(spark, in_dir, seg_dir, ckpt)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    got = {
+        r.term: (r.df, r.cf, r.doc_list)
+        for r in read_postings_index(spark, seg_dir).collect()
+    }
+    want = {
+        r.term: (r.df, r.cf, r.doc_list)
+        for r in index_postings(spark, SF_SMOKE).collect()
+    }
+    assert got == want and len(want) > 0
