@@ -47,38 +47,54 @@ def main() -> None:
     path = os.path.abspath(path)
     with open(path) as f:
         d = json.load(f)
-    lad = d["scale_ladder"]
     xs = [math.log(1.0), math.log(10.0), math.log(30.0)]
-    fit: dict[str, dict] = {}
-    for op in lad["sf01_sec"]:
-        ts = [lad["sf01_sec"][op], lad["sf1_sec"][op], lad["sf3_sec"][op]]
-        ys = [math.log(t) for t in ts]
-        xbar, ybar = sum(xs) / 3, sum(ys) / 3
-        slope = sum((x - xbar) * (y - ybar) for x, y in zip(xs, ys)) / sum(
-            (x - xbar) ** 2 for x in xs
-        )
-        tail = (ys[2] - ys[1]) / (xs[2] - xs[1])
-        fit[op] = {
-            "family": family(op),
-            "exponent_loglog": round(slope, 3),
-            "exponent_tail": round(tail, 3),
-            "pred_100x_sec": round(ts[2] * (100.0 / 30.0) ** tail, 2),
-        }
-    lad["fit"] = fit
-    lad["fit_note"] = (
+    fit_note = (
         "exponent_loglog: 3-point ln(t)~ln(n) slope (overhead-biased "
         "toward 0 at bench SFs); exponent_tail: marginal slope between "
         "10x and 30x, the better 100x predictor; pred_100x_sec = "
         "t(30x)*(100/30)^tail. Pass bar per VERDICT r3 #5: linear-path "
         "ops <= ~1.1. See scripts/fit_scale_ladder.py."
     )
+    # fit every section that carries a full three-point triple
+    for sect_name, sect in d.items():
+        if not (
+            isinstance(sect, dict)
+            and all(k in sect for k in ("sf01_sec", "sf1_sec", "sf3_sec"))
+        ):
+            continue
+        fit: dict[str, dict] = {}
+        for op in sect["sf01_sec"]:
+            ts = [
+                sect["sf01_sec"][op],
+                sect["sf1_sec"][op],
+                sect["sf3_sec"][op],
+            ]
+            ys = [math.log(t) for t in ts]
+            xbar, ybar = sum(xs) / 3, sum(ys) / 3
+            slope = sum(
+                (x - xbar) * (y - ybar) for x, y in zip(xs, ys)
+            ) / sum((x - xbar) ** 2 for x in xs)
+            tail = (ys[2] - ys[1]) / (xs[2] - xs[1])
+            fit[op] = {
+                "family": family(op),
+                "exponent_loglog": round(slope, 3),
+                "exponent_tail": round(tail, 3),
+                "pred_100x_sec": round(ts[2] * (100.0 / 30.0) ** tail, 2),
+            }
+        sect["fit"] = fit
+        sect["fit_note"] = fit_note
+        print(f"-- {sect_name}")
+        for op, v in sorted(
+            fit.items(), key=lambda kv: -kv[1]["exponent_tail"]
+        ):
+            print(
+                f"{op:28s} fam={v['family']:10s}"
+                f" loglog={v['exponent_loglog']:+.3f}"
+                f" tail={v['exponent_tail']:+.3f}"
+                f" pred100x={v['pred_100x_sec']}s"
+            )
     with open(path, "w") as f:
         json.dump(d, f, indent=1)
-    for op, v in sorted(fit.items(), key=lambda kv: -kv[1]["exponent_tail"]):
-        print(
-            f"{op:28s} fam={v['family']:10s} loglog={v['exponent_loglog']:+.3f}"
-            f" tail={v['exponent_tail']:+.3f} pred100x={v['pred_100x_sec']}s"
-        )
 
 
 if __name__ == "__main__":

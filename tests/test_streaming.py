@@ -995,3 +995,61 @@ def test_postings_compaction_preserves_index_and_ingest(spark, tmp_path):
         for r in index_postings(spark, SF_SMOKE).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_postings_compaction_recovers_interrupted_run(spark, tmp_path):
+    """Crash-safety: park a segment in the aside dir and leave a
+    half-written compacted output (the two interruption windows), then
+    call the compactor — it must restore the aside segment, drop the
+    debris, and produce the same folded index as an uninterrupted
+    run."""
+    import os
+    import shutil
+
+    from data_pipeline_and_visualization_dashboard_spark.io import read_table
+    from data_pipeline_and_visualization_dashboard_spark.streaming import (
+        compact_postings_segments,
+        postings_index_stream,
+        read_postings_index,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = read_table(spark, SF_SMOKE, "documents", ["doc_id", "text"])
+    in_dir = str(tmp_path / "in")
+    work = str(tmp_path / "work")
+    seg_dir, ckpt = os.path.join(work, "index"), os.path.join(work, "ckpt")
+    for wave in range(3):
+        docs.filter(F.col("doc_id") % 3 == wave).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+    q = postings_index_stream(spark, in_dir, seg_dir, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    before = {
+        r.term: (r.df, r.cf, r.doc_list)
+        for r in read_postings_index(spark, seg_dir).collect()
+    }
+    # simulate a crash mid-compaction: epoch=0 parked aside, a stale
+    # half-written compact_tmp on disk
+    aside = seg_dir + ".aside"
+    os.makedirs(aside)
+    os.replace(
+        os.path.join(seg_dir, "epoch=0"), os.path.join(aside, "epoch=0")
+    )
+    os.makedirs(seg_dir + ".compact_tmp")
+    shutil.copytree(
+        os.path.join(seg_dir, "epoch=1"),
+        seg_dir + ".compact_tmp",
+        dirs_exist_ok=True,
+    )
+    folded = compact_postings_segments(spark, seg_dir)
+    assert folded >= 2
+    assert not os.path.exists(aside)
+    assert not os.path.exists(seg_dir + ".compact_tmp")
+    after = {
+        r.term: (r.df, r.cf, r.doc_list)
+        for r in read_postings_index(spark, seg_dir).collect()
+    }
+    assert after == before
