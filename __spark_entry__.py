@@ -55,8 +55,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries below — computed as queries() minus the union of
 # CORRECTNESS_r01/r02/r03 keys, which corrects the round-3 comment's
 # media_features error (it never had a row; VERDICT r3 "What's wrong"
-# #2) — enumerate first, followed by this round's 3 new entries, the
-# 6 reference-core flagships for a fresh re-green, and 16 headline
+# #2) — enumerate first, followed by this round's 4 new entries, the
+# 6 reference-core flagships for a fresh re-green, and 15 headline
 # re-greens (including sketch_kmv_overlap and q61, whose plans changed
 # this round).  Exactly 50.
 _CHECK_FIRST = [
@@ -95,6 +95,7 @@ _CHECK_FIRST = [
     "sim_ivfpq_topk_pretrained",
     # --- new in round 4 ---
     "q61_profile_events_approx",  # HLL profile mode (oracle-backed)
+    "q61_profile_events_approx_xxhash",  # production hash twin, rows-only
     "sim_ivf_recall_guard",  # rows-only; recall floor asserted in-plan
     "sim_ivfpq_recall_guard",  # rows-only; recall floor asserted in-plan
     # --- reference-core flagships, fresh re-green (VERDICT r3 #1) ---
@@ -118,7 +119,6 @@ _CHECK_FIRST = [
     "dedup_exact_groups",
     "dedup_minhash_pairs",
     "corpus_funnel",
-    "text_stats",
     "text_tfidf_topk",
     "sim_cosine_topk",
 ]

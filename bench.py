@@ -46,6 +46,7 @@ HEADLINE = [
     "q60_bucketed_join",  # pre-bucketed fact-fact join (zero exchange)
     "q61_profile_events",  # one-pass dataset profile (expand + stack)
     "q61_profile_events_approx",  # HLL profile mode (constant agg state)
+    "q61_profile_events_approx_xxhash",  # production hash family twin
     "q62_skew_stats",  # heavy-hitter shuffle-key diagnostics
     "q66_late_supplier_blame",  # EXISTS/NOT-EXISTS double self-join
     "sim_recall_eval",  # LSH recall@k vs exact (eval as an operator)

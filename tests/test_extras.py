@@ -519,29 +519,30 @@ def test_profile_approx_error_bounds(spark):
     by the canonical hash key, which can only LOWER its count."""
     from data_pipeline_and_visualization_dashboard_spark.queries_ext import (
         q61_profile_events,
+        q61_profile_events_approx_xxhash,
     )
 
     exact = {
         r.col_name: r
         for r in q61_profile_events(spark, SF_SMOKE).collect()
     }
-    approx = {
-        r.col_name: r
-        for r in q61_profile_events(
-            spark, SF_SMOKE, approx=True
-        ).collect()
+    variants = {
+        "md5": q61_profile_events(spark, SF_SMOKE, approx=True),
+        "xxhash64": q61_profile_events_approx_xxhash(spark, SF_SMOKE),
     }
-    assert set(exact) == set(approx)
     sigma3 = 3 * 1.04 / 256**0.5
-    for c, ex in exact.items():
-        ap = approx[c]
-        assert ap.n_nulls == ex.n_nulls, c
-        assert ap.min_num == ex.min_num, c
-        assert ap.max_num == ex.max_num, c
-        true_nd = ex.n_distinct
-        assert abs(ap.n_distinct - true_nd) <= max(
-            2, sigma3 * true_nd
-        ), f"{c}: approx {ap.n_distinct} vs exact {true_nd}"
+    for impl, df in variants.items():
+        approx = {r.col_name: r for r in df.collect()}
+        assert set(exact) == set(approx)
+        for c, ex in exact.items():
+            ap = approx[c]
+            assert ap.n_nulls == ex.n_nulls, (impl, c)
+            assert ap.min_num == ex.min_num, (impl, c)
+            assert ap.max_num == ex.max_num, (impl, c)
+            true_nd = ex.n_distinct
+            assert abs(ap.n_distinct - true_nd) <= max(
+                2, sigma3 * true_nd
+            ), f"{impl}/{c}: approx {ap.n_distinct} vs exact {true_nd}"
 
 
 def _reference_bpe(word_freqs, n_merges):
