@@ -220,8 +220,11 @@ def main() -> None:
     # file, print it FIRST (truncation eats the front, not the tail),
     # and make the LAST line a compact (<2 KB) summary the driver can
     # always parse — headline total + per-family subtotals.
+    # subset runs (SPARK_GRAFT_BENCH_QUERIES) must not clobber the
+    # committed full-run record
+    out_name = "BENCH_full.json" if subset is None else "BENCH_full_subset.json"
     out_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json"
+        os.path.dirname(os.path.abspath(__file__)), out_name
     )
     with open(out_path, "w") as f:
         json.dump(full, f, indent=1)
