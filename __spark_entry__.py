@@ -55,8 +55,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries below — computed as queries() minus the union of
 # CORRECTNESS_r01/r02/r03 keys, which corrects the round-3 comment's
 # media_features error (it never had a row; VERDICT r3 "What's wrong"
-# #2) — enumerate first, followed by this round's 4 new entries, the
-# 6 reference-core flagships for a fresh re-green, and 15 headline
+# #2) — enumerate first, followed by this round's 5 new entries, the
+# 6 reference-core flagships for a fresh re-green, and 14 headline
 # re-greens (including sketch_kmv_overlap and q61, whose plans changed
 # this round).  Exactly 50.
 _CHECK_FIRST = [
@@ -94,6 +94,7 @@ _CHECK_FIRST = [
     "sim_ivf_topk_pretrained",
     "sim_ivfpq_topk_pretrained",
     # --- new in round 4 ---
+    "q69_concurrent_sessions",  # sweep-line interval concurrency
     "q61_profile_events_approx",  # HLL profile mode (oracle-backed)
     "q61_profile_events_approx_xxhash",  # production hash twin, rows-only
     "sim_ivf_recall_guard",  # rows-only; recall floor asserted in-plan
@@ -120,7 +121,6 @@ _CHECK_FIRST = [
     "dedup_minhash_pairs",
     "corpus_funnel",
     "text_tfidf_topk",
-    "sim_cosine_topk",
 ]
 
 

@@ -49,6 +49,7 @@ HEADLINE = [
     "q61_profile_events_approx_xxhash",  # production hash family twin
     "q62_skew_stats",  # heavy-hitter shuffle-key diagnostics
     "q66_late_supplier_blame",  # EXISTS/NOT-EXISTS double self-join
+    "q69_concurrent_sessions",  # sweep-line interval concurrency
     "sim_recall_eval",  # LSH recall@k vs exact (eval as an operator)
     "sim_ivf_recall_guard",  # pretrained-IVF recall floor, in-plan assert
     "sim_ivfpq_recall_guard",  # pretrained-IVF-PQ floor, in-plan assert

@@ -1489,3 +1489,57 @@ def test_training_triplets_semantics(spark):
         assert key in pairs and abs(pairs[key] - t.jaccard) < 1e-12
         assert comp.get(t.negative) != comp[t.anchor]
         assert t.negative not in (t.anchor, t.positive)
+
+
+def test_concurrent_sessions_matches_bruteforce(spark):
+    """The sweep-line concurrency must equal the O(n·m) brute force on
+    the smoke corpus: for each reported start instant, count sessions
+    whose [start, end] contains it (closed intervals), and the
+    reported rows must be the true top-N under the same tie-break."""
+    from data_pipeline_and_visualization_dashboard_spark.queries_ext import (
+        CONC_TOPN,
+        q69_concurrent_sessions,
+    )
+    from data_pipeline_and_visualization_dashboard_spark.queries import (
+        SESSION_GAP_US,
+    )
+
+    ev = sorted(
+        (r.user_id, r.ts, r.event_id)
+        for r in read_table(
+            spark, SF_SMOKE, "events", ["user_id", "ts", "event_id"]
+        ).collect()
+    )
+    # brute-force sessionization (same 30-min gap rule)
+    from collections import defaultdict
+
+    per_user = defaultdict(list)
+    for uid, ts, eid in sorted(
+        ev, key=lambda t: (t[0], t[1], t[2])
+    ):
+        us = int(ts.timestamp() * 1_000_000)
+        per_user[uid].append(us)
+    intervals = []
+    for uid, uss in per_user.items():
+        sess_no, start, prev = 0, uss[0], uss[0]
+        for us in uss[1:]:
+            if us - prev > SESSION_GAP_US:
+                intervals.append((uid, sess_no, start, prev))
+                sess_no, start = sess_no + 1, us
+            prev = us
+        intervals.append((uid, sess_no, start, prev))
+
+    def conc_at(t):
+        return sum(1 for _, _, s, e in intervals if s <= t <= e)
+
+    starts = [
+        (conc_at(s), s, uid, sno) for uid, sno, s, _ in intervals
+    ]
+    want = sorted(
+        starts, key=lambda r: (-r[0], r[1], r[2], r[3])
+    )[:CONC_TOPN]
+    got = [
+        (r.concurrent, r.ts_us, r.user_id, r.sess_no)
+        for r in q69_concurrent_sessions(spark, SF_SMOKE).collect()
+    ]
+    assert got == want and want[0][0] >= 1

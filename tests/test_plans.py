@@ -375,6 +375,21 @@ CASES = {
         ["SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"],
         3,
     ),
+    "q69_concurrent_sessions": (
+        # sweep-line concurrency: the global cumsum must run as the
+        # range-partitioned two-phase (range exchange + partitioned
+        # windows only — no unpartitioned window, which would show as
+        # a SinglePartition exchange under the Window), final top-k is
+        # TakeOrderedAndProject, and there is NO join between points
+        # and intervals (the naive range self-join would plan
+        # CartesianProduct/SMJ). The only BNLJ is the triangular
+        # offsets join over the one-row-per-partition totals frame —
+        # bounded by partition count, never data (text.py:595
+        # precedent) — so BNLJ is deliberately NOT in the avoid list.
+        ["TakeOrderedAndProject", "Exchange rangepartitioning"],
+        ["CartesianProduct", "SortMergeJoin", "Exchange SinglePartition"],
+        9,
+    ),
     "sketch_kmv_estimate": (
         # bottom-K must be TakeOrderedAndProject (per-partition heaps),
         # never a global Sort; the 1-row readout join may be BNLJ (1×1)
