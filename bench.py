@@ -21,6 +21,20 @@ import time
 import __spark_entry__ as entrymod
 from data_pipeline_and_visualization_dashboard_spark.session import get_spark
 
+
+def family(name: str) -> str:
+    """Query-name → bench family. THE single classifier: the final
+    summary line's family_sec and scripts/fit_scale_ladder.py's
+    per-op family tags both import this, so the two records can never
+    diverge."""
+    if name.startswith("q"):
+        return "sql"
+    if name.startswith(("dedup_", "corpus_")):
+        return "dedup"
+    prefix = name.split("_", 1)[0]
+    return {"sim": "similarity", "sketch": "sketches",
+            "text": "text", "media": "media"}.get(prefix, "other")
+
 HEADLINE = [
     # reference-surface analytics
     "q1_top_nations",
@@ -231,15 +245,6 @@ def main() -> None:
         json.dump(full, f, indent=1)
     print(json.dumps(full), flush=True)
 
-    def family(name: str) -> str:
-        if name.startswith("q"):
-            return "sql"
-        if name.startswith(("dedup_", "corpus_")):
-            return "dedup"
-        prefix = name.split("_", 1)[0]
-        return {"sim": "similarity", "sketch": "sketches",
-                "text": "text", "media": "media"}.get(prefix, "other")
-
     subtotals: dict[str, float] = {}
     for name, sec in timings.items():
         fam = family(name)
@@ -252,7 +257,7 @@ def main() -> None:
         "n_queries": len(timings),
         "family_sec": subtotals,
         "index_build_sec": index_build,
-        "full_map": "BENCH_full.json",
+        "full_map": out_name,
     }), flush=True)
 
 

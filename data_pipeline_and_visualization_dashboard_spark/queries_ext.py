@@ -2279,13 +2279,28 @@ def q61_profile_events(
 # BIT-IDENTICAL across engines. Integers/timestamp-micros cast plainly;
 # doubles go through DECIMAL(30,6) (both engines print fixed-scale —
 # parity verified), which quantizes the distinct-ness to 6dp: an
-# acceptable contract for a profile ESTIMATE column.
+# acceptable contract for a profile ESTIMATE column. NaN/±Inf/
+# |v|>=1e23 cannot take the decimal path (BOTH engines throw on
+# decimal overflow — Spark 4 runs ANSI; even NaN through DuckDB's
+# TRY_CAST throws), so they collapse to three engine-neutral sentinel
+# keys: all NaNs are one distinct value (matching COUNT(DISTINCT)
+# semantics), and the astronomically-large tail quantizes to
+# one-per-sign — a documented coarsening of the ESTIMATE, never an
+# error or a silent null.
+_PROFILE_VALUE_KEY = (
+    "CASE WHEN value IS NULL THEN NULL"
+    " WHEN isnan(value) THEN 'nan'"
+    " WHEN abs(value) >= 1e23 THEN"
+    "   CASE WHEN value > 0 THEN 'overflow_pos'"
+    "        ELSE 'overflow_neg' END"
+    " ELSE CAST(CAST(value AS DECIMAL(30,6)) AS {s}) END"
+)
 _PROFILE_KEY_SPARK = {
     "event_id": "CAST(event_id AS STRING)",
     "ts": "CAST(unix_micros(ts) AS STRING)",
     "user_id": "CAST(user_id AS STRING)",
     "event_type": "event_type",
-    "value": "CAST(CAST(value AS DECIMAL(30,6)) AS STRING)",
+    "value": _PROFILE_VALUE_KEY.format(s="STRING"),
     "props": "props",
 }
 _PROFILE_KEY_DUCK = {
@@ -2293,7 +2308,7 @@ _PROFILE_KEY_DUCK = {
     "ts": "CAST(epoch_us(ts) AS VARCHAR)",
     "user_id": "CAST(user_id AS VARCHAR)",
     "event_type": "event_type",
-    "value": "CAST(CAST(value AS DECIMAL(30,6)) AS VARCHAR)",
+    "value": _PROFILE_VALUE_KEY.format(s="VARCHAR"),
     "props": "props",
 }
 
@@ -2818,11 +2833,20 @@ def q69_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a._pid").alias("_pid"), "_offset")
     )
     swept = local.join(F.broadcast(offsets), "_pid").withColumn(
-        "concurrent", (F.col("_offset") + F.col("_lsum")).cast("bigint")
+        "_run", (F.col("_offset") + F.col("_lsum")).cast("bigint")
+    )
+    # Tied starts: the running sum gives each tied +1 row a DIFFERENT
+    # value (1st tied row hasn't seen the 2nd yet), but concurrency at
+    # instant t is the same for every session starting at t — the
+    # value at the LAST +1 row of the tie group (all +1s at t counted,
+    # no -1 at t subtracted yet under delta DESC). Broadcast it back
+    # with a max window PARTITIONED BY the instant — bounded by the
+    # tie-group size, never global.
+    starts = swept.filter(F.col("delta") == 1).withColumn(
+        "concurrent", F.max("_run").over(Window.partitionBy("us"))
     )
     return (
-        swept.filter(F.col("delta") == 1)
-        .select(
+        starts.select(
             F.col("us").alias("ts_us"), "user_id", "sess_no", "concurrent"
         )
         .orderBy(
@@ -2867,12 +2891,18 @@ def _duck_concurrent_sessions_sql() -> str:
                    CAST(sum(delta) OVER
                        (ORDER BY us, delta DESC, user_id, sess_no
                         ROWS UNBOUNDED PRECEDING) AS BIGINT)
-                       AS concurrent
+                       AS run
             FROM bounds
+        ), starts AS (
+            -- tied starts all report the tie group's final running
+            -- sum (see the Spark side's per-instant max window)
+            SELECT us, user_id, sess_no,
+                   max(run) OVER (PARTITION BY us) AS concurrent
+            FROM swept WHERE delta = 1
         )
         SELECT us AS ts_us, user_id, CAST(sess_no AS BIGINT) AS sess_no,
                concurrent
-        FROM swept WHERE delta = 1
+        FROM starts
         ORDER BY concurrent DESC, ts_us, user_id, sess_no
         LIMIT {CONC_TOPN}
     """

@@ -1192,25 +1192,37 @@ def run_postings_index_to_completion(spark: SparkSession, in_dir: str,
 
 
 def _compact_recover(index_dir: str) -> None:
-    """Finish or roll back an interrupted compaction: restore any
-    segments parked in the aside dir, drop a half-written compacted
-    output. After recovery the index is exactly its pre-compaction
-    self (the compactor re-runs from scratch — compaction is pure
-    optimization, never the only copy of data)."""
+    """Finish or roll back an interrupted compaction. The direction is
+    decided by whether the compact_tmp dir still exists:
+
+    * tmp PRESENT — the folded segment was never installed (install =
+      the os.replace of tmp onto the base epoch, which removes tmp
+      atomically), so the crash hit the victim-move phase: ROLL BACK —
+      restore every segment parked aside, drop tmp. The index is its
+      exact pre-compaction self.
+    * tmp ABSENT but aside present — the install COMPLETED and the
+      crash hit the aside cleanup: ROLL FORWARD — the folded base
+      already contains every victim's postings, so restoring asides
+      would double-count and (worse) restoring the victim base epoch
+      OVER the installed fold would lose the other victims' data
+      outright. Just finish deleting the aside dir.
+    """
     import os as _os
     import shutil as _shutil
 
     aside = index_dir.rstrip("/") + ".aside"
     tmp = index_dir.rstrip("/") + ".compact_tmp"
-    if _os.path.isdir(aside):
-        for d in _os.listdir(aside):
-            dst = _os.path.join(index_dir, d)
-            if _os.path.exists(dst):
-                _shutil.rmtree(dst)  # half-installed compacted output
-            _os.replace(_os.path.join(aside, d), dst)
-        _os.rmdir(aside)
     if _os.path.isdir(tmp):
+        if _os.path.isdir(aside):  # roll back: restore victims
+            for d in _os.listdir(aside):
+                dst = _os.path.join(index_dir, d)
+                if _os.path.exists(dst):
+                    _shutil.rmtree(dst)
+                _os.replace(_os.path.join(aside, d), dst)
+            _os.rmdir(aside)
         _shutil.rmtree(tmp)
+    elif _os.path.isdir(aside):  # roll forward: fold is installed
+        _shutil.rmtree(aside)
 
 
 def compact_postings_segments(spark: SparkSession, index_dir: str,
@@ -1235,13 +1247,18 @@ def compact_postings_segments(spark: SparkSession, index_dir: str,
     import os as _os
     import shutil as _shutil
 
+    if keep_latest < 1:
+        # folding the newest epoch away would break the documented
+        # at-least-once invariant: a replayed last batch must find its
+        # own segment dir to overwrite, not double-count into the base
+        raise ValueError("keep_latest must be >= 1 (replay safety)")
     _compact_recover(index_dir)
     epochs = sorted(
         int(d.split("=", 1)[1])
         for d in _os.listdir(index_dir)
         if d.startswith("epoch=")
     )
-    victims = epochs[: len(epochs) - keep_latest] if keep_latest else epochs
+    victims = epochs[: len(epochs) - keep_latest]
     if len(victims) <= 1:
         return 0
     segs = spark.read.parquet(

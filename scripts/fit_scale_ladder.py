@@ -26,20 +26,13 @@ from __future__ import annotations
 import json
 import math
 import os
+import sys
 
-FAMILIES = {
-    "q": "sql",
-    "dedup": "dedup",
-    "corpus": "dedup",
-    "sim": "similarity",
-    "sketch": "sketches",
-    "text": "text",
-    "media": "media",
-}
+sys.path.insert(
+    0, os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+)
 
-
-def family(name: str) -> str:
-    return FAMILIES.get(name.split("_", 1)[0].rstrip("0123456789"), "other")
+from bench import family  # noqa: E402  (the single classifier)
 
 
 def main() -> None:

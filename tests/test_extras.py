@@ -1543,3 +1543,93 @@ def test_concurrent_sessions_matches_bruteforce(spark):
         for r in q69_concurrent_sessions(spark, SF_SMOKE).collect()
     ]
     assert got == want and want[0][0] >= 1
+
+
+def test_profile_approx_survives_pathological_doubles(spark, tmp_path):
+    """NaN / ±Inf / decimal-overflow doubles must not crash the approx
+    profile (both engines THROW on decimal overflow under ANSI) and
+    must collapse to the documented sentinel keys: all NaNs are one
+    distinct value, the >=1e23 tail is one value per sign. Null
+    counts and numeric min/max stay bit-identical with exact mode."""
+    import datetime
+    import math
+    import os
+
+    from data_pipeline_and_visualization_dashboard_spark.queries_ext import (
+        q61_profile_events,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 10, "a", float("nan"), None),
+        (2, t0, 11, "a", float("inf"), "p"),
+        (3, t0, 12, "b", float("-inf"), "p"),
+        (4, t0, 13, "b", 1e25, "q"),
+        (5, t0, 14, "b", 2e25, "q"),
+        (6, t0, 15, "c", 1.5, "r"),
+        (7, t0, 16, "c", None, "r"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    d = str(tmp_path / "edge")
+    df.coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+
+    def eq(a, b):
+        if a is None or b is None:
+            return a is b
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+
+    exact = {
+        r.col_name: r for r in q61_profile_events(spark, d).collect()
+    }
+    approx = {
+        r.col_name: r
+        for r in q61_profile_events(spark, d, approx=True).collect()
+    }
+    ex, ap = exact["value"], approx["value"]
+    assert ex.n_nulls == ap.n_nulls == 1
+    assert eq(ap.min_num, ex.min_num) and eq(ap.max_num, ex.max_num)
+    # exact: {nan, inf, -inf, 1e25, 2e25, 1.5} = 6; approx sentinel
+    # coarsening: {nan, overflow_pos(x3), overflow_neg, 1.500000} = 4
+    assert ex.n_distinct == 6
+    assert 3 <= ap.n_distinct <= 4
+
+
+def test_concurrent_sessions_tied_starts(spark, tmp_path):
+    """Two sessions starting at the SAME microsecond must both report
+    the full concurrency at that instant (the round-4 review's
+    confirmed repro: the raw running sum gives the first tied +1 row
+    an undercount; the per-instant max window fixes it)."""
+    import datetime
+    import os
+
+    from data_pipeline_and_visualization_dashboard_spark.queries_ext import (
+        q69_concurrent_sessions,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    t1 = t0 + datetime.timedelta(minutes=5)
+    rows = [
+        (1, t0, 10, "a", 1.0, None),
+        (2, t0, 20, "a", 1.0, None),  # tied start, other user
+        (3, t1, 10, "a", 1.0, None),
+        (4, t1, 20, "a", 1.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    d = str(tmp_path / "tied")
+    df.coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+    got = {
+        (r.user_id, r.concurrent)
+        for r in q69_concurrent_sessions(spark, d).collect()
+    }
+    # both sessions contain instant t0 -> concurrency 2 for BOTH rows
+    assert got == {(10, 2), (20, 2)}

@@ -388,7 +388,11 @@ CASES = {
         # precedent) — so BNLJ is deliberately NOT in the avoid list.
         ["TakeOrderedAndProject", "Exchange rangepartitioning"],
         ["CartesianProduct", "SortMergeJoin", "Exchange SinglePartition"],
-        9,
+        # 10 pre-AQE: session window + range repartition + the
+        # tie-group max window's hash exchange, double-counted across
+        # the cumsum/totals branches that AQE collapses to
+        # ReusedExchange at runtime (verified: final plan has 2)
+        10,
     ),
     "sketch_kmv_estimate": (
         # bottom-K must be TakeOrderedAndProject (per-partition heaps),

@@ -1053,3 +1053,56 @@ def test_postings_compaction_recovers_interrupted_run(spark, tmp_path):
         for r in read_postings_index(spark, seg_dir).collect()
     }
     assert after == before
+
+
+def test_postings_compaction_rolls_forward_after_install(spark, tmp_path):
+    """The OTHER interruption window: crash during aside cleanup AFTER
+    the folded base was installed (compact_tmp gone, aside partially
+    populated). Recovery must roll FORWARD — deleting the aside
+    remnant — because the installed base already contains its
+    postings; restoring it over the fold would double-count and
+    restoring the base victim would lose the other victims' data
+    (the round-4 review's confirmed data-loss repro)."""
+    import os
+    import shutil
+
+    from data_pipeline_and_visualization_dashboard_spark.io import read_table
+    from data_pipeline_and_visualization_dashboard_spark.streaming import (
+        compact_postings_segments,
+        postings_index_stream,
+        read_postings_index,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = read_table(spark, SF_SMOKE, "documents", ["doc_id", "text"])
+    in_dir = str(tmp_path / "in")
+    work = str(tmp_path / "work")
+    seg_dir, ckpt = os.path.join(work, "index"), os.path.join(work, "ckpt")
+    for wave in range(3):
+        docs.filter(F.col("doc_id") % 3 == wave).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+    q = postings_index_stream(spark, in_dir, seg_dir, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # keep a pre-fold copy of the base victim to stage the crash state
+    stale = str(tmp_path / "stale_epoch0")
+    shutil.copytree(os.path.join(seg_dir, "epoch=0"), stale)
+    assert compact_postings_segments(spark, seg_dir) >= 2
+    want = {
+        r.term: (r.df, r.cf, r.doc_list)
+        for r in read_postings_index(spark, seg_dir).collect()
+    }
+    # crash state: install done (no compact_tmp), aside not yet cleaned
+    aside = seg_dir + ".aside"
+    os.makedirs(aside)
+    shutil.copytree(stale, os.path.join(aside, "epoch=0"))
+    assert compact_postings_segments(spark, seg_dir) == 0  # recover+noop
+    assert not os.path.exists(aside)
+    got = {
+        r.term: (r.df, r.cf, r.doc_list)
+        for r in read_postings_index(spark, seg_dir).collect()
+    }
+    assert got == want
