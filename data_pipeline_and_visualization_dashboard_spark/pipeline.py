@@ -87,9 +87,12 @@ def run_corpus_pipeline(
 
       1. quality → exact-dup → near-dup funnel with per-stage
          accounting (corpus_funnel);
-      2. surviving docs materialized as their own corpus
+      2. surviving docs PII-SCRUBBED (redaction happens before any
+         text leaves curation — every downstream artifact is built
+         from clean_text) and materialized as their own corpus
          (out/curated/documents.parquet — the layout every downstream
-         operator reads);
+         operator reads), with the per-rule redaction totals in
+         out/pii_report.parquet;
       3. multi-benchmark decontamination report
          (out/contamination.parquet);
       4. BPE tokenizer trained on the FULL corpus (the artifact
@@ -109,7 +112,7 @@ def run_corpus_pipeline(
     from .extras.bpe import bpe_train
     from .extras.dedup import _funnel_flags, contamination_multi
     from .extras.search import index_postings
-    from .extras.text import packing, split_assign
+    from .extras.text import PII_RULES, packing, scrub_pii, split_assign
 
     # ONE _funnel_flags frame feeds both the accounting row and the
     # survivor ids: corpus_funnel + corpus_survivors each rebuild it,
@@ -133,8 +136,27 @@ def run_corpus_pipeline(
     docs = read_table(spark, sf_dir, "documents")
     surv_ids = flags.filter(SF.col("pn")).select("doc_id")
     curated_dir = os.path.join(out_dir, "curated")
-    curated = docs.join(surv_ids, "doc_id")
-    write_parquet(curated, os.path.join(curated_dir, "documents.parquet"))
+    # scrub-at-ingest: survivors' text is replaced by the redacted
+    # clean_text BEFORE materialization, so packs/splits/index — and
+    # anything else reading the curated layout — can never leak raw
+    # PII; the per-rule totals land as their own report artifact
+    # (counts are row-local codegen riding the same survivor join)
+    scrubbed = scrub_pii(spark, sf_dir)
+    curated_scrubbed = (
+        docs.join(surv_ids, "doc_id")
+        .join(scrubbed, "doc_id")
+        .withColumn("text", SF.col("clean_text"))
+    )
+    pii_cols = [f"n_{name}" for name, _ in PII_RULES]
+    write_parquet(
+        curated_scrubbed.drop("clean_text", *pii_cols),
+        os.path.join(curated_dir, "documents.parquet"),
+    )
+    pii_report = curated_scrubbed.agg(
+        SF.count(SF.lit(1)).alias("docs_scrubbed"),
+        *[SF.sum(c).cast("bigint").alias(c) for c in pii_cols],
+    )
+    write_parquet(pii_report, os.path.join(out_dir, "pii_report.parquet"))
 
     write_parquet(
         contamination_multi(spark, sf_dir),

@@ -171,3 +171,20 @@ def test_run_corpus_pipeline_writes_all_artifacts(spark, tmp_path):
     contam = spark.read.parquet(f"{out}/contamination.parquet")
     n_train_docs = contam.select("doc_id").distinct().count()
     assert contam.count() == n_train_docs * len(CONTAM_EVAL_MODS)
+    # scrub-at-ingest: the curated text is the redacted clean_text —
+    # no PII pattern may survive in any curated doc — and the report
+    # artifact accounts every survivor exactly once
+    from pyspark.sql import functions as F
+
+    from data_pipeline_and_visualization_dashboard_spark.extras.text import (
+        PII_RULES,
+    )
+
+    for name, pat in PII_RULES:
+        leaked = curated.filter(
+            F.regexp_count("text", F.lit(pat)) > 0
+        ).count()
+        assert leaked == 0, f"curated corpus leaks {name}"
+    pii = spark.read.parquet(f"{out}/pii_report.parquet").first()
+    assert pii.docs_scrubbed == res.n_survivors
+    assert all(pii[f"n_{name}"] >= 0 for name, _ in PII_RULES)
