@@ -74,7 +74,15 @@ def plan_audit(df: DataFrame) -> dict:
       see it),
     * ``scan_columns`` — columns actually read per parquet/orc scan
       (projection pushdown evidence),
-    * ``pushed_filters`` — filters that reached each scan.
+    * ``pushed_filters`` — filters that reached each scan,
+    * ``global_windows`` — window expressions with an EMPTY partition
+      spec (the whole input flows through ONE task: the classic
+      silent scale-killer this repo's round-2 vocab builder hit).
+      Legitimate on provably tiny frames (e.g. a pct-of-total over an
+      aggregated series — the reference's own W1 pattern); fatal on
+      anything data-sized, where the fix is the range-partitioned
+      two-phase rank/cumsum (extras.text.py vocab,
+      queries_ext.q69_concurrent_sessions).
     """
     plan = physical_plan(df)
     joins = {
@@ -106,4 +114,29 @@ def plan_audit(df: DataFrame) -> dict:
         "codegen_spans": len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))),
         "scan_columns": scan_columns,
         "pushed_filters": [p for p in pushed if p],
+        "global_windows": _global_windows(df),
     }
+
+
+def _global_windows(df: DataFrame) -> int:
+    """Count window expressions whose partition spec is EMPTY.
+
+    Read from the OPTIMIZED LOGICAL plan, where every window expr
+    prints as ``windowspecdefinition(<partition cols,> <order cols,>
+    frame)``: partition columns (if any) come first WITHOUT a sort
+    direction, order columns carry ``ASC``/``DESC``, and the frame
+    spec comes last. So the window is global when its FIRST argument
+    is an order column (has a sort direction) or is already the frame
+    itself (no partition AND no order — e.g. a pct-of-total
+    ``SUM(x) OVER ()``)."""
+    lp = df._jdf.queryExecution().optimizedPlan().toString()
+    n = 0
+    for spec in re.findall(r"windowspecdefinition\(([^()]*)", lp):
+        first = spec.split(",", 1)[0].strip()
+        if (
+            " ASC" in first
+            or " DESC" in first
+            or first == "specifiedwindowframe"
+        ):
+            n += 1
+    return n

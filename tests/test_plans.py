@@ -760,3 +760,44 @@ def test_plan_audit_api(spark):
     assert b["shuffles"] == 0 and not b["joins"] and not b["cartesian"]
     # codegen spans only appear post-execution under AQE
     assert b["codegen_spans"] >= 0
+
+
+def test_plan_audit_flags_global_windows(spark):
+    """The audit's global-window detector (the round-2 vocab-builder
+    scale trap, institutionalized): a deliberately unpartitioned
+    window trips it; the repo's two-phase scale-safe spellings —
+    q69's sweep cumsum and the vocab rank — audit clean; q31's
+    KNOWN-tiny global window (pct-of-total over an aggregated series,
+    the reference's own W1 pattern) is correctly reported as global."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_pipeline_and_visualization_dashboard_spark.plans import (
+        plan_audit,
+    )
+
+    df = spark.range(10).withColumn("g", F.col("id") % 2)
+    bad = df.withColumn("r", F.sum("id").over(Window.orderBy("id")))
+    good = df.withColumn(
+        "r", F.sum("id").over(Window.partitionBy("g").orderBy("id"))
+    )
+    assert plan_audit(bad)["global_windows"] == 1
+    assert plan_audit(good)["global_windows"] == 0
+
+    qs = entrymod.queries()
+    assert (
+        plan_audit(qs["q69_concurrent_sessions"](spark, SF_CORRECT))[
+            "global_windows"
+        ]
+        == 0
+    )
+    assert (
+        plan_audit(qs["text_vocab"](spark, SF_CORRECT))["global_windows"]
+        == 0
+    )
+    assert (
+        plan_audit(qs["q3_event_type_pct"](spark, SF_CORRECT))[
+            "global_windows"
+        ]
+        >= 1
+    )  # W1: agg-output-sized by construction — reported, not hidden
