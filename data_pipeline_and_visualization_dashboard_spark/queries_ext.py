@@ -3040,6 +3040,418 @@ _DUCK_DRIFT_SQL = """
 """
 
 
+# ----------------------------------------------------------------------
+# q70-q75: the remaining classic hard-optimizer TPC-H shapes (Q19, Q22,
+# Q15, Q18, Q20, Q7), adapted to the driver schema's columns
+# ----------------------------------------------------------------------
+
+# (brand, (size lo, hi), (qty lo, hi)) — the three Q19 arms
+Q70_ARMS = [
+    ("Brand#1", (1, 5), (1, 11)),
+    ("Brand#2", (1, 10), (10, 20)),
+    ("Brand#3", (1, 15), (20, 30)),
+]
+
+
+def q70_promo_discount_revenue(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape — a DISJUNCTION of cross-table conjunctions
+    ((brand AND size AND qty) OR ... OR ...). The naive spelling
+    filters only AFTER the join, so both scans read everything; the
+    optimizer rewrite is CNF extraction: each table's IMPLIED
+    disjunction ((brand1 AND size1-5) OR ...; qty 1-30) pushes to its
+    own scan, and the join runs on the pre-shrunk sides. Spelled
+    explicitly here (the q65 decorrelation precedent): the part side
+    collapses to 3 brands x size<=15 — small enough to BROADCAST even
+    at TPC-H scale where raw part is 100x too big — and the lineitem
+    scan gets the derived qty envelope. The full 3-arm predicate then
+    runs post-join on the survivors. Output: one row (n_lines,
+    revenue)."""
+    li = read_table(
+        spark, sf_dir, "lineitem",
+        ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    part = read_table(
+        spark, sf_dir, "part", ["p_partkey", "p_brand", "p_size"]
+    )
+    part_pred = None
+    full_pred = None
+    qty_lo = min(q[0] for _, _, q in Q70_ARMS)
+    qty_hi = max(q[1] for _, _, q in Q70_ARMS)
+    for brand, (slo, shi), (qlo, qhi) in Q70_ARMS:
+        p_arm = (F.col("p_brand") == brand) & F.col("p_size").between(
+            slo, shi
+        )
+        arm = p_arm & F.col("l_quantity").between(qlo, qhi)
+        part_pred = p_arm if part_pred is None else (part_pred | p_arm)
+        full_pred = arm if full_pred is None else (full_pred | arm)
+    return (
+        li.filter(F.col("l_quantity").between(qty_lo, qty_hi))
+        .join(
+            F.broadcast(part.filter(part_pred)),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .filter(full_pred)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                4,
+            ).alias("revenue"),
+        )
+    )
+
+
+def _duck_q70_sql() -> str:
+    arms = " OR ".join(
+        f"(p_brand = '{b}' AND p_size BETWEEN {slo} AND {shi} "
+        f"AND l_quantity BETWEEN {qlo} AND {qhi})"
+        for b, (slo, shi), (qlo, qhi) in Q70_ARMS
+    )
+    return f"""
+        SELECT count(*) AS n_lines,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE {arms}
+    """
+
+
+Q71_IDLE_CUTOFF = "2001-01-01"  # "no order since" boundary
+
+
+def q71_idle_rich_customers(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — anti-join plus scalar subquery: customers
+    with an account balance above the average POSITIVE balance who
+    have placed NO order since Q71_IDLE_CUTOFF (the schema has no
+    phone column, so "recent order" replaces Q22's literal
+    no-order-ever, which is empty on this data — every customer has
+    ordered). The scalar average is a 1-row broadcast; the NOT EXISTS
+    is a left-anti join against the date-filtered orders scan (the
+    filter pushes down, so the anti side is a fraction of orders).
+    Grouped by market segment: count + total balance."""
+    cust = read_table(
+        spark, sf_dir, "customer",
+        ["c_custkey", "c_acctbal", "c_mktsegment"],
+    )
+    orders = read_table(
+        spark, sf_dir, "orders", ["o_custkey", "o_orderdate"]
+    )
+    avg_pos = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit(Q71_IDLE_CUTOFF).cast("timestamp")
+    ).select("o_custkey")
+    return (
+        cust.join(
+            recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+        )
+        .join(F.broadcast(avg_pos))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.round(F.sum("c_acctbal"), 4).alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def _duck_q71_sql() -> str:
+    return f"""
+        SELECT c_mktsegment, count(*) AS n_custs,
+               round(sum(c_acctbal), 4) AS total_bal
+        FROM customer c
+        WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                             WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= DATE '{Q71_IDLE_CUTOFF}')
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """
+
+
+Q72_WINDOW = ("1998-01-01", "1998-04-01")  # Q15's 3-month revenue window
+
+
+def q72_top_quarter_supplier(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape — max-over-view: per-supplier revenue for one
+    quarter, returning every supplier whose revenue EQUALS the
+    maximum (ties included — the reason Q15 can't be spelled as
+    ORDER BY ... LIMIT 1). The supplier-grain rollup is computed
+    once; its 1-row max broadcasts back against it, so "the view
+    appears twice" costs one extra reduction, never a second fact
+    scan. Revenue is rounded to 4dp BEFORE the equality compare
+    (aggregate policy: raw float maxima are not cross-engine
+    stable)."""
+    lo, hi = Q72_WINDOW
+    li = read_table(
+        spark, sf_dir, "lineitem",
+        ["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    supp = read_table(spark, sf_dir, "supplier", ["s_suppkey", "s_name"])
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(lo).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(hi).cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                4,
+            ).alias("total_rev")
+        )
+    )
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev")
+        .orderBy("s_suppkey")
+    )
+
+
+def _duck_q72_sql() -> str:
+    lo, hi = Q72_WINDOW
+    return f"""
+        WITH rev AS (
+            SELECT l_suppkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4)
+                       AS total_rev
+            FROM lineitem
+            WHERE l_shipdate >= DATE '{lo}' AND l_shipdate < DATE '{hi}'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_rev
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_rev = (SELECT max(total_rev) FROM rev)
+        ORDER BY s_suppkey
+    """
+
+
+Q73_MIN_QTY = 250  # ~p99 of per-order total quantity at every tested SF
+
+
+def q73_large_quantity_orders(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — HAVING-filtered aggregate joined back to its
+    parents: orders whose TOTAL line quantity exceeds Q73_MIN_QTY,
+    decorated with customer and order attributes, top-10 by price.
+    The quantity rollup runs at order grain FIRST and the >threshold
+    filter cuts it to ~1% before any join — so the joins back to
+    orders/customer move only survivors (AQE broadcasts the tiny
+    aggregate side; at real scale this is the difference between
+    joining 1.5B rows and 15M). Customer dim broadcasts by
+    construction."""
+    li = read_table(
+        spark, sf_dir, "lineitem", ["l_orderkey", "l_quantity"]
+    )
+    orders = read_table(
+        spark, sf_dir, "orders",
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    cust = read_table(spark, sf_dir, "customer", ["c_custkey", "c_name"])
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("total_qty"))
+        .filter(F.col("total_qty") > Q73_MIN_QTY)
+    )
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def _duck_q73_sql() -> str:
+    return f"""
+        WITH big AS (
+            SELECT l_orderkey, round(sum(l_quantity), 4) AS total_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING round(sum(l_quantity), 4) > {Q73_MIN_QTY}
+        )
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+               o_totalprice, total_qty
+        FROM orders JOIN big ON o_orderkey = l_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """
+
+
+Q74_DOM_MULTIPLE = 2.0  # "dominant" = 2x the fair (equal-split) share
+Q74_PART_TYPE = "PROMO"
+Q74_TOPN = 20
+
+
+def q74_dominant_suppliers(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape — nested semi-joins over per-(part,supplier)
+    aggregates: for PROMO-type parts, a supplier DOMINATES a part
+    when its shipped quantity exceeds Q74_DOM_MULTIPLE times the fair
+    share (part total / number of suppliers; multi-supplier parts
+    only — the threshold is scale-free where Q20's literal 50% is
+    empty on this data's even spread). Ranked by parts dominated.
+    The part-type restriction is a LEFT-SEMI join (no part columns
+    survive), the share test joins part-supplier grain against part
+    grain — both aggregate frames, never the raw fact — and the
+    strategy is left to AQE (part is NOT broadcast-safe at TPC-H
+    scale). Thresholds compare ROUNDED values (4dp policy)."""
+    li = read_table(
+        spark, sf_dir, "lineitem",
+        ["l_partkey", "l_suppkey", "l_quantity"],
+    )
+    part = read_table(spark, sf_dir, "part", ["p_partkey", "p_type"])
+    supp = read_table(spark, sf_dir, "supplier", ["s_suppkey", "s_name"])
+    promo = part.filter(F.col("p_type") == Q74_PART_TYPE).select(
+        "p_partkey"
+    )
+    ps = (
+        li.join(
+            promo, F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("supp_qty"))
+    )
+    per_part = ps.groupBy("l_partkey").agg(
+        F.sum("supp_qty").alias("part_qty"),
+        F.count(F.lit(1)).alias("n_supp"),
+    )
+    dom = ps.join(per_part, "l_partkey").filter(
+        (F.col("n_supp") > 1)
+        & (
+            F.round("supp_qty", 4)
+            > F.round(
+                F.lit(Q74_DOM_MULTIPLE)
+                * F.col("part_qty")
+                / F.col("n_supp"),
+                4,
+            )
+        )
+    )
+    return (
+        dom.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_dominated"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "n_dominated")
+        .orderBy(F.desc("n_dominated"), F.asc("s_suppkey"))
+        .limit(Q74_TOPN)
+    )
+
+
+def _duck_q74_sql() -> str:
+    return f"""
+        WITH ps AS (
+            SELECT l_partkey, l_suppkey, sum(l_quantity) AS supp_qty
+            FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM part
+                                WHERE p_type = '{Q74_PART_TYPE}')
+            GROUP BY l_partkey, l_suppkey
+        ), per_part AS (
+            SELECT l_partkey, sum(supp_qty) AS part_qty,
+                   count(*) AS n_supp
+            FROM ps GROUP BY l_partkey
+        )
+        SELECT s_suppkey, s_name, n_dominated FROM (
+            SELECT l_suppkey, count(*) AS n_dominated
+            FROM ps JOIN per_part USING (l_partkey)
+            WHERE n_supp > 1
+              AND round(supp_qty, 4) >
+                  round({Q74_DOM_MULTIPLE} * part_qty / n_supp, 4)
+            GROUP BY l_suppkey
+        ) JOIN supplier ON l_suppkey = s_suppkey
+        ORDER BY n_dominated DESC, s_suppkey LIMIT {Q74_TOPN}
+    """
+
+
+Q75_NATIONS = ("NATION_1", "NATION_2")  # the Q7 trading pair
+
+
+def q75_nation_trade_volume(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape — the two-sided nation-pair volume query:
+    revenue shipped between two nations (either direction) by ship
+    year. The join graph touches lineitem, orders, customer,
+    supplier, and nation TWICE (customer's nation vs supplier's
+    nation) — the shape that tests join ORDERING. Spelled so the
+    nation filter lands on the two dim scans FIRST (customer and
+    supplier each shrink to 2 of 25 nations before touching the
+    fact), the dims broadcast, and only the lineitem⋈orders shuffle
+    remains. The pair-validity predicate (cust != supp nation) runs
+    post-join on the two small name columns."""
+    n1, n2 = Q75_NATIONS
+    li = read_table(
+        spark, sf_dir, "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+         "l_shipdate"],
+    )
+    orders = read_table(spark, sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    nation = read_table(spark, sf_dir, "nation", ["n_nationkey", "n_name"])
+    pair = nation.filter(F.col("n_name").isin(n1, n2))
+    cust = (
+        read_table(spark, sf_dir, "customer", ["c_custkey", "c_nationkey"])
+        .join(
+            F.broadcast(pair),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    supp = (
+        read_table(spark, sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+        .join(
+            F.broadcast(pair),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy(
+            "cust_nation",
+            "supp_nation",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                4,
+            ).alias("revenue")
+        )
+        .orderBy("cust_nation", "supp_nation", "ship_year")
+    )
+
+
+def _duck_q75_sql() -> str:
+    n1, n2 = Q75_NATIONS
+    return f"""
+        SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+               CAST(year(l_shipdate) AS INT) AS ship_year,
+               round(sum(l_extendedprice * (1 - l_discount)), 4)
+                   AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE cn.n_name IN ('{n1}', '{n2}')
+          AND sn.n_name IN ('{n1}', '{n2}')
+          AND cn.n_name != sn.n_name
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """
+
+
 ORACLE_SQL: dict[str, str] = {
     "q60_bucketed_join": """
         SELECT o_orderpriority, count(*) AS n_items,
@@ -3057,6 +3469,12 @@ ORACLE_SQL: dict[str, str] = {
     "q67_important_parts": _DUCK_Q67_SQL,
     "q68_value_deciles": _DUCK_Q68_SQL,
     "q69_concurrent_sessions": _duck_concurrent_sessions_sql(),
+    "q70_promo_discount_revenue": _duck_q70_sql(),
+    "q71_idle_rich_customers": _duck_q71_sql(),
+    "q72_top_quarter_supplier": _duck_q72_sql(),
+    "q73_large_quantity_orders": _duck_q73_sql(),
+    "q74_dominant_suppliers": _duck_q74_sql(),
+    "q75_nation_trade_volume": _duck_q75_sql(),
     "q54_hash_sample": _duck_hash_sample_sql(),
     "q55_rolling_median": _DUCK_ROLLING_MEDIAN_SQL,
     "q56_grouped_stats": _DUCK_GROUPED_STATS_SQL,
@@ -3546,6 +3964,12 @@ QUERIES = {
     "q67_important_parts": q67_important_parts,
     "q68_value_deciles": q68_value_deciles,
     "q69_concurrent_sessions": q69_concurrent_sessions,
+    "q70_promo_discount_revenue": q70_promo_discount_revenue,
+    "q71_idle_rich_customers": q71_idle_rich_customers,
+    "q72_top_quarter_supplier": q72_top_quarter_supplier,
+    "q73_large_quantity_orders": q73_large_quantity_orders,
+    "q74_dominant_suppliers": q74_dominant_suppliers,
+    "q75_nation_trade_volume": q75_nation_trade_volume,
     "sim_rp_topk_pretrained": sim_rp_topk_pretrained,
 }
 

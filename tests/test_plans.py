@@ -439,6 +439,50 @@ CASES = {
     "text_stats": ([], ["Exchange"], 0),
     "text_fingerprint": ([], ["Exchange"], 0),
     "q12_derived_events": ([], ["Exchange"], 0),
+    "q70_promo_discount_revenue": (
+        # Q19 disjunction: the part side pre-shrinks and BROADCASTS;
+        # the derived qty envelope must reach the lineitem scan
+        # (checked via PushedFilters below); one single-row final agg
+        ["BroadcastHashJoin", "GreaterThanOrEqual(l_quantity,1.0)"],
+        ["SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"],
+        1,
+    ),
+    "q71_idle_rich_customers": (
+        # Q22: date filter pushes to the anti side's orders scan; the
+        # 1-row avg-balance frame rides a BNLJ broadcast (allowed)
+        ["BroadcastHashJoin", "GreaterThanOrEqual(o_orderdate,"],
+        ["SortMergeJoin", "CartesianProduct"],
+        3,
+    ),
+    "q72_top_quarter_supplier": (
+        # Q15 max-over-view: quarter filter pushes to BOTH uses of the
+        # rollup; the 1-row max and the supplier dim broadcast
+        ["BroadcastHashJoin", "GreaterThanOrEqual(l_shipdate,"],
+        ["SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"],
+        4,
+    ),
+    "q73_large_quantity_orders": (
+        # Q18: HAVING-filtered order-grain aggregate broadcasts back
+        # onto orders; top-10 compiles to TakeOrderedAndProject
+        ["BroadcastHashJoin", "TakeOrderedAndProject"],
+        ["SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"],
+        2,
+    ),
+    "q74_dominant_suppliers": (
+        # Q20 nested semi: PROMO part-keys semi-filter the fact; both
+        # share-test sides are aggregate frames; never a nested loop
+        ["TakeOrderedAndProject"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        5,
+    ),
+    "q75_nation_trade_volume": (
+        # Q7 join ordering: nation-filtered customer/supplier maps
+        # broadcast; only lineitem⋈orders shuffles; nation IN-list
+        # pushes to both dim scans
+        ["BroadcastHashJoin", "In(n_name"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        2,
+    ),
 }
 
 
