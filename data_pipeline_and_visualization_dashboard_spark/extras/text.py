@@ -1461,6 +1461,116 @@ def dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )  # no terminal sort: O(n) output, order-insensitive compare
 
 
+def dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMAL duplicated substring spans — the span-level half of
+    exact-substring dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better": cut the repeated BYTES, not
+    the whole document). Where dup_ngrams reports each doc's
+    duplicated-gram FRACTION, this returns the actual cut list: for
+    every doc, the maximal token ranges in which EVERY word
+    DUP_NGRAM_N-gram also appears in another document, i.e. the
+    spans a span-level deduper would remove.
+
+    The paper builds a corpus-wide suffix array — a single-machine
+    construction. The Spark-first equivalent keeps the same output
+    contract with three bounded shuffles and no joins:
+      1. position-indexed grams: (doc_id, i, md5(gram)) — hashed
+         BEFORE the shuffle so keys move, strings don't;
+      2. cross-doc duplication per gram via min/max doc_id over a
+         gram-partitioned window (a gram is shared iff min != max —
+         no count, so hot boilerplate grams cost a min/max fold, and
+         within-doc-only repeats are correctly NOT cross-doc dups;
+         text_repetition owns those);
+      3. maximal-run merge per doc: consecutive duplicated positions
+         collapse by the islands trick (i - row_number over the
+         doc-partitioned position order is constant within a run) —
+         window bounded by doc length, never corpus-global.
+    A run i..j of duplicated gram STARTS covers tokens [i, j+N-1]:
+    adjacent/overlapping gram windows merge into one span exactly as
+    the suffix-array formulation yields.
+
+    Docs shorter than DUP_NGRAM_N tokens are whole-doc-hash territory
+    (dedup_exact_docs) and are excluded on both engines. Output:
+    per-doc span accounting (n_spans, dup_tokens, longest_span) for
+    docs that have at least one duplicated span."""
+    from pyspark.sql import Window
+
+    n = DUP_NGRAM_N
+    docs = (
+        read_table(spark, sf_dir, "documents", ["doc_id", "text"])
+        .filter(F.col("text").isNotNull())
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+    toks = docs.selectExpr(
+        "doc_id", "split(lower(trim(text)), '\\\\s+') AS tokens"
+    ).filter(F.size("tokens") >= n)
+    grams = toks.selectExpr(
+        "doc_id",
+        f"""transform(sequence(1, size(tokens) - {n - 1}),
+                      i -> named_struct(
+                          'i', i,
+                          'gh', md5(array_join(slice(tokens, i, {n}), ' '))
+                      )) AS gs""",
+    )
+    pos = grams.select(
+        "doc_id", F.explode_outer("gs").alias("g")
+    ).select("doc_id", F.col("g.i").alias("i"), F.col("g.gh").alias("gh"))
+    wg = Window.partitionBy("gh")
+    dups = pos.withColumn(
+        "dup", F.min("doc_id").over(wg) != F.max("doc_id").over(wg)
+    ).filter(F.col("dup"))
+    wi = Window.partitionBy("doc_id").orderBy("i")
+    spans = (
+        dups.withColumn("grp", F.col("i") - F.row_number().over(wi))
+        .groupBy("doc_id", "grp")
+        .agg(F.min("i").alias("s"), F.max("i").alias("e"))
+    )
+    span_len = F.col("e") - F.col("s") + n
+    return spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(span_len).alias("dup_tokens"),
+        F.max(span_len).alias("longest_span"),
+    )  # no terminal sort: O(n) output, order-insensitive compare
+
+
+def _duck_dup_spans_sql() -> str:
+    n = DUP_NGRAM_N
+    return f"""
+        WITH toked AS (
+            SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\\s+') AS tokens
+            FROM documents WHERE text IS NOT NULL
+        ), longd AS (
+            SELECT * FROM toked WHERE len(tokens) >= {n}
+        ), pos AS (
+            SELECT doc_id, i,
+                   md5(array_to_string(
+                       list_slice(tokens, i, i + {n - 1}), ' ')) AS gh
+            FROM longd,
+                 unnest(generate_series(1, len(tokens) - {n - 1}))
+                     AS t(i)
+        ), flagged AS (
+            SELECT doc_id, i,
+                   min(doc_id) OVER (PARTITION BY gh)
+                       != max(doc_id) OVER (PARTITION BY gh) AS dup
+            FROM pos
+        ), runs AS (
+            SELECT doc_id, i,
+                   i - row_number() OVER (PARTITION BY doc_id ORDER BY i)
+                       AS grp
+            FROM flagged WHERE dup
+        ), spans AS (
+            SELECT doc_id, grp, min(i) AS s, max(i) AS e
+            FROM runs GROUP BY doc_id, grp
+        )
+        SELECT doc_id,
+               count(*) AS n_spans,
+               CAST(sum(e - s + {n}) AS BIGINT) AS dup_tokens,
+               CAST(max(e - s + {n}) AS BIGINT) AS longest_span
+        FROM spans GROUP BY doc_id ORDER BY doc_id
+    """
+
+
 _DUCK_DUP_NGRAMS_SQL = f"""
     WITH toked AS (
         SELECT doc_id,
@@ -1493,6 +1603,7 @@ _DUCK_DUP_NGRAMS_SQL = f"""
 
 ORACLE_SQL: dict[str, str] = {
     "text_dup_ngrams": _DUCK_DUP_NGRAMS_SQL,
+    "text_dup_spans": _duck_dup_spans_sql(),
     "text_quality_score": _duck_quality_score_sql(),
     "text_dsir_weights": _duck_dsir_sql(),
     "text_gopher_rules": _duck_gopher_sql(),
@@ -1631,6 +1742,7 @@ QUERIES = {
     "text_mix_sample": mix_sample,
     "text_line_dedup": line_dedup,
     "text_dup_ngrams": dup_ngrams,
+    "text_dup_spans": dup_spans,
     "text_quality_score": quality_score,
     "text_dsir_weights": dsir_weights,
     "text_gopher_rules": gopher_rules,

@@ -1013,6 +1013,43 @@ def test_dup_ngrams_on_planted_corpus(spark, tmp_path):
     assert all(r.n_dup_ngrams <= r.n_ngrams for r in out.values())
 
 
+def test_dup_spans_merges_maximal_runs(spark, tmp_path):
+    """Span-level exact-substring semantics on planted data: adjacent
+    duplicated gram windows merge into ONE maximal span covering
+    [first_start, last_start + n - 1]; two shared blocks separated by
+    unique text yield TWO spans; a within-doc-only repeat is NOT a
+    cross-doc dup; span-free and sub-n docs don't appear."""
+    from data_pipeline_and_visualization_dashboard_spark.extras.text import (
+        DUP_NGRAM_N as n,
+        dup_spans,
+    )
+
+    block_a = " ".join(f"a{i}" for i in range(n + 3))  # 8 tokens
+    block_b = " ".join(f"b{i}" for i in range(n))      # 5 tokens
+    mid = " ".join(f"m{i}" for i in range(6))
+    twice = " ".join(f"r{i}" for i in range(n))
+    rows = [
+        # doc 1: A ... B -> two maximal spans (8 tokens, 5 tokens)
+        (1, f"{block_a} {mid} {block_b}"),
+        (2, f"{block_a} completely different tail words here"),
+        (3, f"unrelated head words go here {block_b}"),
+        # doc 4: repeats its own block twice, shared with NOBODY
+        (4, f"{twice} xx yy zz {twice}"),
+        (5, "tiny"),
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(d + "/documents.parquet")
+    out = {r.doc_id: r for r in dup_spans(spark, d).collect()}
+    assert set(out) == {1, 2, 3}  # 4: within-doc only; 5: sub-n
+    assert out[1].n_spans == 2
+    assert out[1].dup_tokens == (n + 3) + n
+    assert out[1].longest_span == n + 3
+    assert out[2].n_spans == 1 and out[2].dup_tokens == n + 3
+    assert out[3].n_spans == 1 and out[3].dup_tokens == n
+
+
 def test_quality_score_matches_hand_computed_weights(spark, tmp_path):
     """The hashing-trick scorer on a planted doc must equal the weight
     sum computed independently in Python from the same md5 formula —

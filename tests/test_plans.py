@@ -45,6 +45,14 @@ CASES = {
         ["SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"],
         3,  # repartition(doc_id) + gram window + doc agg
     ),
+    "text_dup_spans": (
+        # grams hash BEFORE the gram shuffle; islands merge in a
+        # doc-partitioned window; the (doc,grp)->doc agg chain reuses
+        # the doc partitioning — no joins anywhere
+        ["Window", "HashAggregate"],
+        ["SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"],
+        3,  # repartition(doc_id) + gram window + doc window
+    ),
     "text_dsir_weights": (
         # the DSIR_DIM-row profile must come BACK as broadcasts — the
         # corpus-sized stream is never shuffled for the scoring join
