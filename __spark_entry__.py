@@ -55,10 +55,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries below — computed as queries() minus the union of
 # CORRECTNESS_r01/r02/r03 keys, which corrects the round-3 comment's
 # media_features error (it never had a row; VERDICT r3 "What's wrong"
-# #2) — enumerate first, followed by this round's 5 new entries, the
-# 6 reference-core flagships for a fresh re-green, and 14 headline
-# re-greens (including sketch_kmv_overlap and q61, whose plans changed
-# this round).  Exactly 50.
+# #2) — enumerate first, followed by this round's 12 new entries
+# (sweep-line, approx profile, recall guards, the six remaining TPC-H
+# shapes, span dedup), the 6 reference-core flagships for a fresh
+# re-green, and 7 headline re-greens (including sketch_kmv_overlap and
+# q61, whose plans changed this round).  Exactly 50: with it the
+# driver will have checked all 162 registry entries at least once.
 _CHECK_FIRST = [
     # --- the 25 never-driver-checked entries (VERDICT r3 next #1) ---
     # TPC-H hard-optimizer shapes + drift/sampling
@@ -106,16 +108,19 @@ _CHECK_FIRST = [
     "q4_unit_price_by_weekday",
     "q5_trade_routes",
     "q14_clean_accounting",
+    # --- new in round 4, second wave: the remaining classic TPC-H
+    # optimizer shapes (Q19/Q22/Q15/Q18/Q20/Q7 analogues) and the
+    # exact-substring span-dedup cut list — never driver-checked ---
+    "q70_promo_discount_revenue",
+    "q71_idle_rich_customers",
+    "q72_top_quarter_supplier",
+    "q73_large_quantity_orders",
+    "q74_dominant_suppliers",
+    "q75_nation_trade_volume",
+    "text_dup_spans",
     # --- headline re-greens to fill the window (changed or hot paths) ---
     "sketch_kmv_overlap",  # estimator now true two-sketch (ADVICE r3)
     "q61_profile_events",  # approx-flag refactor touched its module
-    "q6_pricing_summary",
-    "q7_filtered_metrics",
-    "q13_windowed_counts",
-    "q16_sessionization",
-    "q20_shipping_priority",
-    "q27_asof_join",
-    "q51_nation_pagerank",
     "q53_incremental_rollup",
     "dedup_exact_groups",
     "dedup_minhash_pairs",
