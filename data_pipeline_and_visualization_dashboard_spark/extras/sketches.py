@@ -698,6 +698,238 @@ def _duck_kmv_overlap_sql() -> str:
     """
 
 
+# ----------------------------------------------------------------------
+# Bloom filter (runtime join-filter pattern)
+# ----------------------------------------------------------------------
+
+# The fourth classic sketch, and the one modern engines inject into
+# JOINS: build an M-bit / K-hash Bloom filter over the small side's
+# join keys, broadcast it, and pre-filter the big side's scan so only
+# probable matches pay the shuffle (Spark's own
+# spark.sql.optimizer.runtime.bloomFilter.* does exactly this; the
+# engine-owned version here makes the mechanics testable and the
+# false-positive accounting explicit). Scenario: customers in one
+# market segment (the selective dim predicate) filter the orders fact
+# — the canonical "filter the fact by a dim predicate WITHOUT joining
+# the whole fact" case.
+#
+# Scale shape: the filter is a constant-size bit set (<= BLOOM_M rows
+# as (bit) rows, mergeable by UNION/DISTINCT across partitions or
+# streaming batches — OR-decomposable like every Bloom filter). The
+# build side aggregates to key grain first; the probe side computes
+# its K positions row-locally and semi-joins the broadcast bit set.
+
+BLOOM_K = 4      # hash functions
+BLOOM_BPK = 10   # bits per build key: fp ~ (1 - e^(-K/BPK))^K ~ 1.2%
+BLOOM_MIN_M = 64
+BLOOM_SEGMENT = "BUILDING"  # the selective dim predicate
+
+
+def _bloom_positions(key_expr: str, base_fn) -> list[str]:
+    """K bit positions; `mb` (the filter width) is a COLUMN joined in
+    from the 1-row sizing frame, not a literal — a fixed M saturates
+    as the build set grows (measured: 4096 bits at sf0.1 -> 80% fp);
+    m = BPK * n is the standard dimensioning and holds the fp rate
+    flat at every scale."""
+    base = base_fn(key_expr)
+    return [
+        f"CAST({minhash_term(j, base)} % mb AS INT)"
+        for j in range(BLOOM_K)
+    ]
+
+
+def _bloom_width(members: DataFrame) -> DataFrame:
+    return members.agg(
+        F.greatest(
+            F.lit(BLOOM_MIN_M),
+            F.count(F.lit(1)) * BLOOM_BPK,
+        ).alias("mb")
+    )
+
+
+def bloom_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build side: the distinct set bit positions of the Bloom filter
+    over BLOOM_SEGMENT customers' keys, with the width sized from the
+    build cardinality (BLOOM_BPK bits/key — constant ~1.2% fp at any
+    scale). Key-distinct first (dim-sized shuffle), the 1-row width
+    broadcasts on, K row-local hash positions, then a bounded
+    distinct — the output is <= m rows (m/key-count fixed) and merges
+    with any other filter of the same width by UNION DISTINCT."""
+    cust = read_table(
+        spark, sf_dir, "customer", ["c_custkey", "c_mktsegment"]
+    )
+    members = (
+        cust.filter(F.col("c_mktsegment") == BLOOM_SEGMENT)
+        .select("c_custkey")
+        .distinct()
+    )
+    pos = _bloom_positions("CAST(c_custkey AS STRING)", _spark_base_expr)
+    stack_args = ", ".join(pos)
+    return (
+        members.join(F.broadcast(_bloom_width(members)))
+        .selectExpr(f"stack({BLOOM_K}, {stack_args}) AS bit")
+        .distinct()
+    )  # no terminal sort: <= m rows, order-insensitive compare
+
+
+def _spark_base_expr(expr: str) -> str:
+    return _spark_base(expr)
+
+
+def _duck_base_expr(expr: str) -> str:
+    return _duck_base(expr)
+
+
+def bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe side + accounting: every distinct orders custkey probes
+    the broadcast bit set; a key PASSES iff all BLOOM_K of its bits
+    are set (count of matched bits == K). One result row compares the
+    Bloom verdict against exact membership: pass count, true-member
+    count, false positives, the false-positive rate among
+    non-members, and the fraction of probe keys the filter would
+    prune from the shuffle. No false NEGATIVES is the Bloom
+    guarantee — pinned by n_missed = 0 in the output (and asserted in
+    tests/test_extras.py)."""
+    orders = read_table(spark, sf_dir, "orders", ["o_custkey"])
+    probe = orders.select("o_custkey").distinct()
+    cust_w = read_table(
+        spark, sf_dir, "customer", ["c_custkey", "c_mktsegment"]
+    )
+    width = _bloom_width(
+        cust_w.filter(F.col("c_mktsegment") == BLOOM_SEGMENT)
+        .select("c_custkey")
+        .distinct()
+    )
+    pos = _bloom_positions("CAST(o_custkey AS STRING)", _spark_base_expr)
+    stack_args = ", ".join(pos)
+    stacked = probe.join(F.broadcast(width)).selectExpr(
+        "o_custkey", f"stack({BLOOM_K}, {stack_args}) AS bit"
+    )
+    bits = bloom_bits(spark, sf_dir)
+    hits = (
+        stacked.join(F.broadcast(bits), "bit")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .filter(F.col("n_hit") == BLOOM_K)
+        .select("o_custkey")
+    )
+    cust = read_table(
+        spark, sf_dir, "customer", ["c_custkey", "c_mktsegment"]
+    )
+    members = (
+        cust.filter(F.col("c_mktsegment") == BLOOM_SEGMENT)
+        .select(F.col("c_custkey").alias("o_custkey"))
+        .distinct()
+    )
+    flagged = (
+        probe.join(
+            hits.withColumn("bloom_pass", F.lit(1)), "o_custkey", "left"
+        )
+        .join(
+            members.withColumn("is_member", F.lit(1)), "o_custkey", "left"
+        )
+        .select(
+            F.coalesce("bloom_pass", F.lit(0)).alias("p"),
+            F.coalesce("is_member", F.lit(0)).alias("m"),
+        )
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_probe"),
+        F.sum("m").alias("n_members"),
+        F.sum("p").alias("n_pass"),
+        F.sum(F.when((F.col("p") == 1) & (F.col("m") == 0), 1).otherwise(0))
+        .alias("n_false_pos"),
+        F.sum(F.when((F.col("p") == 0) & (F.col("m") == 1), 1).otherwise(0))
+        .alias("n_missed"),
+        F.round(
+            F.sum(
+                F.when((F.col("p") == 1) & (F.col("m") == 0), 1).otherwise(0)
+            ).cast("double")
+            / F.greatest(
+                F.sum(F.when(F.col("m") == 0, 1).otherwise(0)), F.lit(1)
+            ),
+            6,
+        ).alias("fp_rate"),
+        F.round(
+            1.0
+            - F.sum("p").cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("pruned_frac"),
+    )
+
+
+_DUCK_BLOOM_WIDTH = f"""
+            SELECT greatest({BLOOM_MIN_M},
+                            count(*) * {BLOOM_BPK}) AS mb
+            FROM (SELECT DISTINCT c_custkey FROM customer
+                  WHERE c_mktsegment = '{BLOOM_SEGMENT}')
+"""
+
+
+def _duck_bloom_bits_sql() -> str:
+    pos = _bloom_positions("CAST(c_custkey AS VARCHAR)", _duck_base_expr)
+    arms = " UNION ".join(
+        f"SELECT {p} AS bit FROM members CROSS JOIN width" for p in pos
+    )
+    return f"""
+        WITH members AS (
+            SELECT DISTINCT c_custkey FROM customer
+            WHERE c_mktsegment = '{BLOOM_SEGMENT}'
+        ), width AS ({_DUCK_BLOOM_WIDTH})
+        SELECT DISTINCT bit FROM ({arms}) ORDER BY bit
+    """
+
+
+def _duck_bloom_prefilter_sql() -> str:
+    bpos = _bloom_positions("CAST(c_custkey AS VARCHAR)", _duck_base_expr)
+    ppos = _bloom_positions("CAST(o_custkey AS VARCHAR)", _duck_base_expr)
+    barms = " UNION ".join(
+        f"SELECT {p} AS bit FROM members CROSS JOIN width" for p in bpos
+    )
+    parms = " UNION ALL ".join(
+        f"SELECT o_custkey, {p} AS bit FROM probe CROSS JOIN width"
+        for p in ppos
+    )
+    return f"""
+        WITH members AS (
+            SELECT DISTINCT c_custkey FROM customer
+            WHERE c_mktsegment = '{BLOOM_SEGMENT}'
+        ), width AS ({_DUCK_BLOOM_WIDTH}
+        ), bits AS (
+            SELECT DISTINCT bit FROM ({barms})
+        ), probe AS (
+            SELECT DISTINCT o_custkey FROM orders
+        ), stacked AS (
+            {parms}
+        ), hits AS (
+            SELECT o_custkey FROM stacked JOIN bits USING (bit)
+            GROUP BY o_custkey HAVING count(*) = {BLOOM_K}
+        ), flagged AS (
+            SELECT CASE WHEN h.o_custkey IS NOT NULL THEN 1 ELSE 0 END
+                       AS p,
+                   CASE WHEN m.c_custkey IS NOT NULL THEN 1 ELSE 0 END
+                       AS m
+            FROM probe
+            LEFT JOIN hits h USING (o_custkey)
+            LEFT JOIN members m ON probe.o_custkey = m.c_custkey
+        )
+        SELECT count(*) AS n_probe,
+               CAST(sum(m) AS BIGINT) AS n_members,
+               CAST(sum(p) AS BIGINT) AS n_pass,
+               CAST(sum(CASE WHEN p = 1 AND m = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_false_pos,
+               CAST(sum(CASE WHEN p = 0 AND m = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_missed,
+               round(CAST(sum(CASE WHEN p = 1 AND m = 0 THEN 1 ELSE 0 END)
+                          AS DOUBLE)
+                     / greatest(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END), 1),
+                     6) AS fp_rate,
+               round(1.0 - CAST(sum(p) AS DOUBLE) / count(*), 6)
+                   AS pruned_frac
+        FROM flagged
+    """
+
+
 ORACLE_SQL: dict[str, str] = {
     "sketch_countmin": _duck_countmin_sql(),
     "sketch_countmin_topk_est": _duck_countmin_est_sql(),
@@ -706,6 +938,8 @@ ORACLE_SQL: dict[str, str] = {
     "sketch_kmv_estimate": _duck_kmv_estimate_sql(),
     "sketch_kmv_overlap": _duck_kmv_overlap_sql(),
     "sketch_hist_quantiles": _duck_hist_quantiles_sql(),
+    "sketch_bloom_bits": _duck_bloom_bits_sql(),
+    "sketch_bloom_prefilter": _duck_bloom_prefilter_sql(),
 }
 
 QUERIES = {
@@ -716,4 +950,6 @@ QUERIES = {
     "sketch_kmv_estimate": kmv_estimate,
     "sketch_kmv_overlap": kmv_overlap,
     "sketch_hist_quantiles": hist_quantiles,
+    "sketch_bloom_bits": bloom_bits,
+    "sketch_bloom_prefilter": bloom_prefilter,
 }

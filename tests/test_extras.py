@@ -508,6 +508,38 @@ def test_kmv_properties(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_bloom_properties(spark):
+    """Bloom semantics on real data: ZERO false negatives (the
+    structural guarantee — every member passes), the measured fp rate
+    stays within 3x the theoretical (1 - e^(-K/BPK))^K for the
+    adaptive bits-per-key sizing, and the probe side joins the bit
+    set as a BROADCAST (the whole point: the big side never shuffles
+    to be pre-filtered)."""
+    import math
+
+    from data_pipeline_and_visualization_dashboard_spark.extras.sketches import (
+        BLOOM_BPK, BLOOM_K, bloom_bits, bloom_prefilter,
+    )
+
+    r = bloom_prefilter(spark, SF_CORRECT).first()
+    assert r.n_missed == 0
+    assert r.n_pass >= r.n_members
+    theo = (1 - math.exp(-BLOOM_K / BLOOM_BPK)) ** BLOOM_K
+    assert r.fp_rate <= 3 * theo
+    # the filter itself is bounded by its width policy
+    n_bits = bloom_bits(spark, SF_CORRECT).count()
+    assert n_bits <= max(64, r.n_members * BLOOM_BPK)
+
+    plan = (
+        bloom_prefilter(spark, SF_CORRECT)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_profile_approx_error_bounds(spark):
     """q61's approx=True mode must agree with the exact profile on
     everything that is NOT estimated (null counts, numeric min/max —
