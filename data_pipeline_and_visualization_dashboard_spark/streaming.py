@@ -718,6 +718,65 @@ def run_hll_stream_to_completion(spark: SparkSession, in_dir: str,
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
+BLOOM_STREAM_M = 1 << 16  # provisioned width — a stream filter cannot
+# resize without a rebuild, so unlike the batch bloom_bits (width
+# adapts to the build cardinality) the streaming filter provisions for
+# the EXPECTED key cardinality up front; the n_inserts column is the
+# load monitor (distinct bits / M approaching 1 - e^(-K*n/M) says when
+# to rebuild wider)
+
+
+def bloom_bit_stream(events: DataFrame) -> DataFrame:
+    """Streaming Bloom membership filter: the set-bit positions of
+    every purchasing user, maintained live — the continuously-built
+    twin of extras.sketches.bloom_bits, serving "has this key EVER
+    been seen" prefilters (fraud allow-lists, first-touch detection,
+    runtime join filters against an unbounded stream). The insert
+    operation is set-bit (OR), IDEMPOTENT like the HLL max: a key
+    arriving a thousand times across micro-batches sets exactly the
+    bits one arrival sets, so no dedup state and no watermark — total
+    state is <= BLOOM_STREAM_M bit rows regardless of stream length.
+    Same plan fragment batch and stream (the parity oracle in
+    tests/test_streaming.py applies THIS function to a batch read)."""
+    from .extras.hashing import minhash_term
+    from .extras.sketches import BLOOM_K, _spark_base
+
+    base = _spark_base("CAST(user_id AS STRING)")
+    pos = [
+        f"CAST({minhash_term(j, base)} % {BLOOM_STREAM_M} AS INT)"
+        for j in range(BLOOM_K)
+    ]
+    stacked = events.filter(
+        F.col("event_type") == "purchase"
+    ).selectExpr(f"stack({BLOOM_K}, {', '.join(pos)}) AS bit")
+    return stacked.groupBy("bit").agg(
+        F.count(F.lit(1)).alias("n_inserts")
+    )
+
+
+def run_bloom_stream_to_completion(spark: SparkSession, in_dir: str,
+                                   query_name: str = "bloom_out",
+                                   ) -> DataFrame:
+    raw = (
+        spark.readStream.schema(_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(in_dir)
+    )
+    q = (
+        bloom_bit_stream(raw)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
 def stream_to_parquet(spark: SparkSession, sf_dir: str, out_dir: str,
                       checkpoint_dir: str):
     """Production-shaped sink: foreachBatch + idempotent epoch overwrite

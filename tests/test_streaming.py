@@ -394,6 +394,54 @@ def test_streaming_hll_registers_match_batch(spark):
     )
     assert got == want and len(got) > 0
 
+def test_streaming_bloom_bits_match_batch(spark):
+    """The streaming Bloom filter's complete-mode bit set must equal
+    the same plan fragment applied to a batch read (set-bit is
+    idempotent — duplicate key arrivals across micro-batches cannot
+    set new bits), and it must have NO false negatives: every
+    purchasing user's K bit positions are all present."""
+    from data_pipeline_and_visualization_dashboard_spark import streaming
+    from data_pipeline_and_visualization_dashboard_spark.extras.hashing import (
+        minhash_term,
+    )
+    from data_pipeline_and_visualization_dashboard_spark.extras.sketches import (
+        BLOOM_K,
+        _spark_base,
+    )
+
+    got = sorted(
+        (r.bit, r.n_inserts)
+        for r in streaming.run_bloom_stream_to_completion(
+            spark, SF_SMOKE
+        ).collect()
+    )
+    batch = spark.read.parquet(SF_SMOKE + "/events.parquet").select(
+        "user_id", "event_type"
+    )
+    want = sorted(
+        (r.bit, r.n_inserts)
+        for r in streaming.bloom_bit_stream(batch).collect()
+    )
+    assert got == want and len(got) > 0
+
+    bits = {b for b, _ in got}
+    base = _spark_base("CAST(user_id AS STRING)")
+    pos = [
+        f"CAST({minhash_term(j, base)} % {streaming.BLOOM_STREAM_M} "
+        "AS INT)"
+        for j in range(BLOOM_K)
+    ]
+    members = (
+        batch.filter("event_type = 'purchase'")
+        .selectExpr("user_id", *[f"{p} AS b_{j}"
+                                 for j, p in enumerate(pos)])
+        .collect()
+    )
+    assert len(members) > 0
+    for r in members:
+        assert all(r[f"b_{j}"] in bits for j in range(BLOOM_K))
+
+
 def test_rollup_epoch_replay_is_noop(spark, tmp_path):
     """The _LAST_EPOCH fence: replaying already-merged epochs must not
     double-count. Drain the stream, then restart over the SAME input
