@@ -55,13 +55,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries below — computed as queries() minus the union of
 # CORRECTNESS_r01/r02/r03 keys, which corrects the round-3 comment's
 # media_features error (it never had a row; VERDICT r3 "What's wrong"
-# #2) — enumerate first, followed by this round's 14 new entries
+# #2) — enumerate first, followed by this round's 16 new entries
 # (sweep-line, approx profile, recall guards, the six remaining TPC-H
-# shapes, span dedup, the adaptive Bloom family), the 6 reference-core
-# flagships for a fresh re-green, and 5 headline re-greens (including
-# sketch_kmv_overlap and q61, whose plans changed this round).
-# Exactly 50: with it the driver will have checked all 164 registry
-# entries at least once.
+# shapes, span dedup, the adaptive Bloom family, BM25, snapshot diff),
+# the 6 reference-core flagships for a fresh re-green, and 3 headline
+# re-greens (including sketch_kmv_overlap and q61, whose plans changed
+# this round).  Exactly 50: with it the driver will have checked all
+# 166 registry entries at least once.
 _CHECK_FIRST = [
     # --- the 25 never-driver-checked entries (VERDICT r3 next #1) ---
     # TPC-H hard-optimizer shapes + drift/sampling
@@ -121,12 +121,12 @@ _CHECK_FIRST = [
     "text_dup_spans",
     "sketch_bloom_bits",  # adaptive-width Bloom build
     "sketch_bloom_prefilter",  # runtime join-filter accounting
+    "text_search_bm25",  # Okapi BM25 ranked retrieval
+    "dedup_snapshot_diff",  # content-hash corpus version diff
     # --- headline re-greens to fill the window (changed or hot paths) ---
     "sketch_kmv_overlap",  # estimator now true two-sketch (ADVICE r3)
     "q61_profile_events",  # approx-flag refactor touched its module
-    "dedup_minhash_pairs",
     "corpus_funnel",
-    "text_tfidf_topk",
 ]
 
 

@@ -64,6 +64,12 @@ HEADLINE = [
     "q62_skew_stats",  # heavy-hitter shuffle-key diagnostics
     "q66_late_supplier_blame",  # EXISTS/NOT-EXISTS double self-join
     "q69_concurrent_sessions",  # sweep-line interval concurrency
+    "q70_promo_discount_revenue",  # Q19 disjunctive CNF pushdown
+    "q71_idle_rich_customers",  # Q22 anti-join + scalar subquery
+    "q72_top_quarter_supplier",  # Q15 max-over-view (ties kept)
+    "q73_large_quantity_orders",  # Q18 HAVING-agg joined back
+    "q74_dominant_suppliers",  # Q20 nested semi over agg frames
+    "q75_nation_trade_volume",  # Q7 two-sided nation pair, dims first
     "sim_recall_eval",  # LSH recall@k vs exact (eval as an operator)
     "sim_ivf_recall_guard",  # pretrained-IVF recall floor, in-plan assert
     "sim_ivfpq_recall_guard",  # pretrained-IVF-PQ floor, in-plan assert
@@ -78,6 +84,7 @@ HEADLINE = [
     "corpus_funnel",  # end-to-end: quality gate -> exact -> near-dup
     "corpus_funnel_xxhash",  # same funnel on the production hash family
     "dedup_simhash_pairs",
+    "dedup_snapshot_diff",  # content-hash corpus version diff
     "dedup_contamination_multi",  # N-benchmark screen, one corpus pass
     "text_stats",
     "text_fingerprint",
@@ -105,6 +112,7 @@ HEADLINE = [
     "sketch_hll_estimate",  # deterministic cardinality sketch
     "sketch_kmv_overlap",  # bottom-k cross-corpus overlap estimate
     "sketch_hist_quantiles",  # mergeable fixed-bin quantile sketch
+    "sketch_bloom_prefilter",  # adaptive Bloom runtime join filter
     "q63_drift_kl",  # per-day distribution drift vs corpus
     "q64_weighted_sample",  # A-ES weighted top-k sample (row-local keys)
     # bpe training is a one-time artifact: its cost is the bpe_merges
@@ -117,6 +125,7 @@ HEADLINE = [
     "text_index_postings",  # inverted-index build (posting lists)
     "text_search_phrase",  # positional phrase walk over postings
     "text_search_ranked",  # tf-idf scored retrieval, top-k
+    "text_search_bm25",  # Okapi BM25 (saturation + length norm)
     "text_index_merge",  # incremental postings merge == rebuild
     "text_vocab_encode",  # vocab build + id encode (embedding prep)
     "text_scrub_pii",  # regex redaction + per-rule accounting (codegen)
@@ -124,6 +133,7 @@ HEADLINE = [
     "dedup_semantic",  # cluster -> within-cluster cosine dedup
     "text_line_dedup",  # C4-style corpus-wide repeated-span removal
     "text_dup_ngrams",  # per-doc repeated-span (5-gram) accounting
+    "text_dup_spans",  # maximal duplicated-span cut list (Lee et al.)
     "text_quality_score",  # hashing-trick linear classifier (codegen)
     "text_gopher_rules",  # full Gopher heuristic battery (codegen)
     "text_dsir_weights",  # DSIR importance weights (profile broadcast)

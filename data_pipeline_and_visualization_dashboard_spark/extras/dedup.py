@@ -2139,6 +2139,91 @@ _DUCK_HASH_STAGE_SQL = f"""
 """
 
 
+def dedup_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff by content hash — the data-ops question
+    between two crawl/corpus versions ("what actually changed since
+    the last build?") answered WITHOUT shipping text anywhere: each
+    side reduces to (doc_id, md5(text), length) rows, a doc_id-keyed
+    full-outer join classifies every doc as added / removed / changed
+    (same id, different hash) / unchanged, and one aggregation rolls
+    the verdicts up with doc and character accounting (chars from the
+    CURRENT version; the previous one for removals). This is the
+    lakehouse snapshot-diff readout (Iceberg/Delta expose the same
+    classification from manifests) built directly on content.
+
+    Snapshot stand-ins, same style as the doc_id%10 ingest-delta
+    convention (dedup_incremental_exact): previous = doc_id%10 != 0,
+    current drops doc_id%13 == 0 (removals) and deterministically
+    revises the text of doc_id%7 == 0 (changes). Scale shape: the
+    join moves two doc-grain frames of 16-byte hashes, never text;
+    cost is O(|A| + |B|) with one key-partitioned shuffle."""
+    docs = read_table(
+        spark, sf_dir, "documents", ["doc_id", "text"]
+    ).filter(F.col("text").isNotNull())
+    prev = docs.filter(F.col("doc_id") % 10 != 0).select(
+        "doc_id",
+        F.md5("text").alias("h_a"),
+        F.length("text").alias("len_a"),
+    )
+    cur_text = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" rev2"))
+    ).otherwise(F.col("text"))
+    cur = (
+        docs.filter(F.col("doc_id") % 13 != 0)
+        .select(
+            "doc_id",
+            F.md5(cur_text).alias("h_b"),
+            F.length(cur_text).alias("len_b"),
+        )
+    )
+    joined = prev.join(cur, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("h_a").isNull(), F.lit("added"))
+        .when(F.col("h_b").isNull(), F.lit("removed"))
+        .when(F.col("h_a") != F.col("h_b"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        joined.select(
+            status.alias("status"),
+            F.coalesce("len_b", "len_a").alias("n_chars"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+        .orderBy("status")
+    )
+
+
+_DUCK_SNAPSHOT_DIFF_SQL = """
+    WITH docs AS (
+        SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+    ), prev AS (
+        SELECT doc_id, md5(text) AS h_a, length(text) AS len_a
+        FROM docs WHERE doc_id % 10 != 0
+    ), cur AS (
+        SELECT doc_id,
+               md5(CASE WHEN doc_id % 7 = 0 THEN text || ' rev2'
+                        ELSE text END) AS h_b,
+               length(CASE WHEN doc_id % 7 = 0 THEN text || ' rev2'
+                           ELSE text END) AS len_b
+        FROM docs WHERE doc_id % 13 != 0
+    ), joined AS (
+        SELECT CASE WHEN h_a IS NULL THEN 'added'
+                    WHEN h_b IS NULL THEN 'removed'
+                    WHEN h_a != h_b THEN 'changed'
+                    ELSE 'unchanged' END AS status,
+               coalesce(len_b, len_a) AS n_chars
+        FROM prev FULL OUTER JOIN cur USING (doc_id)
+    )
+    SELECT status, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars
+    FROM joined GROUP BY status ORDER BY status
+"""
+
+
 QUERIES = {
     "dedup_exact_groups": dedup_exact_groups,
     "dedup_exact_docs": dedup_exact_docs,
@@ -2167,7 +2252,10 @@ QUERIES = {
     "dedup_hash_stage_xxhash": dedup_hash_stage_xxhash,
     "dedup_semantic": dedup_semantic,
     "dedup_semantic_trained": dedup_semantic_trained,
+    "dedup_snapshot_diff": dedup_snapshot_diff,
 }
+
+ORACLE_SQL["dedup_snapshot_diff"] = _DUCK_SNAPSHOT_DIFF_SQL
 
 ORACLE_SQL["dedup_hash_stage_md5"] = _DUCK_HASH_STAGE_SQL
 ORACLE_SQL["dedup_semantic"] = _DUCK_SEMANTIC_SQL

@@ -181,6 +181,96 @@ def search_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-RANKED_K docs by Okapi BM25 over QUERY_RANKED — the
+    saturation-and-length-normalized upgrade of search_ranked's raw
+    TF-IDF (the default first-stage ranker in every production
+    retrieval stack; Robertson & Zaragoza 2009):
+
+        idf = ln((N - df + 0.5) / (df + 0.5) + 1)       [RSJ, +1 floor]
+        w   = idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    Same plan skeleton as search_ranked — tf rows pre-filtered to the
+    query terms before anything joins, df/N price rarity globally —
+    plus the two BM25 ingredients: per-doc length dl (doc-grain
+    aggregate; the scored-rows⋈dl join is left to AQE, which
+    broadcasts the query-terms side) and the 1-row (N, avgdl) stats
+    broadcast. Scores rounded 6dp before the top-k order (doc_id
+    tiebreak) so ranks agree across engines."""
+    toks = _positions(spark, sf_dir).select("doc_id", "term")
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    norm = F.col("tf") * (BM25_K1 + 1) / (
+        F.col("tf")
+        + BM25_K1
+        * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.filter(F.col("term").isin(*QUERY_RANKED))
+        .join(df_, "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .withColumn("w", F.round(idf * norm, 6))
+    )
+    ranked = scored.groupBy("doc_id").agg(
+        F.round(F.sum("w"), 6).alias("score"),
+        F.count(F.lit(1)).alias("n_terms"),
+    )
+    return ranked.orderBy(F.desc("score"), F.asc("doc_id")).limit(
+        RANKED_K
+    )
+
+
+def _duck_search_bm25_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in QUERY_RANKED)
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_DUCK_TOKENS}) AS term
+            FROM documents WHERE text IS NOT NULL
+        ), tf AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM toks GROUP BY doc_id, term
+        ), df AS (
+            SELECT term, count(*) AS df FROM tf GROUP BY term
+        ), dl AS (
+            SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+        ), stats AS (
+            SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+        ), scored AS (
+            SELECT tf.doc_id,
+                   round(
+                       ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                       * tf * ({BM25_K1} + 1)
+                       / (tf + {BM25_K1}
+                          * (1 - {BM25_B} + {BM25_B} * dl / avgdl)),
+                       6) AS w
+            FROM tf
+            JOIN df USING (term)
+            JOIN dl ON tf.doc_id = dl.doc_id
+            CROSS JOIN stats
+            WHERE term IN ({terms})
+        )
+        SELECT doc_id, round(sum(w), 6) AS score,
+               count(*) AS n_terms
+        FROM scored GROUP BY doc_id
+        ORDER BY score DESC, doc_id LIMIT {RANKED_K}
+    """
+
+
 # proximity window for text_search_near (positions within NEAR_K)
 NEAR_TERMS = ("dup", "key")
 NEAR_K = 3
@@ -364,6 +454,7 @@ ORACLE_SQL: dict[str, str] = {
     "text_search_and": _duck_and_sql(),
     "text_search_phrase": _duck_phrase_sql(),
     "text_search_ranked": _duck_ranked_sql(),
+    "text_search_bm25": _duck_search_bm25_sql(),
     "text_search_near": _duck_near_sql(),
     # merged incremental index ≡ from-scratch rebuild: same oracle
     "text_index_merge": _duck_postings_sql(),
@@ -374,6 +465,7 @@ QUERIES = {
     "text_search_and": search_and,
     "text_search_phrase": search_phrase,
     "text_search_ranked": search_ranked,
+    "text_search_bm25": search_bm25,
     "text_search_near": search_near,
     "text_index_merge": index_merge,
 }

@@ -437,6 +437,13 @@ CASES = {
         ["SortMergeJoin", "CartesianProduct"],
         5,
     ),
+    "text_search_bm25": (
+        # BM25 adds the dl join and the 1-row (N, avgdl) stats BNLJ
+        # broadcast to the ranked skeleton; still ends in top-k
+        ["TakeOrderedAndProject", "BroadcastHashJoin"],
+        ["SortMergeJoin", "CartesianProduct"],
+        7,
+    ),
     "text_bpe_apply": (
         # vocab-grain merge replay broadcast onto the exploded fact:
         # vocab distinct + doc-grain agg are the only shuffles
