@@ -70,6 +70,10 @@ HEADLINE = [
     "q73_large_quantity_orders",  # Q18 HAVING-agg joined back
     "q74_dominant_suppliers",  # Q20 nested semi over agg frames
     "q75_nation_trade_volume",  # Q7 two-sided nation pair, dims first
+    "q76_priority_late_orders",  # Q4 EXISTS-per-order lateness
+    "q77_returned_customers",  # Q10 returned-items report
+    "q78_promo_revenue_share",  # Q14 conditional-sum share
+    "q79_supplier_variety",  # Q16 NOT-IN + distinct supplier count
     "sim_recall_eval",  # LSH recall@k vs exact (eval as an operator)
     "sim_ivf_recall_guard",  # pretrained-IVF recall floor, in-plan assert
     "sim_ivfpq_recall_guard",  # pretrained-IVF-PQ floor, in-plan assert

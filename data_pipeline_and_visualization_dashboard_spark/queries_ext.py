@@ -3452,6 +3452,255 @@ def _duck_q75_sql() -> str:
     """
 
 
+Q76_WINDOW = ("1998-01-01", "1998-04-01")
+Q76_LATE_DAYS = 60
+
+
+def q76_priority_late_orders(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape — EXISTS against the fact per order: for one
+    quarter's orders, how many per priority have AT LEAST ONE line
+    shipped more than Q76_LATE_DAYS after ordering (the schema has no
+    commit/receipt dates, so ship-vs-order lateness stands in for
+    Q4's commit<receipt). The EXISTS spells as: the windowed orders'
+    (key, date) pairs meet lineitem once to derive late order keys
+    (DISTINCT — an order with five late lines counts once), then a
+    LEFT-SEMI join keeps qualifying orders. Counts grouped by
+    priority. Both date filters push to the orders scan; the
+    o_orderkey join is the only fact-sized shuffle."""
+    lo, hi = Q76_WINDOW
+    orders = read_table(
+        spark, sf_dir, "orders",
+        ["o_orderkey", "o_orderdate", "o_orderpriority"],
+    ).filter(
+        (F.col("o_orderdate") >= F.lit(lo).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(hi).cast("timestamp"))
+    )
+    li = read_table(
+        spark, sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]
+    )
+    late_keys = (
+        li.join(
+            orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .filter(
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+            > Q76_LATE_DAYS
+        )
+        .select("l_orderkey")
+        .distinct()
+    )
+    return (
+        orders.join(
+            late_keys,
+            F.col("o_orderkey") == F.col("l_orderkey"),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_late_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def _duck_q76_sql() -> str:
+    lo, hi = Q76_WINDOW
+    return f"""
+        SELECT o_orderpriority, count(*) AS n_late_orders
+        FROM orders
+        WHERE o_orderdate >= DATE '{lo}' AND o_orderdate < DATE '{hi}'
+          AND EXISTS (
+              SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate
+                    + INTERVAL {Q76_LATE_DAYS} DAY)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """
+
+
+Q77_WINDOW = ("1998-01-01", "1998-04-01")
+Q77_TOPN = 20
+
+
+def q77_returned_customers(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape — the returned-items report: customers ranked
+    by revenue lost to returns (l_returnflag = 'R') on one quarter's
+    orders, with name and nation. Date filter pushes to orders,
+    returnflag to lineitem; customer and nation broadcast; top-N
+    compiles to TakeOrderedAndProject with custkey tiebreak."""
+    lo, hi = Q77_WINDOW
+    orders = read_table(
+        spark, sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).filter(
+        (F.col("o_orderdate") >= F.lit(lo).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(hi).cast("timestamp"))
+    )
+    li = read_table(
+        spark, sf_dir, "lineitem",
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+    ).filter(F.col("l_returnflag") == "R")
+    cust = read_table(
+        spark, sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"]
+    )
+    nation = read_table(spark, sf_dir, "nation", ["n_nationkey", "n_name"])
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                4,
+            ).alias("lost_revenue")
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "c_name", F.col("n_name").alias("nation"),
+                "lost_revenue")
+        .orderBy(F.desc("lost_revenue"), F.asc("c_custkey"))
+        .limit(Q77_TOPN)
+    )
+
+
+def _duck_q77_sql() -> str:
+    lo, hi = Q77_WINDOW
+    return f"""
+        SELECT c_custkey, c_name, n_name AS nation, lost_revenue
+        FROM (
+            SELECT o_custkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4)
+                       AS lost_revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= DATE '{lo}'
+              AND o_orderdate < DATE '{hi}'
+            GROUP BY o_custkey
+        )
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        ORDER BY lost_revenue DESC, c_custkey LIMIT {Q77_TOPN}
+    """
+
+
+Q78_WINDOW = ("1998-01-01", "1998-02-01")
+
+
+def q78_promo_revenue_share(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape — promotion revenue share: the percentage of
+    one ship-month's revenue coming from PROMO-type parts, computed
+    as a CONDITIONAL SUM over a single join pass (CASE inside sum —
+    never two scans). The month filter pushes to the lineitem scan;
+    the part side is key+type only. One output row, 6dp percentage
+    (aggregate-ratio policy)."""
+    lo, hi = Q78_WINDOW
+    li = read_table(
+        spark, sf_dir, "lineitem",
+        ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).filter(
+        (F.col("l_shipdate") >= F.lit(lo).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(hi).cast("timestamp"))
+    )
+    part = read_table(spark, sf_dir, "part", ["p_partkey", "p_type"])
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0) * F.sum(promo) / F.sum(rev), 6
+            ).alias("promo_pct"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def _duck_q78_sql() -> str:
+    lo, hi = Q78_WINDOW
+    return f"""
+        SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                      THEN l_extendedprice
+                                           * (1 - l_discount)
+                                      ELSE 0.0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 6)
+                   AS promo_pct,
+               count(*) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= DATE '{lo}' AND l_shipdate < DATE '{hi}'
+    """
+
+
+Q79_TOPN = 20
+
+
+def q79_supplier_variety(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape — supplier variety per product segment with a
+    NOT-IN exclusion: distinct suppliers who have shipped each
+    (brand, size-band) of part, excluding suppliers with a NEGATIVE
+    account balance (Q16's complaint list stands in). NOT IN spells
+    as a LEFT-ANTI join of the (part,supp) pairs against the
+    (tiny, broadcast) excluded-supplier frame; variety is a DISTINCT
+    count at (brand, band) grain. The pairs frame aggregates from
+    lineitem FIRST, so the anti join and distinct move pair-grain
+    rows, never lines."""
+    li = read_table(
+        spark, sf_dir, "lineitem", ["l_partkey", "l_suppkey"]
+    )
+    part = read_table(
+        spark, sf_dir, "part", ["p_partkey", "p_brand", "p_size"]
+    )
+    supp = read_table(
+        spark, sf_dir, "supplier", ["s_suppkey", "s_acctbal"]
+    )
+    bad = supp.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    kept = pairs.join(
+        F.broadcast(bad),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+        "left_anti",
+    )
+    return (
+        kept.join(
+            part, F.col("l_partkey") == F.col("p_partkey")
+        )
+        .groupBy(
+            "p_brand",
+            # floor, not a bare double->int cast: Spark's cast
+            # truncates but DuckDB's ROUNDS — floor agrees on both
+            F.floor((F.col("p_size") - 1) / 10).cast("int").alias(
+                "size_band"
+            ),
+        )
+        .agg(F.countDistinct("l_suppkey").alias("n_suppliers"))
+        .orderBy(
+            F.desc("n_suppliers"), F.asc("p_brand"), F.asc("size_band")
+        )
+        .limit(Q79_TOPN)
+    )
+
+
+def _duck_q79_sql() -> str:
+    return f"""
+        WITH pairs AS (
+            SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        ), kept AS (
+            SELECT * FROM pairs
+            WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                    WHERE s_acctbal < 0)
+        )
+        SELECT p_brand,
+               CAST(floor((p_size - 1) / 10.0) AS INT) AS size_band,
+               count(DISTINCT l_suppkey) AS n_suppliers
+        FROM kept JOIN part ON l_partkey = p_partkey
+        GROUP BY 1, 2
+        ORDER BY n_suppliers DESC, p_brand, size_band LIMIT {Q79_TOPN}
+    """
+
+
 ORACLE_SQL: dict[str, str] = {
     "q60_bucketed_join": """
         SELECT o_orderpriority, count(*) AS n_items,
@@ -3475,6 +3724,10 @@ ORACLE_SQL: dict[str, str] = {
     "q73_large_quantity_orders": _duck_q73_sql(),
     "q74_dominant_suppliers": _duck_q74_sql(),
     "q75_nation_trade_volume": _duck_q75_sql(),
+    "q76_priority_late_orders": _duck_q76_sql(),
+    "q77_returned_customers": _duck_q77_sql(),
+    "q78_promo_revenue_share": _duck_q78_sql(),
+    "q79_supplier_variety": _duck_q79_sql(),
     "q54_hash_sample": _duck_hash_sample_sql(),
     "q55_rolling_median": _DUCK_ROLLING_MEDIAN_SQL,
     "q56_grouped_stats": _DUCK_GROUPED_STATS_SQL,
@@ -3970,6 +4223,10 @@ QUERIES = {
     "q73_large_quantity_orders": q73_large_quantity_orders,
     "q74_dominant_suppliers": q74_dominant_suppliers,
     "q75_nation_trade_volume": q75_nation_trade_volume,
+    "q76_priority_late_orders": q76_priority_late_orders,
+    "q77_returned_customers": q77_returned_customers,
+    "q78_promo_revenue_share": q78_promo_revenue_share,
+    "q79_supplier_variety": q79_supplier_variety,
     "sim_rp_topk_pretrained": sim_rp_topk_pretrained,
 }
 

@@ -490,6 +490,36 @@ CASES = {
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
         5,
     ),
+    "q76_priority_late_orders": (
+        # Q4 EXISTS: date window pushes to the orders scan on BOTH
+        # uses; the late-keys distinct + left-semi never nested-loops
+        ["GreaterThanOrEqual(o_orderdate,", "LeftSemi"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        5,
+    ),
+    "q77_returned_customers": (
+        # Q10: returnflag pushes to lineitem, window to orders; agg
+        # runs BEFORE the dim joins; customer/nation broadcast; top-N
+        # is TakeOrderedAndProject
+        ["EqualTo(l_returnflag,R)", "BroadcastHashJoin",
+         "TakeOrderedAndProject"],
+        ["SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"],
+        2,
+    ),
+    "q78_promo_revenue_share": (
+        # Q14: ONE join pass, month filter at the lineitem scan, part
+        # broadcast, single-row conditional-sum output
+        ["BroadcastHashJoin", "GreaterThanOrEqual(l_shipdate,"],
+        ["SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"],
+        1,
+    ),
+    "q79_supplier_variety": (
+        # Q16: pair-grain distinct first; NOT IN = broadcast anti
+        # join; final distinct count at (brand, band) grain
+        ["TakeOrderedAndProject"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        5,
+    ),
     "q75_nation_trade_volume": (
         # Q7 join ordering: nation-filtered customer/supplier maps
         # broadcast; only lineitem⋈orders shuffles; nation IN-list
