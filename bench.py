@@ -135,6 +135,8 @@ HEADLINE = [
     "text_scrub_pii",  # regex redaction + per-rule accounting (codegen)
     "text_mix_sample",  # domain-weighted token-budget sampling
     "dedup_semantic",  # cluster -> within-cluster cosine dedup
+    "dedup_threshold_curve",  # near-dup threshold calibration bins
+    "sim_diverse_subset",  # cluster-stratified quality selection
     "text_line_dedup",  # C4-style corpus-wide repeated-span removal
     "text_dup_ngrams",  # per-doc repeated-span (5-gram) accounting
     "text_dup_spans",  # maximal duplicated-span cut list (Lee et al.)

@@ -2139,6 +2139,95 @@ _DUCK_HASH_STAGE_SQL = f"""
 """
 
 
+CURVE_MIN_SIM = 0.5
+CURVE_BINS_PER_UNIT = 20  # 0.05-wide similarity bins
+
+
+def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup THRESHOLD CALIBRATION curve: how many embedding pairs
+    sit in each cosine-similarity bin above CURVE_MIN_SIM, with the
+    cumulative count from the top — the readout an operator looks at
+    before picking EMB_DUP_THRESHOLD ("0.95 drops 2k pairs, 0.90
+    drops 40k — which cliff do we want?"). Produced here from the
+    all-pairs frame (the same oracle path as dedup_embedding_pairs);
+    at scale the input swaps to the LSH candidate stream
+    (embedding_neardup_pairs_lsh) with the min-sim bin set at the
+    LSH design threshold, and the binning/cumulative stages are
+    unchanged — a constant ~10-row bin frame whatever the corpus.
+
+    Bin assignment uses floor((sim + 1e-9) * BINS_PER_UNIT) — the
+    epsilon pins 6dp-rounded sims landing EXACTLY on a bin edge to
+    the upper bin in both engines (identical IEEE expression trees);
+    the cumulative runs over the bin frame, which is bins-sized by
+    construction (the q31 known-tiny global-window pattern, never
+    data-sized)."""
+    emb = read_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"])
+    e = F.col("embedding").cast("array<double>")
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.zip_with("ea", "ea", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    a = emb.select(F.col("vec_id").alias("vec_id_a"), e.alias("ea"))
+    a = a.withColumn("na", norm)
+    b = a.select(
+        F.col("vec_id_a").alias("vec_id_b"),
+        F.col("ea").alias("eb"),
+        F.col("na").alias("nb"),
+    )
+    sims = (
+        a.join(b, F.col("vec_id_a") < F.col("vec_id_b"))
+        .select(
+            F.round(dot / (F.col("na") * F.col("nb")), 6).alias("sim")
+        )
+        .filter(F.col("sim") >= CURVE_MIN_SIM)
+    )
+    bins = sims.groupBy(
+        F.round(
+            F.floor((F.col("sim") + 1e-9) * CURVE_BINS_PER_UNIT)
+            / CURVE_BINS_PER_UNIT,
+            2,
+        ).alias("bin_lo")
+    ).agg(F.count(F.lit(1)).alias("n_pairs"))
+    from pyspark.sql import Window as _W
+
+    cum = _W.orderBy(F.desc("bin_lo")).rowsBetween(
+        _W.unboundedPreceding, 0
+    )
+    return bins.withColumn(
+        "n_pairs_cum", F.sum("n_pairs").over(cum)
+    ).orderBy(F.desc("bin_lo"))
+
+
+_DUCK_THRESHOLD_CURVE_SQL = f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), sims AS (
+        SELECT round(list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+    ), binned AS (
+        SELECT round(floor((sim + 1e-9) * {CURVE_BINS_PER_UNIT})
+                     / {CURVE_BINS_PER_UNIT}, 2) AS bin_lo,
+               count(*) AS n_pairs
+        FROM sims WHERE sim >= {CURVE_MIN_SIM}
+        GROUP BY 1
+    )
+    SELECT bin_lo, n_pairs,
+           CAST(sum(n_pairs) OVER (ORDER BY bin_lo DESC
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_pairs_cum
+    FROM binned ORDER BY bin_lo DESC
+"""
+
+
 def dedup_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus snapshot diff by content hash — the data-ops question
     between two crawl/corpus versions ("what actually changed since
@@ -2253,9 +2342,11 @@ QUERIES = {
     "dedup_semantic": dedup_semantic,
     "dedup_semantic_trained": dedup_semantic_trained,
     "dedup_snapshot_diff": dedup_snapshot_diff,
+    "dedup_threshold_curve": dedup_threshold_curve,
 }
 
 ORACLE_SQL["dedup_snapshot_diff"] = _DUCK_SNAPSHOT_DIFF_SQL
+ORACLE_SQL["dedup_threshold_curve"] = _DUCK_THRESHOLD_CURVE_SQL
 
 ORACLE_SQL["dedup_hash_stage_md5"] = _DUCK_HASH_STAGE_SQL
 ORACLE_SQL["dedup_semantic"] = _DUCK_SEMANTIC_SQL

@@ -3452,6 +3452,98 @@ def _duck_q75_sql() -> str:
     """
 
 
+DIVERSE_PER_CLUSTER = 25
+
+
+def sim_diverse_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-stratified high-quality subset selection — the
+    cluster-balanced data-selection recipe (the shape behind
+    DiverseEvol/SemDeDup-style curation: cover the embedding space,
+    don't let one dense region dominate the training mix): assign
+    every embedding to its nearest centroid, score the paired
+    document with the learned quality classifier, keep the top
+    DIVERSE_PER_CLUSTER docs PER CLUSTER by score. The output is a
+    quality-ranked, diversity-stratified subset.
+
+    Scale shape: one corpus pass for assignment (k centroids
+    broadcast, argmax row-local), one row-local scoring pass (the
+    hashing-trick scorer is pure codegen), a doc-grain id join (AQE
+    picks the strategy), then top-R per cluster via a
+    centroid-partitioned window — bounded by cluster size; if one
+    cluster degenerates to half the corpus the two-phase rank trick
+    (per-partition top-R then merge, text.py:595's pattern) is the
+    swap, and R rows per cluster is what leaves the stage either
+    way. Quality scores are row-level doubles with identical IEEE
+    trees in both engines (quality_score's design), so the rank
+    boundary is cross-engine stable with the vec_id tiebreak."""
+    from .extras.text import quality_score
+
+    assign = sim_centroid_assign(spark, sf_dir)
+    q = quality_score(spark, sf_dir).select("doc_id", "score_mean")
+    joined = assign.join(q, F.col("vec_id") == F.col("doc_id"))
+    w = Window.partitionBy("centroid_id").orderBy(
+        F.desc("score_mean"), F.asc("vec_id")
+    )
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= DIVERSE_PER_CLUSTER)
+        .select(
+            "centroid_id", "vec_id", "sim", "score_mean",
+            F.col("rk").cast("int").alias("rk"),
+        )
+        .orderBy("centroid_id", "rk")
+    )
+
+
+def _duck_diverse_subset_sql() -> str:
+    from .extras.text import _qs_weight_exprs
+
+    w = _qs_weight_exprs("duck")
+    cids = ", ".join(map(str, _CENTROID_IDS))
+    return rf"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ), c AS (
+            SELECT vec_id AS centroid_id, v AS cv FROM e
+            WHERE vec_id IN ({cids})
+        ), sims AS (
+            SELECT e.vec_id, c.centroid_id,
+                   round(list_dot_product(e.v, c.cv)
+                         / (sqrt(list_dot_product(e.v, e.v))
+                            * sqrt(list_dot_product(c.cv, c.cv))),
+                         6) AS sim
+            FROM e, c
+        ), assigned AS (
+            SELECT vec_id, centroid_id, sim FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id
+                    ORDER BY sim DESC, centroid_id) AS rn
+                FROM sims) t
+            WHERE rn = 1
+        ), toked AS (
+            SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\s+') AS tokens
+            FROM documents
+        ), q AS (
+            SELECT doc_id,
+                   list_reduce(list_transform(tokens, t -> {w}),
+                               (acc, x) -> acc + x)
+                       / len(tokens) AS score_mean
+            FROM toked
+        )
+        SELECT centroid_id, vec_id, sim, score_mean, rk FROM (
+            SELECT a.centroid_id, a.vec_id, a.sim, q.score_mean,
+                   CAST(row_number() OVER (
+                       PARTITION BY a.centroid_id
+                       ORDER BY q.score_mean DESC, a.vec_id) AS INT)
+                       AS rk
+            FROM assigned a JOIN q ON a.vec_id = q.doc_id) t
+        WHERE rk <= {DIVERSE_PER_CLUSTER}
+        ORDER BY centroid_id, rk
+    """
+
+
 Q76_WINDOW = ("1998-01-01", "1998-04-01")
 Q76_LATE_DAYS = 60
 
@@ -3728,6 +3820,7 @@ ORACLE_SQL: dict[str, str] = {
     "q77_returned_customers": _duck_q77_sql(),
     "q78_promo_revenue_share": _duck_q78_sql(),
     "q79_supplier_variety": _duck_q79_sql(),
+    "sim_diverse_subset": _duck_diverse_subset_sql(),
     "q54_hash_sample": _duck_hash_sample_sql(),
     "q55_rolling_median": _DUCK_ROLLING_MEDIAN_SQL,
     "q56_grouped_stats": _DUCK_GROUPED_STATS_SQL,
@@ -4227,6 +4320,7 @@ QUERIES = {
     "q77_returned_customers": q77_returned_customers,
     "q78_promo_revenue_share": q78_promo_revenue_share,
     "q79_supplier_variety": q79_supplier_variety,
+    "sim_diverse_subset": sim_diverse_subset,
     "sim_rp_topk_pretrained": sim_rp_topk_pretrained,
 }
 
