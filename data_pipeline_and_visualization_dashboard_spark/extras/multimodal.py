@@ -207,7 +207,40 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )  # no terminal sort: O(n) output, order-insensitive compare
 
 
+def media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """queries() entry for the frame-sampling stage: the 1->N fan-out
+    contract (evenly spaced chunk offsets, per-frame byte counts and
+    checksums) is integer-deterministic, so the WHOLE output is
+    oracle-checkable — the corpus is ASCII (pinned by the oracle's
+    byte-length equality), so DuckDB's character substring slices the
+    same bytes the Arrow batch slices."""
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    return sample_frames(attach_fake_media(docs))
+    # no terminal sort: O(n) output, order-insensitive compare
+
+
 ORACLE_SQL: dict[str, str] = {
+    "media_frames": """
+        WITH sized AS (
+            SELECT doc_id, text,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+            FROM documents
+        ), chunked AS (
+            SELECT doc_id, text, n_bytes,
+                   greatest(1, n_bytes // 64) AS n_chunks,
+                   least(4, greatest(1, n_bytes // 64)) AS take
+            FROM sized
+        )
+        SELECT doc_id, CAST(i AS INT) AS frame_idx,
+               CAST(least(64, n_bytes - (i * n_chunks // take) * 64)
+                    AS BIGINT) AS frame_bytes,
+               sha256(substring(text,
+                                (i * n_chunks // take) * 64 + 1, 64))
+                   AS frame_checksum
+        FROM chunked,
+             unnest(generate_series(0, take - 1)) AS t(i)
+        ORDER BY doc_id, frame_idx
+    """,
     "media_resized": f"""
         WITH sized AS (
             SELECT doc_id,
@@ -237,4 +270,5 @@ ORACLE_SQL: dict[str, str] = {
 QUERIES = {
     "media_features": media_features,
     "media_resized": media_resized,
+    "media_frames": media_frames,
 }
