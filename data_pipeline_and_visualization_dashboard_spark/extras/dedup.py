@@ -1039,8 +1039,8 @@ def embedding_neardup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _duck_emb_lsh_sql() -> str:
-    """Oracle twin of embedding_neardup_pairs_lsh: plane literals via
+def _duck_emb_lsh_stacked() -> str:
+    """Banded-bucket arms for the LSH oracles: plane literals via
     repr() round-trip; both engines' dot products fold left-to-right,
     so sign tests and cosine values agree bit-for-bit."""
     planes = _emb_planes()
@@ -1058,13 +1058,29 @@ def _duck_emb_lsh_sql() -> str:
             )
         return " + ".join(terms)
 
-    stacked = "\n            UNION ALL\n".join(
+    return "\n            UNION ALL\n".join(
         f"            SELECT vec_id, {b} AS band_idx,"
         f" ({bucket_expr(b)}) AS bucket FROM base"
         for b in range(EMB_LSH_BANDS)
     )
+
+
+def _duck_emb_lsh_sql() -> str:
+    """Oracle twin of embedding_neardup_pairs_lsh."""
+    stacked = _duck_emb_lsh_stacked()
     return f"""
-        WITH base AS (
+        WITH {_duck_emb_lsh_sims_ctes(stacked)}
+        SELECT * FROM lsh_sims
+        WHERE sim >= {EMB_DUP_THRESHOLD}
+        ORDER BY vec_id_a, vec_id_b
+    """
+
+
+def _duck_emb_lsh_sims_ctes(stacked: str) -> str:
+    """The shared CTE chain (base -> banded buckets -> candidates ->
+    verified sims) both the LSH-pairs oracle and the threshold-curve
+    oracle build on."""
+    return f"""base AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
         ), stacked AS (
 {stacked}
@@ -1073,18 +1089,15 @@ def _duck_emb_lsh_sql() -> str:
             FROM stacked x JOIN stacked y
               ON x.band_idx = y.band_idx AND x.bucket = y.bucket
             WHERE x.vec_id < y.vec_id
-        )
-        SELECT * FROM (
+        ), lsh_sims AS (
             SELECT c.vec_id_a, c.vec_id_b,
                    round(list_dot_product(a.e, b.e)
                          / (sqrt(list_dot_product(a.e, a.e))
                             * sqrt(list_dot_product(b.e, b.e))), 6) AS sim
             FROM cand c
             JOIN base a ON a.vec_id = c.vec_id_a
-            JOIN base b ON b.vec_id = c.vec_id_b) t
-        WHERE sim >= {EMB_DUP_THRESHOLD}
-        ORDER BY vec_id_a, vec_id_b
-    """
+            JOIN base b ON b.vec_id = c.vec_id_b
+        )"""
 
 
 # ----------------------------------------------------------------------
@@ -2036,12 +2049,19 @@ def _semantic_from_clusters(vecs: DataFrame, cents: DataFrame,
     b = assigned.select(
         "cluster_id", F.col("vec_id").alias("vid_b"), F.col("u").alias("ub")
     )
-    dropped = (
+    pair_sims = (
         a.join(b, "cluster_id")
         .filter(F.col("vid_b") < F.col("vid_a"))
-        .filter(
-            F.round(dot(F.col("ua"), F.col("ub")), 6) >= SEM_THRESHOLD
+        .select(
+            "vid_a",
+            "vid_b",
+            F.round(dot(F.col("ua"), F.col("ub")), 6).alias("sim"),
         )
+    )
+    if pair_impl == "sims":  # dedup_threshold_curve's input stage
+        return pair_sims
+    dropped = (
+        pair_sims.filter(F.col("sim") >= SEM_THRESHOLD)
         .select(F.col("vid_a").alias("vec_id"))
         .distinct()
         .withColumn("dropped", F.lit(True))
@@ -2139,21 +2159,23 @@ _DUCK_HASH_STAGE_SQL = f"""
 """
 
 
-CURVE_MIN_SIM = 0.5
+CURVE_MIN_SIM = 0.2  # spans SEM_THRESHOLD (0.4) with visible cliffs both sides
 CURVE_BINS_PER_UNIT = 20  # 0.05-wide similarity bins
 
 
 def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup THRESHOLD CALIBRATION curve: how many embedding pairs
+    """SEM_THRESHOLD CALIBRATION curve: how many within-cluster pairs
     sit in each cosine-similarity bin above CURVE_MIN_SIM, with the
     cumulative count from the top — the readout an operator looks at
-    before picking EMB_DUP_THRESHOLD ("0.95 drops 2k pairs, 0.90
-    drops 40k — which cliff do we want?"). Produced here from the
-    all-pairs frame (the same oracle path as dedup_embedding_pairs);
-    at scale the input swaps to the LSH candidate stream
-    (embedding_neardup_pairs_lsh) with the min-sim bin set at the
-    LSH design threshold, and the binning/cumulative stages are
-    unchanged — a constant ~10-row bin frame whatever the corpus.
+    before picking the SemDeDup epsilon ("0.95 drops 2k pairs, 0.90
+    drops 40k — which cliff do we want?"). Computed over EXACTLY the
+    pair population the threshold governs: dedup_semantic's
+    within-cluster pair stage (Σ|cluster|² bounded, the k knob scales
+    it — a first cut of this op on the raw all-pairs frame measured
+    22s at sf0.1 and would be n² dead at sf1; calibrating on the
+    pipeline's own candidate stage is both the cheap AND the
+    methodologically right choice, since pairs the clustering never
+    co-locates can't be dropped at any threshold).
 
     Bin assignment uses floor((sim + 1e-9) * BINS_PER_UNIT) — the
     epsilon pins 6dp-rounded sims landing EXACTLY on a bin edge to
@@ -2163,31 +2185,14 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     data-sized)."""
     emb = read_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"])
     e = F.col("embedding").cast("array<double>")
-    dot = F.aggregate(
-        F.zip_with("ea", "eb", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    vecs = emb.repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    ).select("vec_id", e.alias("v"))
+    cents = emb.filter(F.col("vec_id").isin(SEM_CENTROID_IDS)).select(
+        F.col("vec_id").alias("cluster_id"), e.alias("cv")
     )
-    norm = F.sqrt(
-        F.aggregate(
-            F.zip_with("ea", "ea", lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    a = emb.select(F.col("vec_id").alias("vec_id_a"), e.alias("ea"))
-    a = a.withColumn("na", norm)
-    b = a.select(
-        F.col("vec_id_a").alias("vec_id_b"),
-        F.col("ea").alias("eb"),
-        F.col("na").alias("nb"),
-    )
-    sims = (
-        a.join(b, F.col("vec_id_a") < F.col("vec_id_b"))
-        .select(
-            F.round(dot / (F.col("na") * F.col("nb")), 6).alias("sim")
-        )
-        .filter(F.col("sim") >= CURVE_MIN_SIM)
+    sims = _semantic_from_clusters(vecs, cents, pair_impl="sims").filter(
+        F.col("sim") >= CURVE_MIN_SIM
     )
     bins = sims.groupBy(
         F.round(
@@ -2206,26 +2211,44 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.desc("bin_lo"))
 
 
-_DUCK_THRESHOLD_CURVE_SQL = f"""
-    WITH e AS (
-        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-    ), sims AS (
-        SELECT round(list_dot_product(a.v, b.v)
-                     / (sqrt(list_dot_product(a.v, a.v))
-                        * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
-        FROM e a JOIN e b ON a.vec_id < b.vec_id
-    ), binned AS (
-        SELECT round(floor((sim + 1e-9) * {CURVE_BINS_PER_UNIT})
-                     / {CURVE_BINS_PER_UNIT}, 2) AS bin_lo,
-               count(*) AS n_pairs
-        FROM sims WHERE sim >= {CURVE_MIN_SIM}
-        GROUP BY 1
-    )
-    SELECT bin_lo, n_pairs,
-           CAST(sum(n_pairs) OVER (ORDER BY bin_lo DESC
-                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_pairs_cum
-    FROM binned ORDER BY bin_lo DESC
-"""
+def _duck_threshold_curve_sql() -> str:
+    return f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ), n AS (
+            SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+        ), un AS (
+            SELECT vec_id, list_transform(v, x -> x / nrm) AS u FROM n
+        ), c AS (
+            SELECT vec_id AS cluster_id, u AS cu FROM un
+            WHERE vec_id IN ({", ".join(map(str, SEM_CENTROID_IDS))})
+        ), csims AS (
+            SELECT un.vec_id, c.cluster_id, un.u,
+                   round(list_dot_product(un.u, c.cu), 6) AS sim
+            FROM un, c
+        ), assigned AS (
+            SELECT vec_id, cluster_id, u FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                          ORDER BY sim DESC, cluster_id) AS rn
+                FROM csims) t
+            WHERE rn = 1
+        ), pair_sims AS (
+            SELECT round(list_dot_product(a.u, b.u), 6) AS sim
+            FROM assigned a JOIN assigned b
+              ON a.cluster_id = b.cluster_id AND b.vec_id < a.vec_id
+        ), binned AS (
+            SELECT round(floor((sim + 1e-9) * {CURVE_BINS_PER_UNIT})
+                         / {CURVE_BINS_PER_UNIT}, 2) AS bin_lo,
+                   count(*) AS n_pairs
+            FROM pair_sims WHERE sim >= {CURVE_MIN_SIM}
+            GROUP BY 1
+        )
+        SELECT bin_lo, n_pairs,
+               CAST(sum(n_pairs) OVER (ORDER BY bin_lo DESC
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_pairs_cum
+        FROM binned ORDER BY bin_lo DESC
+    """
 
 
 def dedup_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2346,7 +2369,7 @@ QUERIES = {
 }
 
 ORACLE_SQL["dedup_snapshot_diff"] = _DUCK_SNAPSHOT_DIFF_SQL
-ORACLE_SQL["dedup_threshold_curve"] = _DUCK_THRESHOLD_CURVE_SQL
+ORACLE_SQL["dedup_threshold_curve"] = _duck_threshold_curve_sql()
 
 ORACLE_SQL["dedup_hash_stage_md5"] = _DUCK_HASH_STAGE_SQL
 ORACLE_SQL["dedup_semantic"] = _DUCK_SEMANTIC_SQL
