@@ -1039,8 +1039,8 @@ def embedding_neardup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _duck_emb_lsh_stacked() -> str:
-    """Banded-bucket arms for the LSH oracles: plane literals via
+def _duck_emb_lsh_sql() -> str:
+    """Oracle twin of embedding_neardup_pairs_lsh: plane literals via
     repr() round-trip; both engines' dot products fold left-to-right,
     so sign tests and cosine values agree bit-for-bit."""
     planes = _emb_planes()
@@ -1058,29 +1058,13 @@ def _duck_emb_lsh_stacked() -> str:
             )
         return " + ".join(terms)
 
-    return "\n            UNION ALL\n".join(
+    stacked = "\n            UNION ALL\n".join(
         f"            SELECT vec_id, {b} AS band_idx,"
         f" ({bucket_expr(b)}) AS bucket FROM base"
         for b in range(EMB_LSH_BANDS)
     )
-
-
-def _duck_emb_lsh_sql() -> str:
-    """Oracle twin of embedding_neardup_pairs_lsh."""
-    stacked = _duck_emb_lsh_stacked()
     return f"""
-        WITH {_duck_emb_lsh_sims_ctes(stacked)}
-        SELECT * FROM lsh_sims
-        WHERE sim >= {EMB_DUP_THRESHOLD}
-        ORDER BY vec_id_a, vec_id_b
-    """
-
-
-def _duck_emb_lsh_sims_ctes(stacked: str) -> str:
-    """The shared CTE chain (base -> banded buckets -> candidates ->
-    verified sims) both the LSH-pairs oracle and the threshold-curve
-    oracle build on."""
-    return f"""base AS (
+        WITH base AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
         ), stacked AS (
 {stacked}
@@ -1089,15 +1073,18 @@ def _duck_emb_lsh_sims_ctes(stacked: str) -> str:
             FROM stacked x JOIN stacked y
               ON x.band_idx = y.band_idx AND x.bucket = y.bucket
             WHERE x.vec_id < y.vec_id
-        ), lsh_sims AS (
+        )
+        SELECT * FROM (
             SELECT c.vec_id_a, c.vec_id_b,
                    round(list_dot_product(a.e, b.e)
                          / (sqrt(list_dot_product(a.e, a.e))
                             * sqrt(list_dot_product(b.e, b.e))), 6) AS sim
             FROM cand c
             JOIN base a ON a.vec_id = c.vec_id_a
-            JOIN base b ON b.vec_id = c.vec_id_b
-        )"""
+            JOIN base b ON b.vec_id = c.vec_id_b) t
+        WHERE sim >= {EMB_DUP_THRESHOLD}
+        ORDER BY vec_id_a, vec_id_b
+    """
 
 
 # ----------------------------------------------------------------------
@@ -2181,8 +2168,8 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     epsilon pins 6dp-rounded sims landing EXACTLY on a bin edge to
     the upper bin in both engines (identical IEEE expression trees);
     the cumulative runs over the bin frame, which is bins-sized by
-    construction (the q31 known-tiny global-window pattern, never
-    data-sized)."""
+    construction (the q3_event_type_pct known-tiny global-window
+    pattern — the reference's own W1 shape — never data-sized)."""
     emb = read_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"])
     e = F.col("embedding").cast("array<double>")
     vecs = emb.repartition(

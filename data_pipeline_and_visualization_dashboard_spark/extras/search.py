@@ -252,11 +252,15 @@ def _duck_search_bm25_sql() -> str:
             SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
         ), scored AS (
             SELECT tf.doc_id,
+                   -- parenthesized to MATCH Spark's IEEE association
+                   -- exactly: idf * ((tf*(k1+1)) / denom), never
+                   -- ((idf*tf)*(k1+1))/denom — one-ulp drift at a
+                   -- 0.5e-6 rounding edge would flip a 6dp score
                    round(
                        ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
-                       * tf * ({BM25_K1} + 1)
-                       / (tf + {BM25_K1}
-                          * (1 - {BM25_B} + {BM25_B} * dl / avgdl)),
+                       * ((tf * ({BM25_K1} + 1))
+                          / (tf + {BM25_K1}
+                             * (1 - {BM25_B} + {BM25_B} * dl / avgdl))),
                        6) AS w
             FROM tf
             JOIN df USING (term)

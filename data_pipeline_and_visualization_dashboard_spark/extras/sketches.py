@@ -747,6 +747,30 @@ def _bloom_width(members: DataFrame) -> DataFrame:
     )
 
 
+def _bloom_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ONE distinct build-key frame every Bloom stage derives from
+    (width sizing, bit set, exact membership) — one shared subplan, so
+    ReuseExchange dedupes the dim scan+distinct at runtime instead of
+    paying it per consumer."""
+    return (
+        read_table(spark, sf_dir, "customer",
+                   ["c_custkey", "c_mktsegment"])
+        .filter(F.col("c_mktsegment") == BLOOM_SEGMENT)
+        .select("c_custkey")
+        .distinct()
+    )
+
+
+def _bloom_bits_from(members: DataFrame) -> DataFrame:
+    pos = _bloom_positions("CAST(c_custkey AS STRING)", _spark_base)
+    stack_args = ", ".join(pos)
+    return (
+        members.join(F.broadcast(_bloom_width(members)))
+        .selectExpr(f"stack({BLOOM_K}, {stack_args}) AS bit")
+        .distinct()
+    )
+
+
 def bloom_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build side: the distinct set bit positions of the Bloom filter
     over BLOOM_SEGMENT customers' keys, with the width sized from the
@@ -755,29 +779,8 @@ def bloom_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts on, K row-local hash positions, then a bounded
     distinct — the output is <= m rows (m/key-count fixed) and merges
     with any other filter of the same width by UNION DISTINCT."""
-    cust = read_table(
-        spark, sf_dir, "customer", ["c_custkey", "c_mktsegment"]
-    )
-    members = (
-        cust.filter(F.col("c_mktsegment") == BLOOM_SEGMENT)
-        .select("c_custkey")
-        .distinct()
-    )
-    pos = _bloom_positions("CAST(c_custkey AS STRING)", _spark_base_expr)
-    stack_args = ", ".join(pos)
-    return (
-        members.join(F.broadcast(_bloom_width(members)))
-        .selectExpr(f"stack({BLOOM_K}, {stack_args}) AS bit")
-        .distinct()
-    )  # no terminal sort: <= m rows, order-insensitive compare
-
-
-def _spark_base_expr(expr: str) -> str:
-    return _spark_base(expr)
-
-
-def _duck_base_expr(expr: str) -> str:
-    return _duck_base(expr)
+    return _bloom_bits_from(_bloom_members(spark, sf_dir))
+    # no terminal sort: <= m rows, order-insensitive compare
 
 
 def bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -792,20 +795,14 @@ def bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_extras.py)."""
     orders = read_table(spark, sf_dir, "orders", ["o_custkey"])
     probe = orders.select("o_custkey").distinct()
-    cust_w = read_table(
-        spark, sf_dir, "customer", ["c_custkey", "c_mktsegment"]
-    )
-    width = _bloom_width(
-        cust_w.filter(F.col("c_mktsegment") == BLOOM_SEGMENT)
-        .select("c_custkey")
-        .distinct()
-    )
-    pos = _bloom_positions("CAST(o_custkey AS STRING)", _spark_base_expr)
+    members_frame = _bloom_members(spark, sf_dir)
+    width = _bloom_width(members_frame)
+    pos = _bloom_positions("CAST(o_custkey AS STRING)", _spark_base)
     stack_args = ", ".join(pos)
     stacked = probe.join(F.broadcast(width)).selectExpr(
         "o_custkey", f"stack({BLOOM_K}, {stack_args}) AS bit"
     )
-    bits = bloom_bits(spark, sf_dir)
+    bits = _bloom_bits_from(members_frame)
     hits = (
         stacked.join(F.broadcast(bits), "bit")
         .groupBy("o_custkey")
@@ -813,13 +810,8 @@ def bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_hit") == BLOOM_K)
         .select("o_custkey")
     )
-    cust = read_table(
-        spark, sf_dir, "customer", ["c_custkey", "c_mktsegment"]
-    )
-    members = (
-        cust.filter(F.col("c_mktsegment") == BLOOM_SEGMENT)
-        .select(F.col("c_custkey").alias("o_custkey"))
-        .distinct()
+    members = members_frame.select(
+        F.col("c_custkey").alias("o_custkey")
     )
     flagged = (
         probe.join(
@@ -867,7 +859,7 @@ _DUCK_BLOOM_WIDTH = f"""
 
 
 def _duck_bloom_bits_sql() -> str:
-    pos = _bloom_positions("CAST(c_custkey AS VARCHAR)", _duck_base_expr)
+    pos = _bloom_positions("CAST(c_custkey AS VARCHAR)", _duck_base)
     arms = " UNION ".join(
         f"SELECT {p} AS bit FROM members CROSS JOIN width" for p in pos
     )
@@ -881,8 +873,8 @@ def _duck_bloom_bits_sql() -> str:
 
 
 def _duck_bloom_prefilter_sql() -> str:
-    bpos = _bloom_positions("CAST(c_custkey AS VARCHAR)", _duck_base_expr)
-    ppos = _bloom_positions("CAST(o_custkey AS VARCHAR)", _duck_base_expr)
+    bpos = _bloom_positions("CAST(c_custkey AS VARCHAR)", _duck_base)
+    ppos = _bloom_positions("CAST(o_custkey AS VARCHAR)", _duck_base)
     barms = " UNION ".join(
         f"SELECT {p} AS bit FROM members CROSS JOIN width" for p in bpos
     )

@@ -3137,8 +3137,10 @@ def q71_idle_rich_customers(spark: SparkSession,
     orders = read_table(
         spark, sf_dir, "orders", ["o_custkey", "o_orderdate"]
     )
+    # threshold on the ROUNDED aggregate-derived average (q67's 4dp
+    # policy): raw float sums near the cut flip membership x-engine
     avg_pos = cust.filter(F.col("c_acctbal") > 0).agg(
-        F.avg("c_acctbal").alias("avg_bal")
+        F.round(F.avg("c_acctbal"), 4).alias("avg_bal")
     )
     recent = orders.filter(
         F.col("o_orderdate") >= F.lit(Q71_IDLE_CUTOFF).cast("timestamp")
@@ -3163,8 +3165,8 @@ def _duck_q71_sql() -> str:
         SELECT c_mktsegment, count(*) AS n_custs,
                round(sum(c_acctbal), 4) AS total_bal
         FROM customer c
-        WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer
-                             WHERE c_acctbal > 0)
+        WHERE c.c_acctbal > (SELECT round(avg(c_acctbal), 4)
+                             FROM customer WHERE c_acctbal > 0)
           AND NOT EXISTS (SELECT 1 FROM orders o
                           WHERE o.o_custkey = c.c_custkey
                             AND o.o_orderdate >= DATE '{Q71_IDLE_CUTOFF}')
