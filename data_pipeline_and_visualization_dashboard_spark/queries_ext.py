@@ -2749,6 +2749,65 @@ _DUCK_Q68_SQL = """
 CONC_TOPN = 10
 
 
+def _sweep_start_concurrency(spark: SparkSession,
+                             sess: DataFrame) -> DataFrame:
+    """The two-phase distributed sweep over an arbitrary interval
+    frame (user_id, sess_no, s_us, e_us) — q69's engine, factored so
+    the property suite can drive it with random intervals against a
+    brute-force checker. Returns one row per +1 boundary with its
+    `concurrent` count (closed-interval convention: an interval
+    ending exactly when another starts still overlaps it).
+
+    Tied starts: the running sum gives each tied +1 row a DIFFERENT
+    value (1st tied row hasn't seen the 2nd yet), but concurrency at
+    instant t is the same for every session starting at t — the
+    value at the LAST +1 row of the tie group (all +1s at t counted,
+    no -1 at t subtracted yet under delta DESC). Broadcast it back
+    with a max window PARTITIONED BY the instant — bounded by the
+    tie-group size, never global."""
+    bounds = sess.selectExpr(
+        "user_id",
+        "sess_no",
+        "stack(2, s_us, 1, e_us, -1) AS (us, delta)",
+    )
+    order_cols = [
+        F.col("us").asc(),
+        F.col("delta").desc(),
+        F.col("user_id").asc(),
+        F.col("sess_no").asc(),
+    ]
+    p = spark.sparkContext.defaultParallelism
+    with_pid = bounds.repartitionByRange(p, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    local = with_pid.withColumn(
+        "_lsum",
+        F.sum("delta").over(
+            Window.partitionBy("_pid")
+            .orderBy(*order_cols)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    totals = with_pid.groupBy("_pid").agg(F.sum("delta").alias("_t"))
+    offsets = (
+        totals.alias("a")
+        .join(
+            F.broadcast(totals.alias("b")),
+            F.col("b._pid") < F.col("a._pid"),
+            "left",
+        )
+        .groupBy("a._pid")
+        .agg(F.coalesce(F.sum("b._t"), F.lit(0)).alias("_offset"))
+        .select(F.col("a._pid").alias("_pid"), "_offset")
+    )
+    swept = local.join(F.broadcast(offsets), "_pid").withColumn(
+        "_run", (F.col("_offset") + F.col("_lsum")).cast("bigint")
+    )
+    return swept.filter(F.col("delta") == 1).withColumn(
+        "concurrent", F.max("_run").over(Window.partitionBy("us"))
+    )
+
+
 def q69_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Peak session concurrency — "how many sessions are open at
     instant t" over the user-session intervals q16 derives. This is
@@ -2797,54 +2856,7 @@ def q69_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "sess_no")
         .agg(F.min("us").alias("s_us"), F.max("us").alias("e_us"))
     )
-    bounds = sess.selectExpr(
-        "user_id",
-        "sess_no",
-        "stack(2, s_us, 1, e_us, -1) AS (us, delta)",
-    )
-    order_cols = [
-        F.col("us").asc(),
-        F.col("delta").desc(),
-        F.col("user_id").asc(),
-        F.col("sess_no").asc(),
-    ]
-    p = spark.sparkContext.defaultParallelism
-    with_pid = bounds.repartitionByRange(p, *order_cols).withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    local = with_pid.withColumn(
-        "_lsum",
-        F.sum("delta").over(
-            Window.partitionBy("_pid")
-            .orderBy(*order_cols)
-            .rowsBetween(Window.unboundedPreceding, 0)
-        ),
-    )
-    totals = with_pid.groupBy("_pid").agg(F.sum("delta").alias("_t"))
-    offsets = (
-        totals.alias("a")
-        .join(
-            F.broadcast(totals.alias("b")),
-            F.col("b._pid") < F.col("a._pid"),
-            "left",
-        )
-        .groupBy("a._pid")
-        .agg(F.coalesce(F.sum("b._t"), F.lit(0)).alias("_offset"))
-        .select(F.col("a._pid").alias("_pid"), "_offset")
-    )
-    swept = local.join(F.broadcast(offsets), "_pid").withColumn(
-        "_run", (F.col("_offset") + F.col("_lsum")).cast("bigint")
-    )
-    # Tied starts: the running sum gives each tied +1 row a DIFFERENT
-    # value (1st tied row hasn't seen the 2nd yet), but concurrency at
-    # instant t is the same for every session starting at t — the
-    # value at the LAST +1 row of the tie group (all +1s at t counted,
-    # no -1 at t subtracted yet under delta DESC). Broadcast it back
-    # with a max window PARTITIONED BY the instant — bounded by the
-    # tie-group size, never global.
-    starts = swept.filter(F.col("delta") == 1).withColumn(
-        "concurrent", F.max("_run").over(Window.partitionBy("us"))
-    )
+    starts = _sweep_start_concurrency(spark, sess)
     return (
         starts.select(
             F.col("us").alias("ts_us"), "user_id", "sess_no", "concurrent"
