@@ -520,6 +520,22 @@ CASES = {
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
         5,
     ),
+    "dedup_snapshot_diff": (
+        # two doc-grain 16-byte-hash frames full-outer join on the id
+        # key: shuffle join is the EXPECTED shape (neither side
+        # broadcastable at scale) — pin only against degenerate plans
+        ["HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        4,
+    ),
+    "sim_diverse_subset": (
+        # the 4-row centroid frame rides a BNLJ broadcast BY DESIGN
+        # (cardinality-sized, the q52 pattern); the id join broadcasts;
+        # quality scorer is row-local codegen; per-cluster top-R window
+        ["BroadcastHashJoin", "Window"],
+        ["CartesianProduct", "SortMergeJoin"],
+        5,
+    ),
     "q75_nation_trade_volume": (
         # Q7 join ordering: nation-filtered customer/supplier maps
         # broadcast; only lineitem⋈orders shuffles; nation IN-list
