@@ -159,6 +159,50 @@ def run_to_completion(spark: SparkSession, sf_dir: str,
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
+def run_windowed_with_late_metrics(
+    spark: SparkSession,
+    in_dir: str,
+    watermark: str = "10 minutes",
+    query_name: str = "late_metrics_out",
+):
+    """Drive the windowed rollup in UPDATE mode (watermarks only drop
+    rows in update/append — complete mode keeps everything) and
+    return (result_df, n_dropped_by_watermark): the per-deployment
+    "how many rows did the watermark kill" number every production
+    stream publishes next to its output. Late-drop counts come from
+    the engine's own state-operator metrics
+    (numRowsDroppedByWatermark summed across micro-batches) — the
+    honest source, not a re-derivation. Two engine facts the parity
+    test pins (tests/test_streaming.py): late events filter against
+    the PREVIOUS trigger's watermark (SPARK-39931 era semantics), and
+    the metric counts state-INPUT rows — map-side partials, one per
+    late (window, key) group, not raw events. The memory sink holds
+    one row per (window, type) UPDATE; callers take the LAST update
+    per key (max is enough for the monotone count/sum here)."""
+    raw = (
+        spark.readStream.schema(_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    events = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    q = (
+        windowed_event_counts(events, watermark)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        dropped = 0
+        for prog in q.recentProgress:
+            for op in (prog.get("stateOperators") or []):
+                dropped += op.get("numRowsDroppedByWatermark", 0) or 0
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}"), dropped
+
+
 def dedup_event_stream(events: DataFrame,
                        watermark: str = "10 minutes") -> DataFrame:
     """Stateful streaming dedup on event_id: the streaming twin of

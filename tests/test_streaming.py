@@ -394,6 +394,68 @@ def test_streaming_hll_registers_match_batch(spark):
     )
     assert got == want and len(got) > 0
 
+def test_watermark_drops_late_rows_with_accounting(spark, tmp_path):
+    """Late-data semantics made explicit AND two non-obvious engine
+    facts pinned empirically (both cost a debugging session if
+    assumed away):
+      1. since the multi-stateful-operator work, late events filter
+         against the PREVIOUS trigger's watermark — a late file
+         arriving in the very batch where the watermark jumps is
+         still ACCEPTED (verified here by the b2 spacer batch, whose
+         absence flips the assertion);
+      2. numRowsDroppedByWatermark counts STATE-INPUT rows, i.e.
+         map-side PARTIALS, not raw events — two late events in the
+         same (window, type) group count as ONE drop, so the planted
+         late rows sit in two distinct windows.
+    Micro-batch order is forced via file mtimes (the file source
+    processes oldest-first)."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+    import time
+
+    from data_pipeline_and_visualization_dashboard_spark import streaming
+
+    def mk(name, rows, mtime):
+        stage = str(tmp_path / f"_stage_{name}")
+        spark.createDataFrame(
+            rows, streaming._STREAM_SCHEMA
+        ).coalesce(1).write.parquet(stage)
+        part = glob.glob(stage + "/part-*.parquet")[0]
+        dest = str(tmp_path / f"{name}.parquet")
+        shutil.move(part, dest)
+        shutil.rmtree(stage)
+        os.utime(dest, (mtime, mtime))
+
+    def ev(i, ts):
+        return (i, ts, 1, "view", 1.0, "{}")
+
+    now = time.time()
+    t = dt.datetime
+    mk("a", [ev(i, t(2026, 1, 1, 10, 5)) for i in range(4)], now - 400)
+    mk("b", [ev(i, t(2026, 1, 1, 12, 0)) for i in range(3)], now - 300)
+    # spacer trigger: makes 11:50 the PREVIOUS watermark for file c
+    mk("b2", [ev(9, t(2026, 1, 1, 12, 1))], now - 200)
+    # two late rows in DISTINCT windows (9:10 and 10:10) -> 2 partials
+    mk("c", [ev(0, t(2026, 1, 1, 9, 10)),
+             ev(1, t(2026, 1, 1, 10, 10))], now - 100)
+
+    out, dropped = streaming.run_windowed_with_late_metrics(
+        spark, str(tmp_path), watermark="10 minutes"
+    )
+    assert dropped == 2, dropped
+    latest = {
+        r.window_start: r.event_cnt
+        for r in out.groupBy("window_start", "event_type")
+        .agg(F.max("event_cnt").alias("event_cnt"))
+        .collect()
+    }
+    assert t(2026, 1, 1, 9, 0) not in latest   # late row never lands
+    assert latest[t(2026, 1, 1, 10, 0)] == 4   # not 5
+    assert latest[t(2026, 1, 1, 12, 0)] == 4   # b + b2
+
+
 def test_streaming_bloom_bits_match_batch(spark):
     """The streaming Bloom filter's complete-mode bit set must equal
     the same plan fragment applied to a batch read (set-bit is
