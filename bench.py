@@ -74,6 +74,9 @@ HEADLINE = [
     "q77_returned_customers",  # Q10 returned-items report
     "q78_promo_revenue_share",  # Q14 conditional-sum share
     "q79_supplier_variety",  # Q16 NOT-IN + distinct supplier count
+    "q80_market_share",  # Q8 7-relation conditional market share
+    "q81_product_margin",  # Q9 cost-model margin by nation/year
+    "q82_order_count_distribution",  # Q13 left-join zero-bucket dist
     "sim_recall_eval",  # LSH recall@k vs exact (eval as an operator)
     "sim_ivf_recall_guard",  # pretrained-IVF recall floor, in-plan assert
     "sim_ivfpq_recall_guard",  # pretrained-IVF-PQ floor, in-plan assert

@@ -3807,6 +3807,221 @@ def _duck_q79_sql() -> str:
     """
 
 
+Q80_REGION = "ASIA"
+Q80_SHARE_NATION = "NATION_7"  # an ASIA supplier nation
+Q80_PART_TOKEN = "widget"
+
+
+def q80_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape — national market share: of the revenue from
+    Q80_PART_TOKEN parts sold to customers in Q80_REGION, what
+    fraction was supplied by Q80_SHARE_NATION, by ship year. The
+    widest join graph in the suite after Q9 (lineitem, orders,
+    customer, supplier, part, nation twice, region) with the
+    market-share CASE folded into the same aggregation pass (a
+    conditional sum over the joined rows — never two scans). Spelled
+    dims-first: part shrinks to the token match and broadcasts;
+    customer pre-joins its nation→region chain and keeps only
+    Q80_REGION keys; supplier carries its nation name. Share rounded
+    6dp (aggregate-ratio policy)."""
+    li = read_table(
+        spark, sf_dir, "lineitem",
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+         "l_discount", "l_shipdate"],
+    )
+    orders = read_table(spark, sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    part = read_table(spark, sf_dir, "part", ["p_partkey", "p_name"])
+    nation = read_table(
+        spark, sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]
+    )
+    region = read_table(spark, sf_dir, "region", ["r_regionkey", "r_name"])
+    asia_keys = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == Q80_REGION)),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey")
+    cust = (
+        read_table(spark, sf_dir, "customer", ["c_custkey", "c_nationkey"])
+        .join(
+            F.broadcast(asia_keys),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
+        .select("c_custkey")
+    )
+    supp = (
+        read_table(spark, sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    wparts = part.filter(
+        F.col("p_name").contains(Q80_PART_TOKEN)
+    ).select("p_partkey")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    share_rev = F.when(
+        F.col("supp_nation") == Q80_SHARE_NATION, rev
+    ).otherwise(F.lit(0.0))
+    return (
+        li.join(
+            F.broadcast(wparts),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(cust),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_semi",
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("l_shipdate").cast("int").alias("ship_year"))
+        .agg(
+            F.round(F.sum(share_rev) / F.sum(rev), 6).alias("mkt_share"),
+            F.round(F.sum(rev), 4).alias("total_rev"),
+        )
+        .orderBy("ship_year")
+    )
+
+
+def _duck_q80_sql() -> str:
+    return f"""
+        SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+               round(sum(CASE WHEN sn.n_name = '{Q80_SHARE_NATION}'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 6)
+                   AS mkt_share,
+               round(sum(l_extendedprice * (1 - l_discount)), 4)
+                   AS total_rev
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN region ON cn.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE r_name = '{Q80_REGION}'
+          AND l_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_name LIKE '%{Q80_PART_TOKEN}%')
+        GROUP BY 1 ORDER BY 1
+    """
+
+
+Q81_COST_FRAC = 0.1  # cost model: 10% of retail price per unit
+
+
+def q81_product_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape — product-line profit by supplier nation and
+    year: margin = revenue - quantity * (Q81_COST_FRAC *
+    p_retailprice) over Q80_PART_TOKEN parts (the schema has no
+    partsupp/ps_supplycost, so the unit cost derives from the part's
+    retail price — deterministic and join-compatible). Part join
+    carries the retailprice column (can't be a semi-join like Q8's),
+    supplier nation broadcast; one grouped aggregation at (nation,
+    year) grain, 4dp sums."""
+    li = read_table(
+        spark, sf_dir, "lineitem",
+        ["l_partkey", "l_suppkey", "l_quantity", "l_extendedprice",
+         "l_discount", "l_shipdate"],
+    )
+    part = read_table(
+        spark, sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"]
+    )
+    nation = read_table(spark, sf_dir, "nation", ["n_nationkey", "n_name"])
+    supp = (
+        read_table(spark, sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    wparts = part.filter(
+        F.col("p_name").contains(Q80_PART_TOKEN)
+    ).select("p_partkey", "p_retailprice")
+    margin = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("l_quantity") * (Q81_COST_FRAC * F.col("p_retailprice"))
+    )
+    return (
+        li.join(F.broadcast(wparts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            "supp_nation",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(
+            F.round(F.sum(margin), 4).alias("margin"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("supp_nation", "ship_year")
+    )
+
+
+def _duck_q81_sql() -> str:
+    return f"""
+        SELECT n_name AS supp_nation,
+               CAST(year(l_shipdate) AS INT) AS ship_year,
+               round(sum(l_extendedprice * (1 - l_discount)
+                         - l_quantity
+                           * ({Q81_COST_FRAC} * p_retailprice)), 4)
+                   AS margin,
+               count(*) AS n_lines
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%{Q80_PART_TOKEN}%'
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+Q82_EXCLUDE_PRIORITY = "1-URGENT"
+
+
+def q82_order_count_distribution(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape — the customer order-count DISTRIBUTION with a
+    zero bucket: count non-Q82_EXCLUDE_PRIORITY orders per customer
+    through a LEFT join (customers with none survive with count 0 —
+    the whole point of Q13, and why an inner join is wrong), then a
+    second aggregation over the counts. Two grouped aggregations, the
+    first keyed on the customer; count(o_orderkey) counts non-null
+    matches only."""
+    cust = read_table(spark, sf_dir, "customer", ["c_custkey"])
+    orders = read_table(
+        spark, sf_dir, "orders",
+        ["o_orderkey", "o_custkey", "o_orderpriority"],
+    ).filter(F.col("o_orderpriority") != Q82_EXCLUDE_PRIORITY)
+    per_cust = (
+        cust.join(
+            orders, F.col("c_custkey") == F.col("o_custkey"), "left"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def _duck_q82_sql() -> str:
+    return f"""
+        SELECT c_count, count(*) AS custdist FROM (
+            SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer LEFT JOIN orders
+              ON c_custkey = o_custkey
+             AND o_orderpriority != '{Q82_EXCLUDE_PRIORITY}'
+            GROUP BY c_custkey
+        )
+        GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """
+
+
 ORACLE_SQL: dict[str, str] = {
     "q60_bucketed_join": """
         SELECT o_orderpriority, count(*) AS n_items,
@@ -3834,6 +4049,9 @@ ORACLE_SQL: dict[str, str] = {
     "q77_returned_customers": _duck_q77_sql(),
     "q78_promo_revenue_share": _duck_q78_sql(),
     "q79_supplier_variety": _duck_q79_sql(),
+    "q80_market_share": _duck_q80_sql(),
+    "q81_product_margin": _duck_q81_sql(),
+    "q82_order_count_distribution": _duck_q82_sql(),
     "sim_diverse_subset": _duck_diverse_subset_sql(),
     "q54_hash_sample": _duck_hash_sample_sql(),
     "q55_rolling_median": _DUCK_ROLLING_MEDIAN_SQL,
@@ -4334,6 +4552,9 @@ QUERIES = {
     "q77_returned_customers": q77_returned_customers,
     "q78_promo_revenue_share": q78_promo_revenue_share,
     "q79_supplier_variety": q79_supplier_variety,
+    "q80_market_share": q80_market_share,
+    "q81_product_margin": q81_product_margin,
+    "q82_order_count_distribution": q82_order_count_distribution,
     "sim_diverse_subset": sim_diverse_subset,
     "sim_rp_topk_pretrained": sim_rp_topk_pretrained,
 }

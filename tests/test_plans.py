@@ -520,6 +520,27 @@ CASES = {
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
         5,
     ),
+    "q80_market_share": (
+        # Q8: token-filtered part + region-filtered customer ride
+        # LEFT-SEMI broadcasts; nation names broadcast; only the
+        # lineitem⋈orders shuffle is fact-sized
+        ["BroadcastHashJoin", "LeftSemi"],
+        ["SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"],
+        2,
+    ),
+    "q81_product_margin": (
+        # Q9: part carries retailprice (real join, broadcast);
+        # supplier-nation map broadcast; one (nation, year) agg
+        ["BroadcastHashJoin"],
+        ["SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"],
+        2,
+    ),
+    "q82_order_count_distribution": (
+        # Q13: LEFT join keeps zero-order customers; two grouped aggs
+        ["HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        4,
+    ),
     "dedup_snapshot_diff": (
         # two doc-grain 16-byte-hash frames full-outer join on the id
         # key: shuffle join is the EXPECTED shape (neither side
