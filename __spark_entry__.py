@@ -127,9 +127,9 @@ _CHECK_FIRST = [
     "dedup_threshold_curve",  # near-dup threshold calibration
     "media_frames",  # 1->N frame-sampling fan-out, fully oracle-backed
     # --- position 51+: past the driver's 50-row window ---
-    # q82 is this round's ONE overflow entry (26 round-4-wave-1 +
-    # 25 round-4-wave-2/3 never-checked = 51 > 50): it seeds the
-    # round-5 rotation, and is differential-tested locally meanwhile.
+    # q82 is this round's ONE overflow entry (25 legacy never-checked
+    # + 26 round-4 entries = 51 > 50): it seeds the round-5 rotation,
+    # and is differential-tested locally meanwhile.
     # The reference-core flagships q1-q5/q14 already hold r1-r3 green
     # rows, so they no longer occupy window slots.
     "q82_order_count_distribution",  # Q13 left-join zero-bucket dist

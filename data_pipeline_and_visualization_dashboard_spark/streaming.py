@@ -179,12 +179,48 @@ def run_windowed_with_late_metrics(
     late (window, key) group, not raw events. The memory sink holds
     one row per (window, type) UPDATE; callers take the LAST update
     per key (max is enough for the monotone count/sum here)."""
+    import time as _time
+
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    class _DropListener(StreamingQueryListener):
+        """Counts numRowsDroppedByWatermark via the listener bus —
+        NOT q.recentProgress, which is a ring buffer capped at
+        spark.sql.streaming.numRecentProgressUpdates (default 100):
+        with maxFilesPerTrigger=1 a 150-file directory would silently
+        lose the first ~50 batches' drops from recentProgress, which
+        is exactly the failure a drop-accounting helper must not
+        have."""
+
+        def __init__(self) -> None:
+            self.dropped = 0
+            self.last_batch = -1
+
+        def onQueryStarted(self, event) -> None:  # noqa: N802
+            pass
+
+        def onQueryProgress(self, event) -> None:  # noqa: N802
+            p = event.progress
+            if p.name != query_name:
+                return
+            for op in p.stateOperators:
+                self.dropped += op.numRowsDroppedByWatermark or 0
+            self.last_batch = max(self.last_batch, p.batchId)
+
+        def onQueryIdle(self, event) -> None:  # noqa: N802
+            pass
+
+        def onQueryTerminated(self, event) -> None:  # noqa: N802
+            pass
+
     raw = (
         spark.readStream.schema(_STREAM_SCHEMA)
         .option("maxFilesPerTrigger", "1")
         .parquet(in_dir)
     )
     events = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    listener = _DropListener()
+    spark.streams.addListener(listener)
     q = (
         windowed_event_counts(events, watermark)
         .writeStream.outputMode("update")
@@ -194,12 +230,17 @@ def run_windowed_with_late_metrics(
     )
     try:
         q.processAllAvailable()
-        dropped = 0
-        for prog in q.recentProgress:
-            for op in (prog.get("stateOperators") or []):
-                dropped += op.get("numRowsDroppedByWatermark", 0) or 0
+        # the listener bus is ASYNC: drain until it has seen the final
+        # batch (events arrive in batch order, so seeing the last
+        # batchId means every earlier one is counted)
+        last = (q.lastProgress or {}).get("batchId", -1)
+        deadline = _time.time() + 30
+        while listener.last_batch < last and _time.time() < deadline:
+            _time.sleep(0.1)
+        dropped = listener.dropped
     finally:
         q.stop()
+        spark.streams.removeListener(listener)
     return spark.sql(f"SELECT * FROM {query_name}"), dropped
 
 
