@@ -133,6 +133,7 @@ _CHECK_FIRST = [
     # The reference-core flagships q1-q5/q14 already hold r1-r3 green
     # rows, so they no longer occupy window slots.
     "q82_order_count_distribution",  # Q13 left-join zero-bucket dist
+    "q83_approx_percentile_guard",  # rows-only; bound asserted in-plan
     "q1_top_nations",
     "q2_avg_value_by_hour",
 ]

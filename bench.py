@@ -77,6 +77,7 @@ HEADLINE = [
     "q80_market_share",  # Q8 7-relation conditional market share
     "q81_product_margin",  # Q9 cost-model margin by nation/year
     "q82_order_count_distribution",  # Q13 left-join zero-bucket dist
+    "q83_approx_percentile_guard",  # in-plan percentile-sketch bound
     "sim_recall_eval",  # LSH recall@k vs exact (eval as an operator)
     "sim_ivf_recall_guard",  # pretrained-IVF recall floor, in-plan assert
     "sim_ivfpq_recall_guard",  # pretrained-IVF-PQ floor, in-plan assert

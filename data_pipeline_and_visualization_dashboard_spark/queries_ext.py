@@ -3807,6 +3807,75 @@ def _duck_q79_sql() -> str:
     """
 
 
+PCTL_ACC = 1000  # approx_percentile accuracy: rank error <= n/ACC
+_PCTL_EPS = 1.0 / PCTL_ACC
+
+
+def q83_approx_percentile_guard(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Accuracy guard for the engine's approx_percentile (the
+    sim_*_recall_guard contract applied to q29's sketch): per event
+    type, the approximate P50/P95 must satisfy the RANK-interval
+    contract the sketch actually makes — the returned value is a DATA
+    ELEMENT whose rank lies within n/ACC of q·n. (A value-envelope
+    check against interpolating exact percentile(q±eps) is the wrong
+    contract and fails at small n, where interpolation moves less
+    than one inter-element gap — measured before this spelling.)
+    Checked as interval overlap, ±1 for rank-definition fenceposts:
+
+        count(v < x) + 1 <= (q + eps)·n + 1   AND
+        count(v <= x)    >= (q - eps)·n - 1
+
+    asserted IN-PLAN, so a sketch regression turns the driver's
+    rows-only green row into a hard query error. Two passes: the
+    sketch agg, then the 5-row result broadcast back onto the scan
+    for exact rank counts. Rows-only by design (the sketch is not
+    reproducible in DuckDB); the rank-fraction columns make the row
+    auditable."""
+    ev = read_table(spark, sf_dir, "events", ["event_type", "value"])
+    ap = ev.groupBy("event_type").agg(
+        F.expr(
+            f"approx_percentile(value, array(0.5, 0.95), {PCTL_ACC})"
+        ).alias("ap")
+    ).select(
+        "event_type",
+        F.col("ap")[0].alias("p50"),
+        F.col("ap")[1].alias("p95"),
+    )
+    j = ev.join(F.broadcast(ap), "event_type")
+    agg = j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("p50").alias("p50_approx"),
+        F.max("p95").alias("p95_approx"),
+        F.sum(F.when(F.col("value") < F.col("p50"), 1).otherwise(0))
+        .alias("lt50"),
+        F.sum(F.when(F.col("value") <= F.col("p50"), 1).otherwise(0))
+        .alias("le50"),
+        F.sum(F.when(F.col("value") < F.col("p95"), 1).otherwise(0))
+        .alias("lt95"),
+        F.sum(F.when(F.col("value") <= F.col("p95"), 1).otherwise(0))
+        .alias("le95"),
+    )
+    e = _PCTL_EPS
+    n = F.col("n")
+
+    def _ok(lt, le, q):
+        return (F.col(lt) + 1 <= (q + e) * n + 1) & (
+            F.col(le) >= (q - e) * n - 1
+        )
+
+    ok = _ok("lt50", "le50", 0.5) & _ok("lt95", "le95", 0.95)
+    return agg.select(
+        "event_type",
+        "n",
+        F.round("p50_approx", 6).alias("p50_approx"),
+        F.round(F.col("le50") / n, 6).alias("p50_rank_frac"),
+        F.round("p95_approx", 6).alias("p95_approx"),
+        F.round(F.col("le95") / n, 6).alias("p95_rank_frac"),
+        (F.assert_true(ok).isNull()).alias("passed"),
+    ).orderBy("event_type")
+
+
 Q80_REGION = "ASIA"
 Q80_SHARE_NATION = "NATION_7"  # an ASIA supplier nation
 Q80_PART_TOKEN = "widget"
@@ -4555,6 +4624,7 @@ QUERIES = {
     "q80_market_share": q80_market_share,
     "q81_product_margin": q81_product_margin,
     "q82_order_count_distribution": q82_order_count_distribution,
+    "q83_approx_percentile_guard": q83_approx_percentile_guard,
     "sim_diverse_subset": sim_diverse_subset,
     "sim_rp_topk_pretrained": sim_rp_topk_pretrained,
 }
