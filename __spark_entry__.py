@@ -127,9 +127,10 @@ _CHECK_FIRST = [
     "dedup_threshold_curve",  # near-dup threshold calibration
     "media_frames",  # 1->N frame-sampling fan-out, fully oracle-backed
     # --- position 51+: past the driver's 50-row window ---
-    # q82 is this round's ONE overflow entry (25 legacy never-checked
-    # + 26 round-4 entries = 51 > 50): it seeds the round-5 rotation,
-    # and is differential-tested locally meanwhile.
+    # Round 4 created 27 entries against 25 spare slots, so TWO
+    # overflow entries (q82, q83) seed the round-5 rotation — both
+    # fully covered locally meanwhile (q82 by its DuckDB differential
+    # test, q83 by its own in-plan assert at three SFs in pytest).
     # The reference-core flagships q1-q5/q14 already hold r1-r3 green
     # rows, so they no longer occupy window slots.
     "q82_order_count_distribution",  # Q13 left-join zero-bucket dist

@@ -540,6 +540,25 @@ def test_bloom_properties(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_approx_percentile_guard_holds(spark):
+    """q83's in-plan rank-interval contract must hold at both local
+    SFs (the ad-hoc three-SF check, pinned): 5 event types, every
+    row passed, rank fractions within eps of their targets."""
+    from data_pipeline_and_visualization_dashboard_spark.queries_ext import (
+        _PCTL_EPS,
+        q83_approx_percentile_guard,
+    )
+
+    for sf in (SF_SMOKE, SF_CORRECT):
+        rows = q83_approx_percentile_guard(spark, sf).collect()
+        assert len(rows) == 5
+        assert all(r.passed for r in rows)
+        for r in rows:
+            slack = _PCTL_EPS + 2.0 / r.n
+            assert abs(r.p50_rank_frac - 0.5) <= slack
+            assert abs(r.p95_rank_frac - 0.95) <= slack
+
+
 def test_profile_approx_error_bounds(spark):
     """q61's approx=True mode must agree with the exact profile on
     everything that is NOT estimated (null counts, numeric min/max —
