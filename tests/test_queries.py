@@ -101,3 +101,11 @@ def test_readme_counts_match_registry():
     assert m, "README must state the registry counts"
     assert int(m.group(1)) == len(entrymod.queries())
     assert int(m.group(2)) == len(entrymod.oracle_sql())
+    # The rows-only count (queries minus oracles) drifted once
+    # (README said 14 when the registry had 15 — VERDICT r4 wrong #1);
+    # pin it so all three numbers move together or the test fails.
+    m2 = re.search(r"the (\d+)\s*\nrows-only entries", text)
+    assert m2, "README must state the rows-only entry count"
+    assert int(m2.group(1)) == (
+        len(entrymod.queries()) - len(entrymod.oracle_sql())
+    )
