@@ -4091,6 +4091,132 @@ def _duck_q82_sql() -> str:
     """
 
 
+# ----------------------------------------------------------------------
+# q84/q85: the GROUPING SETS family — multi-granularity aggregation in
+# ONE pass. q18/q33 cover ROLLUP/CUBE on a single table; these add the
+# joined-fact rollup with an explicit grouping_id disambiguator and the
+# arbitrary (non-hierarchical) grouping-set list, the last classic SQL
+# aggregation shape absent from both the reference (SURVEY §2.6 "not
+# present") and this engine (VERDICT r4 next #6).
+# ----------------------------------------------------------------------
+
+
+def q84_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by (nation, order-year) with ROLLUP: detail rows, per-
+    nation subtotals, and the grand total from a SINGLE aggregation.
+
+    grouping_id() is emitted as an output column because NULL group
+    keys are ambiguous on their own — a subtotal row and a genuinely
+    NULL key would collide; the bitmask (verified bit-identical to
+    DuckDB's GROUPING(n_name, o_year): detail=0, per-nation=1,
+    grand=3) makes every row self-describing, which is also what makes
+    the oracle hash-comparable.
+
+    Scale: ROLLUP compiles to ONE Expand (3 replicas of the agg input
+    = grouping-set count, NOT a per-row blowup of the scan — Expand
+    sits above the two broadcast dim joins and below a single
+    partial+final HashAggregate pair, plan-pinned). At 100 TB this
+    costs one shuffle keyed on (n_name, o_year, gid) — same as the
+    plain GROUP BY — versus three separate aggregation jobs for the
+    three granularities; the 3x Expand multiplier applies to rows
+    ENTERING the partial aggregate, which map-side-combines before the
+    wire."""
+    orders = read_table(
+        spark, sf_dir, "orders",
+        ["o_custkey", "o_totalprice", "o_orderdate"],
+    )
+    cust = read_table(spark, sf_dir, "customer",
+                      ["c_custkey", "c_nationkey"])
+    nation = read_table(spark, sf_dir, "nation",
+                        ["n_nationkey", "n_name"])
+    joined = (
+        orders.join(F.broadcast(cust),
+                    F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            "o_totalprice",
+        )
+    )
+    return (
+        joined.rollup("n_name", "o_year")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        )
+        # the rolled-up year is NULL on subtotal rows, and a nullable
+        # int round-trips through pandas as float — coalesce to -1
+        # (gid already disambiguates) so the column stays int64 in
+        # both engines' comparison frames
+        .select(
+            "n_name",
+            F.coalesce("o_year", F.lit(-1)).alias("o_year"),
+            "gid", "n_orders", "revenue",
+        )
+        .orderBy("gid", F.asc_nulls_first("n_name"), "o_year")
+    )
+
+
+_DUCK_Q84_SQL = """
+    SELECT n_name,
+           COALESCE(CAST(year(o_orderdate) AS INT), -1) AS o_year,
+           CAST(GROUPING(n_name, CAST(year(o_orderdate) AS INT))
+                AS INT) AS gid,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 4) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY ROLLUP (n_name, CAST(year(o_orderdate) AS INT))
+    ORDER BY gid, n_name, o_year
+"""
+
+
+def q85_corpus_grouping_sets(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Corpus composition report — per-language AND per-source char/
+    doc totals from ONE scan via explicit GROUPING SETS ((lang),
+    (source)): the non-hierarchical set list that neither ROLLUP nor
+    CUBE expresses (CUBE would add the (lang, source) cross and the
+    grand total — 2 extra granularities computed then thrown away).
+
+    This is the shape every corpus-curation dashboard needs (the
+    mixture report: how much English? how much per crawl source?) and
+    running it as two GROUP BYs means scanning the corpus twice; at
+    100 TB the single Expand(2) pass halves the scan cost, and the
+    Expand multiplier is absorbed by map-side partial aggregation.
+    grouping_id disambiguates which dimension a row summarizes
+    (lang=1, source=2 — bit-parity with DuckDB GROUPING verified)."""
+    docs = read_table(spark, sf_dir, "documents",
+                      ["lang", "source", "n_chars"])
+    return (
+        docs.groupingSets([["lang"], ["source"]], "lang", "source")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+        .orderBy("gid", F.asc_nulls_first("lang"),
+                 F.asc_nulls_first("source"))
+    )
+
+
+_DUCK_Q85_SQL = """
+    SELECT lang, source,
+           CAST(GROUPING(lang, source) AS INT) AS gid,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           round(avg(n_chars), 6) AS avg_chars
+    FROM documents
+    GROUP BY GROUPING SETS ((lang), (source))
+    ORDER BY gid, lang, source
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "q60_bucketed_join": """
         SELECT o_orderpriority, count(*) AS n_items,
@@ -4121,6 +4247,8 @@ ORACLE_SQL: dict[str, str] = {
     "q80_market_share": _duck_q80_sql(),
     "q81_product_margin": _duck_q81_sql(),
     "q82_order_count_distribution": _duck_q82_sql(),
+    "q84_rollup_revenue": _DUCK_Q84_SQL,
+    "q85_corpus_grouping_sets": _DUCK_Q85_SQL,
     "sim_diverse_subset": _duck_diverse_subset_sql(),
     "q54_hash_sample": _duck_hash_sample_sql(),
     "q55_rolling_median": _DUCK_ROLLING_MEDIAN_SQL,
@@ -4624,6 +4752,8 @@ QUERIES = {
     "q80_market_share": q80_market_share,
     "q81_product_margin": q81_product_margin,
     "q82_order_count_distribution": q82_order_count_distribution,
+    "q84_rollup_revenue": q84_rollup_revenue,
+    "q85_corpus_grouping_sets": q85_corpus_grouping_sets,
     "q83_approx_percentile_guard": q83_approx_percentile_guard,
     "sim_diverse_subset": sim_diverse_subset,
     "sim_rp_topk_pretrained": sim_rp_topk_pretrained,

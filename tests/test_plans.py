@@ -60,6 +60,21 @@ CASES = {
         ["SortMergeJoin", "CartesianProduct"],
         3,
     ),
+    "q84_rollup_revenue": (
+        # ROLLUP = ONE Expand above the broadcast dim joins feeding a
+        # single partial+final HashAggregate pair — NOT three separate
+        # aggregation jobs; both dims broadcast
+        ["Expand", "HashAggregate", "BroadcastHashJoin"],
+        ["SortMergeJoin", "CartesianProduct"],
+        2,  # grouped-agg exchange + final presentation sort
+    ),
+    "q85_corpus_grouping_sets": (
+        # explicit GROUPING SETS ((lang),(source)): one corpus scan,
+        # one Expand(2), one agg — not two GROUP-BY jobs
+        ["Expand", "HashAggregate"],
+        ["SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"],
+        2,
+    ),
     "q62_skew_stats": (
         # heavy-hitter top-N: single-row totals broadcast back, top-N
         # compiles to TakeOrderedAndProject — no global sort
