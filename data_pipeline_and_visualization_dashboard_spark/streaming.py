@@ -1619,3 +1619,163 @@ def run_ivf_assign_to_completion(spark: SparkSession, in_dir: str,
     finally:
         q.stop()
     return read_ivf_assign(spark, index_dir)
+
+
+# ---------------------------------------------------------------------------
+# Streaming corpus snapshot diff (CDC twin of dedup_snapshot_diff)
+# ---------------------------------------------------------------------------
+
+# The batch dedup_snapshot_diff (extras/dedup.py) compares two FULL
+# corpus snapshots post hoc. The streaming twin answers the same
+# question continuously: maintain the content-hash table of the live
+# corpus from a document change stream and emit the added / removed /
+# changed / unchanged accounting PER MICRO-BATCH, so "what changed
+# since the last build" is a running ledger instead of a scheduled
+# corpus x corpus job. Same scale shape as the batch op: state and
+# deltas carry (doc_id, 16-byte hash, length) rows only — text never
+# enters state, the join, or the sink.
+
+_DOC_CDC_SCHEMA = "seq long, doc_id long, text string, op string"
+
+
+def snapshot_diff_stream(spark: SparkSession, in_dir: str,
+                         state_dir: str, deltas_dir: str,
+                         checkpoint_dir: str):
+    """Streaming snapshot-diff sink over a document CDC stream
+    (op = 'upsert' | 'delete'; `seq` orders ops within a batch).
+
+    Per micro-batch: reduce the batch to one op per doc (max-seq
+    wins), hash upserted text (md5, same content key as the batch
+    twin), classify against the current state —
+
+        upsert, key absent            -> added
+        upsert, key present, new hash -> changed
+        upsert, key present, same hash-> unchanged
+        delete, key present           -> removed
+        delete, key absent            -> dropped (no-op tombstone)
+
+    — append the per-status doc/char accounting to an epoch-keyed
+    delta ledger, then upsert the (doc_id, h, n_chars) state.
+
+    Exactly-once on at-least-once foreachBatch: deltas are written by
+    epoch-dir OVERWRITE **before** the fenced state swap
+    (_state_commit). A replay after a crash between the two
+    recomputes from the UNCHANGED state, produces byte-identical
+    deltas, overwrites the same epoch dir, and re-commits; a replay
+    after the state committed hits the epoch fence and is a no-op
+    (its deltas are already on disk). Per-batch cost is
+    O(state + batch) hash-grain rows — one key-partitioned join,
+    independent of stream history, the streaming analogue of the
+    batch op's O(|A| + |B|) bound."""
+    import os as _os
+
+    raw = (
+        spark.readStream.schema(_DOC_CDC_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+
+    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        _state_recover(state_dir)
+        if epoch_id <= _state_last_epoch(state_dir):
+            return  # replayed epoch: deltas + state already applied
+        sess = batch_df.sparkSession
+        w = Window.partitionBy("doc_id").orderBy(F.desc("seq"))
+        ops = (
+            batch_df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "doc_id", "op",
+                F.when(F.col("op") == "upsert", F.md5("text"))
+                .alias("h_new"),
+                F.when(F.col("op") == "upsert", F.length("text"))
+                .alias("len_new"),
+            )
+        )
+        if _os.path.exists(state_dir):
+            state = sess.read.parquet(state_dir).select(
+                "doc_id", "h", "n_chars"
+            )
+        else:
+            state = sess.createDataFrame(
+                [], "doc_id long, h string, n_chars int"
+            )
+        j = ops.join(state, "doc_id", "left_outer")
+        status = (
+            F.when(
+                (F.col("op") == "delete") & F.col("h").isNotNull(),
+                F.lit("removed"),
+            )
+            .when(F.col("op") == "delete", F.lit(None))  # no-op tomb
+            .when(F.col("h").isNull(), F.lit("added"))
+            .when(F.col("h") != F.col("h_new"), F.lit("changed"))
+            .otherwise(F.lit("unchanged"))
+        )
+        classified = j.select(
+            status.alias("status"),
+            # chars of the CURRENT version; the previous one for
+            # removals — the batch twin's convention
+            F.coalesce("len_new", "n_chars").alias("chars"),
+            "doc_id", "op", "h_new", "len_new",
+        ).filter(F.col("status").isNotNull())
+        classified.persist()
+        try:
+            deltas = (
+                classified.groupBy("status")
+                .agg(
+                    F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("chars").cast("bigint").alias("n_chars"),
+                )
+            )
+            # ledger BEFORE state swap (see docstring replay proof)
+            deltas.coalesce(1).write.mode("overwrite").parquet(
+                _os.path.join(deltas_dir, f"epoch={epoch_id}")
+            )
+            upserts = classified.filter(
+                F.col("op") == "upsert"
+            ).select(
+                "doc_id",
+                F.col("h_new").alias("h"),
+                F.col("len_new").alias("n_chars"),
+            )
+            touched = classified.select("doc_id")
+            merged = state.join(
+                touched, "doc_id", "left_anti"
+            ).unionByName(upserts)
+            _state_commit(merged, state_dir, epoch_id)
+        finally:
+            classified.unpersist()
+
+    return (
+        raw.writeStream.outputMode("append")
+        .foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def read_snapshot_deltas(spark: SparkSession,
+                         deltas_dir: str) -> DataFrame:
+    """The per-epoch change ledger (epoch, status, n_docs, n_chars);
+    epoch comes free from partition discovery over the epoch=N dirs."""
+    return spark.read.parquet(deltas_dir).select(
+        F.col("epoch").cast("long").alias("epoch"),
+        "status", "n_docs", "n_chars",
+    )
+
+
+def run_snapshot_diff_to_completion(spark: SparkSession, in_dir: str,
+                                    work_dir: str) -> DataFrame:
+    """Drive the snapshot-diff maintenance over the finite CDC input;
+    returns the accumulated ledger."""
+    import os as _os
+
+    state_dir = _os.path.join(work_dir, "state")
+    deltas_dir = _os.path.join(work_dir, "deltas")
+    ckpt = _os.path.join(work_dir, "ckpt")
+    q = snapshot_diff_stream(spark, in_dir, state_dir, deltas_dir, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return read_snapshot_deltas(spark, deltas_dir)

@@ -1216,3 +1216,91 @@ def test_postings_compaction_rolls_forward_after_install(spark, tmp_path):
         for r in read_postings_index(spark, seg_dir).collect()
     }
     assert got == want
+
+
+def test_streaming_snapshot_diff_matches_batch(spark, tmp_path):
+    """CDC snapshot-diff twin: seed the state with snapshot A, then
+    replay snapshot B as upserts plus tombstones for A-minus-B; the
+    post-seed delta ledger must equal the batch dedup_snapshot_diff
+    classification of A vs B (same %10/%13/%7 snapshot convention),
+    and the final state must be exactly B's content-hash table."""
+    from data_pipeline_and_visualization_dashboard_spark.extras.dedup import (
+        dedup_snapshot_diff,
+    )
+
+    docs = (
+        spark.read.parquet(SF_SMOKE + "/documents.parquet")
+        .select("doc_id", "text")
+        .filter("text IS NOT NULL")
+    )
+    prev = docs.filter("doc_id % 10 != 0")
+    cur = docs.filter("doc_id % 13 != 0").selectExpr(
+        "doc_id",
+        "CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' "
+        "ELSE text END AS text",
+    )
+    in_dir = str(tmp_path / "cdc_in")
+    work = str(tmp_path / "sd")
+    # phase 1: snapshot A seeds the state (one epoch, all 'added')
+    prev.selectExpr(
+        "0L AS seq", "doc_id", "text", "'upsert' AS op"
+    ).coalesce(1).write.parquet(in_dir, mode="append")
+    seeded = streaming.run_snapshot_diff_to_completion(
+        spark, in_dir, work
+    )
+    m0 = seeded.agg(F.max("epoch")).first()[0]
+    assert seeded.filter(
+        (F.col("epoch") <= m0) & (F.col("status") != "added")
+    ).count() == 0
+    # phase 2 (restart, same checkpoint): replay B in two halves,
+    # tombstone A-minus-B
+    cur.filter("doc_id % 2 = 0").selectExpr(
+        "1L AS seq", "doc_id", "text", "'upsert' AS op"
+    ).coalesce(1).write.parquet(in_dir, mode="append")
+    cur.filter("doc_id % 2 = 1").selectExpr(
+        "1L AS seq", "doc_id", "text", "'upsert' AS op"
+    ).coalesce(1).write.parquet(in_dir, mode="append")
+    prev.filter("doc_id % 13 = 0").selectExpr(
+        "2L AS seq", "doc_id", "CAST(NULL AS STRING) AS text",
+        "'delete' AS op",
+    ).coalesce(1).write.parquet(in_dir, mode="append")
+    ledger = streaming.run_snapshot_diff_to_completion(
+        spark, in_dir, work
+    )
+    got = {
+        r.status: (r.n_docs, r.n_chars)
+        for r in ledger.filter(F.col("epoch") > m0)
+        .groupBy("status")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+        .collect()
+    }
+    want = {
+        r.status: (r.n_docs, r.n_chars)
+        for r in dedup_snapshot_diff(spark, SF_SMOKE).collect()
+    }
+    assert got == want and len(want) == 4
+    # final state == snapshot B's content-hash table
+    state = sorted(
+        tuple(r)
+        for r in spark.read.parquet(work + "/state")
+        .select("doc_id", "h", "n_chars")
+        .collect()
+    )
+    want_state = sorted(
+        tuple(r)
+        for r in cur.select(
+            "doc_id", F.md5("text").alias("h"),
+            F.length("text").alias("n_chars"),
+        ).collect()
+    )
+    assert state == want_state
+    # idempotence: draining again with no new input changes nothing
+    again = streaming.run_snapshot_diff_to_completion(
+        spark, in_dir, work
+    )
+    assert sorted(map(tuple, again.collect())) == sorted(
+        map(tuple, ledger.collect())
+    )
