@@ -49,76 +49,66 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness pass samples the FIRST 50 entries of
 # queries() in iteration order (verified: CORRECTNESS_r02.json is
-# exactly indices 0-49 of the round-2 registry order).  After round 4
-# the cumulative scoreboard stands at 175/177 with zero failures;
-# only q82/q83 (the round-4 window-overflow pair) have never had a
-# driver row.  Round-5 window (VERDICT r4 next #1/#2): the overflow
-# pair FIRST — a green row for each finishes the scoreboard at
-# 100% — then this round's new entries, then RE-GREENING oldest-row-
-# first: every row from here down already holds a green driver row,
-# so the window keeps the cumulative scoreboard live instead of
-# archival (flagships q1-q5/q14 last earned rows in r1-r3, the r1
-# block's rows are four rounds old, and the r2 tail follows r2
-# order).
+# exactly indices 0-49 of the round-2 registry order).  After round 5
+# the cumulative scoreboard is complete: all 179 then-registered
+# entries hold at least one green driver row, zero failures ever.
+# Round-6 window (VERDICT r5 next #4/#6): the round's ONE new entry
+# first (dedup_snapshot_ledger — the streaming CDC snapshot-diff
+# readout), then OLDEST-ROW-FIRST re-greening: all 30 entries whose
+# newest row is from ROUND 2 (in their r2 window order — after r6
+# they would otherwise be four rounds stale), then the front of the
+# 49-entry round-3 block (its remainder rotates into round 7).
 _CHECK_FIRST = [
-    # --- the two never-driver-checked entries (VERDICT r4 next #1) ---
-    "q82_order_count_distribution",  # Q13 left-join zero-bucket dist
-    "q83_approx_percentile_guard",  # rows-only; bound asserted in-plan
-    # --- new in round 5: the GROUPING SETS family (VERDICT r4 next
-    # #6) — joined-fact ROLLUP with grouping_id and the explicit
-    # non-hierarchical set list; q18/q33 (single-table ROLLUP/CUBE,
-    # r2 rows) re-green below so the whole family is in one window ---
-    "q84_rollup_revenue",
-    "q85_corpus_grouping_sets",
-    # --- re-green: reference-core flagships (rows from r1-r3) ---
-    "q1_top_nations",
-    "q2_avg_value_by_hour",
-    "q3_event_type_pct",
-    "q4_unit_price_by_weekday",
-    "q5_trade_routes",
-    "q14_clean_accounting",
-    # --- re-green: the 26 entries whose latest row is ROUND 1 ---
-    "q7_filtered_metrics",
-    "q8_top_users",
-    "q9_value_histogram",
-    "q10_type_donut",
-    "q11_day_hour_heatmap",
-    "q12_derived_events",
-    "q22_heatmap_pivot",
-    "q23_value_percentiles",
-    "q24_distinct_users",
-    "q25_set_ops",
-    "q26_regex_filter",
-    "q27_asof_join",
-    "dedup_exact_groups",
-    "dedup_exact_docs",
-    "dedup_minhash_signatures",
-    "dedup_minhash_pairs",
-    "dedup_ngram_jaccard_topk",
-    "dedup_simhash_fingerprints",
-    "dedup_simhash_pairs",
-    "dedup_simhash_hamming_topk",
-    "dedup_embedding_pairs",
-    "text_stats",
-    "text_lang_id",
-    "text_fingerprint",
-    "sim_cosine_topk",
-    "sim_cosine_topk_pandas",
-    # --- re-green: oldest round-2 rows, in r2 window order ---
-    "q15_sample_events",
-    "q19_stratified_sample",
-    "q6_pricing_summary",
-    "q13_windowed_counts",
-    "q16_sessionization",
-    "q17_top_customers_per_nation",
-    "q18_status_priority_rollup",
-    "q33_status_priority_cube",
-    "q28_json_extract",
-    "q29_approx_stats",
-    "q30_semi_anti",
-    "q31_moving_avg",
-    "q32_collect_sets",
-    "sim_centroid_assign",
+    "dedup_snapshot_ledger",
+    "q34_top_users_labeled",
+    "q35_ship_delay",
+    "q36_session_windows",
+    "q37_prior_hour_window",
+    "q38_unpivot_heatmap",
+    "q39_interval_join",
+    "q40_salted_skew_join",
+    "q41_latest_event_state",
+    "q42_daily_from_hourly",
+    "q43_full_outer_reconcile",
+    "q44_user_trend",
+    "q45_cohort_retention",
+    "q46_value_anomalies",
+    "q47_scd2_history",
+    "q48_funnel_steps",
+    "q49_fuzzy_name_match",
+    "q50_equidepth_buckets",
+    "q51_nation_pagerank",
+    "q52_gap_fill",
+    "q53_incremental_rollup",
+    "q54_hash_sample",
+    "q55_rolling_median",
+    "q56_grouped_stats",
+    "q57_rank_family",
+    "q58_event_nation_counts",
+    "q59_sliding_distinct",
+    "sim_ivf_topk",
+    "sim_ivfpq_topk",
+    "q20_shipping_priority",
+    "q21_nation_revenue",
+    "text_bpe_train",
+    "text_bpe_apply",
+    "sketch_kmv_overlap",
+    "text_index_postings",
+    "text_search_phrase",
+    "text_search_ranked",
+    "corpus_funnel",
+    "corpus_survivors",
+    "dedup_incremental_pairs",
+    "dedup_neardup_groups",
+    "dedup_contamination",
+    "dedup_embedding_pairs_lsh",
+    "sim_pq_codes",
+    "sim_pq_adc_topk",
+    "sim_sq_topk",
+    "sim_lsh_buckets",
+    "sketch_countmin",
+    "sketch_countmin_topk_est",
+    "sketch_hll_registers",
 ]
 
 

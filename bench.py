@@ -78,6 +78,8 @@ HEADLINE = [
     "q81_product_margin",  # Q9 cost-model margin by nation/year
     "q82_order_count_distribution",  # Q13 left-join zero-bucket dist
     "q83_approx_percentile_guard",  # in-plan percentile-sketch bound
+    "q84_rollup_revenue",  # joined-fact ROLLUP, one Expand+agg pass
+    "q85_corpus_grouping_sets",  # explicit non-hierarchical set list
     "sim_recall_eval",  # LSH recall@k vs exact (eval as an operator)
     "sim_ivf_recall_guard",  # pretrained-IVF recall floor, in-plan assert
     "sim_ivfpq_recall_guard",  # pretrained-IVF-PQ floor, in-plan assert
@@ -239,6 +241,33 @@ def main() -> None:
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s", flush=True)
 
+    # cold-vs-steady split for the expression-heavy PQ serving plans
+    # (VERDICT r5 next #5): "cold" = one fresh registry call (Catalyst
+    # must constant-fold the 64 literal codebook arrays into the plan)
+    # plus its first execution; "steady" = re-executing the SAME
+    # DataFrame object, the profile of a serving process that builds
+    # the plan once and answers many requests. This replaces the
+    # README's prose ~0.5s steady-state claim with a measured line.
+    pq_cold_steady: dict[str, dict[str, float]] = {}
+    for name in ("sim_pq_adc_topk", "sim_ivfpq_topk_pretrained"):
+        if name not in headline:
+            continue
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        df = registry[name](spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        cold = round(time.perf_counter() - t0, 3)
+        steady = float("inf")
+        for _ in range(samples):
+            t0 = time.perf_counter()
+            df.write.mode("overwrite").format("noop").save()
+            steady = min(steady, time.perf_counter() - t0)
+        pq_cold_steady[name] = {
+            "cold_sec": cold, "steady_sec": round(steady, 3)
+        }
+        print(f"# {name}: cold {cold}s, steady {round(steady, 3)}s",
+              flush=True)
+
     total = round(sum(timings.values()), 3)
     index_build = {"ivf": ivf_build, "pq_codebook": pq_build,
                    "disk_index": disk_build, "bpe_merges": bpe_build}
@@ -248,6 +277,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "index_build_sec": index_build,
+        "pq_cold_steady_sec": pq_cold_steady,
+        "samples_per_query": samples,
         "sf": sf,
     }
     # The full per-query map outgrew the driver's fixed-size tail
@@ -281,8 +312,14 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
         "n_queries": len(timings),
+        # per-query timing = MIN over this many runs after a full
+        # warmup pass (VERDICT r5 next #3: single samples drift ±30%
+        # on a shared box; cross-round deltas need the floor, not one
+        # draw) — the driver-visible record states it explicitly
+        "samples_per_query": samples,
         "family_sec": subtotals,
         "index_build_sec": index_build,
+        "pq_cold_steady_sec": pq_cold_steady,
         "full_map": out_name,
     }), flush=True)
 

@@ -28,6 +28,8 @@ Every stage is differential-tested: the hash family is md5-derived
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2323,6 +2325,124 @@ _DUCK_SNAPSHOT_DIFF_SQL = """
 """
 
 
+def dedup_snapshot_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible readout of the STREAMING snapshot-diff path
+    (streaming.snapshot_diff_stream): build a deterministic two-epoch
+    document CDC fixture from the corpus, drive the maintenance
+    stream to completion epoch by epoch, and return the accumulated
+    per-epoch change ledger (epoch, status, n_docs, n_chars) — so the
+    CDC classification's correctness is a DuckDB-checkable driver
+    row, not only a local pytest (VERDICT r5 next #6).
+
+    Fixture (doc_id residue convention, same style as the %10/%13/%7
+    batch snapshot stand-ins):
+      epoch 0 — upsert every doc with doc_id%3 != 0 (all 'added');
+      epoch 1 — upsert doc_id%3 == 0           -> added
+                upsert %3!=0 ∧ %5==0, text+' v2' -> changed
+                upsert %3!=0 ∧ %5!=0 ∧ %7==0     -> unchanged
+                delete %3!=0 ∧ %5!=0 ∧ %7!=0 ∧ %11==0 -> removed
+    The oracle recomputes exactly that classification in SQL; the
+    stream must reproduce it through its state join. Per-epoch cost
+    is the streaming op's O(state + batch) hash-grain bound; the
+    fixture writes carry (seq, doc_id, text, op) rows once each —
+    the one-file-per-drain layout pins epoch numbering so the ledger
+    is deterministic."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from .. import streaming as _streaming
+
+    docs = read_table(
+        spark, sf_dir, "documents", ["doc_id", "text"]
+    ).filter(F.col("text").isNotNull())
+    work = _os.path.join(
+        _tempfile.gettempdir(),
+        "sgraft_snapshot_ledger_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+    )
+    _shutil.rmtree(work, ignore_errors=True)
+    in_dir = _os.path.join(work, "cdc_in")
+    sd = _os.path.join(work, "sd")
+    batch1 = docs.filter(F.col("doc_id") % 3 != 0).selectExpr(
+        "doc_id AS seq", "doc_id", "text", "'upsert' AS op"
+    )
+    batch1.coalesce(1).write.parquet(in_dir, mode="append")
+    _streaming.run_snapshot_diff_to_completion(spark, in_dir, sd)
+    batch2 = (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .selectExpr("doc_id AS seq", "doc_id", "text", "'upsert' AS op")
+        .unionByName(
+            docs.filter(
+                (F.col("doc_id") % 3 != 0) & (F.col("doc_id") % 5 == 0)
+            ).selectExpr(
+                "doc_id AS seq", "doc_id",
+                "text || ' v2' AS text", "'upsert' AS op",
+            )
+        )
+        .unionByName(
+            docs.filter(
+                (F.col("doc_id") % 3 != 0)
+                & (F.col("doc_id") % 5 != 0)
+                & (F.col("doc_id") % 7 == 0)
+            ).selectExpr(
+                "doc_id AS seq", "doc_id", "text", "'upsert' AS op"
+            )
+        )
+        .unionByName(
+            docs.filter(
+                (F.col("doc_id") % 3 != 0)
+                & (F.col("doc_id") % 5 != 0)
+                & (F.col("doc_id") % 7 != 0)
+                & (F.col("doc_id") % 11 == 0)
+            ).selectExpr(
+                "doc_id AS seq", "doc_id",
+                "CAST(NULL AS STRING) AS text", "'delete' AS op",
+            )
+        )
+    )
+    batch2.coalesce(1).write.parquet(in_dir, mode="append")
+    ledger = _streaming.run_snapshot_diff_to_completion(
+        spark, in_dir, sd
+    )
+    return ledger.select(
+        "epoch", "status",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+    ).orderBy("epoch", "status")
+
+
+_DUCK_SNAPSHOT_LEDGER_SQL = """
+    WITH d AS (
+        SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+    ), e0 AS (
+        SELECT CAST(0 AS BIGINT) AS epoch, 'added' AS status,
+               COUNT(*) AS n_docs,
+               CAST(SUM(LENGTH(text)) AS BIGINT) AS n_chars
+        FROM d WHERE doc_id % 3 <> 0
+    ), e1_rows AS (
+        SELECT CASE WHEN doc_id % 3 = 0 THEN 'added'
+                    WHEN doc_id % 5 = 0 THEN 'changed'
+                    WHEN doc_id % 7 = 0 THEN 'unchanged'
+                    WHEN doc_id % 11 = 0 THEN 'removed'
+               END AS status,
+               CASE WHEN doc_id % 3 <> 0 AND doc_id % 5 = 0
+                    THEN LENGTH(text) + 3
+                    ELSE LENGTH(text) END AS chars
+        FROM d
+    ), e1 AS (
+        SELECT CAST(1 AS BIGINT) AS epoch, status,
+               COUNT(*) AS n_docs,
+               CAST(SUM(chars) AS BIGINT) AS n_chars
+        FROM e1_rows WHERE status IS NOT NULL GROUP BY status
+    )
+    SELECT epoch, status, n_docs, n_chars FROM e0
+    UNION ALL
+    SELECT epoch, status, n_docs, n_chars FROM e1
+    ORDER BY epoch, status
+"""
+
+
 QUERIES = {
     "dedup_exact_groups": dedup_exact_groups,
     "dedup_exact_docs": dedup_exact_docs,
@@ -2352,10 +2472,12 @@ QUERIES = {
     "dedup_semantic": dedup_semantic,
     "dedup_semantic_trained": dedup_semantic_trained,
     "dedup_snapshot_diff": dedup_snapshot_diff,
+    "dedup_snapshot_ledger": dedup_snapshot_ledger,
     "dedup_threshold_curve": dedup_threshold_curve,
 }
 
 ORACLE_SQL["dedup_snapshot_diff"] = _DUCK_SNAPSHOT_DIFF_SQL
+ORACLE_SQL["dedup_snapshot_ledger"] = _DUCK_SNAPSHOT_LEDGER_SQL
 ORACLE_SQL["dedup_threshold_curve"] = _duck_threshold_curve_sql()
 
 ORACLE_SQL["dedup_hash_stage_md5"] = _DUCK_HASH_STAGE_SQL

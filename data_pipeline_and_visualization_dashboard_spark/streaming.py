@@ -1645,8 +1645,11 @@ def snapshot_diff_stream(spark: SparkSession, in_dir: str,
     (op = 'upsert' | 'delete'; `seq` orders ops within a batch).
 
     Per micro-batch: reduce the batch to one op per doc (max-seq
-    wins), hash upserted text (md5, same content key as the batch
-    twin), classify against the current state —
+    wins; seq ties break deterministically by op then content hash),
+    hash upserted text (md5, same content key as the batch twin;
+    NULL text hashes to NULL and compares null-safely, so a doc whose
+    content flips to/from NULL classifies as changed), classify
+    against the current state —
 
         upsert, key absent            -> added
         upsert, key present, new hash -> changed
@@ -1680,7 +1683,14 @@ def snapshot_diff_stream(spark: SparkSession, in_dir: str,
         if epoch_id <= _state_last_epoch(state_dir):
             return  # replayed epoch: deltas + state already applied
         sess = batch_df.sparkSession
-        w = Window.partitionBy("doc_id").orderBy(F.desc("seq"))
+        # deterministic max-seq-wins: ties on seq break by op (upsert
+        # over delete) then content hash, so a crash-replay of the
+        # same batch picks the same winner — the replay-proof below
+        # needs byte-identical deltas, so the reduction must be a
+        # pure function of the batch's row SET, not its order
+        w = Window.partitionBy("doc_id").orderBy(
+            F.desc("seq"), F.desc("op"), F.desc(F.md5("text"))
+        )
         ops = (
             batch_df.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
@@ -1700,15 +1710,25 @@ def snapshot_diff_stream(spark: SparkSession, in_dir: str,
             state = sess.createDataFrame(
                 [], "doc_id long, h string, n_chars int"
             )
-        j = ops.join(state, "doc_id", "left_outer")
+        # `present` marks key-in-state independently of the stored
+        # hash: an upsert with NULL text yields h = md5(NULL) = NULL
+        # in state, so h.isNull() cannot double as the absence test
+        # and h != h_new would return NULL (not true) when content
+        # changes to/from NULL — null-safe compare + explicit marker
+        j = ops.join(
+            state.withColumn("present", F.lit(True)),
+            "doc_id", "left_outer",
+        )
         status = (
             F.when(
-                (F.col("op") == "delete") & F.col("h").isNotNull(),
+                (F.col("op") == "delete") & F.col("present").isNotNull(),
                 F.lit("removed"),
             )
             .when(F.col("op") == "delete", F.lit(None))  # no-op tomb
-            .when(F.col("h").isNull(), F.lit("added"))
-            .when(F.col("h") != F.col("h_new"), F.lit("changed"))
+            .when(F.col("present").isNull(), F.lit("added"))
+            .when(
+                ~F.col("h").eqNullSafe(F.col("h_new")), F.lit("changed")
+            )
             .otherwise(F.lit("unchanged"))
         )
         classified = j.select(

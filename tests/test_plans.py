@@ -998,3 +998,34 @@ def test_plan_audit_flags_global_windows(spark):
         ]
         >= 1
     )  # W1: agg-output-sized by construction — reported, not hidden
+
+
+def test_kmv_overlap_single_shingle_exchange(spark):
+    """VERDICT r5 next #1: the three `hs` consumers (sketch A slice,
+    sketch B slice, exact readout) must share ONE shingle-grain
+    build. ReuseExchange cannot collapse them (the
+    TakeOrderedAndProject branches canonicalize differently — r6
+    observed the hash Exchange 3x with distinct plan_ids), so
+    kmv_overlap persists `hs`; the pin is the cache: every consumer
+    is an InMemoryTableScan, and the ONLY hash-grain Exchanges in
+    the printed plan are the cached build's own (the same plan_ids
+    re-printed per scan site — textual count inflates, distinct
+    plan_id count must not)."""
+    import re
+
+    plan = _plan(spark, "sketch_kmv_overlap")
+    assert "InMemoryTableScan" in plan
+    ids = set(
+        re.findall(
+            r"Exchange hashpartitioning\(h#\d+L?, \d+\),"
+            r" [A-Z_]+, \[plan_id=(\d+)\]",
+            plan,
+        )
+    )
+    # one logical shingle-grain build: at most the cached plan's own
+    # exchange id (+1 for the printer's first-instance id); three
+    # INDEPENDENT builds would show >=3 distinct ids
+    assert len(ids) <= 2, ids
+    assert "TakeOrderedAndProject" in plan  # distributed bottom-K
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

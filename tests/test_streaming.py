@@ -1304,3 +1304,68 @@ def test_streaming_snapshot_diff_matches_batch(spark, tmp_path):
     assert sorted(map(tuple, again.collect())) == sorted(
         map(tuple, ledger.collect())
     )
+
+
+def test_snapshot_diff_null_text_and_seq_ties(spark, tmp_path):
+    """ADVICE r5: (a) NULL-text transitions must classify null-safely
+    (NULL->text and text->NULL are 'changed', NULL->NULL is
+    'unchanged', deleting a NULL-hash doc is 'removed' — the state
+    stores h = md5(NULL) = NULL, so presence must not be inferred
+    from the hash); (b) equal-seq ops on one doc break ties
+    deterministically (upsert over delete, then desc content hash)."""
+    import os
+
+    in_dir = str(tmp_path / "cdc_in")
+    work = str(tmp_path / "sd")
+    b1 = spark.createDataFrame(
+        [
+            (0, 1, None, "upsert"),   # NULL text -> NULL hash state
+            (0, 2, "aa", "upsert"),
+            (0, 3, None, "upsert"),
+            (0, 4, None, "upsert"),
+        ],
+        "seq long, doc_id long, text string, op string",
+    )
+    b1.coalesce(1).write.parquet(in_dir, mode="append")
+    streaming.run_snapshot_diff_to_completion(spark, in_dir, work)
+    b2 = spark.createDataFrame(
+        [
+            (1, 1, "xx", "upsert"),   # NULL -> text   => changed
+            (1, 2, None, "upsert"),   # text -> NULL   => changed
+            (1, 3, None, "upsert"),   # NULL -> NULL   => unchanged
+            (1, 4, None, "delete"),   # NULL-hash doc  => removed
+            # equal-seq ties on one doc: upsert must beat delete
+            (1, 5, "zz", "upsert"),
+            (1, 5, None, "delete"),
+            # two equal-seq upserts: desc(md5(text)) winner ("b")
+            (1, 6, "a", "upsert"),
+            (1, 6, "b", "upsert"),
+        ],
+        "seq long, doc_id long, text string, op string",
+    )
+    b2.coalesce(1).write.parquet(in_dir, mode="append")
+    ledger = streaming.run_snapshot_diff_to_completion(
+        spark, in_dir, work
+    )
+    m = {
+        (r.epoch, r.status): (r.n_docs, r.n_chars)
+        for r in ledger.collect()
+    }
+    assert m[(0, "added")] == (4, 2)  # only doc 2 has chars
+    assert m[(1, "added")] == (2, 3)  # docs 5 ("zz") + 6 (len 1)
+    assert m[(1, "changed")] == (2, 4)  # doc 1 cur 2 + doc 2 prev 2
+    assert m[(1, "unchanged")] == (1, None)  # doc 3, NULL chars
+    assert m[(1, "removed")] == (1, None)  # doc 4, NULL prev chars
+    state = {
+        r.doc_id: r.h
+        for r in spark.read.parquet(os.path.join(work, "state"))
+        .collect()
+    }
+    import hashlib as _hl
+
+    assert set(state) == {1, 2, 3, 5, 6}  # doc 4 deleted
+    assert state[1] == _hl.md5(b"xx").hexdigest()
+    assert state[2] is None and state[3] is None
+    assert state[5] == _hl.md5(b"zz").hexdigest()
+    # deterministic tie winner: md5("b") > md5("a") lexicographically
+    assert state[6] == _hl.md5(b"b").hexdigest()
