@@ -52,14 +52,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # exactly indices 0-49 of the round-2 registry order).  After round 5
 # the cumulative scoreboard is complete: all 179 then-registered
 # entries hold at least one green driver row, zero failures ever.
-# Round-6 window (VERDICT r5 next #4/#6): the round's ONE new entry
+# Round-6 window (VERDICT r5 next #4/#6): the round's TWO new entries
 # first (dedup_snapshot_ledger — the streaming CDC snapshot-diff
-# readout), then OLDEST-ROW-FIRST re-greening: all 30 entries whose
+# readout — and q86_zorder_layout, the Morton data-layout family),
+# then OLDEST-ROW-FIRST re-greening: all 30 entries whose
 # newest row is from ROUND 2 (in their r2 window order — after r6
 # they would otherwise be four rounds stale), then the front of the
 # 49-entry round-3 block (its remainder rotates into round 7).
 _CHECK_FIRST = [
     "dedup_snapshot_ledger",
+    "q86_zorder_layout",
     "q34_top_users_labeled",
     "q35_ship_delay",
     "q36_session_windows",
@@ -108,7 +110,6 @@ _CHECK_FIRST = [
     "sim_lsh_buckets",
     "sketch_countmin",
     "sketch_countmin_topk_est",
-    "sketch_hll_registers",
 ]
 
 

@@ -198,27 +198,34 @@ def main() -> None:
         ann_disk_index,
     )
 
-    t0 = time.perf_counter()
-    ivf_index(spark, sf_dir)
-    ivf_build = round(time.perf_counter() - t0, 3)
-    t0 = time.perf_counter()
-    _pq_codebook(spark, sf_dir)
-    pq_build = round(time.perf_counter() - t0, 3)
-    t0 = time.perf_counter()
-    ann_disk_index(spark, sf_dir)  # persisted IVF assignment + PQ codes
-    disk_build = round(time.perf_counter() - t0, 3)
-    from data_pipeline_and_visualization_dashboard_spark.extras.bpe import (
-        _trained_merges,
-    )
+    # subset ladder runs over queries that touch no trained artifact
+    # can skip the index builds (at sf3 the BPE training alone costs
+    # minutes that the measured ops never use)
+    skip_index = os.environ.get("SPARK_GRAFT_BENCH_SKIP_INDEX") == "1"
+    if skip_index:
+        ivf_build = pq_build = disk_build = bpe_build = -1.0
+    else:
+        t0 = time.perf_counter()
+        ivf_index(spark, sf_dir)
+        ivf_build = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        _pq_codebook(spark, sf_dir)
+        pq_build = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        ann_disk_index(spark, sf_dir)  # persisted IVF assign + PQ codes
+        disk_build = round(time.perf_counter() - t0, 3)
+        from data_pipeline_and_visualization_dashboard_spark.extras.bpe import (
+            _trained_merges,
+        )
 
-    t0 = time.perf_counter()
-    _trained_merges(spark, sf_dir)  # BPE merge training (one-time artifact)
-    bpe_build = round(time.perf_counter() - t0, 3)
-    print(
-        f"# index build: ivf {ivf_build}s, pq codebook {pq_build}s, "
-        f"disk index {disk_build}s, bpe merges {bpe_build}s",
-        flush=True,
-    )
+        t0 = time.perf_counter()
+        _trained_merges(spark, sf_dir)  # BPE training (one-time artifact)
+        bpe_build = round(time.perf_counter() - t0, 3)
+        print(
+            f"# index build: ivf {ivf_build}s, pq codebook {pq_build}s, "
+            f"disk index {disk_build}s, bpe merges {bpe_build}s",
+            flush=True,
+        )
 
     # warmup: one full pass primes JVM JIT, per-query codegen (janino
     # compiles the wide agg/stack expressions on first use) and the

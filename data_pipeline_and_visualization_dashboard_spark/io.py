@@ -209,7 +209,12 @@ def write_zorder(df: DataFrame, path: str, col_a: str, col_b: str,
     column; bucket id = sum of (col > cutpoint) indicators — a short
     codegen-friendly comparison chain.
 
-    Numeric columns only (cast/extract upstream for timestamps)."""
+    Numeric columns only (cast/extract upstream for timestamps).
+    Driver-checkable twin: queries_ext.q86_zorder_layout reports the
+    per-layout skipping statistics (min-max cells there, for DuckDB
+    oracle parity) and tests/test_pipeline.py verifies the written
+    files' pyarrow footer stats actually prune trailing-dim
+    predicates."""
     n_cells = 1 << bits
     qs = [i / n_cells for i in range(1, n_cells)]
     r = df.agg(

@@ -4226,6 +4226,159 @@ _DUCK_Q85_SQL = """
 """
 
 
+# ----------------------------------------------------------------------
+# q86: Z-order (Morton) data layout — multi-dimensional clustering for
+# scan pruning, the lakehouse OPTIMIZE ZORDER BY primitive (Delta/
+# Iceberg rewrite jobs), expressed engine-side. New operator family
+# for round 6: data LAYOUT as a first-class op, not just query shapes.
+# ----------------------------------------------------------------------
+
+
+def _morton16(a: str, b: str, dialect: str) -> str:
+    """16-bit Morton code: interleave the low 8 bits of `a` (odd
+    positions) and `b` (even positions). Pure integer bit arithmetic
+    so Spark and DuckDB produce bit-identical codes — Spark spells
+    shift as shiftleft/shiftright functions, DuckDB as <</>>
+    operators; every term fully parenthesized (DuckDB's & precedence
+    differs from C)."""
+    if dialect == "spark":
+        def bit(c: str, i: int) -> str:
+            return f"(shiftright({c}, {i}) & 1)"
+
+        def shl(e: str, n: int) -> str:
+            return f"shiftleft({e}, {n})"
+    else:
+        def bit(c: str, i: int) -> str:
+            return f"(({c} >> {i}) & 1)"
+
+        def shl(e: str, n: int) -> str:
+            return f"({e} << {n})"
+    return " + ".join(
+        f"{shl(bit(a, i), 2 * i + 1)} + {shl(bit(b, i), 2 * i)}"
+        for i in range(8)
+    )
+
+
+def zorder_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(a, b, z) bucket frame for the events fact: 8-bit range-bucket
+    ids for user_id and floor(value), plus their 16-bit Morton code.
+    Shared by the q86 readout and the layout-write path (the rewrite
+    job is `repartitionByRange + sortWithinPartitions` on `z`;
+    materialization is footer-verified in tests/test_pipeline.py).
+    Row-local codegen arithmetic over a 1-row broadcast range frame —
+    no shuffle."""
+    ev = (
+        read_table(spark, sf_dir, "events", ["user_id", "value"])
+        .filter(F.col("value").isNotNull())
+        .selectExpr("user_id", "CAST(floor(value) AS BIGINT) AS vi")
+    )
+    rng = ev.agg(
+        F.min("user_id").alias("lo_u"), F.max("user_id").alias("hi_u"),
+        F.min("vi").alias("lo_v"), F.max("vi").alias("hi_v"),
+    )
+    ab = ev.join(F.broadcast(rng)).selectExpr(
+        "CAST(((user_id - lo_u) * 256) div (hi_u - lo_u + 1) AS INT)"
+        " AS a",
+        "CAST(((vi - lo_v) * 256) div (hi_v - lo_v + 1) AS INT) AS b",
+    )
+    z = _morton16("a", "b", "spark")
+    return ab.selectExpr("a", "b", f"CAST(({z}) AS INT) AS z")
+
+
+def q86_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout effectiveness readout: bucket events on the
+    16-bit Morton interleave of (user_id, value) vs the linear
+    (user_id, value) lexicographic key, and report per-layout how
+    narrow each bucket's span is in BOTH dimensions — the min/max
+    skipping statistics a parquet footer would carry per file.
+
+    Why this is a 100 TB operator: a table sorted on ONE key prunes
+    scans only on that key's predicates — the linear layout's buckets
+    here have ~zero user-span but full value-span, so `value BETWEEN`
+    predicates read every file. Z-ordering keeps every contiguous
+    key-range a small HYPERCUBE (each 256-code bucket is a 16x16
+    tile), so row-group min/max stats prune on user_id AND value
+    simultaneously; the layout job itself is one repartitionByRange +
+    sortWithinPartitions on the computed z column (materialized and
+    pyarrow-footer-verified in tests/test_pipeline.py). Computing z
+    is row-local codegen arithmetic — zero extra shuffles beyond the
+    1-row min/max broadcast; the readout's two aggregations run over
+    the tiny (layout, bucket) grain.
+
+    Bucket ids use pure INTEGER arithmetic ((x-lo)*256 div span) and
+    floor() before casting the double value (DuckDB CAST rounds where
+    Spark truncates), so the oracle reproduces codes bit-identically.
+    The production WRITER is io.write_zorder (equi-depth percentile
+    cells, robust to skewed columns); this readout uses min-max cells
+    because equi-depth boundaries come from percentile_approx, whose
+    sketch DuckDB cannot reproduce — same Morton mechanics, and the
+    materialized layout is footer-verified in tests/test_pipeline.py
+    (simulated file pruning from pyarrow min/max stats)."""
+    buck = zorder_frame(spark, sf_dir).selectExpr(
+        "a", "b",
+        "CAST(z div 256 AS INT) AS zbucket",
+        "CAST((a * 256 + b) div 256 AS INT) AS lbucket",
+    ).selectExpr(
+        "stack(2, 'zorder', zbucket, 'linear', lbucket)"
+        " AS (layout, bucket)",
+        "a", "b",
+    )
+    per_bucket = buck.groupBy("layout", "bucket").agg(
+        (F.max("a") - F.min("a")).cast("int").alias("a_span"),
+        (F.max("b") - F.min("b")).cast("int").alias("b_span"),
+    )
+    return (
+        per_bucket.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.round(F.avg("a_span"), 6).alias("avg_a_span"),
+            F.round(F.avg("b_span"), 6).alias("avg_b_span"),
+            F.max("a_span").alias("max_a_span"),
+            F.max("b_span").alias("max_b_span"),
+        )
+        .orderBy("layout")
+    )
+
+
+def _duck_q86_sql() -> str:
+    z = _morton16("a", "b", "duck")
+    return f"""
+    WITH ev AS (
+        SELECT user_id, CAST(floor(value) AS BIGINT) AS vi
+        FROM events WHERE value IS NOT NULL
+    ), rng AS (
+        SELECT min(user_id) AS lo_u, max(user_id) AS hi_u,
+               min(vi) AS lo_v, max(vi) AS hi_v
+        FROM ev
+    ), ab AS (
+        SELECT CAST(((user_id - lo_u) * 256) // (hi_u - lo_u + 1)
+                    AS INT) AS a,
+               CAST(((vi - lo_v) * 256) // (hi_v - lo_v + 1)
+                    AS INT) AS b
+        FROM ev, rng
+    ), buck AS (
+        SELECT 'zorder' AS layout,
+               CAST(({z}) // 256 AS INT) AS bucket, a, b
+        FROM ab
+        UNION ALL
+        SELECT 'linear' AS layout,
+               CAST((a * 256 + b) // 256 AS INT) AS bucket, a, b
+        FROM ab
+    ), per_bucket AS (
+        SELECT layout, bucket,
+               CAST(max(a) - min(a) AS INT) AS a_span,
+               CAST(max(b) - min(b) AS INT) AS b_span
+        FROM buck GROUP BY layout, bucket
+    )
+    SELECT layout, count(*) AS n_buckets,
+           round(avg(a_span), 6) AS avg_a_span,
+           round(avg(b_span), 6) AS avg_b_span,
+           max(a_span) AS max_a_span,
+           max(b_span) AS max_b_span
+    FROM per_bucket GROUP BY layout ORDER BY layout
+    """
+
+
 ORACLE_SQL: dict[str, str] = {
     "q60_bucketed_join": """
         SELECT o_orderpriority, count(*) AS n_items,
@@ -4258,6 +4411,7 @@ ORACLE_SQL: dict[str, str] = {
     "q82_order_count_distribution": _duck_q82_sql(),
     "q84_rollup_revenue": _DUCK_Q84_SQL,
     "q85_corpus_grouping_sets": _DUCK_Q85_SQL,
+    "q86_zorder_layout": _duck_q86_sql(),
     "sim_diverse_subset": _duck_diverse_subset_sql(),
     "q54_hash_sample": _duck_hash_sample_sql(),
     "q55_rolling_median": _DUCK_ROLLING_MEDIAN_SQL,
@@ -4763,6 +4917,7 @@ QUERIES = {
     "q82_order_count_distribution": q82_order_count_distribution,
     "q84_rollup_revenue": q84_rollup_revenue,
     "q85_corpus_grouping_sets": q85_corpus_grouping_sets,
+    "q86_zorder_layout": q86_zorder_layout,
     "q83_approx_percentile_guard": q83_approx_percentile_guard,
     "sim_diverse_subset": sim_diverse_subset,
     "sim_rp_topk_pretrained": sim_rp_topk_pretrained,

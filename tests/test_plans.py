@@ -75,6 +75,16 @@ CASES = {
         ["SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"],
         2,
     ),
+    "q86_zorder_layout": (
+        # Morton codes are row-local codegen arithmetic over the
+        # 1-row broadcast range frame; the fact is NEVER shuffled at
+        # row grain — the only exchanges are the range-frame
+        # SinglePartition, the (layout,bucket) agg, the layout agg,
+        # and the 2-row presentation sort
+        ["Generate stack", "HashAggregate", "BroadcastExchange"],
+        ["SortMergeJoin", "CartesianProduct"],
+        4,
+    ),
     "q62_skew_stats": (
         # heavy-hitter top-N: single-row totals broadcast back, top-N
         # compiles to TakeOrderedAndProject — no global sort
