@@ -52,9 +52,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # exactly indices 0-49 of the round-2 registry order).  After round 5
 # the cumulative scoreboard is complete: all 179 then-registered
 # entries hold at least one green driver row, zero failures ever.
-# Round-6 window (VERDICT r5 next #4/#6): the round's TWO new entries
-# first (dedup_snapshot_ledger — the streaming CDC snapshot-diff
-# readout — and q86_zorder_layout, the Morton data-layout family),
+# Round-6 window (VERDICT r5 next #4/#6): the round's THREE new
+# entries first (dedup_snapshot_ledger — the streaming CDC
+# snapshot-diff readout; q86_zorder_layout — the Morton data-layout
+# family; media_audio_windows — overlapping audio-frame segmentation),
 # then OLDEST-ROW-FIRST re-greening: all 30 entries whose
 # newest row is from ROUND 2 (in their r2 window order — after r6
 # they would otherwise be four rounds stale), then the front of the
@@ -62,6 +63,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _CHECK_FIRST = [
     "dedup_snapshot_ledger",
     "q86_zorder_layout",
+    "media_audio_windows",
     "q34_top_users_labeled",
     "q35_ship_delay",
     "q36_session_windows",
@@ -109,7 +111,6 @@ _CHECK_FIRST = [
     "sim_sq_topk",
     "sim_lsh_buckets",
     "sketch_countmin",
-    "sketch_countmin_topk_est",
 ]
 
 

@@ -219,6 +219,75 @@ def media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no terminal sort: O(n) output, order-insensitive compare
 
 
+AUDIO_WIN = 64  # "samples" (bytes) per analysis window
+AUDIO_HOP = 32  # hop size — 50% overlap, the STFT/VAD convention
+SILENCE_TAU = 95.0  # mean-amplitude silence threshold (ASCII stand-in)
+
+AUDIO_SCHEMA = "doc_id long, win_idx int, n_samples int, energy double"
+
+
+def window_audio(media: DataFrame, win: int = AUDIO_WIN,
+                 hop: int = AUDIO_HOP) -> DataFrame:
+    """Overlapping audio-frame segmentation — the windowing stage every
+    speech/audio pipeline runs before feature extraction (STFT frames,
+    VAD chunks, ASR segments): one PCM blob fans out to
+    floor((n-win)/hop)+1 windows with hop < win OVERLAP (a doc shorter
+    than one window yields a single partial window, so no input is
+    dropped). Per window the stub "DSP" emits mean amplitude (energy)
+    — a real deployment swaps in librosa/torchaudio frame features;
+    the 1->N overlapping fan-out and the Arrow batch shape are the
+    production part, same contract as sample_frames. Fan-out is
+    partition-local: no shuffle, output partitioning tracks input."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, raw in zip(pdf["doc_id"], pdf["media_bytes"]):
+                n = len(raw)
+                if n >= win:
+                    n_w = (n - win) // hop + 1
+                else:
+                    n_w = 1
+                for i in range(n_w):
+                    seg = raw[i * hop : i * hop + win]
+                    rows.append(
+                        (doc_id, i, len(seg), sum(seg) / len(seg))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "win_idx", "n_samples", "energy"],
+            )
+
+    return media.mapInPandas(run, schema=AUDIO_SCHEMA)
+
+
+def media_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """queries() entry for the audio windowing stage: per-doc window
+    accounting — window count, silence count (energy < SILENCE_TAU,
+    the VAD gate), mean/max energy. Window energies are exact
+    rationals (integer byte-sum / integer length) computed identically
+    by the Arrow batch and by DuckDB's ord()-sum over the ASCII corpus
+    (same byte==codepoint pin as media_frames), so the doc-grain
+    aggregate is fully oracle-checkable; only the final avg is
+    rounded."""
+    docs = read_table(
+        spark, sf_dir, "documents", ["doc_id", "text"]
+    ).filter(F.col("text").isNotNull())
+    w = window_audio(attach_fake_media(docs))
+    return (
+        w.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(
+                (F.col("energy") < SILENCE_TAU).cast("bigint")
+            ).alias("n_silence"),
+            F.round(F.avg("energy"), 6).alias("avg_energy"),
+            F.round(F.max("energy"), 6).alias("max_energy"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
     "media_frames": """
         WITH sized AS (
@@ -267,8 +336,45 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 
+ORACLE_SQL["media_audio_windows"] = f"""
+    WITH d AS (
+        SELECT doc_id, text,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n
+        FROM documents WHERE text IS NOT NULL
+    ), counted AS (
+        SELECT doc_id, text, n,
+               CASE WHEN n >= {AUDIO_WIN}
+                    THEN (n - {AUDIO_WIN}) // {AUDIO_HOP} + 1
+                    ELSE 1 END AS n_w
+        FROM d
+    ), win AS (
+        SELECT doc_id,
+               CAST(i AS INT) AS win_idx,
+               least({AUDIO_WIN},
+                     n - i * {AUDIO_HOP}) AS n_samples,
+               CAST(list_aggregate(
+                        list_transform(
+                            string_split_regex(
+                                substring(text,
+                                          i * {AUDIO_HOP} + 1,
+                                          {AUDIO_WIN}), ''),
+                            x -> ord(x)), 'sum') AS DOUBLE)
+                   / least({AUDIO_WIN}, n - i * {AUDIO_HOP}) AS energy
+        FROM counted,
+             unnest(generate_series(0, n_w - 1)) AS t(i)
+    )
+    SELECT doc_id,
+           count(*) AS n_windows,
+           CAST(sum(CASE WHEN energy < {SILENCE_TAU}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_silence,
+           round(avg(energy), 6) AS avg_energy,
+           round(max(energy), 6) AS max_energy
+    FROM win GROUP BY doc_id ORDER BY doc_id
+"""
+
 QUERIES = {
     "media_features": media_features,
     "media_resized": media_resized,
     "media_frames": media_frames,
+    "media_audio_windows": media_audio_windows,
 }

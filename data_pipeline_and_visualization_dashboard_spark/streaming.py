@@ -499,6 +499,114 @@ def view_purchase_join_batch(events: DataFrame,
     )
 
 
+def view_purchase_left_join_stream(events: DataFrame,
+                                   watermark: str = "10 minutes",
+                                   horizon: str = "1 hour") -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join: every view, with its
+    attributed purchase where one arrived inside the horizon and NULL
+    purchase columns where none did — the abandonment/funnel-drop
+    query, the outer half of view_purchase_join_stream.
+
+    The semantics worth the separate operator: matched rows emit as
+    soon as both sides meet (same as inner), but an UNMATCHED view can
+    only emit once the engine can prove no purchase will ever match —
+    i.e. when the watermark passes view_ts + horizon. Outer results
+    are therefore delayed by the state-eviction bound, and on a finite
+    input the tail of views whose windows never close before the final
+    watermark never emits a NULL row at all. The batch twin + parity
+    test drive the stream with a sentinel flush event that pushes the
+    final watermark past every real view's window, making the outer
+    semantics exactly checkable (tests/test_streaming.py). State bound
+    is identical to the inner join: views retained horizon+watermark,
+    purchases watermark only."""
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    ).withWatermark("view_ts", watermark)
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", watermark)
+    return views.join(
+        purchases,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr(f"INTERVAL {horizon}")
+        ),
+        "leftOuter",
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "view_ts",
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
+def view_purchase_left_join_batch(events: DataFrame,
+                                  horizon: str = "1 hour") -> DataFrame:
+    """Batch twin of view_purchase_left_join_stream — the parity
+    oracle for the outer stream-stream join."""
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return views.join(
+        purchases,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr(f"INTERVAL {horizon}")
+        ),
+        "left_outer",
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "view_ts",
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
+def run_view_purchase_left_join_to_completion(
+    spark: SparkSession, in_dir: str,
+    query_name: str = "vp_ljoin_out",
+) -> DataFrame:
+    raw = (
+        spark.readStream.schema(_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    events = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    q = (
+        view_purchase_left_join_stream(events)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
 def run_view_purchase_join_to_completion(
     spark: SparkSession, in_dir: str,
     query_name: str = "vp_join_out",

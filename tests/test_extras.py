@@ -251,6 +251,40 @@ def test_frame_sampling_fanout(spark):
         assert sorted(r.frame_idx for r in rs) == list(range(len(rs)))
 
 
+def test_audio_windowing_overlap_invariants(spark):
+    """Overlapping segmentation contract: window count follows
+    floor((n-win)/hop)+1 (one partial window for short docs), every
+    window has win samples except a short doc's single partial one,
+    consecutive windows OVERLAP by win-hop bytes (checked by
+    reconstructing energies from raw bytes), and energy is the exact
+    byte mean."""
+    docs = read_table(
+        spark, SF_SMOKE, "documents", ["doc_id", "text"]
+    ).filter("text IS NOT NULL").limit(20)
+    media = multimodal.attach_fake_media(docs)
+    win, hop = multimodal.AUDIO_WIN, multimodal.AUDIO_HOP
+    rows = multimodal.window_audio(media).collect()
+    raw = {r.doc_id: r.text.encode() for r in docs.collect()}
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(raw)
+    for doc_id, rs in by_doc.items():
+        b = raw[doc_id]
+        n = len(b)
+        want_nw = (n - win) // hop + 1 if n >= win else 1
+        rs.sort(key=lambda r: r.win_idx)
+        assert [r.win_idx for r in rs] == list(range(want_nw))
+        for r in rs:
+            seg = b[r.win_idx * hop : r.win_idx * hop + win]
+            assert r.n_samples == len(seg)
+            assert r.energy == sum(seg) / len(seg)
+        if n >= win + hop:  # at least two windows -> check overlap
+            s0 = b[0:win]
+            s1 = b[hop : hop + win]
+            assert s0[hop:] == s1[: win - hop]  # shared win-hop bytes
+
+
 def test_approx_stats_near_exact(spark):
     """q29 sketches must be within standard error bounds of the exact
     answers (HLL++ rsd ~2.3% default; KLL p50 within the value range)."""

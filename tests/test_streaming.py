@@ -1369,3 +1369,68 @@ def test_snapshot_diff_null_text_and_seq_ties(spark, tmp_path):
     assert state[5] == _hl.md5(b"zz").hexdigest()
     # deterministic tie winner: md5("b") > md5("a") lexicographically
     assert state[6] == _hl.md5(b"b").hexdigest()
+
+
+def test_stream_stream_left_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream LEFT OUTER join parity: matched rows
+    behave like the inner join; an UNMATCHED view emits its NULL row
+    only once the watermark proves no purchase can arrive (passes
+    view_ts + horizon). Two far-future sentinel batches (one view +
+    one purchase each, disjoint negative user_ids, purchase before
+    view so they cannot match each other) push the final watermark
+    past every real view's window AND force the extra triggers that
+    flush expired state — after that, stream == batch twin exactly,
+    nulls included."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_and_visualization_dashboard_spark.io import read_table
+
+    raw = spark.read.parquet(SF_SMOKE + "/events.parquet")  # ts NTZ µs
+    in_dir = str(tmp_path / "vp_ljoin_in")
+    _split_by_median_ts(raw, in_dir)
+    # sentinel batches: advance BOTH sides' watermarks (the query
+    # watermark is the min across the two withWatermark operators)
+    base = raw.select(F.max(F.col("ts").cast("timestamp")).alias("m")
+                      ).first().m
+    for k, off_days in enumerate((2, 4)):
+        spark.createDataFrame(
+            [
+                (-(2 * k + 1), -(1000 + 2 * k), "view", 0.0),
+                (-(2 * k + 2), -(1001 + 2 * k), "purchase", 0.0),
+            ],
+            "user_id long, event_id long, event_type string,"
+            " value double",
+        ).selectExpr(
+            "event_id", "user_id", "event_type", "value",
+            "CAST(NULL AS STRING) AS props",
+            # purchase 1h BEFORE the view so the sentinels can't match
+            f"CAST(timestamp'{base}' + (INTERVAL {off_days} DAYS)"
+            " - (CASE WHEN event_type = 'purchase'"
+            "    THEN INTERVAL 1 HOURS ELSE INTERVAL 0 HOURS END)"
+            " AS TIMESTAMP_NTZ) AS ts",
+        ).coalesce(1).write.parquet(in_dir, mode="append")
+    out = streaming.run_view_purchase_left_join_to_completion(
+        spark, in_dir
+    )
+    streamed = {
+        (r.user_id, r.view_id, r.purchase_id)
+        for r in out.collect()
+        if r.user_id >= 0  # drop the sentinels' own rows
+    }
+    events = read_table(spark, SF_SMOKE, "events")
+    batch = {
+        (r.user_id, r.view_id, r.purchase_id)
+        for r in streaming.view_purchase_left_join_batch(
+            events
+        ).collect()
+    }
+    assert streamed == batch
+    matched = {t for t in batch if t[2] is not None}
+    unmatched = {t for t in batch if t[2] is None}
+    assert len(matched) > 0 and len(unmatched) > 0
+    # the matched half must be exactly the inner join's result
+    inner = {
+        (r.user_id, r.view_id, r.purchase_id)
+        for r in streaming.view_purchase_join_batch(events).collect()
+    }
+    assert matched == inner
