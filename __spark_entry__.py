@@ -52,10 +52,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # exactly indices 0-49 of the round-2 registry order).  After round 5
 # the cumulative scoreboard is complete: all 179 then-registered
 # entries hold at least one green driver row, zero failures ever.
-# Round-6 window (VERDICT r5 next #4/#6): the round's THREE new
+# Round-6 window (VERDICT r5 next #4/#6): the round's FIVE new
 # entries first (dedup_snapshot_ledger — the streaming CDC
 # snapshot-diff readout; q86_zorder_layout — the Morton data-layout
-# family; media_audio_windows — overlapping audio-frame segmentation),
+# family; media_audio_windows — overlapping audio-frame segmentation;
+# dedup_split_leakage — cross-split near-dup contamination screen;
+# q87_time_weighted_value — irregular-series TWA),
 # then OLDEST-ROW-FIRST re-greening: all 30 entries whose
 # newest row is from ROUND 2 (in their r2 window order — after r6
 # they would otherwise be four rounds stale), then the front of the
@@ -64,6 +66,8 @@ _CHECK_FIRST = [
     "dedup_snapshot_ledger",
     "q86_zorder_layout",
     "media_audio_windows",
+    "dedup_split_leakage",
+    "q87_time_weighted_value",
     "q34_top_users_labeled",
     "q35_ship_delay",
     "q36_session_windows",
@@ -109,8 +113,6 @@ _CHECK_FIRST = [
     "sim_pq_codes",
     "sim_pq_adc_topk",
     "sim_sq_topk",
-    "sim_lsh_buckets",
-    "sketch_countmin",
 ]
 
 

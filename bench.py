@@ -80,6 +80,8 @@ HEADLINE = [
     "q83_approx_percentile_guard",  # in-plan percentile-sketch bound
     "q84_rollup_revenue",  # joined-fact ROLLUP, one Expand+agg pass
     "q85_corpus_grouping_sets",  # explicit non-hierarchical set list
+    "q86_zorder_layout",  # Morton layout skipping-stats readout
+    "q87_time_weighted_value",  # irregular-series TWA (keyed window)
     "sim_recall_eval",  # LSH recall@k vs exact (eval as an operator)
     "sim_ivf_recall_guard",  # pretrained-IVF recall floor, in-plan assert
     "sim_ivfpq_recall_guard",  # pretrained-IVF-PQ floor, in-plan assert
@@ -95,6 +97,7 @@ HEADLINE = [
     "corpus_funnel_xxhash",  # same funnel on the production hash family
     "dedup_simhash_pairs",
     "dedup_snapshot_diff",  # content-hash corpus version diff
+    "dedup_split_leakage",  # cross-split near-dup contamination screen
     "dedup_contamination_multi",  # N-benchmark screen, one corpus pass
     "text_stats",
     "text_fingerprint",
@@ -153,6 +156,12 @@ HEADLINE = [
     "dedup_semantic_trained",  # SemDeDup on the cached trained clusters
     "media_features",
     "media_frames",  # 1->N frame-sampling fan-out (mapInPandas)
+    "media_audio_windows",  # overlapping 1->N audio segmentation
+    # dedup_snapshot_ledger is deliberately NOT benched: it drives a
+    # Structured Streaming query over a written fixture (checkpoint +
+    # trigger scheduling dominate), so its timing would measure the
+    # streaming harness, not an operator — its cost story is the
+    # per-batch O(state+batch) bound pinned in tests
 ]
 
 

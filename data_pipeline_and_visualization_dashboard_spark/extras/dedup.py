@@ -2325,6 +2325,93 @@ _DUCK_SNAPSHOT_DIFF_SQL = """
 """
 
 
+def dedup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split leakage screen: near-duplicate pairs that STRADDLE
+    a train/val/test boundary — the eval-set contamination that
+    benchmark decontamination (dedup_contamination, which screens
+    against EXTERNAL benchmarks) cannot see, because both documents
+    live inside the corpus. A train doc whose near-twin sits in test
+    inflates eval scores exactly like benchmark leakage does; every
+    serious curation pipeline runs this screen after splitting.
+
+    Composition, not new machinery: LSH candidate pairs + exact
+    shingle-Jaccard verification (the dedup_minhash_pairs stage,
+    md5 family) x the content-independent hash split
+    (text.split_assign) -> keep verified near-dups
+    (jaccard >= NEARDUP_JACCARD) whose endpoints differ in split ->
+    per boundary-pair accounting (pair label normalized
+    alphabetically so (test,train) == (train,test)) plus one
+    with-in-budget readout row per split pair: n_pairs, mean/max
+    jaccard of the leaked pairs.
+
+    Scale shape inherits the pair stage's bounds: the corpus moves
+    12 longs + 4 band hashes per doc and shingles join candidates
+    only. The split lookup is row-local arithmetic (h60(doc_id)%100),
+    so the split columns could equally be computed directly on the
+    pair endpoints with zero join — the doc-grain join spelling is
+    kept because production reads splits from a persisted assignment
+    table, and the verified pair set is the small (broadcastable)
+    side of it."""
+    from .text import split_assign
+
+    pairs = dedup_minhash_pairs(spark, sf_dir).filter(
+        F.col("jaccard") >= NEARDUP_JACCARD
+    )
+    splits = split_assign(spark, sf_dir).select("doc_id", "split")
+    sa = splits.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("split").alias("split_a")
+    )
+    sb = splits.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("split").alias("split_b")
+    )
+    leaked = (
+        pairs.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+    )
+    return (
+        leaked.select(
+            F.least("split_a", "split_b").alias("split_lo"),
+            F.greatest("split_a", "split_b").alias("split_hi"),
+            "jaccard",
+        )
+        .groupBy("split_lo", "split_hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
+            F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+        )
+        .orderBy("split_lo", "split_hi")
+    )
+
+
+def _duck_split_leakage_sql() -> str:
+    from .text import _DUCK_SPLIT_SQL
+
+    return f"""
+    WITH pairs_full AS (
+        SELECT * FROM ({_duck_pairs_sql()})
+    ), splits AS (
+        SELECT * FROM ({_DUCK_SPLIT_SQL})
+    ), leaked AS (
+        SELECT least(a.split, b.split) AS split_lo,
+               greatest(a.split, b.split) AS split_hi,
+               p.jaccard
+        FROM pairs_full p
+        JOIN splits a ON a.doc_id = p.doc_id_a
+        JOIN splits b ON b.doc_id = p.doc_id_b
+        WHERE p.jaccard >= {NEARDUP_JACCARD}
+          AND a.split <> b.split
+    )
+    SELECT split_lo, split_hi,
+           count(*) AS n_pairs,
+           round(avg(jaccard), 6) AS avg_jaccard,
+           round(max(jaccard), 6) AS max_jaccard
+    FROM leaked GROUP BY split_lo, split_hi
+    ORDER BY split_lo, split_hi
+    """
+
+
 def dedup_snapshot_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-visible readout of the STREAMING snapshot-diff path
     (streaming.snapshot_diff_stream): build a deterministic two-epoch
@@ -2473,11 +2560,13 @@ QUERIES = {
     "dedup_semantic_trained": dedup_semantic_trained,
     "dedup_snapshot_diff": dedup_snapshot_diff,
     "dedup_snapshot_ledger": dedup_snapshot_ledger,
+    "dedup_split_leakage": dedup_split_leakage,
     "dedup_threshold_curve": dedup_threshold_curve,
 }
 
 ORACLE_SQL["dedup_snapshot_diff"] = _DUCK_SNAPSHOT_DIFF_SQL
 ORACLE_SQL["dedup_snapshot_ledger"] = _DUCK_SNAPSHOT_LEDGER_SQL
+ORACLE_SQL["dedup_split_leakage"] = _duck_split_leakage_sql()
 ORACLE_SQL["dedup_threshold_curve"] = _duck_threshold_curve_sql()
 
 ORACLE_SQL["dedup_hash_stage_md5"] = _DUCK_HASH_STAGE_SQL

@@ -592,6 +592,78 @@ def q31_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q87_time_weighted_value(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWA) of `value` per (event_type, day) —
+    the irregular-time-series aggregate finance/IoT pipelines need
+    where a plain AVG is wrong: each observation is weighted by its
+    HOLDING TIME (seconds until the next observation in the same
+    series, last-observation-carried-forward), so a reading that held
+    for an hour counts 3600x one that was replaced a second later.
+    Output sets TWA beside the unweighted mean so the divergence is
+    visible.
+
+    Shape: ONE key-partitioned window (event_type x day) ordered by
+    (ts, event_id) — the explicit event_id tie-break makes equal-ts
+    runs deterministic in BOTH engines (the first of a tie holds for
+    0 s, so which one is 'first' matters to the weighted sum); the
+    day boundary ends each partition, so the last observation of a
+    day carries no weight (its holding period crosses the boundary).
+    No global window, no join; output is day-grain. At 100 TB this is
+    the same cost as any keyed window: one shuffle on the partition
+    key."""
+    ev = read_table(
+        spark, sf_dir, "events", ["event_id", "event_type", "ts", "value"]
+    ).filter(F.col("value").isNotNull())
+    w = Window.partitionBy(
+        "event_type", F.to_date("ts")
+    ).orderBy("ts", "event_id")
+    dt = (
+        F.unix_micros(F.lead("ts", 1).over(w)) - F.unix_micros("ts")
+    ).cast("double") / F.lit(1e6)
+    weighted = ev.select(
+        "event_type",
+        # day as STRING: DATE round-trips as datetime64 through the
+        # pandas compare frames, which stringifies differently per
+        # engine — the q65-style VARCHAR day is the portable spelling
+        F.to_date("ts").cast("string").alias("day"),
+        "value",
+        dt.alias("dt"),
+    ).filter(F.col("dt").isNotNull())
+    return (
+        weighted.groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.round(
+                F.sum(F.col("value") * F.col("dt")) / F.sum("dt"), 6
+            ).alias("twa_value"),
+            F.round(F.avg("value"), 6).alias("mean_value"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+_DUCK_Q87_SQL = """
+    WITH obs AS (
+        SELECT event_type,
+               CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+               value,
+               CAST(epoch_us(lead(ts) OVER (
+                        PARTITION BY event_type, CAST(ts AS DATE)
+                        ORDER BY ts, event_id))
+                    - epoch_us(ts) AS DOUBLE) / 1e6 AS dt
+        FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_type, day,
+           count(*) AS n_obs,
+           round(sum(value * dt) / sum(dt), 6) AS twa_value,
+           round(avg(value), 6) AS mean_value
+    FROM obs WHERE dt IS NOT NULL
+    GROUP BY event_type, day
+    ORDER BY event_type, day
+"""
+
+
 # ----------------------------------------------------------------------
 # q34: the J3 literal shape — top-k FIRST, then LEFT-join a dimension
 # that may not cover every key, keeping the null labels (reference
@@ -4412,6 +4484,7 @@ ORACLE_SQL: dict[str, str] = {
     "q84_rollup_revenue": _DUCK_Q84_SQL,
     "q85_corpus_grouping_sets": _DUCK_Q85_SQL,
     "q86_zorder_layout": _duck_q86_sql(),
+    "q87_time_weighted_value": _DUCK_Q87_SQL,
     "sim_diverse_subset": _duck_diverse_subset_sql(),
     "q54_hash_sample": _duck_hash_sample_sql(),
     "q55_rolling_median": _DUCK_ROLLING_MEDIAN_SQL,
@@ -4918,6 +4991,7 @@ QUERIES = {
     "q84_rollup_revenue": q84_rollup_revenue,
     "q85_corpus_grouping_sets": q85_corpus_grouping_sets,
     "q86_zorder_layout": q86_zorder_layout,
+    "q87_time_weighted_value": q87_time_weighted_value,
     "q83_approx_percentile_guard": q83_approx_percentile_guard,
     "sim_diverse_subset": sim_diverse_subset,
     "sim_rp_topk_pretrained": sim_rp_topk_pretrained,
