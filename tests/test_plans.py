@@ -1039,3 +1039,72 @@ def test_kmv_overlap_single_shingle_exchange(spark):
     assert "TakeOrderedAndProject" in plan  # distributed bottom-K
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+# Fleet-wide plan gate (round 6): the per-query CASES above pin the
+# queries we thought to pin; this sweep audits EVERY registry entry so
+# a future query can't silently ship the two classic scale-killers.
+# The whitelists are exhaustive equality, not membership — an entry
+# that stops tripping the flag must be REMOVED here, keeping the lists
+# honest.
+
+# agg-output-sized window inputs, documented in each docstring (W1
+# pct-of-total; ≤720-row hourly series; ≤N_BINS calibration bins)
+GLOBAL_WINDOW_OK = {
+    "q3_event_type_pct",
+    "q31_moving_avg",
+    "dedup_threshold_curve",
+}
+
+# the deliberate BroadcastNestedLoopJoin idiom: a 1-row/tiny broadcast
+# readout frame (min-max ranges, sketch folds, percentile cutpoints,
+# centroid/projection/codebook literals) cross-joined onto the stream —
+# plus the brute-force all-pairs ORACLE paths, which are documented as
+# verification twins, never the scale path
+CARTESIAN_OK = {
+    "dedup_embedding_pairs", "dedup_ngram_jaccard_topk",
+    "dedup_semantic", "dedup_semantic_trained",
+    "dedup_simhash_hamming_topk", "dedup_threshold_curve",
+    "q52_gap_fill", "q59_sliding_distinct", "q62_skew_stats",
+    "q63_drift_kl", "q67_important_parts", "q69_concurrent_sessions",
+    "q71_idle_rich_customers", "q86_zorder_layout",
+    "sim_centroid_assign", "sim_cosine_topk", "sim_diverse_subset",
+    "sim_ivf_recall_guard", "sim_ivfpq_recall_guard",
+    "sim_pq_adc_topk", "sim_rp_topk", "sim_rp_topk_pretrained",
+    "sim_sq_topk", "sketch_bloom_bits", "sketch_bloom_prefilter",
+    "sketch_hist_quantiles", "sketch_hll_estimate",
+    "sketch_kmv_estimate", "sketch_kmv_overlap", "text_dsir_weights",
+    "text_lm_logprob", "text_mix_sample", "text_search_bm25",
+    "text_search_ranked", "text_tfidf_topk", "text_vocab",
+    "text_vocab_encode",
+}
+
+
+def test_fleet_plan_gate(spark):
+    """Sweep the FULL registry: no query may carry an unpartitioned
+    window or an unconditioned join that is not on the documented
+    whitelist (exact equality, so stale whitelist entries fail too).
+    dedup_snapshot_ledger is skipped: building its frame drives a
+    Structured Streaming job; its readout is a plain partitioned scan."""
+    from data_pipeline_and_visualization_dashboard_spark.plans import (
+        plan_audit,
+    )
+    from tests.conftest import SF_SMOKE
+
+    flagged_gw, flagged_cart = set(), set()
+    for name, fn in entrymod.queries().items():
+        if name == "dedup_snapshot_ledger":
+            continue
+        a = plan_audit(fn(spark, SF_SMOKE))
+        if a["global_windows"]:
+            flagged_gw.add(name)
+        if a["cartesian"]:
+            flagged_cart.add(name)
+    assert flagged_gw == GLOBAL_WINDOW_OK, (
+        f"new global windows: {flagged_gw - GLOBAL_WINDOW_OK}; "
+        f"stale whitelist: {GLOBAL_WINDOW_OK - flagged_gw}"
+    )
+    assert flagged_cart == CARTESIAN_OK, (
+        f"new cartesian/BNLJ: {flagged_cart - CARTESIAN_OK}; "
+        f"stale whitelist: {CARTESIAN_OK - flagged_cart}"
+    )
