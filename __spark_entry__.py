@@ -57,7 +57,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # snapshot-diff readout; q86_zorder_layout — the Morton data-layout
 # family; media_audio_windows — overlapping audio-frame segmentation;
 # dedup_split_leakage — cross-split near-dup contamination screen;
-# q87_time_weighted_value — irregular-series TWA),
+# q87_time_weighted_value — irregular-series TWA; q66_agg — the
+# measured-negative-result Q21 window respelling),
 # then OLDEST-ROW-FIRST re-greening: all 30 entries whose
 # newest row is from ROUND 2 (in their r2 window order — after r6
 # they would otherwise be four rounds stale), then the front of the
@@ -68,6 +69,7 @@ _CHECK_FIRST = [
     "media_audio_windows",
     "dedup_split_leakage",
     "q87_time_weighted_value",
+    "q66_late_supplier_blame_agg",
     "q34_top_users_labeled",
     "q35_ship_delay",
     "q36_session_windows",
@@ -112,7 +114,6 @@ _CHECK_FIRST = [
     "dedup_embedding_pairs_lsh",
     "sim_pq_codes",
     "sim_pq_adc_topk",
-    "sim_sq_topk",
 ]
 
 

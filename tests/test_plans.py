@@ -391,6 +391,16 @@ CASES = {
         3,
     ),
     "dedup_exact_groups": ([], ["Exchange rangepartitioning"], 1),
+    "q66_late_supplier_blame_agg": (
+        # the window respelling: NO semi/anti nodes, one composite agg
+        # + one order-keyed window; measured at par with q66 (negative
+        # result documented in the docstring) — the pin keeps the
+        # SHAPE claim honest even though the speed claim died
+        ["Window", "HashAggregate"],
+        ["LeftSemi", "LeftAnti", "CartesianProduct",
+         "BroadcastNestedLoopJoin"],
+        5,
+    ),
     "q66_late_supplier_blame": (
         # Q21 shape: EXISTS/NOT EXISTS must compile to semi + anti
         # joins on the order key — fact-fact, so SortMergeJoin is the
