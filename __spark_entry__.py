@@ -70,6 +70,8 @@ _CHECK_FIRST = [
     "dedup_split_leakage",
     "q87_time_weighted_value",
     "q66_late_supplier_blame_agg",
+    "q88_basket_pairs",
+    "q89_session_transitions",
     "q34_top_users_labeled",
     "q35_ship_delay",
     "q36_session_windows",
@@ -112,8 +114,6 @@ _CHECK_FIRST = [
     "dedup_neardup_groups",
     "dedup_contamination",
     "dedup_embedding_pairs_lsh",
-    "sim_pq_codes",
-    "sim_pq_adc_topk",
 ]
 
 

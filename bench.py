@@ -82,6 +82,8 @@ HEADLINE = [
     "q85_corpus_grouping_sets",  # explicit non-hierarchical set list
     "q86_zorder_layout",  # Morton layout skipping-stats readout
     "q87_time_weighted_value",  # irregular-series TWA (keyed window)
+    "q88_basket_pairs",  # basket-bounded pair lift (Σk², not n²)
+    "q89_session_transitions",  # Markov transition matrix (keyed windows)
     "sim_recall_eval",  # LSH recall@k vs exact (eval as an operator)
     "sim_ivf_recall_guard",  # pretrained-IVF recall floor, in-plan assert
     "sim_ivfpq_recall_guard",  # pretrained-IVF-PQ floor, in-plan assert

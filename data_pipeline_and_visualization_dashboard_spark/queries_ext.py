@@ -2786,6 +2786,144 @@ def q66_late_supplier_blame_agg(spark: SparkSession,
     )
 
 
+def q88_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence with lift — the frequent-itemset
+    readout at pair grain: the top-20 part pairs most often bought in
+    the same order, with lift = N·n_ab/(n_a·n_b) distinguishing
+    "popular because everything co-occurs with popular parts" from
+    genuine affinity.
+
+    Scale shape: the pair explosion is the classic danger and it is
+    BOUNDED BY BASKET SIZE, not corpus size — the self-join runs per
+    l_orderkey (equi-join key), so cost is Σ k_o², k_o = distinct
+    parts per order (TPC-H ≲ 7), linear in orders. Order of
+    operations keeps the marginals cheap: pair counts → top-20
+    (TakeOrderedAndProject) → THEN join the per-part totals onto 20
+    rows (broadcast), never lift-scoring the full pair set. Explicit
+    (count desc, partkey_a, partkey_b) tie-break pins the boundary."""
+    li = read_table(spark, sf_dir, "lineitem",
+                    ["l_orderkey", "l_partkey"])
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    totals = items.agg(
+        F.countDistinct("l_orderkey").cast("double").alias("n_orders")
+    )  # 1-row broadcast readout frame (lazy — no driver-side action)
+    a = items.selectExpr("l_orderkey", "l_partkey AS part_a")
+    b = items.selectExpr("l_orderkey AS ok_b", "l_partkey AS part_b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("l_orderkey") == F.col("ok_b"))
+            & (F.col("part_a") < F.col("part_b")),
+        )
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .orderBy(F.desc("n_ab"), "part_a", "part_b")
+        .limit(20)
+    )
+    marg = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_part")
+    )
+    ma = marg.selectExpr("l_partkey AS part_a", "n_part AS n_a")
+    mb = marg.selectExpr("l_partkey AS part_b", "n_part AS n_b")
+    return (
+        pairs.join(F.broadcast(ma), "part_a")
+        .join(F.broadcast(mb), "part_b")
+        .join(F.broadcast(totals))
+        .select(
+            "part_a", "part_b", "n_ab",
+            F.round(
+                F.col("n_ab") * F.col("n_orders")
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("n_ab"), "part_a", "part_b")
+    )
+
+
+_DUCK_Q88_SQL = """
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               count(*) AS n_ab
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey
+         AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        ORDER BY n_ab DESC, part_a, part_b LIMIT 20
+    ), marg AS (
+        SELECT l_partkey, count(*) AS n_part FROM items GROUP BY 1
+    ), n AS (
+        SELECT count(DISTINCT l_orderkey) AS n_orders FROM items
+    )
+    SELECT part_a, part_b, n_ab,
+           round(n_ab * CAST(n_orders AS DOUBLE)
+                 / (ma.n_part * mb.n_part), 6) AS lift
+    FROM pairs
+    JOIN marg ma ON ma.l_partkey = part_a
+    JOIN marg mb ON mb.l_partkey = part_b
+    CROSS JOIN n
+    ORDER BY n_ab DESC, part_a, part_b
+"""
+
+
+def q89_session_transitions(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Clickstream transition matrix — first-order Markov counts over
+    each user's event sequence: for every (from_type, to_type) pair,
+    how often one event type is immediately followed by another, and
+    the row-normalized transition probability. The path-analysis
+    primitive behind funnels, next-action prediction, and anomaly
+    screens ("error→purchase should be rare").
+
+    Shape: ONE keyed window (user_id, ordered by ts with the
+    event_id tie-break that makes equal-ts neighbors deterministic)
+    produces the lagged pair row-locally; the transition matrix is a
+    ≤|types|² aggregation, and the row normalization is a window over
+    that tiny frame partitioned by from_type (keyed — never global).
+    At 100 TB: one shuffle on user_id, one on the pair key."""
+    ev = read_table(
+        spark, sf_dir, "events", ["event_id", "user_id", "event_type", "ts"]
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type", 1).over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wrow = Window.partitionBy("from_type")
+    return (
+        counts.select(
+            "from_type", "to_type", "n",
+            F.round(
+                F.col("n") / F.sum("n").over(wrow), 6
+            ).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+_DUCK_Q89_SQL = """
+    WITH seq AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS to_type
+        FROM events
+    ), counts AS (
+        SELECT from_type, to_type, count(*) AS n
+        FROM seq WHERE to_type IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n,
+           round(n / sum(n) OVER (PARTITION BY from_type), 6) AS p
+    FROM counts ORDER BY from_type, to_type
+"""
+
+
 Q67_MULTIPLE = 1.5  # keep parts above 1.5x the AVERAGE part share
 
 
@@ -4549,6 +4687,8 @@ ORACLE_SQL: dict[str, str] = {
     "q85_corpus_grouping_sets": _DUCK_Q85_SQL,
     "q86_zorder_layout": _duck_q86_sql(),
     "q87_time_weighted_value": _DUCK_Q87_SQL,
+    "q88_basket_pairs": _DUCK_Q88_SQL,
+    "q89_session_transitions": _DUCK_Q89_SQL,
     "sim_diverse_subset": _duck_diverse_subset_sql(),
     "q54_hash_sample": _duck_hash_sample_sql(),
     "q55_rolling_median": _DUCK_ROLLING_MEDIAN_SQL,
@@ -5057,6 +5197,8 @@ QUERIES = {
     "q85_corpus_grouping_sets": q85_corpus_grouping_sets,
     "q86_zorder_layout": q86_zorder_layout,
     "q87_time_weighted_value": q87_time_weighted_value,
+    "q88_basket_pairs": q88_basket_pairs,
+    "q89_session_transitions": q89_session_transitions,
     "q83_approx_percentile_guard": q83_approx_percentile_guard,
     "sim_diverse_subset": sim_diverse_subset,
     "sim_rp_topk_pretrained": sim_rp_topk_pretrained,

@@ -391,6 +391,49 @@ CASES = {
         3,
     ),
     "dedup_exact_groups": ([], ["Exchange rangepartitioning"], 1),
+    "q88_basket_pairs": (
+        # pair explosion bounded by basket size (equi-join on the
+        # order key, never cross-corpus); top-20 compiles to
+        # TakeOrderedAndProject BEFORE the marginals join, so lift is
+        # computed on 20 rows against broadcasts
+        ["TakeOrderedAndProject", "BroadcastHashJoin"],
+        ["SortMergeJoin", "CartesianProduct"],
+        9,
+    ),
+    "q89_session_transitions": (
+        # one user-keyed window builds the lagged pair row-locally;
+        # the matrix is a <=|types|^2 agg and the row normalization is
+        # a KEYED window over that tiny frame
+        ["Window", "HashAggregate"],
+        ["SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin",
+         "Join"],
+        4,
+    ),
+    "q87_time_weighted_value": (
+        # TWA: ONE keyed (event_type x day) window + the day-grain agg
+        # + presentation sort — no joins, no global window
+        ["Window", "HashAggregate"],
+        ["SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin",
+         "Join"],
+        3,
+    ),
+    "dedup_split_leakage": (
+        # the LSH pair stage's plan plus split joins: everything the
+        # pair set touches stays broadcast (pairs are the small side);
+        # no sort-merge, no cartesian anywhere in the composition
+        ["BroadcastHashJoin", "HashAggregate"],
+        ["SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"],
+        16,  # the pair stage's own exchanges + the pair-grain aggs
+    ),
+    "media_audio_windows": (
+        # Arrow-batched 1->N fan-out feeding the doc-grain agg: the
+        # ONLY exchanges are the agg + presentation sort — the window
+        # explosion itself never shuffles
+        ["MapInPandas", "HashAggregate"],
+        ["SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin",
+         "Window"],
+        2,
+    ),
     "q66_late_supplier_blame_agg": (
         # the window respelling: NO semi/anti nodes, one composite agg
         # + one order-keyed window; measured at par with q66 (negative
@@ -1078,6 +1121,7 @@ CARTESIAN_OK = {
     "q52_gap_fill", "q59_sliding_distinct", "q62_skew_stats",
     "q63_drift_kl", "q67_important_parts", "q69_concurrent_sessions",
     "q71_idle_rich_customers", "q86_zorder_layout",
+    "q88_basket_pairs",
     "sim_centroid_assign", "sim_cosine_topk", "sim_diverse_subset",
     "sim_ivf_recall_guard", "sim_ivfpq_recall_guard",
     "sim_pq_adc_topk", "sim_rp_topk", "sim_rp_topk_pretrained",
