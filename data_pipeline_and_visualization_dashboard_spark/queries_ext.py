@@ -2648,7 +2648,11 @@ def q66_late_supplier_blame(spark: SparkSession,
     join (another supplier exists) plus an anti-join (no other LATE
     supplier exists) on the order key — the plan shape optimizers
     struggle with when left as nested subqueries. Top-10 by blame
-    count with name tiebreak."""
+    count with name tiebreak. The window-count respelling folklore
+    recommends instead of this compile is MEASURED AT PAR, not
+    faster — see q66_late_supplier_blame_agg for the head-to-head
+    numbers and why (ReuseExchange already shares the joined
+    frame)."""
     li = read_table(
         spark, sf_dir, "lineitem",
         ["l_orderkey", "l_suppkey", "l_shipdate"],
