@@ -377,6 +377,97 @@ def run_sessionize_to_completion(spark: SparkSession, in_dir: str,
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
+_TRANSITION_OUT_SCHEMA = (
+    "user_id long, from_type string, to_type string"
+)
+_TRANSITION_STATE_SCHEMA = "last_us long, last_eid long, last_type string"
+
+
+def _transition_func(key, pdf_iter, state):
+    """Per-user stateful transition emitter: state = the user's LAST
+    event (ts, event_id, type); each batch buffers the user's rows,
+    sorts the union by (ts, event_id) ONCE — the exact tie order the
+    batch q89 window uses, so a micro-batch split can never reorder
+    equal timestamps differently — then emits one (from, to) row per
+    consecutive pair, bridging the batch boundary through the carried
+    state. State is three scalars per active user."""
+    import pandas as pd
+
+    (user_id,) = key
+    if state.exists:
+        last_us, last_eid, last_type = state.get
+    else:
+        last_us, last_eid, last_type = -1, -1, None
+    frames = [
+        pd.DataFrame(
+            {
+                "us": pdf["ts"].astype("int64") // 1000,
+                "eid": pdf["event_id"],
+                "et": pdf["event_type"],
+            }
+        )
+        for pdf in pdf_iter
+    ]
+    rows = []
+    if frames:
+        df = pd.concat(frames).sort_values(["us", "eid"])
+        for us, eid, et in df.itertuples(index=False):
+            if last_type is not None:
+                rows.append((user_id, last_type, et))
+            last_us, last_eid, last_type = int(us), int(eid), et
+    state.update((last_us, last_eid, last_type))
+    if rows:
+        yield pd.DataFrame(
+            rows, columns=["user_id", "from_type", "to_type"]
+        )
+
+
+def transition_stream(events: DataFrame,
+                      watermark: str = "10 minutes") -> DataFrame:
+    """Streaming twin of q89_session_transitions' pair stage: emits
+    each (user, from_type, to_type) transition as the follow-up event
+    arrives, across micro-batch boundaries — the live feed a
+    next-action model or an anomaly screen ("error→purchase spiking")
+    consumes. Aggregating the emitted pairs reproduces the batch
+    transition matrix exactly on time-split input (parity-tested);
+    state is one (ts, event_id, type) triple per active user, bounded
+    by the upstream watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _transition_func,
+            _TRANSITION_OUT_SCHEMA,
+            _TRANSITION_STATE_SCHEMA,
+            "append",
+            "NoTimeout",
+        )
+    )
+
+
+def run_transitions_to_completion(spark: SparkSession, in_dir: str,
+                                  query_name: str = "transitions_out",
+                                  ) -> DataFrame:
+    raw = (
+        spark.readStream.schema(_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    events = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    q = (
+        transition_stream(events)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
 def sessionize_stream_native(events: DataFrame,
                              watermark: str = "10 minutes",
                              gap: str = "30 minutes") -> DataFrame:

@@ -1434,3 +1434,31 @@ def test_stream_stream_left_join_matches_batch(spark, tmp_path):
         for r in streaming.view_purchase_join_batch(events).collect()
     }
     assert matched == inner
+
+
+def test_transition_stream_matches_batch(spark, tmp_path):
+    """The stateful per-user transition emitter, aggregated, must
+    equal the batch q89 transition matrix over the same events: the
+    carried last-event state bridges the micro-batch split, and the
+    per-batch (ts, event_id) sort matches the batch window's tie
+    order exactly."""
+    from data_pipeline_and_visualization_dashboard_spark.queries_ext import (
+        q89_session_transitions,
+    )
+    from tests.conftest import SF_SMOKE as _SF
+
+    raw = spark.read.parquet(_SF + "/events.parquet")
+    in_dir = str(tmp_path / "tr_in")
+    _split_by_median_ts(raw, in_dir)
+    pairs = streaming.run_transitions_to_completion(spark, in_dir)
+    got = {
+        (r.from_type, r.to_type): r.n
+        for r in pairs.groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    want = {
+        (r.from_type, r.to_type): r.n
+        for r in q89_session_transitions(spark, _SF).collect()
+    }
+    assert got == want and len(want) > 0
