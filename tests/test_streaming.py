@@ -1462,3 +1462,80 @@ def test_transition_stream_matches_batch(spark, tmp_path):
         for r in q89_session_transitions(spark, _SF).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_transition_stream_survives_restart(spark, tmp_path):
+    """applyInPandasWithState recovery: stop the transition stream
+    after the first batches, restart on the same checkpoint with more
+    input, and the file-sink output must STILL aggregate to exactly
+    the batch matrix — the per-user last-event state recovers from
+    the state store (a lost state would mis-emit the first post-
+    restart transition of every user; a replayed batch would double-
+    count pairs). This is the first restart pin for the
+    applyInPandasWithState family (the foreachBatch sinks have their
+    own)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_and_visualization_dashboard_spark.queries_ext import (
+        q89_session_transitions,
+    )
+    from tests.conftest import SF_SMOKE as _SF
+
+    raw = spark.read.parquet(_SF + "/events.parquet")
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    t1, t2 = (
+        raw.select(
+            F.expr(
+                "percentile(unix_micros(cast(ts AS timestamp)),"
+                " array(0.33, 0.66))"
+            ).alias("c")
+        ).first().c
+    )
+    t1, t2 = int(t1), int(t2)
+    raw.filter(us <= t1).coalesce(1).write.parquet(in_dir, mode="append")
+    raw.filter((us > t1) & (us <= t2)).coalesce(1).write.parquet(
+        in_dir, mode="append"
+    )
+
+    def start():
+        raw_s = (
+            spark.readStream.schema(streaming._STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+        )
+        ev = raw_s.withColumn("ts", F.col("ts").cast("timestamp"))
+        return (
+            streaming.transition_stream(ev)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    raw.filter(us > t2).coalesce(1).write.parquet(in_dir, mode="append")
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.from_type, r.to_type): r.n
+        for r in spark.read.parquet(out_dir)
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    want = {
+        (r.from_type, r.to_type): r.n
+        for r in q89_session_transitions(spark, _SF).collect()
+    }
+    assert got == want
