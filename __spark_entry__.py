@@ -72,6 +72,7 @@ _CHECK_FIRST = [
     "q66_late_supplier_blame_agg",
     "q88_basket_pairs",
     "q89_session_transitions",
+    "corpus_forget_impact",
     "q34_top_users_labeled",
     "q35_ship_delay",
     "q36_session_windows",
@@ -113,7 +114,6 @@ _CHECK_FIRST = [
     "dedup_incremental_pairs",
     "dedup_neardup_groups",
     "dedup_contamination",
-    "dedup_embedding_pairs_lsh",
 ]
 
 

@@ -145,6 +145,7 @@ HEADLINE = [
     "text_vocab_encode",  # vocab build + id encode (embedding prep)
     "text_scrub_pii",  # regex redaction + per-rule accounting (codegen)
     "text_mix_sample",  # domain-weighted token-budget sampling
+    "corpus_forget_impact",  # deletion propagation across artifacts
     "dedup_semantic",  # cluster -> within-cluster cosine dedup
     "dedup_threshold_curve",  # near-dup threshold calibration bins
     "sim_diverse_subset",  # cluster-stratified quality selection

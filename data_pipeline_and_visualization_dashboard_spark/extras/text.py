@@ -519,6 +519,134 @@ _DUCK_PACKING_SQL = f"""
 # id arrays, OOV -> UNK)
 # ----------------------------------------------------------------------
 
+FORGET_MOD = 97  # forget-set stand-in: doc_id % 97 == 0 (~1%)
+
+
+def corpus_forget_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten impact report — deletion PROPAGATION
+    through the derived training artifacts, the governance question a
+    production corpus owner must answer before honoring a forget
+    request: removing these source docs invalidates how much of each
+    downstream artifact? Four artifact grains, one row each:
+
+      corpus   — source documents to delete
+      chunks   — training sequences derived from them (1->N fan-out)
+      packs    — fixed-budget packs containing >= 1 affected chunk
+                 (concat packing means ONE doc taints the whole pack:
+                 its neighbors' token streams shift on repack)
+      postings — index terms whose posting list references a deleted
+                 doc (those lists must be rewritten)
+
+    Forget set = doc_id % 97 == 0 (content-independent stand-in for a
+    deletion request list). Each artifact is recomputed from the SAME
+    definitions the standalone queries use (text.chunks, the packing
+    assignment, search's positional fact), so the impact numbers are
+    consistent with the artifacts the engine actually builds. Scale
+    shape: the per-artifact flags are MAX-decomposable aggregates over
+    frames the pipeline computes anyway; nothing new shuffles beyond
+    each artifact's own build shape."""
+    from .search import _positions
+
+    forget = (F.col("doc_id") % FORGET_MOD == 0).cast("long")
+
+    def impact(df: DataFrame, name: str, key_cols: list[str]) -> DataFrame:
+        # affected = keys whose group touches >= 1 forgotten doc
+        per_key = df.groupBy(*key_cols).agg(F.max(forget).alias("aff"))
+        return per_key.agg(
+            F.lit(name).alias("artifact"),
+            F.sum("aff").alias("n_affected"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+
+    docs = read_table(spark, sf_dir, "documents", ["doc_id"])
+    ch = chunks(spark, sf_dir).selectExpr(
+        "doc_id", "chunk_idx", "n_chunk_tokens",
+        f"doc_id % {PACK_SHARDS} AS shard",
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id", "chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    assignment = ch.withColumn(
+        "start_tok",
+        F.sum("n_chunk_tokens").over(w) - F.col("n_chunk_tokens"),
+    ).selectExpr(
+        "doc_id", "shard",
+        f"CAST(start_tok div {PACK_BUDGET} AS INT) AS pack_id",
+    )
+    pos = _positions(spark, sf_dir).select("doc_id", "term")
+    report = (
+        impact(docs, "corpus", ["doc_id"])
+        .unionByName(impact(ch, "chunks", ["doc_id", "chunk_idx"]))
+        .unionByName(impact(assignment, "packs", ["shard", "pack_id"]))
+        .unionByName(impact(pos, "postings", ["term"]))
+    )
+    return report.select(
+        "artifact", "n_affected", "n_total",
+        F.round(F.col("n_affected") / F.col("n_total"), 6).alias(
+            "affected_frac"
+        ),
+    ).orderBy("artifact")
+
+
+def _duck_forget_impact_sql() -> str:
+    from .search import _DUCK_POSITIONS
+
+    return f"""
+    WITH ch AS (SELECT * FROM ({_DUCK_CHUNKS_SQL})), sharded AS (
+        SELECT doc_id, chunk_idx, n_chunk_tokens,
+               doc_id % {PACK_SHARDS} AS shard
+        FROM ch
+    ), assignment AS (
+        SELECT doc_id, shard,
+               CAST((sum(n_chunk_tokens) OVER (
+                         PARTITION BY shard ORDER BY doc_id, chunk_idx
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW)
+                     - n_chunk_tokens) // {PACK_BUDGET} AS INT)
+                   AS pack_id
+        FROM sharded
+    ), pos AS ({_DUCK_POSITIONS}),
+    corpus AS (
+        SELECT 'corpus' AS artifact,
+               CAST(sum(CASE WHEN doc_id % {FORGET_MOD} = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_affected,
+               count(*) AS n_total
+        FROM documents
+    ), chunks_r AS (
+        SELECT 'chunks',
+               CAST(sum(CASE WHEN doc_id % {FORGET_MOD} = 0
+                             THEN 1 ELSE 0 END) AS BIGINT),
+               count(*)
+        FROM ch
+    ), packs_r AS (
+        SELECT 'packs', CAST(sum(aff) AS BIGINT), count(*) FROM (
+            SELECT shard, pack_id,
+                   max(CASE WHEN doc_id % {FORGET_MOD} = 0
+                       THEN 1 ELSE 0 END) AS aff
+            FROM assignment GROUP BY 1, 2
+        )
+    ), postings_r AS (
+        SELECT 'postings', CAST(sum(aff) AS BIGINT), count(*) FROM (
+            SELECT term,
+                   max(CASE WHEN doc_id % {FORGET_MOD} = 0
+                       THEN 1 ELSE 0 END) AS aff
+            FROM pos GROUP BY 1
+        )
+    ), unioned AS (
+        SELECT * FROM corpus UNION ALL SELECT * FROM chunks_r
+        UNION ALL SELECT * FROM packs_r UNION ALL SELECT * FROM postings_r
+    )
+    SELECT artifact, n_affected, n_total,
+           round(CAST(n_affected AS DOUBLE) / n_total, 6)
+               AS affected_frac
+    FROM unioned ORDER BY artifact
+    """
+
+
 VOCAB_MIN_DF = 2  # tokens must appear in >= 2 docs; the rest encode as UNK
 UNK_ID = 0
 
@@ -1712,6 +1840,7 @@ ORACLE_SQL: dict[str, str] = {
     "text_chunks": _DUCK_CHUNKS_SQL,
     "text_packing": _DUCK_PACKING_SQL.format(chunks=_DUCK_CHUNKS_SQL),
     "text_split_assign": _DUCK_SPLIT_SQL,
+    "corpus_forget_impact": _duck_forget_impact_sql(),
     "text_fingerprint": f"""
         SELECT doc_id,
                CASE WHEN len({_DUCK_TOKENS}) = 0 THEN 0
@@ -1736,6 +1865,7 @@ QUERIES = {
     "text_chunks": chunks,
     "text_packing": packing,
     "text_split_assign": split_assign,
+    "corpus_forget_impact": corpus_forget_impact,
     "text_vocab": vocab_table,
     "text_vocab_encode": vocab_encode,
     "text_scrub_pii": scrub_pii,
