@@ -73,6 +73,7 @@ _CHECK_FIRST = [
     "q88_basket_pairs",
     "q89_session_transitions",
     "corpus_forget_impact",
+    "sim_mmr_rerank",
     "q34_top_users_labeled",
     "q35_ship_delay",
     "q36_session_windows",
@@ -113,7 +114,6 @@ _CHECK_FIRST = [
     "corpus_survivors",
     "dedup_incremental_pairs",
     "dedup_neardup_groups",
-    "dedup_contamination",
 ]
 
 

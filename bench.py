@@ -112,6 +112,7 @@ HEADLINE = [
     "sim_lang_centroids",  # domain-centroid table (elementwise mean)
     "sim_sq_topk",  # int8 quantized scoring (production memory path)
     "sim_pq_adc_topk",  # product quantization + ADC (billion-scale path)
+    "sim_mmr_rerank",  # query-time MMR diversity re-rank (tiny tail)
     # the *_pretrained variants serve from the cached trained index —
     # query cost only; the one-time k-means build is timed separately
     # below and reported as index_build_sec (plain sim_ivf_topk /

@@ -735,6 +735,174 @@ def cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# MMR diverse re-ranking: query-time maximal marginal relevance over
+# the ANN candidate set — the serving-side diversity op (RAG context
+# selection, dedup'd search results), distinct from the corpus-level
+# sim_diverse_subset selection.
+# ----------------------------------------------------------------------
+
+MMR_LAMBDA = 0.7  # relevance weight
+MMR_BETA = 0.3    # diversity weight — a LITERAL, not 1-lambda: the
+#                   float 1-0.7 is 0.30000000000000004 and the oracle
+#                   must multiply by the SAME double Spark/pandas use
+MMR_CANDS = 24    # candidate pool (top-C by relevance)
+MMR_K = 8         # re-ranked output size
+MMR_QUERY = 0     # the query vector
+
+
+def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR re-rank of the exact top-MMR_CANDS cosine candidates for
+    one query: greedily pick argmax of
+    MMR_LAMBDA·rel − MMR_BETA·max_{s∈selected} sim(c, s)
+    (first pick = plain argmax rel; every tie breaks to the lower
+    candidate id), emitting (rank, c_id, rel, mmr_score).
+
+    Determinism across engines: rel and the pairwise sims are rounded
+    to 6 dp BEFORE the greedy loop, and the loop's arithmetic uses
+    the same literal doubles in all three implementations — so the
+    Arrow-batch greedy here, the per-step unrolled-CTE DuckDB oracle
+    (the BPE-oracle pattern: an iterative algorithm replayed as MMR_K
+    chained CTEs, each picking one argmax), and a pytest reference
+    agree exactly.
+
+    Scale shape: the corpus pays ONE brute-force scoring scan (or an
+    ANN probe in production — any candidate source works) compiled to
+    TakeOrderedAndProject; everything after is candidate-pool-sized
+    (C² pair sims via a broadcast self-join, then a single
+    Arrow-batch greedy over ≤C² rows). The greedy is inherently
+    sequential in k but k and C are serving-time constants."""
+    emb = read_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = _with_norm(emb.filter(F.col("vec_id") == MMR_QUERY), "q")
+    c = _with_norm(emb.filter(F.col("vec_id") != MMR_QUERY), "c")
+    rel = F.round(
+        _dot(F.col("q_e"), F.col("c_e"))
+        / (F.col("q_norm") * F.col("c_norm")),
+        6,
+    )
+    cand = (
+        F.broadcast(q)
+        .join(c)
+        .select(F.col("c_id"), rel.alias("rel"))
+        .orderBy(F.desc("rel"), F.asc("c_id"))
+        .limit(MMR_CANDS)
+    )
+    cv = c.join(F.broadcast(cand), "c_id")
+    a = cv.select(
+        F.col("c_id").alias("a_id"), F.col("rel").alias("a_rel"),
+        F.col("c_e").alias("a_e"), F.col("c_norm").alias("a_norm"),
+    )
+    b = cv.select(
+        F.col("c_id").alias("b_id"),
+        F.col("c_e").alias("b_e"), F.col("c_norm").alias("b_norm"),
+    )
+    pair_sim = F.round(
+        _dot(F.col("a_e"), F.col("b_e"))
+        / (F.col("a_norm") * F.col("b_norm")),
+        6,
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.col("a_id") != F.col("b_id"))
+        .select("a_id", "a_rel", "b_id", pair_sim.alias("s"))
+    )
+
+    def greedy(pdf):
+        import pandas as pd
+
+        rel_by = {}
+        sim_by = {}
+        for r in pdf.itertuples(index=False):
+            rel_by[int(r.a_id)] = float(r.a_rel)
+            sim_by[(int(r.a_id), int(r.b_id))] = float(r.s)
+        remaining = sorted(rel_by)
+        sel: list[int] = []
+        rows = []
+        for rank in range(1, MMR_K + 1):
+            best = None
+            for cid in remaining:
+                r = rel_by[cid]
+                score = (
+                    r
+                    if not sel
+                    else MMR_LAMBDA * r
+                    - MMR_BETA * max(sim_by[(cid, s)] for s in sel)
+                )
+                if best is None or score > best[0]:
+                    best = (score, cid)
+            score, cid = best
+            rows.append((rank, cid, rel_by[cid], score))
+            sel.append(cid)
+            remaining.remove(cid)
+        return pd.DataFrame(
+            rows, columns=["rank", "c_id", "rel", "mmr_score"]
+        )
+
+    out = pairs.groupBy(F.lit(1).alias("g")).applyInPandas(
+        greedy,
+        schema="rank int, c_id long, rel double, mmr_score double",
+    )
+    return out.select(
+        "rank", "c_id", "rel", F.round("mmr_score", 6).alias("mmr_score")
+    ).orderBy("rank")
+
+
+def _duck_mmr_sql() -> str:
+    """Unrolled greedy oracle: MMR_K chained argmax CTEs (the
+    BPE-oracle pattern for iterative algorithms). Every CTE is
+    MATERIALIZED: step i references all of s1..s{i-1}, and inlined
+    CTE expansion would otherwise re-expand the whole chain per
+    reference — exponential in MMR_K (observed: the un-hinted oracle
+    never finished at 500 rows)."""
+    steps = []
+    union = []
+    for i in range(1, MMR_K + 1):
+        if i == 1:
+            steps.append(
+                "s1 AS MATERIALIZED (SELECT 1 AS rank, c_id, rel,"
+                " rel AS score"
+                " FROM cand ORDER BY rel DESC, c_id LIMIT 1)"
+            )
+        else:
+            prev = " UNION ALL ".join(
+                f"SELECT c_id FROM s{j}" for j in range(1, i)
+            )
+            steps.append(
+                f"s{i} AS MATERIALIZED (SELECT {i} AS rank,"
+                f" c.c_id, c.rel,"
+                f" {MMR_LAMBDA} * c.rel - {MMR_BETA} * ("
+                f"SELECT max(p.s) FROM pair p WHERE p.a_id = c.c_id"
+                f" AND p.b_id IN ({prev})) AS score"
+                f" FROM cand c WHERE c.c_id NOT IN ({prev})"
+                f" ORDER BY score DESC, c.c_id LIMIT 1)"
+            )
+        union.append(f"SELECT * FROM s{i}")
+    return f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), q AS (
+        SELECT e, sqrt(list_dot_product(e, e)) AS n FROM e
+        WHERE vec_id = {MMR_QUERY}
+    ), c AS (
+        SELECT vec_id AS c_id, e,
+               sqrt(list_dot_product(e, e)) AS n
+        FROM e WHERE vec_id <> {MMR_QUERY}
+    ), cand AS MATERIALIZED (
+        SELECT c_id, round(list_dot_product(q.e, c.e) / (q.n * c.n), 6)
+                   AS rel,
+               c.e AS e, c.n AS n
+        FROM q, c
+        ORDER BY rel DESC, c_id LIMIT {MMR_CANDS}
+    ), pair AS MATERIALIZED (
+        SELECT a.c_id AS a_id, b.c_id AS b_id,
+               round(list_dot_product(a.e, b.e) / (a.n * b.n), 6) AS s
+        FROM cand a JOIN cand b ON a.c_id <> b.c_id
+    ), {", ".join(steps)}
+    SELECT CAST(rank AS INT) AS rank, c_id, rel,
+           round(score, 6) AS mmr_score
+    FROM ({" UNION ALL ".join(union)}) ORDER BY rank
+    """
+
+
+# ----------------------------------------------------------------------
 # Product quantization (PQ): the classic billion-scale ANN memory path
 # (IVF-PQ's second stage). 64-dim unit vector -> PQ_BLOCKS sub-vectors,
 # each encoded as the index of its nearest sub-centroid -> 4 small ints
@@ -1051,6 +1219,7 @@ _DUCK_COSINE_BASE = f"""
 
 ORACLE_SQL: dict[str, str] = {
     "sim_cosine_topk": _DUCK_COSINE_BASE,
+    "sim_mmr_rerank": _duck_mmr_sql(),
     "sim_cosine_topk_pandas": _DUCK_COSINE_BASE,
     "sim_lsh_buckets": _duck_lsh_buckets_sql(),
     "sim_recall_eval": _duck_recall_eval_sql(),
@@ -1067,6 +1236,7 @@ ORACLE_SQL: dict[str, str] = {
 
 QUERIES = {
     "sim_cosine_topk": cosine_topk,
+    "sim_mmr_rerank": mmr_rerank,
     "sim_cosine_topk_pandas": cosine_topk_pandas,
     "sim_lsh_topk": lsh_topk,
     "sim_lsh_buckets": lsh_buckets,

@@ -1124,6 +1124,7 @@ CARTESIAN_OK = {
     "q88_basket_pairs",
     "sim_centroid_assign", "sim_cosine_topk", "sim_diverse_subset",
     "sim_ivf_recall_guard", "sim_ivfpq_recall_guard",
+    "sim_mmr_rerank",
     "sim_pq_adc_topk", "sim_rp_topk", "sim_rp_topk_pretrained",
     "sim_sq_topk", "sketch_bloom_bits", "sketch_bloom_prefilter",
     "sketch_hist_quantiles", "sketch_hll_estimate",
