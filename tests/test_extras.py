@@ -1755,3 +1755,58 @@ def test_concurrent_sessions_tied_starts(spark, tmp_path):
     }
     # both sessions contain instant t0 -> concurrency 2 for BOTH rows
     assert got == {(10, 2), (20, 2)}
+
+
+def test_mmr_rerank_semantics(spark):
+    """Beyond the exact differential: the MMR set must MEAN what it
+    claims. Rank 1 is the plain relevance argmax; every selected id
+    comes from the candidate pool; and the selected set is more
+    DIVERSE than the same-size plain top-k by relevance (strictly
+    lower mean pairwise cosine — the whole point of the re-rank),
+    while paying a bounded relevance cost."""
+    import numpy as np
+
+    from data_pipeline_and_visualization_dashboard_spark.extras.similarity import (
+        MMR_K, MMR_QUERY, mmr_rerank,
+    )
+    from data_pipeline_and_visualization_dashboard_spark.io import read_table
+
+    out = mmr_rerank(spark, SF_SMOKE).collect()
+    assert [r.rank for r in out] == list(range(1, MMR_K + 1))
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in read_table(
+            spark, SF_SMOKE, "embeddings", ["vec_id", "embedding"]
+        ).collect()
+    }
+    qv = emb[MMR_QUERY]
+    qv = qv / np.linalg.norm(qv)
+
+    def rel(i):
+        v = emb[i] / np.linalg.norm(emb[i])
+        return float(v @ qv)
+
+    # rank 1 == plain argmax relevance over the corpus (excl. query)
+    best = max((i for i in emb if i != MMR_QUERY), key=lambda i: (rel(i), -i))
+    assert out[0].c_id == best
+
+    def mean_pairwise(ids):
+        vs = [emb[i] / np.linalg.norm(emb[i]) for i in ids]
+        sims = [
+            float(vs[i] @ vs[j])
+            for i in range(len(vs))
+            for j in range(i + 1, len(vs))
+        ]
+        return sum(sims) / len(sims)
+
+    mmr_ids = [r.c_id for r in out]
+    topk_ids = sorted(
+        (i for i in emb if i != MMR_QUERY),
+        key=lambda i: (-rel(i), i),
+    )[:MMR_K]
+    if set(mmr_ids) != set(topk_ids):  # re-rank actually changed the set
+        assert mean_pairwise(mmr_ids) < mean_pairwise(topk_ids)
+    # bounded relevance cost: MMR's mean relevance within 30% of top-k's
+    mmr_rel = sum(rel(i) for i in mmr_ids) / MMR_K
+    topk_rel = sum(rel(i) for i in topk_ids) / MMR_K
+    assert mmr_rel >= 0.7 * topk_rel
