@@ -109,3 +109,31 @@ def test_readme_counts_match_registry():
     assert int(m2.group(1)) == (
         len(entrymod.queries()) - len(entrymod.oracle_sql())
     )
+
+
+def test_bench_headline_and_window_wellformed():
+    """Two string lists silently degrade on typos: a HEADLINE name
+    missing from the registry crashes bench.py only at runtime, and a
+    misspelled _CHECK_FIRST entry is silently DROPPED by the window
+    builder (`if k in registry`), shrinking the driver's 50-slot
+    correctness window without any error. Pin both."""
+    import __spark_entry__ as entrymod
+    from bench import HEADLINE, family
+
+    registry = entrymod.queries()
+    missing = [q for q in HEADLINE if q not in registry]
+    assert not missing, f"HEADLINE names not in registry: {missing}"
+    assert len(set(HEADLINE)) == len(HEADLINE)  # no duplicates
+    assert all(
+        family(q) in {"sql", "dedup", "text", "similarity",
+                      "sketches", "media"}
+        for q in HEADLINE
+    )
+    window = entrymod._CHECK_FIRST
+    unknown = [q for q in window if q not in registry]
+    assert not unknown, f"_CHECK_FIRST names not in registry: {unknown}"
+    assert len(window) == 50, (
+        f"driver window must fill exactly its 50 slots, got "
+        f"{len(window)}"
+    )
+    assert len(set(window)) == 50  # duplicates would waste slots
