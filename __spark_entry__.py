@@ -52,68 +52,67 @@ def entry(spark: SparkSession) -> DataFrame:
 # exactly indices 0-49 of the round-2 registry order).  After round 5
 # the cumulative scoreboard is complete: all 179 then-registered
 # entries hold at least one green driver row, zero failures ever.
-# Round-6 window (VERDICT r5 next #4/#6): the round's FIVE new
-# entries first (dedup_snapshot_ledger — the streaming CDC
-# snapshot-diff readout; q86_zorder_layout — the Morton data-layout
-# family; media_audio_windows — overlapping audio-frame segmentation;
-# dedup_split_leakage — cross-split near-dup contamination screen;
-# q87_time_weighted_value — irregular-series TWA; q66_agg — the
-# measured-negative-result Q21 window respelling),
-# then OLDEST-ROW-FIRST re-greening: all 30 entries whose
-# newest row is from ROUND 2 (in their r2 window order — after r6
-# they would otherwise be four rounds stale), then the front of the
-# 49-entry round-3 block (its remainder rotates into round 7).
+# Round-7 window (VERDICT r6 next #1/#3, precomputed by the judge):
+# q21_nation_revenue FIRST — its phantom "REGION_0" literal is fixed
+# this round and the query's join/filter/agg logic gets its first
+# non-vacuous driver row (it displaces the lowest-value r4 slot,
+# q66_late_supplier_blame, whose window-respelling twin q66_agg holds
+# a fresh r6 row over the same joined frame).  Then the 39 r3-latest
+# entries (4 rounds stale at r7, in their CORRECTNESS_r03 window
+# order), then the oldest r4-latest entries (CORRECTNESS_r04 order)
+# filling to 50.  Any NEW r7 entry displaces an r4 slot from the END
+# of that block, never an r3 one.
 _CHECK_FIRST = [
-    "dedup_snapshot_ledger",
-    "q86_zorder_layout",
-    "media_audio_windows",
-    "dedup_split_leakage",
-    "q87_time_weighted_value",
-    "q66_late_supplier_blame_agg",
-    "q88_basket_pairs",
-    "q89_session_transitions",
-    "corpus_forget_impact",
-    "sim_mmr_rerank",
-    "q34_top_users_labeled",
-    "q35_ship_delay",
-    "q36_session_windows",
-    "q37_prior_hour_window",
-    "q38_unpivot_heatmap",
-    "q39_interval_join",
-    "q40_salted_skew_join",
-    "q41_latest_event_state",
-    "q42_daily_from_hourly",
-    "q43_full_outer_reconcile",
-    "q44_user_trend",
-    "q45_cohort_retention",
-    "q46_value_anomalies",
-    "q47_scd2_history",
-    "q48_funnel_steps",
-    "q49_fuzzy_name_match",
-    "q50_equidepth_buckets",
-    "q51_nation_pagerank",
-    "q52_gap_fill",
-    "q53_incremental_rollup",
-    "q54_hash_sample",
-    "q55_rolling_median",
-    "q56_grouped_stats",
-    "q57_rank_family",
-    "q58_event_nation_counts",
-    "q59_sliding_distinct",
-    "sim_ivf_topk",
-    "sim_ivfpq_topk",
-    "q20_shipping_priority",
     "q21_nation_revenue",
-    "text_bpe_train",
-    "text_bpe_apply",
-    "sketch_kmv_overlap",
-    "text_index_postings",
-    "text_search_phrase",
-    "text_search_ranked",
-    "corpus_funnel",
-    "corpus_survivors",
-    "dedup_incremental_pairs",
-    "dedup_neardup_groups",
+    "dedup_contamination",
+    "dedup_embedding_pairs_lsh",
+    "sim_pq_codes",
+    "sim_pq_adc_topk",
+    "sim_sq_topk",
+    "sim_lsh_buckets",
+    "sketch_countmin",
+    "sketch_countmin_topk_est",
+    "sketch_hll_registers",
+    "sketch_hll_estimate",
+    "text_tokens_bpe",
+    "text_quality_filter",
+    "text_repetition",
+    "text_tfidf_topk",
+    "text_vocab",
+    "text_vocab_encode",
+    "text_chunks",
+    "text_packing",
+    "text_split_assign",
+    "media_resized",
+    "dedup_hash_stage_md5",
+    "dedup_semantic",
+    "text_scrub_pii",
+    "text_mix_sample",
+    "text_line_dedup",
+    "dedup_neardup_groups_lsss",
+    "text_dup_ngrams",
+    "text_quality_score",
+    "text_dsir_weights",
+    "q60_bucketed_join",
+    "q61_profile_events",
+    "dedup_incremental_exact",
+    "text_gopher_rules",
+    "q62_skew_stats",
+    "sim_recall_eval",
+    "sim_lsh_multiprobe_topk",
+    "sim_lang_centroids",
+    "sim_rp_topk",
+    "sim_lsh_topk",
+    "q63_drift_kl",
+    "q64_weighted_sample",
+    "q65_small_quantity_revenue",
+    "q67_important_parts",
+    "q68_value_deciles",
+    "dedup_contamination_multi",
+    "dedup_survivor_policy",
+    "dedup_training_triplets",
+    "dedup_pair_features",
+    "text_lm_logprob",
 ]
 
 

@@ -343,7 +343,12 @@ def q21_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .filter(F.col("r_name") == "REGION_0")
+        # "ASIA" matches the driver testdata's real region names
+        # (AMERICA/EUROPE/ASIA/AFRICA/MIDDLE EAST); only *nations* use
+        # the NATION_k naming.  The previous "REGION_0" literal matched
+        # nothing and left this query vacuously green (0 rows both
+        # engines) — fixed in round 7, consistent with Q80_REGION.
+        .filter(F.col("r_name") == "ASIA")
         .groupBy("n_name")
         .agg(
             F.round(
@@ -5057,7 +5062,7 @@ ORACLE_SQL: dict[str, str] = {
         JOIN supplier ON l_suppkey = s_suppkey
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
-        WHERE c_nationkey = s_nationkey AND r_name = 'REGION_0'
+        WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
         GROUP BY n_name
         ORDER BY revenue DESC, n_name
     """,

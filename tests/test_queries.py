@@ -90,6 +90,36 @@ def test_registry_has_no_silent_collisions():
     assert len(entrymod.oracle_sql()) == total_oracles
 
 
+# Entries where an empty result at SF_CORRECT is provably the right
+# answer (each needs a justifying comment).  Currently none: VERDICT r6
+# found exactly one zero-row oracle fleet-wide (q21's phantom
+# "REGION_0" literal, vacuously green since r1) and it was a bug, not a
+# legitimately-empty answer.
+VACUOUS_WHITELIST: frozenset[str] = frozenset()
+
+
+def test_no_vacuously_green_oracles(duck):
+    """Every oracle-backed query must return >=1 row at SF_CORRECT.
+
+    Guard for the q21 class of bug (VERDICT r6 wrong #1): a filter
+    literal that matches nothing makes BOTH engines return 0 rows, so
+    the hash comparison passes forever without the query's logic ever
+    being exercised.  The duck side suffices: the per-query
+    differential test already pins spark_rows == duck_rows, so a
+    non-empty oracle forces a non-empty Spark result too.
+    """
+    empty = []
+    for name, sql in entrymod.oracle_sql().items():
+        if name in VACUOUS_WHITELIST:
+            continue
+        if len(duck.execute(sql).fetchall()) == 0:
+            empty.append(name)
+    assert not empty, (
+        f"vacuously-green oracle queries (0 rows at {SF_CORRECT}): {empty}; "
+        "fix the query or whitelist with a justification"
+    )
+
+
 def test_readme_counts_match_registry():
     """README's headline registry counts must track the actual
     registry — docs that overstate (or understate) coverage are worse
