@@ -54,63 +54,63 @@ def entry(spark: SparkSession) -> DataFrame:
 # holds at least one green driver row, zero failures ever, and no
 # entry is vacuously green (fleet-wide ≥1-row guard,
 # tests/test_queries.py).
-# Round-8 window (VERDICT r7 next #1, the precomputed rotation):
-# the 40 r4-latest entries (4 rounds stale at r8, in their
-# CORRECTNESS_r04 window order) + the 10 oldest r5-latest entries
-# (CORRECTNESS_r05 order) to fill 50.  After this window no
-# oracle-backed entry is more than 4 rounds stale.  Any NEW r8
-# entry displaces an r5 slot from the END, never an r4 one.
+# Round-9 window (the precomputed rotation from the r8 close-out):
+# the 40 r5-latest entries (4 rounds stale at r9, in their
+# CORRECTNESS_r05 window order) + the 10 oldest r6-latest entries
+# (CORRECTNESS_r06 order) to fill 50.  After this window no
+# oracle-backed entry is more than 3 rounds stale.  Any NEW r9
+# entry displaces an r6 slot from the END, never an r5 one.
 _CHECK_FIRST = [
-    "q66_late_supplier_blame",
-    "sketch_kmv_estimate",
-    "sketch_hist_quantiles",
-    "text_bpe_compression",
-    "text_search_and",
-    "text_search_near",
-    "text_index_merge",
-    "media_features",
-    "sim_rp_topk_pretrained",
-    "dedup_minhash_pairs_xxhash",
-    "corpus_funnel_xxhash",
-    "dedup_hash_stage_xxhash",
-    "dedup_semantic_trained",
-    "sim_ivf_topk_pretrained",
-    "sim_ivfpq_topk_pretrained",
-    "q69_concurrent_sessions",
-    "q61_profile_events_approx",
-    "q61_profile_events_approx_xxhash",
-    "sim_ivf_recall_guard",
-    "sim_ivfpq_recall_guard",
-    "q80_market_share",
-    "q81_product_margin",
-    "q70_promo_discount_revenue",
-    "q71_idle_rich_customers",
-    "q72_top_quarter_supplier",
-    "q73_large_quantity_orders",
-    "q74_dominant_suppliers",
-    "q75_nation_trade_volume",
-    "text_dup_spans",
-    "sketch_bloom_bits",
-    "sketch_bloom_prefilter",
-    "text_search_bm25",
-    "dedup_snapshot_diff",
-    "q76_priority_late_orders",
-    "q77_returned_customers",
-    "q78_promo_revenue_share",
-    "q79_supplier_variety",
-    "sim_diverse_subset",
-    "dedup_threshold_curve",
-    "media_frames",
-    "q82_order_count_distribution",
-    "q83_approx_percentile_guard",
-    "q84_rollup_revenue",
-    "q85_corpus_grouping_sets",
-    "q1_top_nations",
-    "q2_avg_value_by_hour",
-    "q3_event_type_pct",
-    "q4_unit_price_by_weekday",
-    "q5_trade_routes",
-    "q14_clean_accounting",
+    "q7_filtered_metrics",
+    "q8_top_users",
+    "q9_value_histogram",
+    "q10_type_donut",
+    "q11_day_hour_heatmap",
+    "q12_derived_events",
+    "q22_heatmap_pivot",
+    "q23_value_percentiles",
+    "q24_distinct_users",
+    "q25_set_ops",
+    "q26_regex_filter",
+    "q27_asof_join",
+    "dedup_exact_groups",
+    "dedup_exact_docs",
+    "dedup_minhash_signatures",
+    "dedup_minhash_pairs",
+    "dedup_ngram_jaccard_topk",
+    "dedup_simhash_fingerprints",
+    "dedup_simhash_pairs",
+    "dedup_simhash_hamming_topk",
+    "dedup_embedding_pairs",
+    "text_stats",
+    "text_lang_id",
+    "text_fingerprint",
+    "sim_cosine_topk",
+    "sim_cosine_topk_pandas",
+    "q15_sample_events",
+    "q19_stratified_sample",
+    "q6_pricing_summary",
+    "q13_windowed_counts",
+    "q16_sessionization",
+    "q17_top_customers_per_nation",
+    "q18_status_priority_rollup",
+    "q33_status_priority_cube",
+    "q28_json_extract",
+    "q29_approx_stats",
+    "q30_semi_anti",
+    "q31_moving_avg",
+    "q32_collect_sets",
+    "sim_centroid_assign",
+    "dedup_snapshot_ledger",
+    "q86_zorder_layout",
+    "media_audio_windows",
+    "dedup_split_leakage",
+    "q87_time_weighted_value",
+    "q66_late_supplier_blame_agg",
+    "q88_basket_pairs",
+    "q89_session_transitions",
+    "corpus_forget_impact",
+    "sim_mmr_rerank",
 ]
 
 

@@ -70,6 +70,20 @@ def family(name: str) -> str:
 #   6. search micro-probes (text_search_and, text_search_near):
 #      boolean/positional walks over the same postings frame whose
 #      build + ranked/phrase/bm25 probes are all benched.
+# Per-query baseline re-freezes overlaid on the frozen r6 floor when
+# computing baseline_ratio (VERDICT r8 housekeeping #2).  The r6 file
+# BENCH_full_r06.json is NEVER mutated — it stays the pristine round-6
+# record per the BASELINE.md re-freeze policy; these entries replace
+# its values inside the ratio only, each with its reason here and a
+# matching paragraph in BASELINE.md.
+BASELINE_REFREEZE = {
+    # r6's 0.44s was the vacuous-era floor: the query filtered on the
+    # phantom literal REGION_0 (0-row aggregation).  r7 fixed it to
+    # ASIA; the honest post-fix floor is the r8 full-run best-of-3
+    # (BENCH_full_r08.json).  Keeping 0.44 showed a fake ×2.04.
+    "q21_nation_revenue": 0.899,
+}
+
 HEADLINE = [
     # reference-surface analytics
     "q1_top_nations",
@@ -331,26 +345,50 @@ def main() -> None:
     # ratio of this run vs the frozen round-6 floor over the queries
     # common to both maps — sum(cur[q]) / sum(base[q]).  Queries added
     # after the freeze extend the headline total but are excluded from
-    # the ratio (BASELINE.md comparison policy).  null when the frozen
-    # record is absent or shares no keys (e.g. a subset wave over
-    # post-freeze entries).
+    # the ratio (BASELINE.md comparison policy).  The ≤2.0 gate applies
+    # ONLY to `baseline_ratio`, which is non-null ONLY on a full
+    # HEADLINE run at the frozen record's scale factor:
+    #   - sf mismatch (ADVICE r8 #1): an sf1/sf3 ladder run shares keys
+    #     with the sf0.1 floor and would emit a meaningless ~4-5x ratio
+    #     → null, with baseline_skip_reason="sf_mismatch".
+    #   - subset wave (ADVICE r8 #3): per-query best-of-N drift over a
+    #     handful of keys far exceeds the 12-26% full-floor band, so a
+    #     subset can legitimately exceed 2.0 with zero regression → the
+    #     ratio goes to the distinct field `baseline_ratio_partial`
+    #     (NOT gated) and `baseline_ratio` stays null.
+    #   - missing/corrupt frozen record or no common keys → null.
     baseline_ratio = None
+    baseline_ratio_partial = None
     baseline_n_common = 0
+    baseline_skip_reason = None
     base_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_full_r06.json"
     )
     try:
         with open(base_path) as f:
-            base_q = json.load(f)["queries"]
+            base_rec = json.load(f)
+        base_q = {**base_rec["queries"], **BASELINE_REFREEZE}
+        if not (isinstance(base_q, dict) and all(
+            isinstance(v, (int, float)) and not isinstance(v, bool)
+            for v in base_q.values()
+        )):
+            raise ValueError("frozen record queries map is not numeric")
         common = [q for q in timings if q in base_q]
         baseline_n_common = len(common)
         base_sum = sum(base_q[q] for q in common)
-        if base_sum > 0:
-            baseline_ratio = round(
-                sum(timings[q] for q in common) / base_sum, 3
-            )
-    except (OSError, KeyError, ValueError):
-        pass
+        if base_rec.get("sf") != sf:
+            baseline_skip_reason = "sf_mismatch"
+        elif base_sum <= 0:
+            baseline_skip_reason = "no_common_keys"
+        else:
+            ratio = round(sum(timings[q] for q in common) / base_sum, 3)
+            if subset is None:
+                baseline_ratio = ratio
+            else:
+                baseline_ratio_partial = ratio
+                baseline_skip_reason = "subset_run"
+    except (OSError, KeyError, ValueError, TypeError):
+        baseline_skip_reason = "baseline_record_unreadable"
     full = {
         "metric": "total_query_sec",
         "value": total,
@@ -360,7 +398,9 @@ def main() -> None:
         "pq_cold_steady_sec": pq_cold_steady,
         "samples_per_query": samples,
         "baseline_ratio": baseline_ratio,
+        "baseline_ratio_partial": baseline_ratio_partial,
         "baseline_n_common": baseline_n_common,
+        "baseline_skip_reason": baseline_skip_reason,
         "sf": sf,
     }
     # The full per-query map outgrew the driver's fixed-size tail
@@ -400,9 +440,15 @@ def main() -> None:
         # draw) — the driver-visible record states it explicitly
         "samples_per_query": samples,
         # single-run total vs the frozen BASELINE.md floor over common
-        # keys (gate: <= 2.0; 12-26% single-run drift is expected)
+        # keys (gate: <= 2.0; 12-26% single-run drift is expected).
+        # Non-null ONLY on a full HEADLINE run at the frozen sf;
+        # subset waves report the ungated baseline_ratio_partial and
+        # sf-mismatched ladder runs report neither (skip_reason says
+        # which) — see the policy comment above.
         "baseline_ratio": baseline_ratio,
+        "baseline_ratio_partial": baseline_ratio_partial,
         "baseline_n_common": baseline_n_common,
+        "baseline_skip_reason": baseline_skip_reason,
         "family_sec": subtotals,
         "index_build_sec": index_build,
         "pq_cold_steady_sec": pq_cold_steady,

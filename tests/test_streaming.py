@@ -1539,3 +1539,335 @@ def test_transition_stream_survives_restart(spark, tmp_path):
         for r in q89_session_transitions(spark, _SF).collect()
     }
     assert got == want
+
+
+def _split_three_waves(raw, in_dir):
+    """Write raw events as three time-split micro-batch files
+    (0.33/0.66 percentile cuts; NTZ ts preserved to match
+    streaming._STREAM_SCHEMA) and return the (t1, t2) cut points in
+    unix-micros. The restart pins land waves 1-2, stop, then land
+    wave 3 before resuming on the same checkpoint."""
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    t1, t2 = raw.select(
+        F.expr(
+            "percentile(unix_micros(cast(ts AS timestamp)),"
+            " array(0.33, 0.66))"
+        ).alias("c")
+    ).first().c
+    t1, t2 = int(t1), int(t2)
+    raw.filter(us <= t1).coalesce(1).write.parquet(in_dir, mode="append")
+    raw.filter((us > t1) & (us <= t2)).coalesce(1).write.parquet(
+        in_dir, mode="append"
+    )
+    return t1, t2
+
+
+def test_streaming_dedup_survives_restart(spark, tmp_path):
+    """dropDuplicates state recovery (streaming.py dedup_event_stream):
+    duplicates of PRE-restart ids arriving AFTER the stop/restart must
+    still be dropped — only the recovered state store can know those
+    ids were seen. Watermark is set to ~forever so no row is late and
+    no state expires: every drop in this test is a state-store hit,
+    not a lateness drop. A lost state would re-emit the replayed ids
+    (distinct < count below); a lost source offset would re-deliver
+    whole files, which the parquet sink's transaction log would skip,
+    leaving the state assertion as the live one."""
+    from data_pipeline_and_visualization_dashboard_spark.io import read_table
+
+    raw = spark.read.parquet(SF_SMOKE + "/events.parquet")  # ts NTZ µs
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    # waves 1+2: ids [0, 400) then [400, 700)
+    raw.filter("event_id < 400").coalesce(1).write.parquet(
+        in_dir, mode="append"
+    )
+    raw.filter("event_id >= 400 AND event_id < 700").coalesce(1).write.parquet(
+        in_dir, mode="append"
+    )
+
+    def start():
+        raw_s = (
+            spark.readStream.schema(streaming._STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+        )
+        ev = raw_s.withColumn("ts", F.col("ts").cast("timestamp"))
+        return (
+            streaming.dedup_event_stream(ev, watermark="3650 days")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # wave 3 (post-restart): the remaining ids PLUS re-copies of ids
+    # the stream deduped BEFORE the stop
+    raw.filter("event_id >= 700 OR event_id < 300").coalesce(1).write.parquet(
+        in_dir, mode="append"
+    )
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.read.parquet(out_dir)
+    n_all = read_table(spark, SF_SMOKE, "events").count()
+    assert out.count() == n_all  # every id exactly once, dupes dropped
+    assert out.select("event_id").distinct().count() == n_all
+
+
+def test_stateful_sessionization_survives_restart(spark, tmp_path):
+    """applyInPandasWithState recovery for the session builder
+    (streaming.py sessionize_stream): stop after two waves — every
+    user's trailing session is OPEN in the state store — restart on
+    the same checkpoint with the final wave, and closed sessions must
+    still equal the batch q16-window oracle minus each user's last
+    (never-closed) session. A lost state would restart every user's
+    open session at the first post-restart event, splitting sessions
+    at the stop boundary (wrong n_events AND wrong boundaries)."""
+    from pyspark.sql import Window
+
+    from data_pipeline_and_visualization_dashboard_spark.io import read_table
+
+    raw = spark.read.parquet(SF_SMOKE + "/events.parquet")  # ts NTZ µs
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _, t2 = _split_three_waves(raw, in_dir)
+
+    def start():
+        raw_s = (
+            spark.readStream.schema(streaming._STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+        )
+        ev = raw_s.withColumn("ts", F.col("ts").cast("timestamp"))
+        return (
+            streaming.sessionize_stream(ev)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    raw.filter(us > t2).coalesce(1).write.parquet(in_dir, mode="append")
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # batch oracle: q16 window spelling, minus each user's final
+    # (still-open) session — same oracle as the no-restart parity test
+    events = read_table(spark, SF_SMOKE, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    sess = (
+        events.withColumn("us", F.unix_micros("ts"))
+        .withColumn(
+            "new_sess",
+            F.when(
+                (F.col("us") - F.lag("us").over(w))
+                > streaming.SESSION_GAP_US, 1
+            ).otherwise(0),
+        )
+        .withColumn("sess_no", F.sum("new_sess").over(run))
+        .groupBy("user_id", "sess_no")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .withColumn(
+            "is_last",
+            F.col("sess_no")
+            == F.max("sess_no").over(Window.partitionBy("user_id")),
+        )
+    )
+    batch_closed = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in sess.filter(~F.col("is_last")).collect()
+    }
+    assert streamed == batch_closed
+    assert len(streamed) > 0
+
+
+def test_stream_stream_join_survives_restart(spark, tmp_path):
+    """Stream-stream INNER join state recovery (streaming.py
+    view_purchase_join_stream): views buffered in the join state
+    before the stop must still match purchases that arrive only AFTER
+    the restart. A percentile cut at smoke SF straddles no matched
+    pair inside the 1h horizon (measured: 0 cross-cut matches), so
+    the cut is picked ADAPTIVELY from an actual batch match — the
+    stop lands between that pair's view and purchase, guaranteeing a
+    cross-restart match by construction (and asserted below, so the
+    pin can never pass vacuously). A lost join state would drop
+    exactly those matches."""
+    from data_pipeline_and_visualization_dashboard_spark.io import read_table
+
+    raw = spark.read.parquet(SF_SMOKE + "/events.parquet")  # ts NTZ µs
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    events = read_table(spark, SF_SMOKE, "events")
+    # the cut: a matched pair's view time (ties excluded so the
+    # purchase strictly follows the cut), widest gap first so several
+    # pairs usually straddle
+    pick = (
+        streaming.view_purchase_join_batch(events)
+        .filter(F.col("purchase_ts") > F.col("view_ts"))
+        .orderBy(
+            (F.unix_micros("purchase_ts") - F.unix_micros("view_ts")).desc()
+        )
+        .first()
+    )
+    t2 = int(
+        events.filter(F.col("event_id") == pick.view_id)
+        .select(F.unix_micros("ts").alias("u")).first().u
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    raw.filter(us <= t2).coalesce(1).write.parquet(in_dir, mode="append")
+
+    def start():
+        raw_s = (
+            spark.readStream.schema(streaming._STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+        )
+        ev = raw_s.withColumn("ts", F.col("ts").cast("timestamp"))
+        return (
+            streaming.view_purchase_join_stream(ev)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    raw.filter(us > t2).coalesce(1).write.parquet(in_dir, mode="append")
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {
+        (r.user_id, r.purchase_id, r.view_id)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    batch_rows = streaming.view_purchase_join_batch(events).collect()
+    batch = {(r.user_id, r.purchase_id, r.view_id) for r in batch_rows}
+    assert streamed == batch
+    # non-vacuous: at least one match pairs a pre-stop view with a
+    # post-restart purchase — engine-side micros math so the check
+    # can't drift with the driver's local timezone
+    n_cross = (
+        streaming.view_purchase_join_batch(events)
+        .filter(
+            (F.unix_micros("view_ts") <= t2)
+            & (F.unix_micros("purchase_ts") > t2)
+        )
+        .count()
+    )
+    assert n_cross > 0
+
+
+def test_stream_stream_left_join_survives_restart(spark, tmp_path):
+    """Stream-stream LEFT OUTER join state recovery (streaming.py
+    view_purchase_left_join_stream): same cross-restart matching as
+    the inner pin, PLUS the outer half — views whose horizon closed
+    only after the restart must emit their NULL row exactly once from
+    the recovered state. Sentinel flush batches (one per side, placed
+    so they cannot match each other) are landed AFTER the restart to
+    push the final watermark past every real view's window."""
+    from data_pipeline_and_visualization_dashboard_spark.io import read_table
+
+    raw = spark.read.parquet(SF_SMOKE + "/events.parquet")  # ts NTZ µs
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _, t2 = _split_three_waves(raw, in_dir)
+
+    def start():
+        raw_s = (
+            spark.readStream.schema(streaming._STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+        )
+        ev = raw_s.withColumn("ts", F.col("ts").cast("timestamp"))
+        return (
+            streaming.view_purchase_left_join_stream(ev)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # post-restart input: the final wave + the sentinel flush batches
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    raw.filter(us > t2).coalesce(1).write.parquet(in_dir, mode="append")
+    base = raw.select(
+        F.max(F.col("ts").cast("timestamp")).alias("m")
+    ).first().m
+    for k, off_days in enumerate((2, 4)):
+        spark.createDataFrame(
+            [
+                (-(2 * k + 1), -(1000 + 2 * k), "view", 0.0),
+                (-(2 * k + 2), -(1001 + 2 * k), "purchase", 0.0),
+            ],
+            "user_id long, event_id long, event_type string,"
+            " value double",
+        ).selectExpr(
+            "event_id", "user_id", "event_type", "value",
+            "CAST(NULL AS STRING) AS props",
+            f"CAST(timestamp'{base}' + (INTERVAL {off_days} DAYS)"
+            " - (CASE WHEN event_type = 'purchase'"
+            "    THEN INTERVAL 1 HOURS ELSE INTERVAL 0 HOURS END)"
+            " AS TIMESTAMP_NTZ) AS ts",
+        ).coalesce(1).write.parquet(in_dir, mode="append")
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {
+        (r.user_id, r.view_id, r.purchase_id)
+        for r in spark.read.parquet(out_dir).collect()
+        if r.user_id >= 0  # drop the sentinels' own rows
+    }
+    events = read_table(spark, SF_SMOKE, "events")
+    batch = {
+        (r.user_id, r.view_id, r.purchase_id)
+        for r in streaming.view_purchase_left_join_batch(events).collect()
+    }
+    assert streamed == batch
+    matched = {t for t in batch if t[2] is not None}
+    unmatched = {t for t in batch if t[2] is None}
+    assert len(matched) > 0 and len(unmatched) > 0
