@@ -108,9 +108,12 @@ _CHECK_FIRST = [
     "q87_time_weighted_value",
     "q66_late_supplier_blame_agg",
     "q88_basket_pairs",
-    "q89_session_transitions",
-    "corpus_forget_impact",
-    "sim_mmr_rerank",
+    # r9 NEW entries (displacing the 3 r6 slots from the END, per the
+    # rotation policy: q89_session_transitions, corpus_forget_impact,
+    # sim_mmr_rerank move to the r10 queue head)
+    "dedup_containment_topk",
+    "text_token_entropy",
+    "q90_mad_outliers",
 ]
 
 

@@ -36,7 +36,7 @@ def family(name: str) -> str:
             "text": "text", "media": "media"}.get(prefix, "other")
 
 # HEADLINE vs registry — the exclusion policy (VERDICT r6 next #7).
-# The registry holds 189 entries; HEADLINE benches 112.  The 77
+# The registry holds 192 entries; HEADLINE benches 114.  The 78
 # excluded entries fall into six families, each excluded for a reason,
 # not forgotten:
 #   1. display-grain chart twins / plan-shape variants of benched
@@ -57,7 +57,8 @@ def family(name: str) -> str:
 #      whose cost is already inside a benched downstream op (funnel,
 #      *_pretrained serving, bpe_apply) or under index_build_sec.
 #   3. brute-force accuracy-oracle twins (dedup_embedding_pairs,
-#      dedup_ngram_jaccard_topk, dedup_simhash_hamming_topk,
+#      dedup_ngram_jaccard_topk, dedup_containment_topk,
+#      dedup_simhash_hamming_topk,
 #      sim_cosine_topk_pandas, dedup_embedding_pairs_lsh's exact
 #      side): exist to verify recall, not to be fast; timing them
 #      would reward all-pairs paths the engine must never take.
@@ -133,6 +134,7 @@ HEADLINE = [
     "q87_time_weighted_value",  # irregular-series TWA (keyed window)
     "q88_basket_pairs",  # basket-bounded pair lift (Σk², not n²)
     "q89_session_transitions",  # Markov transition matrix (keyed windows)
+    "q90_mad_outliers",  # median/MAD robust outlier screen (exact pctl)
     "sim_recall_eval",  # LSH recall@k vs exact (eval as an operator)
     "sim_ivf_recall_guard",  # pretrained-IVF recall floor, in-plan assert
     "sim_ivfpq_recall_guard",  # pretrained-IVF-PQ floor, in-plan assert
@@ -206,6 +208,7 @@ HEADLINE = [
     "text_gopher_rules",  # full Gopher heuristic battery (codegen)
     "text_dsir_weights",  # DSIR importance weights (profile broadcast)
     "text_lm_logprob",  # bigram LM scoring (CCNet-style quality)
+    "text_token_entropy",  # unigram-entropy quality signal (2-stage agg)
     "dedup_semantic_trained",  # SemDeDup on the cached trained clusters
     "media_features",
     "media_frames",  # 1->N frame-sampling fan-out (mapInPandas)

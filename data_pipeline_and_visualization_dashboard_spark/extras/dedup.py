@@ -801,6 +801,59 @@ def ngram_jaccard_topk(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFra
     )
 
 
+def containment_topk(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """Top-k DIRECTED n-gram containment pairs: C(a→b) = |Sa ∩ Sb| / |Sa|
+    over the same 3-gram shingle sets as the Jaccard twin.
+
+    Why a separate operator from Jaccard: containment is asymmetric —
+    a short doc fully wrapped inside a long one (boilerplate template,
+    quoted article, license header + payload) scores C≈1 while its
+    Jaccard is tiny (|Sa|/|Sb|), so symmetric near-dup passes miss
+    exactly the subset-duplication that plagues web-crawl training
+    corpora. Emits ORDERED pairs (a→b and b→a score differently).
+
+    THIS IS THE ORACLE/SMALL-CORPUS PATH: O(n²) ordered pairs, correct
+    at any n but only feasible on modest corpora. At 100 TB the sketch
+    path replaces it: containment is estimable from BOTTOM-K sketches
+    (J(a,b) and |Sa|,|Sb| give C via C = J·(|Sa|+|Sb|)/((1+J)·|Sa|)),
+    so the same KMV/bottom-k frames the overlap estimator already
+    builds (sketch_kmv_overlap) serve containment with no new shuffle;
+    LSH banding prunes the candidate space exactly as in
+    dedup_minhash_pairs. Scores are rounded to 6dp BEFORE the ordering
+    so the top-k tie decisions are identical in both engines."""
+    sh = shingle_sets(spark, sf_dir).select(
+        "doc_id", F.array_distinct("shingles").alias("sh")
+    )
+    a = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        a.join(b, F.col("doc_id_a") != F.col("doc_id_b"))
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.round(
+                inter.cast("double") / F.size("sh_a").cast("double"), 6
+            ).alias("containment"),
+        )
+        .orderBy(F.desc("containment"), "doc_id_a", "doc_id_b")
+        .limit(k)
+    )
+
+
+_DUCK_CONTAINMENT_TOPK_SQL = f"""
+    WITH sh AS (
+        SELECT doc_id, list_distinct({_DUCK_SHINGLES}) AS sh FROM documents
+    )
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / CAST(len(a.sh) AS DOUBLE), 6) AS containment
+    FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+    ORDER BY containment DESC, doc_id_a, doc_id_b
+    LIMIT 20
+"""
+
+
 # ----------------------------------------------------------------------
 # SimHash near-dup
 # ----------------------------------------------------------------------
@@ -2547,6 +2600,7 @@ QUERIES = {
     "dedup_neardup_groups": dedup_neardup_groups,
     "dedup_neardup_groups_lsss": dedup_neardup_groups_lsss,
     "dedup_ngram_jaccard_topk": ngram_jaccard_topk,
+    "dedup_containment_topk": containment_topk,
     "dedup_simhash_fingerprints": q_simhash_fingerprints,
     "dedup_simhash_pairs": simhash_pairs,
     "dedup_simhash_hamming_topk": simhash_hamming_topk,
@@ -2570,6 +2624,7 @@ QUERIES = {
     "dedup_threshold_curve": dedup_threshold_curve,
 }
 
+ORACLE_SQL["dedup_containment_topk"] = _DUCK_CONTAINMENT_TOPK_SQL
 ORACLE_SQL["dedup_snapshot_diff"] = _DUCK_SNAPSHOT_DIFF_SQL
 ORACLE_SQL["dedup_snapshot_ledger"] = _DUCK_SNAPSHOT_LEDGER_SQL
 ORACLE_SQL["dedup_split_leakage"] = _duck_split_leakage_sql()

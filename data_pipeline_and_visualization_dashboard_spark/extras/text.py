@@ -96,6 +96,54 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )  # no terminal sort: O(n) output, order-insensitive compare
 
 
+def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc unigram token entropy (bits): H = log2(N) − Σc·log2(c)/N
+    over whitespace tokens — the standard repetition/diversity quality
+    signal (low entropy = template/boilerplate/repeated spam, high =
+    diverse prose; used alongside the Gopher battery).
+
+    Shape: explode → two hash aggregations, both with map-side partial
+    combine, so the shuffle carries (doc_id, token) partial counts then
+    (doc_id) partial sums — no per-doc collect, no UDF, whole-stage
+    codegen end to end. At 100 TB the (doc_id, token) grain is the
+    big shuffle; it is the SAME grain the TF-IDF and vocab ops already
+    pay, and AQE coalesces the tail. Entropy computed in ln then
+    converted, rounded to 6dp to absorb cross-engine sum-order ulps."""
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    cnt = (
+        docs.selectExpr(
+            "doc_id",
+            "explode(split(lower(trim(text)), '\\\\s+')) AS t",
+        )
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        cnt.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.expr(
+                "round((ln(sum(c)) - sum(c * ln(c)) / sum(c)) / ln(2), 6)"
+            ).alias("entropy_bits"),
+        )
+    )  # no terminal sort: O(n) output, order-insensitive compare
+
+
+_DUCK_TOKEN_ENTROPY_SQL = r"""
+    WITH cnt AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+        FROM documents
+    ), c2 AS (
+        SELECT doc_id, t, count(*) AS c FROM cnt GROUP BY 1, 2
+    )
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+           round((ln(sum(c)) - sum(c * ln(c)) / sum(c)) / ln(2), 6)
+               AS entropy_bits
+    FROM c2 GROUP BY doc_id
+"""
+
+
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID: marker-stopword hit counts -> argmax with
     deterministic tie order (en > de > fr > unknown)."""
@@ -1856,6 +1904,7 @@ ORACLE_SQL: dict[str, str] = {
 
 QUERIES = {
     "text_stats": text_stats,
+    "text_token_entropy": token_entropy,
     "text_lang_id": lang_id,
     "text_tokens_bpe": tokens_bpe,
     "text_fingerprint": fingerprint,
@@ -1879,6 +1928,7 @@ QUERIES = {
     "text_lm_logprob": lm_logprob,
 }
 
+ORACLE_SQL["text_token_entropy"] = _DUCK_TOKEN_ENTROPY_SQL
 ORACLE_SQL["text_scrub_pii"] = _duck_scrub_sql()
 ORACLE_SQL["text_mix_sample"] = _duck_mix_sample_sql()
 ORACLE_SQL["text_line_dedup"] = _DUCK_LINE_DEDUP_SQL

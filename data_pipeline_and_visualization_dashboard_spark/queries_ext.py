@@ -2933,6 +2933,90 @@ _DUCK_Q89_SQL = """
 """
 
 
+# MAD→σ consistency constant × the 3σ cut, as ONE literal: 3 * 1.4826
+# = 4.4478 exactly in decimal, and deriving it by float multiplication
+# in only one engine would skew the cut (same lesson as MMR_BETA —
+# never derive oracle constants by float arithmetic).
+MAD_CUT = 4.4478
+
+
+def q90_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier screen — median/MAD, not mean/stddev:
+    flag events whose |value − median| exceeds 3σ with σ estimated as
+    1.4826·MAD (median absolute deviation). The standard telemetry
+    data-quality monitor: unlike z-scores, the cut itself is immune to
+    the outliers it hunts, so one poisoned batch can't widen its own
+    acceptance gate.
+
+    Shape: two exact-percentile aggregations over the fact (each one
+    shuffle on event_type, partial-agg combined) producing a ≤|types|
+    row frame, broadcast back twice for the deviation and the flag
+    pass — the fact is scanned, never self-joined. Exact percentile
+    holds at 100 TB because the grouping key is low-cardinality (the
+    per-group sort is the cost; for high-cardinality keys the
+    approx_percentile twin q29/q83 is the path). Cut comparison is on
+    6dp-rounded values in BOTH engines so a last-ulp median drift
+    cannot flip a boundary row."""
+    ev = read_table(spark, sf_dir, "events", ["event_type", "value"]).filter(
+        F.col("value").isNotNull()
+    )
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type")
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(abs(value - med), 0.5)").alias("mad"),
+        F.first("med").alias("med"),
+    )
+    flagged = ev.join(F.broadcast(mad), "event_type")
+    is_out = (
+        F.round(F.abs(F.col("value") - F.col("med")), 6)
+        > F.round(F.lit(MAD_CUT) * F.col("mad"), 6)
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.first("med"), 6).alias("med"),
+            F.round(F.first("mad"), 6).alias("mad"),
+            F.sum(F.when(is_out, 1).otherwise(0)).alias("n_outliers"),
+            F.round(
+                F.sum(F.when(is_out, 1).otherwise(0))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("outlier_rate"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_DUCK_Q90_SQL = f"""
+    WITH ev AS (
+        SELECT event_type, value FROM events WHERE value IS NOT NULL
+    ), med AS (
+        SELECT event_type, median(value) AS med FROM ev GROUP BY 1
+    ), mad AS (
+        SELECT e.event_type,
+               median(abs(e.value - m.med)) AS mad,
+               min(m.med) AS med
+        FROM ev e JOIN med m USING (event_type) GROUP BY 1
+    )
+    SELECT e.event_type,
+           count(*) AS n,
+           round(min(m.med), 6) AS med,
+           round(min(m.mad), 6) AS mad,
+           CAST(sum(CASE WHEN round(abs(e.value - m.med), 6)
+                              > round({MAD_CUT} * m.mad, 6)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           round(CAST(sum(CASE WHEN round(abs(e.value - m.med), 6)
+                                    > round({MAD_CUT} * m.mad, 6)
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS outlier_rate
+    FROM ev e JOIN mad m USING (event_type)
+    GROUP BY 1 ORDER BY 1
+"""
+
+
 Q67_MULTIPLE = 1.5  # keep parts above 1.5x the AVERAGE part share
 
 
@@ -4698,6 +4782,7 @@ ORACLE_SQL: dict[str, str] = {
     "q87_time_weighted_value": _DUCK_Q87_SQL,
     "q88_basket_pairs": _DUCK_Q88_SQL,
     "q89_session_transitions": _DUCK_Q89_SQL,
+    "q90_mad_outliers": _DUCK_Q90_SQL,
     "sim_diverse_subset": _duck_diverse_subset_sql(),
     "q54_hash_sample": _duck_hash_sample_sql(),
     "q55_rolling_median": _DUCK_ROLLING_MEDIAN_SQL,
@@ -5208,6 +5293,7 @@ QUERIES = {
     "q87_time_weighted_value": q87_time_weighted_value,
     "q88_basket_pairs": q88_basket_pairs,
     "q89_session_transitions": q89_session_transitions,
+    "q90_mad_outliers": q90_mad_outliers,
     "q83_approx_percentile_guard": q83_approx_percentile_guard,
     "sim_diverse_subset": sim_diverse_subset,
     "sim_rp_topk_pretrained": sim_rp_topk_pretrained,

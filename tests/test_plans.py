@@ -530,6 +530,23 @@ CASES = {
         2,
     ),
     "text_stats": ([], ["Exchange"], 0),
+    "text_token_entropy": (
+        # explode -> (doc,token) partial-combined agg -> doc-grain agg;
+        # entropy math is codegen'd into the final agg — no join, no
+        # Python eval anywhere
+        ["HashAggregate"],
+        ["SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin",
+         "BatchEvalPython", "ArrowEvalPython"],
+        2,  # (doc_id, t) agg + doc_id agg
+    ),
+    "q90_mad_outliers": (
+        # the <=|types|-row median/MAD frames come BACK as broadcasts —
+        # the fact is scanned and aggregated, never shuffled for a join
+        # (exact percentile = ObjectHashAggregate, the sort-based agg)
+        ["BroadcastHashJoin", "ObjectHashAggregate"],
+        ["SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"],
+        4,  # 3 agg exchanges + the final tiny-frame sort
+    ),
     "text_fingerprint": ([], ["Exchange"], 0),
     "q12_derived_events": ([], ["Exchange"], 0),
     "q70_promo_discount_revenue": (
@@ -1115,6 +1132,7 @@ GLOBAL_WINDOW_OK = {
 # plus the brute-force all-pairs ORACLE paths, which are documented as
 # verification twins, never the scale path
 CARTESIAN_OK = {
+    "dedup_containment_topk",
     "dedup_embedding_pairs", "dedup_ngram_jaccard_topk",
     "dedup_semantic", "dedup_semantic_trained",
     "dedup_simhash_hamming_topk", "dedup_threshold_curve",
