@@ -16,6 +16,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import sys
 import time
 
 import __spark_entry__ as entrymod
@@ -425,6 +426,23 @@ def main() -> None:
     )
     with open(out_path, "w") as f:
         json.dump(full, f, indent=1)
+    # un-forgettable archiving (VERDICT r8 next #2): `--round N` (or
+    # SPARK_GRAFT_ROUND=N) additionally freezes the full map as
+    # BENCH_full_r{NN}.json in the same run — the committed per-round
+    # record can no longer lapse by forgetting the manual copy.
+    # Subset waves never archive (they are not the round record).
+    rnd = os.environ.get("SPARK_GRAFT_ROUND")
+    if "--round" in sys.argv:
+        rnd = sys.argv[sys.argv.index("--round") + 1]
+    if rnd is not None and subset is None:
+        arch = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            f"BENCH_full_r{int(rnd):02d}.json",
+        )
+        with open(arch, "w") as f:
+            json.dump(full, f, indent=1)
+        print(f"# archived round record: {os.path.basename(arch)}",
+              flush=True)
     print(json.dumps(full), flush=True)
 
     subtotals: dict[str, float] = {}

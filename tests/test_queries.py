@@ -97,6 +97,56 @@ def test_registry_has_no_silent_collisions():
 # legitimately-empty answer.
 VACUOUS_WHITELIST: frozenset[str] = frozenset()
 
+# Cardinality floor guard (VERDICT r8 next #6): for queries whose row
+# count is STRUCTURAL — fixed by a top-k constant, a calendar/bucket
+# domain, or the testdata's categorical shape, not by data volume —
+# pin the exact expected count at SF_CORRECT.  A ≥1-row check would
+# pass a top-10 that silently returned 3 rows; this won't.  Counts
+# verified against the DuckDB oracle at sf0.01 (round 9).
+EXPECTED_CARDINALITY = {
+    "q1_top_nations": 10,            # top-10
+    "q2_avg_value_by_hour": 24,      # hour domain
+    "q3_event_type_pct": 5,          # event-type domain
+    "q4_unit_price_by_weekday": 7,   # weekday domain
+    "q5_trade_routes": 5,            # top-5
+    "q8_top_users": 10,              # top-10
+    "q10_type_donut": 3,             # fixed IN-list of 3 types
+    "q17_top_customers_per_nation": 75,  # 3 per nation x 25 nations
+    "q18_status_priority_rollup": 19,  # 3x5 cells + 3 subtotals + grand
+    "q22_heatmap_pivot": 7,          # weekday rows (hours as columns)
+    "q23_value_percentiles": 5,      # fixed percentile list
+    "q33_status_priority_cube": 24,  # (3+1)x(5+1) cube lattice
+    "q34_top_users_labeled": 10,     # top-10, left join preserves k
+    "q50_equidepth_buckets": 20,     # fixed bucket count
+    "q61_profile_events": 6,         # one row per profiled column
+    "q64_weighted_sample": 100,      # exact-n weighted sample
+    "q73_large_quantity_orders": 10,  # top-10
+    "q80_market_share": 7,           # order-year domain
+    "q89_session_transitions": 25,   # 5x5 type-pair matrix (dense)
+    "dedup_ngram_jaccard_topk": 20,  # top-20
+    "dedup_containment_topk": 20,    # top-20
+    "dedup_simhash_hamming_topk": 20,  # top-20
+    "sim_cosine_topk": 50,           # k x query count
+    "sketch_hist_quantiles": 10,     # fixed quantile grid
+    "text_bpe_compression": 21,      # merge rounds 0..20 inclusive
+}
+
+
+def test_structural_cardinalities_pinned(duck):
+    """Oracle row counts for structurally-sized queries must equal the
+    pinned constants — the strong form of the vacuous-green guard: a
+    top-k that returns fewer than k, a calendar domain with holes, or
+    a sample that under-fills fails here even though every row still
+    hash-matches. The duck side suffices (the differential test pins
+    spark_rows == duck_rows)."""
+    oracles = entrymod.oracle_sql()
+    wrong = {}
+    for name, want in EXPECTED_CARDINALITY.items():
+        got = len(duck.execute(oracles[name]).fetchall())
+        if got != want:
+            wrong[name] = (got, want)
+    assert not wrong, f"structural cardinality drift (got, want): {wrong}"
+
 
 def test_no_vacuously_green_oracles(duck):
     """Every oracle-backed query must return >=1 row at SF_CORRECT.
