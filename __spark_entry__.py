@@ -56,8 +56,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_queries.py).
 # Round-9 window (the precomputed rotation from the r8 close-out):
 # the 40 r5-latest entries (4 rounds stale at r9, in their
-# CORRECTNESS_r05 window order) + the 10 oldest r6-latest entries
-# (CORRECTNESS_r06 order) to fill 50.  After this window no
+# CORRECTNESS_r05 window order) + the oldest r6-latest entries
+# (CORRECTNESS_r06 order) to fill 50, minus new-entry displacement.  After this window no
 # oracle-backed entry is more than 3 rounds stale.  Any NEW r9
 # entry displaces an r6 slot from the END, never an r5 one.
 _CHECK_FIRST = [
@@ -106,14 +106,16 @@ _CHECK_FIRST = [
     "media_audio_windows",
     "dedup_split_leakage",
     "q87_time_weighted_value",
-    "q66_late_supplier_blame_agg",
-    "q88_basket_pairs",
-    # r9 NEW entries (displacing the 3 r6 slots from the END, per the
-    # rotation policy: q89_session_transitions, corpus_forget_impact,
-    # sim_mmr_rerank move to the r10 queue head)
+    # r9 NEW entries (displacing the 5 r6 slots from the END, per the
+    # rotation policy: q87_time_weighted_value was kept;
+    # q66_late_supplier_blame_agg, q88_basket_pairs,
+    # q89_session_transitions, corpus_forget_impact, sim_mmr_rerank
+    # move to the r10 queue head)
     "dedup_containment_topk",
     "text_token_entropy",
     "q90_mad_outliers",
+    "dedup_containment_est",
+    "sketch_ams_f2",
 ]
 
 

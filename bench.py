@@ -37,7 +37,7 @@ def family(name: str) -> str:
             "text": "text", "media": "media"}.get(prefix, "other")
 
 # HEADLINE vs registry — the exclusion policy (VERDICT r6 next #7).
-# The registry holds 192 entries; HEADLINE benches 114.  The 78
+# The registry holds 194 entries; HEADLINE benches 116.  The 78
 # excluded entries fall into six families, each excluded for a reason,
 # not forgotten:
 #   1. display-grain chart twins / plan-shape variants of benched
@@ -150,6 +150,7 @@ HEADLINE = [
     "corpus_funnel",  # end-to-end: quality gate -> exact -> near-dup
     "corpus_funnel_xxhash",  # same funnel on the production hash family
     "dedup_simhash_pairs",
+    "dedup_containment_est",  # sketch-path containment over LSH candidates
     "dedup_snapshot_diff",  # content-hash corpus version diff
     "dedup_split_leakage",  # cross-split near-dup contamination screen
     "dedup_contamination_multi",  # N-benchmark screen, one corpus pass
@@ -178,6 +179,7 @@ HEADLINE = [
     "dedup_hash_stage_xxhash",
     "sketch_countmin",  # deterministic frequency sketch
     "sketch_hll_estimate",  # deterministic cardinality sketch
+    "sketch_ams_f2",  # tug-of-war second-moment (join-size) sketch
     "sketch_kmv_overlap",  # bottom-k cross-corpus overlap estimate
     "sketch_hist_quantiles",  # mergeable fixed-bin quantile sketch
     "sketch_bloom_prefilter",  # adaptive Bloom runtime join filter

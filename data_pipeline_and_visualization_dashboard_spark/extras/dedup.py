@@ -413,6 +413,116 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str,
     )
 
 
+def dedup_containment_est(spark: SparkSession, sf_dir: str,
+                          hash_impl: str = "md5") -> DataFrame:
+    """SKETCH-PATH containment: estimate the directed containment of
+    every LSH candidate pair from the MinHash signatures the near-dup
+    index already stores — the scale path that containment_topk's
+    brute-force oracle verifies.
+
+    Math: Ĵ = signature agreement / NUM_HASHES, and with the EXACT
+    per-doc set sizes |Sa|, |Sb| (one long per doc, kept next to the
+    signature — unlike the shingle arrays, which never shuffle here):
+    Î = Ĵ·(|Sa|+|Sb|)/(1+Ĵ), Ĉ(a→b) = min(1, Î/|Sa|) and symmetrically
+    Ĉ(b→a). Both directions emitted per undirected candidate pair.
+
+    At 100 TB this prices containment screening at the LSH candidate
+    set (band-bucket join, MAX_BUCKET-capped) instead of n² — the
+    boilerplate-wrapper scan runs on 12 longs + 1 size per doc. The
+    arithmetic is spelled identically in both engines (same op order,
+    6dp-rounded outputs), so the estimator itself is oracle-checked,
+    and its accuracy against exact containment is pinned in
+    tests/test_extras.py."""
+    sigs = minhash_signatures(spark, sf_dir, hash_impl).cache()
+    sigs.count()  # materialize before the 3-way fan-out (see
+    # dedup_minhash_pairs)
+    pairs = _lsh_candidate_pairs(sigs)
+    sig_arr = F.array(*[F.col(f"sig_{j}") for j in range(NUM_HASHES)])
+    sa = sigs.select(F.col("doc_id").alias("doc_id_a"), sig_arr.alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_id_b"), sig_arr.alias("sig_b"))
+    sz = shingle_sets(spark, sf_dir).select(
+        "doc_id", F.size(F.array_distinct("shingles")).alias("n_sh")
+    )
+    za = sz.select(F.col("doc_id").alias("doc_id_a"), F.col("n_sh").alias("n_a"))
+    zb = sz.select(F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("n_b"))
+    agree = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    est_j = agree.cast("double") / F.lit(float(NUM_HASHES))
+    inter_est = est_j * (F.col("n_a") + F.col("n_b")) / (F.lit(1.0) + est_j)
+    return (
+        pairs.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .join(za, "doc_id_a")
+        .join(zb, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.round(est_j, 6).alias("est_jaccard"),
+            F.round(
+                F.least(F.lit(1.0), inter_est / F.col("n_a")), 6
+            ).alias("cont_ab"),
+            F.round(
+                F.least(F.lit(1.0), inter_est / F.col("n_b")), 6
+            ).alias("cont_ba"),
+        )
+        .orderBy("doc_id_a", "doc_id_b")
+    )
+
+
+def _duck_containment_est_sql() -> str:
+    band_hashes = ",\n                   ".join(_band_hash_exprs())
+    band_union = "\n            UNION ALL\n".join(
+        f"            SELECT doc_id, {b} AS band_idx, band_{b} AS band_hash"
+        " FROM banded"
+        for b in range(BANDS)
+    )
+    sig_list = ", ".join(f"sig_{j}" for j in range(NUM_HASHES))
+    agree_sum = " + ".join(
+        f"CASE WHEN a.sig_{j} = b.sig_{j} THEN 1 ELSE 0 END"
+        for j in range(NUM_HASHES)
+    )
+    # arithmetic mirrors the Spark expressions op-for-op (same IEEE
+    # order) so the 6dp rounding can never straddle an ulp
+    est = f"(CAST(({agree_sum}) AS DOUBLE) / {float(NUM_HASHES)})"
+    inter = f"({est} * (za.n_sh + zb.n_sh) / (1.0 + {est}))"
+    return f"""
+        {_duck_signatures_cte()}, banded AS (
+            SELECT doc_id, {sig_list},
+                   {band_hashes}
+            FROM sigs
+        ), buckets_all AS (
+{band_union}
+        ), sized AS (
+            SELECT band_idx, band_hash FROM buckets_all
+            GROUP BY 1, 2 HAVING count(*) <= {MAX_BUCKET}
+        ), buckets AS (
+            SELECT b.* FROM buckets_all b JOIN sized s
+            USING (band_idx, band_hash)
+        ), pairs AS (
+            SELECT DISTINCT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b
+            FROM buckets x JOIN buckets y
+              ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+            WHERE x.doc_id < y.doc_id
+        ), sizes AS (
+            SELECT doc_id, len(list_distinct(shingles)) AS n_sh
+            FROM shingled
+        )
+        SELECT p.doc_id_a, p.doc_id_b,
+               round({est}, 6) AS est_jaccard,
+               round(least(1.0, {inter} / za.n_sh), 6) AS cont_ab,
+               round(least(1.0, {inter} / zb.n_sh), 6) AS cont_ba
+        FROM pairs p
+        JOIN sigs a ON a.doc_id = p.doc_id_a
+        JOIN sigs b ON b.doc_id = p.doc_id_b
+        JOIN sizes za ON za.doc_id = p.doc_id_a
+        JOIN sizes zb ON zb.doc_id = p.doc_id_b
+        ORDER BY p.doc_id_a, p.doc_id_b
+    """
+
+
 def dedup_incremental_pairs(spark: SparkSession, sf_dir: str,
                             hash_impl: str = "md5") -> DataFrame:
     """INCREMENTAL near-dup: verify only the pairs that involve a
@@ -2601,6 +2711,7 @@ QUERIES = {
     "dedup_neardup_groups_lsss": dedup_neardup_groups_lsss,
     "dedup_ngram_jaccard_topk": ngram_jaccard_topk,
     "dedup_containment_topk": containment_topk,
+    "dedup_containment_est": dedup_containment_est,
     "dedup_simhash_fingerprints": q_simhash_fingerprints,
     "dedup_simhash_pairs": simhash_pairs,
     "dedup_simhash_hamming_topk": simhash_hamming_topk,
@@ -2625,6 +2736,7 @@ QUERIES = {
 }
 
 ORACLE_SQL["dedup_containment_topk"] = _DUCK_CONTAINMENT_TOPK_SQL
+ORACLE_SQL["dedup_containment_est"] = _duck_containment_est_sql()
 ORACLE_SQL["dedup_snapshot_diff"] = _DUCK_SNAPSHOT_DIFF_SQL
 ORACLE_SQL["dedup_snapshot_ledger"] = _DUCK_SNAPSHOT_LEDGER_SQL
 ORACLE_SQL["dedup_split_leakage"] = _duck_split_leakage_sql()

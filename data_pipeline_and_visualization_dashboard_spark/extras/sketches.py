@@ -24,6 +24,8 @@ Spark's partial aggregation does this automatically map-side.
 
 from __future__ import annotations
 
+import random
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -941,11 +943,117 @@ def _duck_bloom_prefilter_sql() -> str:
     """
 
 
+# ----------------------------------------------------------------------
+# AMS F2 (tug-of-war) second-moment sketch
+# ----------------------------------------------------------------------
+
+# AMS (Alon-Matias-Szegedy 1996, public): F2 = Σ f(x)² — the self-join
+# size / repeat-rate moment behind join-size estimation and skew
+# screens (q62 measures the heavy hitters; F2 summarizes the whole
+# distribution in one number). Each estimator keeps ONE integer
+# S_r = Σ f(x)·s_r(x) with s_r(x) ∈ {−1,+1}; E[S²] = F2. AMS_R
+# estimators are combined by their median. Signs come from the
+# md5-derived h60 family (mod-2 of a universal hash — the standard
+# construction; md5 stands in for 4-wise independence, noted here),
+# so the whole sketch is DuckDB-reproducible bit-for-bit: S_r and S_r²
+# are exact BIGINT arithmetic in both engines, and the median of an
+# even count is spelled as the explicit mean of the two middle
+# elements rather than an engine median() whose interpolation could
+# differ.
+AMS_R = 16
+_ams_rng = random.Random(1337)
+AMS_A = [_ams_rng.randrange(1, 2147483647) for _ in range(AMS_R)]
+AMS_B = [_ams_rng.randrange(0, 2147483647) for _ in range(AMS_R)]
+_AMS_P = 4_294_967_311  # P_HASH (extras.hashing)
+
+
+def _ams_sign(r: int, base: str) -> str:
+    """Engine-neutral ±1 sign: 1 − 2·((a·h + b) mod P mod 2)."""
+    return f"(1 - 2 * ((({AMS_A[r]} * {base} + {AMS_B[r]}) % {_AMS_P}) % 2))"
+
+
+def ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS F2 readout next to ground truth (one row: key count, exact
+    F2, median-of-16 estimate, relative error — the hll_estimate/
+    kmv_estimate readout contract).
+
+    Scale shape: ONE key-grain aggregation (the only fact-sized
+    shuffle — the same frequency frame a production pipeline already
+    has); the 16 signed sums fold in ONE global aggregation whose
+    state is 16 longs (partial sums combine map-side — the sketch's
+    mergeability is literally Spark's partial aggregation). In a
+    stream, S_r is updatable per-arrival without the frequency frame:
+    state is 16 longs total, independent of key cardinality. The
+    exact-F2 column exists only for the error readout."""
+    ev = read_table(spark, sf_dir, "events", ["user_id"])
+    f = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("f"))
+    base = _spark_base(_SPARK_KEY)
+    signed = f.selectExpr(
+        "f", *[f"{_ams_sign(r, base)} AS s_{r}" for r in range(AMS_R)]
+    )
+    sums = signed.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(F.expr("f * f")).alias("f2_exact"),
+        *[F.sum(F.expr(f"f * s_{r}")).alias(f"S_{r}") for r in range(AMS_R)],
+    )
+    sq = F.array_sort(
+        F.array(*[(F.col(f"S_{r}") * F.col(f"S_{r}")) for r in range(AMS_R)])
+    )
+    mid = AMS_R // 2
+    est = (
+        F.element_at(sq, mid) + F.element_at(sq, mid + 1)
+    ).cast("double") / F.lit(2.0)
+    return sums.select(
+        "n_keys",
+        "f2_exact",
+        est.alias("ams_est"),
+        F.round(
+            F.abs(est - F.col("f2_exact")) / F.col("f2_exact"), 4
+        ).alias("rel_err"),
+    )
+
+
+def _duck_ams_f2_sql() -> str:
+    base = _duck_base(_DUCK_KEY)
+    signs = ",\n               ".join(
+        f"{_ams_sign(r, base)} AS s_{r}" for r in range(AMS_R)
+    )
+    s_sums = ",\n               ".join(
+        f"CAST(sum(f * s_{r}) AS BIGINT) AS S_{r}" for r in range(AMS_R)
+    )
+    sq_list = ", ".join(f"S_{r} * S_{r}" for r in range(AMS_R))
+    mid = AMS_R // 2
+    return f"""
+        WITH f AS (
+            SELECT user_id, count(*) AS f FROM events GROUP BY 1
+        ), signed AS (
+            SELECT f,
+               {signs}
+            FROM f
+        ), sums AS (
+            SELECT count(*) AS n_keys,
+               CAST(sum(f * f) AS BIGINT) AS f2_exact,
+               {s_sums}
+            FROM signed
+        ), arr AS (
+            SELECT n_keys, f2_exact,
+                   list_sort([{sq_list}]) AS sq
+            FROM sums
+        )
+        SELECT n_keys, f2_exact,
+               CAST(sq[{mid}] + sq[{mid + 1}] AS DOUBLE) / 2.0 AS ams_est,
+               round(abs(CAST(sq[{mid}] + sq[{mid + 1}] AS DOUBLE) / 2.0
+                         - f2_exact) / f2_exact, 4) AS rel_err
+        FROM arr
+    """
+
+
 ORACLE_SQL: dict[str, str] = {
     "sketch_countmin": _duck_countmin_sql(),
     "sketch_countmin_topk_est": _duck_countmin_est_sql(),
     "sketch_hll_registers": _duck_hll_registers_sql(),
     "sketch_hll_estimate": _duck_hll_estimate_sql(),
+    "sketch_ams_f2": _duck_ams_f2_sql(),
     "sketch_kmv_estimate": _duck_kmv_estimate_sql(),
     "sketch_kmv_overlap": _duck_kmv_overlap_sql(),
     "sketch_hist_quantiles": _duck_hist_quantiles_sql(),
@@ -958,6 +1066,7 @@ QUERIES = {
     "sketch_countmin_topk_est": countmin_topk_est,
     "sketch_hll_registers": hll_registers,
     "sketch_hll_estimate": hll_estimate,
+    "sketch_ams_f2": ams_f2,
     "sketch_kmv_estimate": kmv_estimate,
     "sketch_kmv_overlap": kmv_overlap,
     "sketch_hist_quantiles": hist_quantiles,

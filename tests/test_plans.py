@@ -530,6 +530,15 @@ CASES = {
         2,
     ),
     "text_stats": ([], ["Exchange"], 0),
+    "sketch_ams_f2": (
+        # one key-grain agg + ONE global fold whose state is 16 longs
+        # (the sketch's mergeability IS partial aggregation); signs are
+        # row-local codegen — no join, no window, no Python
+        ["HashAggregate"],
+        ["SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin",
+         "Window", "BatchEvalPython", "ArrowEvalPython"],
+        2,  # user_id agg + SinglePartition fold
+    ),
     "text_token_entropy": (
         # explode -> (doc,token) partial-combined agg -> doc-grain agg;
         # entropy math is codegen'd into the final agg — no join, no
