@@ -86,6 +86,65 @@ BASELINE_REFREEZE = {
     "q21_nation_revenue": 0.899,
 }
 
+def baseline_gate(timings: dict, sf: float, subset,
+                  base_path: str | None = None):
+    """BASELINE.md gate, computed automatically (VERDICT r7 wrong #1):
+    ratio of this run vs the frozen round-6 floor over the queries
+    common to both maps — sum(cur[q]) / sum(base[q]).  Queries added
+    after the freeze extend the headline total but are excluded from
+    the ratio (BASELINE.md comparison policy).  The ≤2.0 gate applies
+    ONLY to `baseline_ratio`, which is non-null ONLY on a full
+    HEADLINE run at the frozen record's scale factor:
+      - sf mismatch (ADVICE r8 #1): an sf1/sf3 ladder run shares keys
+        with the sf0.1 floor and would emit a meaningless ~4-5x ratio
+        → null, with baseline_skip_reason="sf_mismatch".
+      - subset wave (ADVICE r8 #3): per-query best-of-N drift over a
+        handful of keys far exceeds the 12-26% full-floor band, so a
+        subset can legitimately exceed 2.0 with zero regression → the
+        ratio goes to the distinct field `baseline_ratio_partial`
+        (NOT gated) and `baseline_ratio` stays null.
+      - missing/corrupt frozen record or no common keys → null.
+    Returns (baseline_ratio, baseline_ratio_partial, n_common,
+    skip_reason). Extracted from main() so every branch is unit-
+    testable (tests/test_pipeline.py) without a bench run."""
+    baseline_ratio = None
+    baseline_ratio_partial = None
+    baseline_n_common = 0
+    baseline_skip_reason = None
+    if base_path is None:
+        base_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "BENCH_full_r06.json",
+        )
+    try:
+        with open(base_path) as f:
+            base_rec = json.load(f)
+        base_q = {**base_rec["queries"], **BASELINE_REFREEZE}
+        if not (isinstance(base_q, dict) and all(
+            isinstance(v, (int, float)) and not isinstance(v, bool)
+            for v in base_q.values()
+        )):
+            raise ValueError("frozen record queries map is not numeric")
+        common = [q for q in timings if q in base_q]
+        baseline_n_common = len(common)
+        base_sum = sum(base_q[q] for q in common)
+        if base_rec.get("sf") != sf:
+            baseline_skip_reason = "sf_mismatch"
+        elif base_sum <= 0:
+            baseline_skip_reason = "no_common_keys"
+        else:
+            ratio = round(sum(timings[q] for q in common) / base_sum, 3)
+            if subset is None:
+                baseline_ratio = ratio
+            else:
+                baseline_ratio_partial = ratio
+                baseline_skip_reason = "subset_run"
+    except (OSError, KeyError, ValueError, TypeError):
+        baseline_skip_reason = "baseline_record_unreadable"
+    return (baseline_ratio, baseline_ratio_partial, baseline_n_common,
+            baseline_skip_reason)
+
+
 HEADLINE = [
     # reference-surface analytics
     "q1_top_nations",
@@ -347,54 +406,8 @@ def main() -> None:
     index_build = {"ivf": ivf_build, "pq_codebook": pq_build,
                    "disk_index": disk_build, "bpe_merges": bpe_build}
 
-    # BASELINE.md gate, computed automatically (VERDICT r7 wrong #1):
-    # ratio of this run vs the frozen round-6 floor over the queries
-    # common to both maps — sum(cur[q]) / sum(base[q]).  Queries added
-    # after the freeze extend the headline total but are excluded from
-    # the ratio (BASELINE.md comparison policy).  The ≤2.0 gate applies
-    # ONLY to `baseline_ratio`, which is non-null ONLY on a full
-    # HEADLINE run at the frozen record's scale factor:
-    #   - sf mismatch (ADVICE r8 #1): an sf1/sf3 ladder run shares keys
-    #     with the sf0.1 floor and would emit a meaningless ~4-5x ratio
-    #     → null, with baseline_skip_reason="sf_mismatch".
-    #   - subset wave (ADVICE r8 #3): per-query best-of-N drift over a
-    #     handful of keys far exceeds the 12-26% full-floor band, so a
-    #     subset can legitimately exceed 2.0 with zero regression → the
-    #     ratio goes to the distinct field `baseline_ratio_partial`
-    #     (NOT gated) and `baseline_ratio` stays null.
-    #   - missing/corrupt frozen record or no common keys → null.
-    baseline_ratio = None
-    baseline_ratio_partial = None
-    baseline_n_common = 0
-    baseline_skip_reason = None
-    base_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_full_r06.json"
-    )
-    try:
-        with open(base_path) as f:
-            base_rec = json.load(f)
-        base_q = {**base_rec["queries"], **BASELINE_REFREEZE}
-        if not (isinstance(base_q, dict) and all(
-            isinstance(v, (int, float)) and not isinstance(v, bool)
-            for v in base_q.values()
-        )):
-            raise ValueError("frozen record queries map is not numeric")
-        common = [q for q in timings if q in base_q]
-        baseline_n_common = len(common)
-        base_sum = sum(base_q[q] for q in common)
-        if base_rec.get("sf") != sf:
-            baseline_skip_reason = "sf_mismatch"
-        elif base_sum <= 0:
-            baseline_skip_reason = "no_common_keys"
-        else:
-            ratio = round(sum(timings[q] for q in common) / base_sum, 3)
-            if subset is None:
-                baseline_ratio = ratio
-            else:
-                baseline_ratio_partial = ratio
-                baseline_skip_reason = "subset_run"
-    except (OSError, KeyError, ValueError, TypeError):
-        baseline_skip_reason = "baseline_record_unreadable"
+    (baseline_ratio, baseline_ratio_partial, baseline_n_common,
+     baseline_skip_reason) = baseline_gate(timings, sf, subset)
     full = {
         "metric": "total_query_sec",
         "value": total,

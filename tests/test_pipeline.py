@@ -270,3 +270,56 @@ def test_zorder_write_prunes_trailing_dim_predicates(spark, tmp_path):
     # pays at most a modest factor over the perfectly-sorted layout
     assert z_a <= 3 * max(l_a, 1 / len(zs)), (z_a, l_a)
     assert z_a < 0.75, z_a
+
+
+def test_baseline_gate_branches(tmp_path):
+    """Every branch of bench.baseline_gate (the ADVICE r8 fixes) in one
+    table-driven pass: full-run ratio, sf mismatch, subset partial,
+    unreadable/corrupt record, no common keys, refreeze overlay."""
+    import json
+
+    import bench
+
+    base = tmp_path / "base.json"
+    base.write_text(json.dumps(
+        {"sf": 0.1, "queries": {"a": 1.0, "b": 3.0}}
+    ))
+    timings = {"a": 2.0, "b": 6.0, "post_freeze": 9.9}
+
+    # full run at the frozen sf: gated ratio, post-freeze key excluded
+    r, rp, n, skip = bench.baseline_gate(timings, 0.1, None, str(base))
+    assert (r, rp, n, skip) == (2.0, None, 2, None)
+    # sf mismatch (ladder run): neither ratio, reason recorded
+    r, rp, n, skip = bench.baseline_gate(timings, 1.0, None, str(base))
+    assert (r, rp) == (None, None) and skip == "sf_mismatch"
+    # subset wave: ungated partial field only
+    r, rp, n, skip = bench.baseline_gate(
+        {"a": 2.0}, 0.1, "a", str(base)
+    )
+    assert (r, rp, skip) == (None, 2.0, "subset_run")
+    # no common keys
+    r, rp, n, skip = bench.baseline_gate(
+        {"zzz": 1.0}, 0.1, None, str(base)
+    )
+    assert (r, rp, n, skip) == (None, None, 0, "no_common_keys")
+    # missing file
+    r, rp, n, skip = bench.baseline_gate(
+        timings, 0.1, None, str(tmp_path / "nope.json")
+    )
+    assert skip == "baseline_record_unreadable" and r is None
+    # corrupt record: a null timing value (the TypeError ADVICE case)
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps({"sf": 0.1, "queries": {"a": None}}))
+    r, rp, n, skip = bench.baseline_gate(timings, 0.1, None, str(bad))
+    assert skip == "baseline_record_unreadable" and r is None
+    # refreeze overlay: q21's entry is replaced inside the ratio
+    over = tmp_path / "over.json"
+    over.write_text(json.dumps(
+        {"sf": 0.1, "queries": {"q21_nation_revenue": 0.44}}
+    ))
+    r, rp, n, skip = bench.baseline_gate(
+        {"q21_nation_revenue": bench.BASELINE_REFREEZE[
+            "q21_nation_revenue"]},
+        0.1, None, str(over),
+    )
+    assert r == 1.0  # ratio vs the OVERLAID value, not the stale 0.44
