@@ -1871,3 +1871,61 @@ def test_stream_stream_left_join_survives_restart(spark, tmp_path):
     matched = {t for t in batch if t[2] is not None}
     unmatched = {t for t in batch if t[2] is None}
     assert len(matched) > 0 and len(unmatched) > 0
+
+
+def test_bounded_dedup_matches_batch_and_evicts_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark twin: (a) with a watermark wider
+    than the input span, the bounded dedup's finite-input output must
+    equal exact distinct (parity with dedup_event_stream); (b) with a
+    NARROW watermark over time-split input, the state store must hold
+    far fewer ids than the corpus at end-of-stream — the eviction that
+    makes the operator safe for unbounded runs, read from the query's
+    own progress metrics rather than asserted by docstring."""
+    from data_pipeline_and_visualization_dashboard_spark.io import read_table
+
+    events = read_table(spark, SF_SMOKE, "events")
+    n_all = events.count()
+    raw = spark.read.parquet(SF_SMOKE + "/events.parquet")  # ts NTZ µs
+    in_dir = str(tmp_path / "in")
+    # duplicate ids split across micro-batches, same redelivered rows
+    raw.filter("event_id < 600").coalesce(1).write.parquet(
+        in_dir, mode="append"
+    )
+    raw.filter("event_id >= 300").coalesce(1).write.parquet(
+        in_dir, mode="append"
+    )
+
+    def run(watermark, query_name):
+        raw_s = (
+            spark.readStream.schema(streaming._STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+        )
+        ev = raw_s.withColumn("ts", F.col("ts").cast("timestamp"))
+        q = (
+            streaming.dedup_event_stream_bounded(ev, watermark=watermark)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            state_rows = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+        finally:
+            q.stop()
+        return spark.sql(f"SELECT * FROM {query_name}"), state_rows
+
+    # (a) watermark >> input span: exact-distinct parity, every id
+    # still in state (nothing evictable yet)
+    out, state_wide = run("3650 days", "bdedup_wide")
+    assert out.count() == n_all
+    assert out.select("event_id").distinct().count() == n_all
+    assert state_wide == n_all
+    # (b) narrow watermark: dedup within the horizon still holds for
+    # THIS input (the redelivered batch shares the original event
+    # times, so dupes are either in-horizon-deduped or late-dropped),
+    # and end-of-stream state is a fraction of the id domain
+    out2, state_narrow = run("10 minutes", "bdedup_narrow")
+    assert out2.select("event_id").distinct().count() == out2.count()
+    assert state_narrow < n_all / 2
