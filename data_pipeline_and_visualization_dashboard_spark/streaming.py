@@ -369,9 +369,19 @@ def sessionize_stream(events: DataFrame,
                       watermark: str = "10 minutes") -> DataFrame:
     """Custom stateful operator: emits each user session as it CLOSES
     (gap > 30 min), across micro-batch boundaries. The groupBy
-    partitions state by user_id — state size = |active users|, bounded
-    by the watermark upstream. This is the streaming twin of
-    queries.q16_sessionization's window spelling."""
+    partitions state by user_id. This is the streaming twin of
+    queries.q16_sessionization's window spelling.
+
+    State honesty (corrected round 9, same audit as dedup): under
+    "NoTimeout" the per-user state tuple is NEVER evicted — state size
+    is |users ever seen|, not |active users|; the upstream watermark
+    only drops late input. Right for bounded user domains (this
+    engine's events model); for an unbounded key domain the production
+    spelling is GroupStateTimeout.EventTimeTimeout with
+    state.setTimeoutTimestamp(last_event + gap) and state.remove() on
+    timeout — which also EMITS each idle user's final session the
+    moment its gap elapses in event time, instead of holding it open
+    forever. Same trade as dedup_event_stream vs _bounded."""
     return (
         events.withWatermark("ts", watermark)
         .groupBy("user_id")
@@ -460,8 +470,11 @@ def transition_stream(events: DataFrame,
     next-action model or an anomaly screen ("error→purchase spiking")
     consumes. Aggregating the emitted pairs reproduces the batch
     transition matrix exactly on time-split input (parity-tested);
-    state is one (ts, event_id, type) triple per active user, bounded
-    by the upstream watermark."""
+    state is one (ts, event_id, type) triple per user EVER SEEN —
+    under "NoTimeout" it is never evicted (see sessionize_stream's
+    state-honesty note; the unbounded-domain spelling is an
+    EventTimeTimeout that drops users idle past a horizon, trading
+    the first post-return transition of a long-idle user)."""
     return (
         events.withWatermark("ts", watermark)
         .groupBy("user_id")
