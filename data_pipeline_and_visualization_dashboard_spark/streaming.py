@@ -365,6 +365,87 @@ def _session_func(key, pdf_iter, state):
         yield out
 
 
+def _session_timeout_func(key, pdf_iter, state):
+    """Timeout-evicting session builder: the fold is _session_func's,
+    plus an EVENT-TIME TIMEOUT armed at last_event + gap. When the
+    watermark passes it, the open session is EMITTED (it provably
+    cannot extend — any later event for this user would start a new
+    session anyway) and the state REMOVED. Session boundaries are
+    identical whichever path closes them: an in-batch gap closes in
+    the fold, a cross-batch gap closes by timeout; a returning user
+    simply starts fresh state. setTimeoutTimestamp must exceed the
+    current watermark — a user whose gap already elapsed is armed at
+    watermark+1ms and fires in the next no-data batch."""
+    import pandas as pd
+
+    cols = ["user_id", "session_start", "session_end", "n_events"]
+    (user_id,) = key
+    if state.hasTimedOut:
+        start_us, last_us, n = state.get
+        state.remove()
+        out = pd.DataFrame([(user_id, start_us, last_us, n)], columns=cols)
+        out["session_start"] = pd.to_datetime(out["session_start"], unit="us")
+        out["session_end"] = pd.to_datetime(out["session_end"], unit="us")
+        yield out
+        return
+    if state.exists:
+        start_us, last_us, n = state.get
+    else:
+        start_us = last_us = -1
+        n = 0
+    closed: list[tuple] = []
+    chunks = [pdf["ts"].astype("int64") // 1000 for pdf in pdf_iter]
+    if chunks:
+        us = pd.concat(chunks).sort_values()
+        for t in us:
+            t = int(t)
+            if n == 0:
+                start_us, last_us, n = t, t, 1
+            elif t - last_us > SESSION_GAP_US:
+                closed.append((user_id, start_us, last_us, n))
+                start_us, last_us, n = t, t, 1
+            else:
+                last_us = max(last_us, t)
+                n += 1
+    state.update((start_us, last_us, n))
+    gap_ms = SESSION_GAP_US // 1000
+    state.setTimeoutTimestamp(
+        max(last_us // 1000 + gap_ms + 1, state.getCurrentWatermarkMs() + 1)
+    )
+    if closed:
+        out = pd.DataFrame(closed, columns=cols)
+        out["session_start"] = pd.to_datetime(out["session_start"], unit="us")
+        out["session_end"] = pd.to_datetime(out["session_end"], unit="us")
+        yield out
+
+
+def sessionize_stream_timeout(events: DataFrame,
+                              watermark: str = "10 minutes") -> DataFrame:
+    """UNBOUNDED-DOMAIN sessionization: same custom operator as
+    sessionize_stream but with GroupStateTimeout.EventTimeTimeout —
+    each user's open session is emitted AND its state evicted once the
+    watermark proves the gap elapsed (last_event + gap), so state is
+    O(users active inside one gap+delay horizon), independent of how
+    many users the stream has ever seen. This closes the state-size
+    gap the round-9 honesty audit documented on the NoTimeout twin,
+    and it STRENGTHENS the output contract: once the watermark passes
+    every user's last+gap (parity tests land sentinel flush events),
+    the emitted set equals FULL batch sessionization — final sessions
+    included — not batch-minus-open. State eviction is pinned from the
+    query's own progress metrics in tests/test_streaming.py."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_timeout_func,
+            _SESSION_OUT_SCHEMA,
+            _SESSION_STATE_SCHEMA,
+            "append",
+            "EventTimeTimeout",
+        )
+    )
+
+
 def sessionize_stream(events: DataFrame,
                       watermark: str = "10 minutes") -> DataFrame:
     """Custom stateful operator: emits each user session as it CLOSES

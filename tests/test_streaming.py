@@ -1929,3 +1929,183 @@ def test_bounded_dedup_matches_batch_and_evicts_state(spark, tmp_path):
     out2, state_narrow = run("10 minutes", "bdedup_narrow")
     assert out2.select("event_id").distinct().count() == out2.count()
     assert state_narrow < n_all / 2
+
+
+def test_timeout_sessionization_full_batch_parity_and_eviction(
+    spark, tmp_path
+):
+    """sessionize_stream_timeout: once sentinel flush events push the
+    final watermark past every real user's last_event + gap, the
+    emitted sessions must equal FULL batch sessionization — each
+    user's final session included, the stronger contract the timeout
+    eviction buys — and the state store must be nearly empty at
+    end-of-stream (only the last sentinel user's session can remain
+    open), read from the query's own progress metrics."""
+    from pyspark.sql import Window
+
+    from data_pipeline_and_visualization_dashboard_spark.io import read_table
+
+    raw = spark.read.parquet(SF_SMOKE + "/events.parquet")  # ts NTZ µs
+    in_dir = str(tmp_path / "in")
+    _split_by_median_ts(raw, in_dir)
+    # two sentinel flush batches (distinct negative users, 2 and 4
+    # days past the real max): the +4d batch's watermark closes the
+    # +2d sentinel's own session too, leaving at most one open state
+    base = raw.select(
+        F.max(F.col("ts").cast("timestamp")).alias("m")
+    ).first().m
+    for k, off_days in enumerate((2, 4)):
+        spark.createDataFrame(
+            [(-(k + 1), -(100 + k), "view", 0.0)],
+            "user_id long, event_id long, event_type string, value double",
+        ).selectExpr(
+            "event_id", "user_id", "event_type", "value",
+            "CAST(NULL AS STRING) AS props",
+            f"CAST(timestamp'{base}' + (INTERVAL {off_days} DAYS)"
+            " AS TIMESTAMP_NTZ) AS ts",
+        ).coalesce(1).write.parquet(in_dir, mode="append")
+
+    raw_s = (
+        spark.readStream.schema(streaming._STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    ev = raw_s.withColumn("ts", F.col("ts").cast("timestamp"))
+    q = (
+        streaming.sessionize_stream_timeout(ev)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_timeout_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        state_rows = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+    finally:
+        q.stop()
+    streamed = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.sql("SELECT * FROM sess_timeout_out").collect()
+        if r.user_id >= 0  # drop the sentinels' own sessions
+    }
+    # FULL batch oracle — no open-session subtraction
+    events = read_table(spark, SF_SMOKE, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    sess = (
+        events.withColumn("us", F.unix_micros("ts"))
+        .withColumn(
+            "new_sess",
+            F.when(
+                (F.col("us") - F.lag("us").over(w))
+                > streaming.SESSION_GAP_US, 1
+            ).otherwise(0),
+        )
+        .withColumn("sess_no", F.sum("new_sess").over(run))
+        .groupBy("user_id", "sess_no")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    batch_all = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in sess.collect()
+    }
+    assert streamed == batch_all
+    # eviction: every real user's state timed out and was removed;
+    # only the final sentinel's open session may remain
+    n_users = events.select("user_id").distinct().count()
+    assert state_rows <= 1, state_rows
+    assert n_users > 1  # the bound above is meaningful
+
+
+def test_timeout_sessionization_survives_restart(spark, tmp_path):
+    """Restart pin for the EventTimeTimeout family: stop after two
+    waves (every user's open session + armed timeout live only in the
+    state store), restart on the same checkpoint with the final wave
+    plus the sentinel flushes — output must STILL equal full batch
+    sessionization. A lost timeout would leak the final sessions; a
+    lost fold state would split sessions at the stop boundary."""
+    from pyspark.sql import Window
+
+    from data_pipeline_and_visualization_dashboard_spark.io import read_table
+
+    raw = spark.read.parquet(SF_SMOKE + "/events.parquet")  # ts NTZ µs
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _, t2 = _split_three_waves(raw, in_dir)
+
+    def start():
+        raw_s = (
+            spark.readStream.schema(streaming._STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+        )
+        ev = raw_s.withColumn("ts", F.col("ts").cast("timestamp"))
+        return (
+            streaming.sessionize_stream_timeout(ev)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    raw.filter(us > t2).coalesce(1).write.parquet(in_dir, mode="append")
+    base = raw.select(
+        F.max(F.col("ts").cast("timestamp")).alias("m")
+    ).first().m
+    for k, off_days in enumerate((2, 4)):
+        spark.createDataFrame(
+            [(-(k + 1), -(100 + k), "view", 0.0)],
+            "user_id long, event_id long, event_type string, value double",
+        ).selectExpr(
+            "event_id", "user_id", "event_type", "value",
+            "CAST(NULL AS STRING) AS props",
+            f"CAST(timestamp'{base}' + (INTERVAL {off_days} DAYS)"
+            " AS TIMESTAMP_NTZ) AS ts",
+        ).coalesce(1).write.parquet(in_dir, mode="append")
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.read.parquet(out_dir).collect()
+        if r.user_id >= 0
+    }
+    events = read_table(spark, SF_SMOKE, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    sess = (
+        events.withColumn("us", F.unix_micros("ts"))
+        .withColumn(
+            "new_sess",
+            F.when(
+                (F.col("us") - F.lag("us").over(w))
+                > streaming.SESSION_GAP_US, 1
+            ).otherwise(0),
+        )
+        .withColumn("sess_no", F.sum("new_sess").over(run))
+        .groupBy("user_id", "sess_no")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    batch_all = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in sess.collect()
+    }
+    assert streamed == batch_all
