@@ -2109,3 +2109,137 @@ def test_timeout_sessionization_survives_restart(spark, tmp_path):
         for r in sess.collect()
     }
     assert streamed == batch_all
+
+
+def test_bounded_transitions_parity_and_idle_eviction(spark, tmp_path):
+    """transition_stream_bounded: (a) with the 30-day idle horizon
+    dominating the smoke corpus's span, the aggregated pairs equal the
+    exact twin's batch matrix; (b) on a synthetic two-user fixture
+    where one user goes silent past the horizon, that user's state is
+    evicted (progress metrics) and their bridging transition is NOT
+    emitted — the documented trade, asserted rather than described."""
+    from data_pipeline_and_visualization_dashboard_spark.queries_ext import (
+        q89_session_transitions,
+    )
+
+    raw = spark.read.parquet(SF_SMOKE + "/events.parquet")  # ts NTZ µs
+    in_dir = str(tmp_path / "in")
+    _split_by_median_ts(raw, in_dir)
+
+    def run(d, query_name):
+        raw_s = (
+            spark.readStream.schema(streaming._STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d)
+        )
+        ev = raw_s.withColumn("ts", F.col("ts").cast("timestamp"))
+        q = (
+            streaming.transition_stream_bounded(ev)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            state_rows = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+        finally:
+            q.stop()
+        return spark.sql(f"SELECT * FROM {query_name}"), state_rows
+
+    out, _ = run(in_dir, "btrans_real")
+    got = {
+        (r.from_type, r.to_type): r.n
+        for r in out.groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    want = {
+        (r.from_type, r.to_type): r.n
+        for r in q89_session_transitions(spark, SF_SMOKE).collect()
+    }
+    assert got == want and len(want) > 0
+
+    # synthetic, TWO DRAIN PHASES. Spark invokes a key with data as
+    # hasTimedOut=false even when its timeout expired, so eviction is
+    # only observable if the no-data batch runs BEFORE the user's
+    # return lands — phase 1 drains files 1-2 (watermark passes
+    # user 1's +30d1h horizon; the trailing no-data batch evicts
+    # them), THEN file 3 is written and drained in the same query run:
+    #   file1: user1 at t0/+1h, user2 at t0 (timeouts armed at +30d)
+    #   file2: user2 at +40d/+45d (their own state was still live at
+    #          +40d — the watermark never proved THEM idle — so their
+    #          chain emits uninterrupted)
+    #   file3: user1 RETURNS at +60d onto a fresh state (bridging pair
+    #          must NOT emit), user2 at +61d (in-horizon, pair emits)
+    syn = str(tmp_path / "syn")
+    waves = [
+        [
+            (1, 10, "view", 0.0, 0),
+            (1, 11, "click", 0.0, 3600),
+            (2, 20, "view", 0.0, 0),
+        ],
+        [
+            (2, 21, "click", 0.0, 40 * 86400),
+            (2, 22, "view", 0.0, 45 * 86400),
+        ],
+    ]
+    wave3 = [
+        (1, 12, "purchase", 0.0, 60 * 86400),
+        (2, 23, "click", 0.0, 61 * 86400),
+    ]
+
+    def land(batch):
+        spark.createDataFrame(
+            batch,
+            "user_id long, event_id long, event_type string,"
+            " value double, off long",
+        ).selectExpr(
+            "event_id", "user_id", "event_type", "value",
+            "CAST(NULL AS STRING) AS props",
+            "CAST(timestamp'2024-01-01 00:00:00' + make_interval(0, 0,"
+            " 0, 0, 0, 0, off) AS TIMESTAMP_NTZ) AS ts",
+        ).coalesce(1).write.parquet(syn, mode="append")
+
+    for batch in waves:
+        land(batch)
+    raw_s = (
+        spark.readStream.schema(streaming._STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(syn)
+    )
+    ev = raw_s.withColumn("ts", F.col("ts").cast("timestamp"))
+    q = (
+        streaming.transition_stream_bounded(ev)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("btrans_syn")
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # drains files 1-2 + the no-data
+        # batch that evicts user 1 at +30d1h
+        land(wave3)
+        q.processAllAvailable()
+        state2 = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+    finally:
+        q.stop()
+    pairs = {
+        (r.user_id, r.from_type, r.to_type)
+        for r in spark.sql("SELECT * FROM btrans_syn").collect()
+    }
+    # user 1: in-horizon pair emitted; the bridging pair across the
+    # 60-day silence is NOT (state evicted once the watermark passed
+    # the +30d idle horizon)
+    assert (1, "view", "click") in pairs
+    assert (1, "click", "purchase") not in pairs
+    # user 2's chain emits in full: each arrival found live state
+    # (the +40d event landed before any watermark passed their +30d
+    # timeout — eviction requires the watermark to PROVE idleness
+    # first, which for user 2 it never did)
+    assert (2, "view", "click") in pairs
+    assert (2, "click", "view") in pairs
+    # end-of-stream state: both users' last events are within the
+    # horizon of the final watermark — exactly the two live rows, and
+    # critically NOT a row for user 1's evicted pre-idle state
+    assert state2 <= 2
