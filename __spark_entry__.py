@@ -54,68 +54,66 @@ def entry(spark: SparkSession) -> DataFrame:
 # holds at least one green driver row, zero failures ever, and no
 # entry is vacuously green (fleet-wide ≥1-row guard,
 # tests/test_queries.py).
-# Round-9 window (the precomputed rotation from the r8 close-out):
-# the 40 r5-latest entries (4 rounds stale at r9, in their
-# CORRECTNESS_r05 window order) + the oldest r6-latest entries
-# (CORRECTNESS_r06 order) to fill 50, minus new-entry displacement.  After this window no
-# oracle-backed entry is more than 3 rounds stale.  Any NEW r9
-# entry displaces an r6 slot from the END, never an r5 one.
+# Round-10 window (the precomputed rotation from the r9 close-out /
+# VERDICT r9 ask #1): the 44 r6-latest entries (4 rounds stale at
+# r10, in their CORRECTNESS_r06 window order, including the 5
+# entries displaced out of the r9 window) + the 6 oldest r7-latest
+# entries (CORRECTNESS_r07 order) to fill 50.  After this window no
+# oracle-backed entry is more than 3 rounds stale.  Any NEW r10
+# entry displaces an r7 slot from the END, never an r6 one.
 _CHECK_FIRST = [
-    "q7_filtered_metrics",
-    "q8_top_users",
-    "q9_value_histogram",
-    "q10_type_donut",
-    "q11_day_hour_heatmap",
-    "q12_derived_events",
-    "q22_heatmap_pivot",
-    "q23_value_percentiles",
-    "q24_distinct_users",
-    "q25_set_ops",
-    "q26_regex_filter",
-    "q27_asof_join",
-    "dedup_exact_groups",
-    "dedup_exact_docs",
-    "dedup_minhash_signatures",
-    "dedup_minhash_pairs",
-    "dedup_ngram_jaccard_topk",
-    "dedup_simhash_fingerprints",
-    "dedup_simhash_pairs",
-    "dedup_simhash_hamming_topk",
-    "dedup_embedding_pairs",
-    "text_stats",
-    "text_lang_id",
-    "text_fingerprint",
-    "sim_cosine_topk",
-    "sim_cosine_topk_pandas",
-    "q15_sample_events",
-    "q19_stratified_sample",
-    "q6_pricing_summary",
-    "q13_windowed_counts",
-    "q16_sessionization",
-    "q17_top_customers_per_nation",
-    "q18_status_priority_rollup",
-    "q33_status_priority_cube",
-    "q28_json_extract",
-    "q29_approx_stats",
-    "q30_semi_anti",
-    "q31_moving_avg",
-    "q32_collect_sets",
-    "sim_centroid_assign",
-    "dedup_snapshot_ledger",
-    "q86_zorder_layout",
-    "media_audio_windows",
-    "dedup_split_leakage",
-    "q87_time_weighted_value",
-    # r9 NEW entries (displacing the 5 r6 slots from the END, per the
-    # rotation policy: q87_time_weighted_value was kept;
-    # q66_late_supplier_blame_agg, q88_basket_pairs,
-    # q89_session_transitions, corpus_forget_impact, sim_mmr_rerank
-    # move to the r10 queue head)
-    "dedup_containment_topk",
-    "text_token_entropy",
-    "q90_mad_outliers",
-    "dedup_containment_est",
-    "sketch_ams_f2",
+    "q34_top_users_labeled",
+    "q35_ship_delay",
+    "q36_session_windows",
+    "q37_prior_hour_window",
+    "q38_unpivot_heatmap",
+    "q39_interval_join",
+    "q40_salted_skew_join",
+    "q41_latest_event_state",
+    "q42_daily_from_hourly",
+    "q43_full_outer_reconcile",
+    "q44_user_trend",
+    "q45_cohort_retention",
+    "q46_value_anomalies",
+    "q47_scd2_history",
+    "q48_funnel_steps",
+    "q49_fuzzy_name_match",
+    "q50_equidepth_buckets",
+    "q51_nation_pagerank",
+    "q52_gap_fill",
+    "q53_incremental_rollup",
+    "q54_hash_sample",
+    "q55_rolling_median",
+    "q56_grouped_stats",
+    "q57_rank_family",
+    "q58_event_nation_counts",
+    "q59_sliding_distinct",
+    "sim_ivf_topk",
+    "sim_ivfpq_topk",
+    "q20_shipping_priority",
+    "q66_late_supplier_blame_agg",
+    "q88_basket_pairs",
+    "q89_session_transitions",
+    "dedup_incremental_pairs",
+    "dedup_neardup_groups",
+    "corpus_funnel",
+    "corpus_survivors",
+    "corpus_forget_impact",
+    "sim_mmr_rerank",
+    "sketch_kmv_overlap",
+    "text_bpe_train",
+    "text_bpe_apply",
+    "text_index_postings",
+    "text_search_phrase",
+    "text_search_ranked",
+    # the 6 oldest r7-latest entries (CORRECTNESS_r07 order); NEW
+    # r10 entries displace from the END of this block
+    "q21_nation_revenue",
+    "dedup_contamination",
+    "dedup_embedding_pairs_lsh",
+    "sim_pq_codes",
+    "sim_pq_adc_topk",
+    "sim_sq_topk",
 ]
 
 
