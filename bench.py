@@ -283,6 +283,34 @@ HEADLINE = [
 ]
 
 
+def _parse_round_arg(argv: list[str], env: dict) -> str | None:
+    """Resolve the round number from --round N / SPARK_GRAFT_ROUND,
+    validating BEFORE the expensive run.
+
+    A malformed value used to crash AFTER BENCH_full.json was written
+    but BEFORE the archive copy and summary line, silently dropping
+    the round record the flag exists to guarantee (ADVICE r9 #1).
+    Fail fast with a clear message instead.
+    """
+    rnd = env.get("SPARK_GRAFT_ROUND")
+    if "--round" in argv:
+        i = argv.index("--round")
+        if i + 1 >= len(argv):
+            raise SystemExit(
+                "bench.py: --round requires a value (e.g. --round 10)"
+            )
+        rnd = argv[i + 1]
+    if rnd is None:
+        return None
+    try:
+        int(rnd)
+    except ValueError:
+        raise SystemExit(
+            f"bench.py: --round value {rnd!r} is not an integer"
+        )
+    return rnd
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([\d.]+)", sf_dir)
@@ -290,6 +318,26 @@ def main() -> None:
     # optional subset (comma-separated names), e.g. the sf1 appendix
     # run (scripts/gen_sf1.py) times only the scale-argument queries
     subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    # round archiving resolved UP FRONT so both failure modes abort
+    # before the 15-minute run, not after it: a malformed --round
+    # (ADVICE r9 #1) and a stale --round that would clobber an
+    # existing committed round record (ADVICE r9 #2 — round files are
+    # immutable per the BASELINE.md provenance policy; the q21
+    # re-freeze value is derived from one).  --force overrides the
+    # overwrite guard deliberately.
+    rnd = _parse_round_arg(sys.argv, os.environ)
+    arch_path = None
+    if rnd is not None and subset is None:
+        arch_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            f"BENCH_full_r{int(rnd):02d}.json",
+        )
+        if os.path.exists(arch_path) and "--force" not in sys.argv:
+            raise SystemExit(
+                f"bench.py: {os.path.basename(arch_path)} already exists; "
+                "committed round records are immutable (BASELINE.md "
+                "provenance policy) — pass --force to overwrite deliberately"
+            )
     headline = (
         [q.strip() for q in subset.split(",") if q.strip()]
         if subset
@@ -446,17 +494,12 @@ def main() -> None:
     # BENCH_full_r{NN}.json in the same run — the committed per-round
     # record can no longer lapse by forgetting the manual copy.
     # Subset waves never archive (they are not the round record).
-    rnd = os.environ.get("SPARK_GRAFT_ROUND")
-    if "--round" in sys.argv:
-        rnd = sys.argv[sys.argv.index("--round") + 1]
-    if rnd is not None and subset is None:
-        arch = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)),
-            f"BENCH_full_r{int(rnd):02d}.json",
-        )
-        with open(arch, "w") as f:
+    # arch_path was validated (parse + overwrite guard) at the TOP of
+    # main(), before the run — see _parse_round_arg and ADVICE r9.
+    if arch_path is not None:
+        with open(arch_path, "w") as f:
             json.dump(full, f, indent=1)
-        print(f"# archived round record: {os.path.basename(arch)}",
+        print(f"# archived round record: {os.path.basename(arch_path)}",
               flush=True)
     print(json.dumps(full), flush=True)
 

@@ -323,3 +323,28 @@ def test_baseline_gate_branches(tmp_path):
         0.1, None, str(over),
     )
     assert r == 1.0  # ratio vs the OVERLAID value, not the stale 0.44
+
+
+def test_parse_round_arg_branches():
+    """bench._parse_round_arg (ADVICE r9 #1): every branch — env,
+    flag, flag-overrides-env, absent, and the two fail-fast malformed
+    cases that used to crash AFTER the run."""
+    import pytest
+
+    import bench
+
+    assert bench._parse_round_arg(["bench.py"], {}) is None
+    assert bench._parse_round_arg(["bench.py"], {"SPARK_GRAFT_ROUND": "9"}) == "9"
+    assert bench._parse_round_arg(["bench.py", "--round", "10"], {}) == "10"
+    # flag wins over env
+    assert bench._parse_round_arg(
+        ["bench.py", "--round", "10"], {"SPARK_GRAFT_ROUND": "9"}
+    ) == "10"
+    # --round as the last token: clear SystemExit, not IndexError
+    with pytest.raises(SystemExit, match="requires a value"):
+        bench._parse_round_arg(["bench.py", "--round"], {})
+    # non-numeric value: clear SystemExit, not ValueError mid-archive
+    with pytest.raises(SystemExit, match="not an integer"):
+        bench._parse_round_arg(["bench.py", "--round", "ten"], {})
+    with pytest.raises(SystemExit, match="not an integer"):
+        bench._parse_round_arg(["bench.py"], {"SPARK_GRAFT_ROUND": "x"})
