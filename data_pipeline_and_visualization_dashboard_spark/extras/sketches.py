@@ -955,11 +955,17 @@ def _duck_bloom_prefilter_sql() -> str:
 # estimators are combined by their median. Signs come from the
 # md5-derived h60 family (mod-2 of a universal hash — the standard
 # construction; md5 stands in for 4-wise independence, noted here),
-# so the whole sketch is DuckDB-reproducible bit-for-bit: S_r and S_r²
-# are exact BIGINT arithmetic in both engines, and the median of an
-# even count is spelled as the explicit mean of the two middle
-# elements rather than an engine median() whose interpolation could
-# differ.
+# so the whole sketch is DuckDB-reproducible bit-for-bit: S_r is
+# exact BIGINT arithmetic in both engines, S_r² is taken in DOUBLE
+# (exact below 2^53, and merely rounded — never wrapped — above it;
+# a BIGINT square would silently wrap in non-ANSI Spark once
+# |S_r| > ~3·10⁹, i.e. N ≈ billions of events, while DuckDB raises —
+# the engines would diverge exactly at the 100 TB scale this targets;
+# ADVICE r9 #3), and the median of an even count is spelled as the
+# explicit mean of the two middle elements rather than an engine
+# median() whose interpolation could differ.  The double median's
+# relative rounding error (≤2⁻⁵²) is noise against the estimator's
+# own ~1/√R statistical error.
 AMS_R = 16
 _ams_rng = random.Random(1337)
 AMS_A = [_ams_rng.randrange(1, 2147483647) for _ in range(AMS_R)]
@@ -996,8 +1002,14 @@ def ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("f * f")).alias("f2_exact"),
         *[F.sum(F.expr(f"f * s_{r}")).alias(f"S_{r}") for r in range(AMS_R)],
     )
+    # square in DOUBLE: |S_r| can approach N, so a BIGINT square wraps
+    # silently (non-ANSI Spark) once N > ~3e9 while DuckDB raises —
+    # double never wraps and is exact below 2^53 (ADVICE r9 #3)
     sq = F.array_sort(
-        F.array(*[(F.col(f"S_{r}") * F.col(f"S_{r}")) for r in range(AMS_R)])
+        F.array(*[
+            (F.col(f"S_{r}").cast("double") * F.col(f"S_{r}").cast("double"))
+            for r in range(AMS_R)
+        ])
     )
     mid = AMS_R // 2
     est = (
@@ -1021,7 +1033,12 @@ def _duck_ams_f2_sql() -> str:
     s_sums = ",\n               ".join(
         f"CAST(sum(f * s_{r}) AS BIGINT) AS S_{r}" for r in range(AMS_R)
     )
-    sq_list = ", ".join(f"S_{r} * S_{r}" for r in range(AMS_R))
+    # DOUBLE square to mirror the Spark side (BIGINT would raise here
+    # at the N where Spark wraps — see the module comment / ADVICE r9)
+    sq_list = ", ".join(
+        f"CAST(S_{r} AS DOUBLE) * CAST(S_{r} AS DOUBLE)"
+        for r in range(AMS_R)
+    )
     mid = AMS_R // 2
     return f"""
         WITH f AS (
