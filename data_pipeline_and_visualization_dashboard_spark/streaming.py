@@ -329,9 +329,20 @@ def _session_func(key, pdf_iter, state):
     Arrow chunks, and a per-chunk sort would compare out-of-order
     timestamps against last_us, closing/splitting sessions wrongly.
     Per-key-per-batch volumes are small, so buffering is negligible.
-    Late rows older than the open session's last event simply extend
-    the count (no re-open) — the watermark upstream bounds how late
-    they can be.
+    Late rows older than the open session's last event fold in
+    EXACTLY as batch would: any in-gap event t provably satisfies
+    t > last_us − gap ≥ start_us − gap, so batch sessionization would
+    merge it into this session and extend its start backward —
+    start_us folds with min() (ADVICE r9 #4). The one case the fold
+    cannot repair is an event that arrives AFTER the fold already
+    closed a session and lands within gap of BOTH that closed
+    session's end and the open session's start — batch would merge
+    the two sessions, but the closed one is already emitted. Parity
+    with full batch sessionization therefore holds for any arrival
+    order that never bridges an already-closed gap; the watermark
+    upstream bounds lateness to the delay, so with delay ≤ gap a
+    bridge additionally requires the user to run ≥ gap − delay ahead
+    of the global max event time.
     """
     import pandas as pd
 
@@ -353,6 +364,9 @@ def _session_func(key, pdf_iter, state):
                 closed.append((user_id, start_us, last_us, n))
                 start_us, last_us, n = t, t, 1
             else:
+                # in-gap: t > last_us − gap ≥ start_us − gap, so batch
+                # would extend this session backward too — fold min
+                start_us = min(start_us, t)
                 last_us = max(last_us, t)
                 n += 1
     state.update((start_us, last_us, n))
@@ -405,6 +419,9 @@ def _session_timeout_func(key, pdf_iter, state):
                 closed.append((user_id, start_us, last_us, n))
                 start_us, last_us, n = t, t, 1
             else:
+                # in-gap: t > last_us − gap ≥ start_us − gap, so batch
+                # would extend this session backward too — fold min
+                start_us = min(start_us, t)
                 last_us = max(last_us, t)
                 n += 1
     state.update((start_us, last_us, n))
@@ -431,8 +448,15 @@ def sessionize_stream_timeout(events: DataFrame,
     and it STRENGTHENS the output contract: once the watermark passes
     every user's last+gap (parity tests land sentinel flush events),
     the emitted set equals FULL batch sessionization — final sessions
-    included — not batch-minus-open. State eviction is pinned from the
-    query's own progress metrics in tests/test_streaming.py."""
+    included, not batch-minus-open — for every arrival order that
+    never bridges an already-closed gap (the precise envelope is in
+    _session_func's docstring: in-gap reordering now folds exactly,
+    start_us included, via the min() fold of ADVICE r9 #4; only an
+    event landing within gap of BOTH a fold-closed session's end and
+    the next session's start, arriving after the close, breaks parity
+    — batch would merge what the stream already emitted apart).
+    State eviction is pinned from the query's own progress metrics in
+    tests/test_streaming.py."""
     return (
         events.withWatermark("ts", watermark)
         .groupBy("user_id")
@@ -636,7 +660,9 @@ def transition_stream_bounded(events: DataFrame,
     horizon, output is identical to the exact twin (parity-tested —
     the horizon dominates the test corpus's span, so the matrices are
     equal; the eviction itself is pinned on a synthetic idle-user
-    fixture via the progress metrics)."""
+    fixture via the progress metrics). Restart recovery — state AND
+    armed timeout — is pinned in
+    test_bounded_transitions_survive_restart."""
     return (
         events.withWatermark("ts", watermark)
         .groupBy("user_id")

@@ -2243,3 +2243,116 @@ def test_bounded_transitions_parity_and_idle_eviction(spark, tmp_path):
     # horizon of the final watermark — exactly the two live rows, and
     # critically NOT a row for user 1's evicted pre-idle state
     assert state2 <= 2
+
+
+def test_session_fold_extends_start_backward_in_gap(spark, tmp_path):
+    """ADVICE r9 #4 pin: a late-but-within-watermark event OLDER than
+    the open session's stored start, arriving in a LATER micro-batch,
+    must extend the session start backward (start_us folds with min),
+    exactly as full batch sessionization would place it. Before the
+    fix the event was counted but session_start stayed at the first-
+    arrived event. Waves: [10:00, 10:05] -> [09:58 late in-gap] ->
+    [11:00 closer]; expected closed session (09:58, 10:05, n=3)."""
+    import os
+    import time
+
+    in_dir = str(tmp_path / "backfill_in")
+    os.makedirs(in_dir)
+
+    def wave(rows, mtime_bump):
+        df = spark.createDataFrame(
+            [(eid, ts, 7, "click", 1.0, "{}") for eid, ts in rows],
+            schema=streaming._STREAM_SCHEMA.replace(
+                "timestamp_ntz", "string"
+            ),
+        ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        path = str(tmp_path / f"w{mtime_bump}")
+        df.coalesce(1).write.parquet(path)
+        import glob
+        import shutil
+        src = glob.glob(path + "/part-*.parquet")[0]
+        dst = os.path.join(in_dir, f"wave_{mtime_bump}.parquet")
+        shutil.copy(src, dst)
+        os.utime(dst, (time.time() + mtime_bump, time.time() + mtime_bump))
+
+    wave([(1, "2024-01-01 10:00:00"), (2, "2024-01-01 10:05:00")], 10)
+    # wave-1 watermark = 10:05 - 10min = 09:55, so 09:58 is admitted
+    wave([(3, "2024-01-01 09:58:00")], 20)
+    wave([(4, "2024-01-01 11:00:00")], 30)  # > last+30min: closes
+
+    out = streaming.run_sessionize_to_completion(
+        spark, in_dir, query_name="backfill_sessions"
+    )
+    closed = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+        for r in out.collect()
+    }
+    assert closed == {
+        (7, "2024-01-01 09:58:00", "2024-01-01 10:05:00", 3)
+    }
+
+
+def test_bounded_transitions_survive_restart(spark, tmp_path):
+    """VERDICT r9 ask #6: restart pin for transition_stream_bounded —
+    the only stateful family member without one. Stop after waves 1-2,
+    land wave 3, resume on the same checkpoint: the file-sink output
+    must aggregate to exactly the batch q89 matrix (the 30-day idle
+    horizon dominates the smoke corpus's span, so no eviction fires
+    and bounded ≡ exact). This pins that BOTH the per-user last-event
+    state AND the armed EventTimeTimeout recover from the state store:
+    a lost state mis-emits every user's first post-restart transition;
+    a state recovered without its timeout would instead fire spurious
+    evictions or none at all on the resumed run."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_and_visualization_dashboard_spark.queries_ext import (
+        q89_session_transitions,
+    )
+    from tests.conftest import SF_SMOKE as _SF
+
+    raw = spark.read.parquet(_SF + "/events.parquet")
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    t1, t2 = _split_three_waves(raw, in_dir)
+
+    def start():
+        raw_s = (
+            spark.readStream.schema(streaming._STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+        )
+        ev = raw_s.withColumn("ts", F.col("ts").cast("timestamp"))
+        return (
+            streaming.transition_stream_bounded(ev)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    raw.filter(us > t2).coalesce(1).write.parquet(in_dir, mode="append")
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.from_type, r.to_type): r.n
+        for r in spark.read.parquet(out_dir)
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    want = {
+        (r.from_type, r.to_type): r.n
+        for r in q89_session_transitions(spark, _SF).collect()
+    }
+    assert got == want and len(got) > 0
