@@ -923,14 +923,17 @@ def containment_topk(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame
     corpora. Emits ORDERED pairs (a→b and b→a score differently).
 
     THIS IS THE ORACLE/SMALL-CORPUS PATH: O(n²) ordered pairs, correct
-    at any n but only feasible on modest corpora. At 100 TB the sketch
-    path replaces it: containment is estimable from BOTTOM-K sketches
-    (J(a,b) and |Sa|,|Sb| give C via C = J·(|Sa|+|Sb|)/((1+J)·|Sa|)),
-    so the same KMV/bottom-k frames the overlap estimator already
-    builds (sketch_kmv_overlap) serve containment with no new shuffle;
-    LSH banding prunes the candidate space exactly as in
-    dedup_minhash_pairs. Scores are rounded to 6dp BEFORE the ordering
-    so the top-k tie decisions are identical in both engines."""
+    at any n but only feasible on modest corpora. The SHIPPED scale
+    path is dedup_containment_est (same file, below): it estimates
+    C(a→b) from the MINHASH signatures the near-dup index already
+    stores — Ĵ from signature agreement plus the exact per-doc set
+    sizes gives Ĉ = min(1, Ĵ·(|Sa|+|Sb|)/((1+Ĵ)·|Sa|)) — priced at
+    the LSH band-bucket candidate set (dedup_minhash_pairs' join)
+    instead of n². (The same identity would also work from KMV/
+    bottom-k frames à la sketch_kmv_overlap, but that twin is not the
+    one shipped; the MinHash one is, and this brute-force operator is
+    its verification oracle.) Scores are rounded to 6dp BEFORE the
+    ordering so the top-k tie decisions are identical in both engines."""
     sh = shingle_sets(spark, sf_dir).select(
         "doc_id", F.array_distinct("shingles").alias("sh")
     )
