@@ -989,8 +989,11 @@ def ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
     state is 16 longs (partial sums combine map-side — the sketch's
     mergeability is literally Spark's partial aggregation). In a
     stream, S_r is updatable per-arrival without the frequency frame:
-    state is 16 longs total, independent of key cardinality. The
-    exact-F2 column exists only for the error readout."""
+    state is 16 longs total, independent of key cardinality — that
+    twin is SHIPPED as streaming.ams_f2_stream (a plain streaming
+    global aggregation; bit-for-bit S_r parity and the one-state-row
+    pin are in tests/test_streaming.py). The exact-F2 column exists
+    only for the error readout."""
     ev = read_table(spark, sf_dir, "events", ["user_id"])
     f = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("f"))
     base = _spark_base(_SPARK_KEY)

@@ -2356,3 +2356,30 @@ def test_bounded_transitions_survive_restart(spark, tmp_path):
         for r in q89_session_transitions(spark, _SF).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_ams_f2_matches_batch_with_one_state_row(spark):
+    """VERDICT r9 ask #5: the incremental AMS F2 twin. (a) the final
+    streamed S_r vector reproduces the batch estimate bit-for-bit —
+    sum-of-signs over arrivals equals sum of f(x)·s_r(x) over keys;
+    (b) the "16 longs in a stream" claim is asserted from the query's
+    own progress metrics: the global aggregation holds exactly ONE
+    state row regardless of key cardinality (state honesty rule)."""
+    from data_pipeline_and_visualization_dashboard_spark.extras.sketches import AMS_R, ams_f2
+
+    out, state_rows = streaming.run_ams_stream_to_completion(
+        spark, SF_SMOKE
+    )
+    row = out.collect()
+    assert len(row) == 1
+    row = row[0]
+    batch = ams_f2(spark, SF_SMOKE).first()
+    # n_rows = every arrival (the stream never builds the freq frame)
+    n_events = spark.read.parquet(SF_SMOKE + "/events.parquet").count()
+    assert row.n_rows == n_events
+    # median-of-squares epilogue over the streamed sums == batch est
+    sq = sorted(float(row[f"S_{r}"]) ** 2 for r in range(AMS_R))
+    est = (sq[AMS_R // 2 - 1] + sq[AMS_R // 2]) / 2.0
+    assert est == batch.ams_est
+    # O(1) state: ONE row in the aggregation state store
+    assert state_rows == 1
