@@ -110,10 +110,13 @@ _CHECK_FIRST = [
     # r10 entries displace from the END of this block
     "q21_nation_revenue",
     "dedup_contamination",
-    "dedup_embedding_pairs_lsh",
-    "sim_pq_codes",
-    "sim_pq_adc_topk",
-    "sim_sq_topk",
+    # the 4 NEW r10 entries displaced the 4 r7 END slots
+    # (dedup_embedding_pairs_lsh, sim_pq_codes, sim_pq_adc_topk,
+    # sim_sq_topk — queued first for the r11 window)
+    "q91_decayed_engagement",
+    "q92_value_gini",
+    "q93_rrf_fusion",
+    "text_hashed_features",
 ]
 
 

@@ -37,7 +37,7 @@ def family(name: str) -> str:
             "text": "text", "media": "media"}.get(prefix, "other")
 
 # HEADLINE vs registry — the exclusion policy (VERDICT r6 next #7).
-# The registry holds 194 entries; HEADLINE benches 116.  The 78
+# The registry holds 198 entries; HEADLINE benches 120.  The 78
 # excluded entries fall into six families, each excluded for a reason,
 # not forgotten:
 #   1. display-grain chart twins / plan-shape variants of benched
@@ -195,6 +195,9 @@ HEADLINE = [
     "q88_basket_pairs",  # basket-bounded pair lift (Σk², not n²)
     "q89_session_transitions",  # Markov transition matrix (keyed windows)
     "q90_mad_outliers",  # median/MAD robust outlier screen (exact pctl)
+    "q91_decayed_engagement",  # half-life decay rollup (BNLJ readout)
+    "q92_value_gini",  # per-nation Gini (exact rank statistic)
+    "q93_rrf_fusion",  # reciprocal-rank fusion of two top-k lists
     "sim_recall_eval",  # LSH recall@k vs exact (eval as an operator)
     "sim_ivf_recall_guard",  # pretrained-IVF recall floor, in-plan assert
     "sim_ivfpq_recall_guard",  # pretrained-IVF-PQ floor, in-plan assert
@@ -271,6 +274,7 @@ HEADLINE = [
     "text_dsir_weights",  # DSIR importance weights (profile broadcast)
     "text_lm_logprob",  # bigram LM scoring (CCNet-style quality)
     "text_token_entropy",  # unigram-entropy quality signal (2-stage agg)
+    "text_hashed_features",  # hashing-trick featurizer (bounded grain)
     "dedup_semantic_trained",  # SemDeDup on the cached trained clusters
     "media_features",
     "media_frames",  # 1->N frame-sampling fan-out (mapInPandas)

@@ -1777,6 +1777,64 @@ _DUCK_DUP_NGRAMS_SQL = f"""
 """
 
 
+HASH_DIM = 64  # fixed feature width — the hashing trick's whole point
+# is that this NEVER grows with the corpus (collisions are the accepted
+# trade; for linear models they act as mild regularization)
+
+
+def hashed_features(spark: SparkSession, sf_dir: str,
+                    hash_impl: str = "md5") -> DataFrame:
+    """Feature hashing (the "hashing trick", Weinberger et al. 2009,
+    public): fold the bag-of-words into a FIXED HASH_DIM-wide count
+    vector per document, bucket = base_hash(token) % HASH_DIM. No
+    vocabulary build pass, no dictionary broadcast, no OOV handling:
+    the featurizer is a pure function of the token bytes, so it never
+    grows with the corpus and two independently-processed shards emit
+    identical features — which is why it is the standard featurizer
+    for corpus-scale linear quality models (text_quality_score's hand
+    features are the complement; this is the learned-model input
+    path, cf. fastText/Vowpal Wabbit).
+
+    Emitted SPARSE as (doc_id, bucket, cnt) with zero buckets absent —
+    the CSR-style triple downstream assemblers actually ingest; a
+    dense 64-wide row would be mostly zeros for short docs.
+
+    Shape: explode → ONE hash aggregation on (doc_id, bucket) with
+    map-side partial combine; the shuffled grain is bounded by
+    64·docs — strictly coarser than the (doc_id, token) grain the
+    TF-IDF/vocab/entropy ops already pay — and unlike
+    text_vocab_encode there is NO dictionary join at serving time.
+    hash_impl='md5' is the DuckDB-parity path; production swaps
+    xxhash64 (~5.5x cheaper at the hash grain, extras.hashing)."""
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    tok = docs.selectExpr(
+        "doc_id",
+        "explode(split(lower(trim(text)), '\\\\s+')) AS t",
+    )
+    return (
+        tok.selectExpr(
+            "doc_id",
+            f"CAST({spark_base_hash('t', hash_impl)} % {HASH_DIM} AS INT)"
+            " AS bucket",
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )  # no terminal sort: O(n) output, order-insensitive compare
+
+
+_DUCK_HASHED_FEATURES_SQL = rf"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST({duck_base_hash('t')} % {HASH_DIM} AS INT) AS bucket,
+           count(*) AS cnt
+    FROM tok GROUP BY 1, 2
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "text_dup_ngrams": _DUCK_DUP_NGRAMS_SQL,
     "text_dup_spans": _duck_dup_spans_sql(),
@@ -1905,6 +1963,7 @@ ORACLE_SQL: dict[str, str] = {
 QUERIES = {
     "text_stats": text_stats,
     "text_token_entropy": token_entropy,
+    "text_hashed_features": hashed_features,
     "text_lang_id": lang_id,
     "text_tokens_bpe": tokens_bpe,
     "text_fingerprint": fingerprint,
@@ -1929,6 +1988,7 @@ QUERIES = {
 }
 
 ORACLE_SQL["text_token_entropy"] = _DUCK_TOKEN_ENTROPY_SQL
+ORACLE_SQL["text_hashed_features"] = _DUCK_HASHED_FEATURES_SQL
 ORACLE_SQL["text_scrub_pii"] = _duck_scrub_sql()
 ORACLE_SQL["text_mix_sample"] = _duck_mix_sample_sql()
 ORACLE_SQL["text_line_dedup"] = _DUCK_LINE_DEDUP_SQL

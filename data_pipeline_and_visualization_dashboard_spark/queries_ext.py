@@ -4745,6 +4745,261 @@ def _duck_q86_sql() -> str:
     """
 
 
+# ----------------------------------------------------------------------
+# q91: half-life-decayed engagement (exact power-of-two decay weights)
+# ----------------------------------------------------------------------
+
+DECAY_HALF_LIFE_DAYS = 7  # one-week half-life, floored to whole weeks
+DECAY_CLAMP = 60  # weights below 2^-60 (~8.7e-19) are clamped: they
+# cannot move a 6dp-rounded sum, and the clamp keeps the exponent where
+# pow(0.5, k) stays an exact double at ANY corpus age (an integer-shift
+# spelling 1/(1<<k) would overflow BIGINT past k=62 — the same silent
+# Spark wrap / DuckDB raise divergence ADVICE r9 #3 flagged on AMS)
+
+
+def q91_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted engagement rollup: each event's value decays by
+    half per DECAY_HALF_LIFE_DAYS of age, so the per-type totals weight
+    this week's activity 2x last week's — the standard freshness KPI /
+    retention-leaderboard weighting.
+
+    Cross-engine float discipline: exp(-λ·age) is a libm transcendental
+    with no correct-rounding guarantee, so engines can disagree in the
+    last ulp PER ROW. Instead the decay is piecewise-constant per week:
+    k = floor(age_days / 7) is integer arithmetic, and pow(0.5, k) is
+    an EXACT power of two, so value·2^-k is a bare exponent shift —
+    bit-identical in Spark and DuckDB term-for-term; only the sum order
+    differs, absorbed by the 4dp/6dp rounding convention.
+
+    Shape: the reference date is a 1-row max() aggregate broadcast back
+    onto the fact (the whitelisted BNLJ readout idiom — never a global
+    window over the fact); weight and weighted value are row-local
+    codegen; ONE fact shuffle on event_type with map-side partial
+    aggregation. At 100 TB nothing here is fact×fact."""
+    ev = read_table(
+        spark, sf_dir, "events", ["ts", "event_type", "value"]
+    ).filter(F.col("value").isNotNull())
+    maxd = ev.agg(F.max(F.to_date("ts")).alias("maxd"))
+    k = F.least(
+        F.floor(
+            F.datediff(F.col("maxd"), F.to_date("ts"))
+            / DECAY_HALF_LIFE_DAYS
+        ),
+        F.lit(DECAY_CLAMP),
+    )
+    weighted = ev.join(F.broadcast(maxd)).withColumn(
+        "wv", F.col("value") * F.pow(F.lit(0.5), k)
+    )
+    return (
+        weighted.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("raw_sum"),
+            F.round(F.sum("wv"), 4).alias("decayed_sum"),
+            F.round(
+                F.sum("wv") / F.expr("nullif(sum(value), 0)"), 6
+            ).alias("retained_frac"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_DUCK_Q91_SQL = f"""
+    WITH ev AS (
+        SELECT event_type, value, CAST(ts AS DATE) AS d
+        FROM events WHERE value IS NOT NULL
+    ), ref AS (
+        SELECT max(d) AS maxd FROM ev
+    ), weighted AS (
+        SELECT event_type, value,
+               value * power(0.5, least(
+                   CAST(floor(date_diff('day', d, maxd)
+                              / {DECAY_HALF_LIFE_DAYS}) AS BIGINT),
+                   {DECAY_CLAMP})) AS wv
+        FROM ev CROSS JOIN ref
+    )
+    SELECT event_type,
+           count(*) AS n_events,
+           round(sum(value), 4) AS raw_sum,
+           round(sum(wv), 4) AS decayed_sum,
+           round(sum(wv) / nullif(sum(value), 0), 6) AS retained_frac
+    FROM weighted GROUP BY 1 ORDER BY 1
+"""
+
+
+# ----------------------------------------------------------------------
+# q92: per-nation Gini coefficient of order values (exact rank statistic)
+# ----------------------------------------------------------------------
+
+
+def q92_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inequality statistic per nation: the Gini coefficient of order
+    values, G = (2·Σ i·x_i) / (n·Σx) − (n+1)/n over values sorted
+    ascending (i = 1..n; ties broken by o_orderkey so the rank — and
+    therefore the statistic — is deterministic in both engines). The
+    classic concentration readout: G≈0 means spend is even across
+    orders, G→1 means a few whale orders carry the nation.
+
+    Shape: orders⋈customer is the one fact-grain equi-join (AQE picks
+    the strategy; customer is ~1/10 of orders in TPC-H-like data),
+    nation names come in by broadcast; then ONE shuffle on the nation
+    key for the per-nation window sort. Exact ranks are the point
+    here, and the partition key is low-cardinality (25 nations), so at
+    100 TB each group is fact/25 and the per-group EXTERNAL sort is
+    the cost driver — Spark's window sort spills rather than OOMs; the
+    approximate path for truly fact-sized groups is the equi-depth
+    histogram family (q50/q68), which prices Gini from bin boundaries
+    without a total order. Float discipline: Σ i·x and Σ x are
+    sum-order-sensitive doubles, but G is a ratio of ~1e11-magnitude
+    sums whose reorder error is ~1e-13 relative — invisible at the
+    6dp rounding."""
+    orders = read_table(
+        spark, sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    cust = read_table(spark, sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nation = read_table(spark, sf_dir, "nation", ["n_nationkey", "n_name"])
+    j = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select("n_name", "o_totalprice", "o_orderkey")
+    )
+    w = Window.partitionBy("n_name").orderBy("o_totalprice", "o_orderkey")
+    ranked = j.withColumn("i", F.row_number().over(w))
+    n = F.count(F.lit(1))
+    s_ix = F.sum(F.col("i") * F.col("o_totalprice"))
+    s_x = F.sum("o_totalprice")
+    return (
+        ranked.groupBy("n_name")
+        .agg(
+            n.alias("n_orders"),
+            F.round(s_x, 4).alias("total_value"),
+            F.round(
+                (F.lit(2.0) * s_ix) / (n * s_x) - (n + F.lit(1.0)) / n, 6
+            ).alias("gini"),
+        )
+        .orderBy("n_name")
+    )
+
+
+_DUCK_Q92_SQL = """
+    WITH j AS (
+        SELECT n.n_name, o.o_totalprice AS x, o.o_orderkey AS k
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ), r AS (
+        SELECT n_name, x,
+               row_number() OVER (PARTITION BY n_name ORDER BY x, k) AS i
+        FROM j
+    )
+    SELECT n_name,
+           count(*) AS n_orders,
+           round(sum(x), 4) AS total_value,
+           round((2.0 * sum(i * x)) / (count(*) * sum(x))
+                 - (count(*) + 1.0) / count(*), 6) AS gini
+    FROM r GROUP BY 1 ORDER BY 1
+"""
+
+
+# ----------------------------------------------------------------------
+# q93: reciprocal-rank fusion of two user leaderboards
+# ----------------------------------------------------------------------
+
+RRF_K = 60  # the standard damping constant from Cormack et al. 2009
+RRF_DEPTH = 50  # rank cutoff per list; absent -> contributes 0
+RRF_TOPN = 20
+
+
+def q93_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Büttcher 2009): combine a
+    total-value leaderboard and a recency leaderboard of users into one
+    ranking by score = Σ_lists 1/(RRF_K + rank), rank ≤ RRF_DEPTH —
+    THE standard calibration-free way to merge heterogeneous rankings
+    (here: "whales" vs "recently active"), the same fusion step a
+    search stack applies over text_search_ranked + sim_cosine_topk
+    results. Exact cross-engine arithmetic by construction: each term
+    is one correctly-rounded IEEE division and each score sums ≤2
+    terms, so there is no sum-order ambiguity at all; scores are still
+    6dp-rounded BEFORE the ordering so tie decisions match.
+
+    Shape: ONE per-user fact shuffle shared by both lists; each list
+    is top-RRF_DEPTH via TakeOrderedAndProject (never a global sort of
+    the user grain); ranks come from a global window over the already-
+    LIMITed ≤RRF_DEPTH-row frame (bounded constant — whitelisted in
+    the fleet plan gate); the fusion itself is a full outer join of
+    two ≤RRF_DEPTH-row frames. At 100 TB only the user-grain agg
+    scales with data."""
+    ev = read_table(
+        spark, sf_dir, "events", ["user_id", "ts", "value"]
+    ).filter(F.col("value").isNotNull())
+    per_user = ev.groupBy("user_id").agg(
+        F.round(F.sum("value"), 4).alias("sv"), F.max("ts").alias("mt")
+    )
+    val_top = per_user.orderBy(F.desc("sv"), "user_id").limit(RRF_DEPTH)
+    val_rank = val_top.select(
+        "user_id",
+        # DOUBLE, not BIGINT: the fusion outer join makes ranks
+        # nullable, and pandas promotes nullable ints to float on the
+        # DuckDB side ("5.0" vs "5" in the value compare) — emitting
+        # double on BOTH sides is the established cross-frame fix
+        F.row_number()
+        .over(Window.orderBy(F.desc("sv"), "user_id"))
+        .cast("double")
+        .alias("r_value"),
+    )
+    rec_top = per_user.orderBy(F.desc("mt"), "user_id").limit(RRF_DEPTH)
+    rec_rank = rec_top.select(
+        "user_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("mt"), "user_id"))
+        .cast("double")
+        .alias("r_recency"),
+    )
+    fused = val_rank.join(rec_rank, "user_id", "full_outer")
+    score = F.coalesce(
+        F.lit(1.0) / (F.lit(RRF_K) + F.col("r_value")), F.lit(0.0)
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(RRF_K) + F.col("r_recency")), F.lit(0.0)
+    )
+    return (
+        fused.select(
+            "user_id",
+            "r_value",
+            "r_recency",
+            F.round(score, 6).alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), "user_id")
+        .limit(RRF_TOPN)
+    )
+
+
+_DUCK_Q93_SQL = f"""
+    WITH pu AS (
+        SELECT user_id, round(sum(value), 4) AS sv, max(ts) AS mt
+        FROM events WHERE value IS NOT NULL GROUP BY 1
+    ), vr AS (
+        SELECT user_id,
+               CAST(row_number() OVER (ORDER BY sv DESC, user_id)
+                    AS DOUBLE) AS r_value
+        FROM pu ORDER BY sv DESC, user_id LIMIT {RRF_DEPTH}
+    ), rr AS (
+        SELECT user_id,
+               CAST(row_number() OVER (ORDER BY mt DESC, user_id)
+                    AS DOUBLE) AS r_recency
+        FROM pu ORDER BY mt DESC, user_id LIMIT {RRF_DEPTH}
+    ), f AS (
+        SELECT coalesce(vr.user_id, rr.user_id) AS user_id,
+               vr.r_value, rr.r_recency
+        FROM vr FULL OUTER JOIN rr ON vr.user_id = rr.user_id
+    )
+    SELECT user_id, r_value, r_recency,
+           round(coalesce(1.0 / ({RRF_K} + r_value), 0.0)
+                 + coalesce(1.0 / ({RRF_K} + r_recency), 0.0), 6)
+               AS rrf_score
+    FROM f ORDER BY rrf_score DESC, user_id LIMIT {RRF_TOPN}
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "q60_bucketed_join": """
         SELECT o_orderpriority, count(*) AS n_items,
@@ -4783,6 +5038,9 @@ ORACLE_SQL: dict[str, str] = {
     "q88_basket_pairs": _DUCK_Q88_SQL,
     "q89_session_transitions": _DUCK_Q89_SQL,
     "q90_mad_outliers": _DUCK_Q90_SQL,
+    "q91_decayed_engagement": _DUCK_Q91_SQL,
+    "q92_value_gini": _DUCK_Q92_SQL,
+    "q93_rrf_fusion": _DUCK_Q93_SQL,
     "sim_diverse_subset": _duck_diverse_subset_sql(),
     "q54_hash_sample": _duck_hash_sample_sql(),
     "q55_rolling_median": _DUCK_ROLLING_MEDIAN_SQL,
@@ -5294,6 +5552,9 @@ QUERIES = {
     "q88_basket_pairs": q88_basket_pairs,
     "q89_session_transitions": q89_session_transitions,
     "q90_mad_outliers": q90_mad_outliers,
+    "q91_decayed_engagement": q91_decayed_engagement,
+    "q92_value_gini": q92_value_gini,
+    "q93_rrf_fusion": q93_rrf_fusion,
     "q83_approx_percentile_guard": q83_approx_percentile_guard,
     "sim_diverse_subset": sim_diverse_subset,
     "sim_rp_topk_pretrained": sim_rp_topk_pretrained,

@@ -556,6 +556,41 @@ CASES = {
         ["SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"],
         4,  # 3 agg exchanges + the final tiny-frame sort
     ),
+    "q91_decayed_engagement": (
+        # the 1-row max-date readout comes BACK as the whitelisted
+        # BNLJ broadcast; decay weight is row-local codegen (exact
+        # powers of two); one event_type agg + the tiny terminal sort
+        ["BroadcastNestedLoopJoin", "HashAggregate"],
+        ["SortMergeJoin", "CartesianProduct"],
+        4,  # max-date agg + type agg exchanges + terminal 5-row sort
+    ),
+    "q92_value_gini": (
+        # both joins broadcast (customer ~1/10 of orders at every SF;
+        # nation tiny); ONE nation-keyed window sort carries the rank
+        # assignment, then the nation-grain agg reuses its partitioning
+        ["BroadcastHashJoin", "Window"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        4,
+    ),
+    "q93_rrf_fusion": (
+        # both leaderboards are TakeOrderedAndProject over ONE shared
+        # per-user agg (never a global sort of the user grain); rank =
+        # global window over the already-LIMITed <=RRF_DEPTH rows
+        # (fleet-gate whitelisted); the fusion join is SMJ because
+        # Spark cannot broadcast a full-outer side — it joins two
+        # <=50-row frames, so the exchanges are constant-size
+        ["TakeOrderedAndProject", "Window"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        5,  # user agg + 2 rank SinglePartition + 2 tiny join exchanges
+    ),
+    "text_hashed_features": (
+        # explode + hash + bucket are row-local; ONE (doc_id, bucket)
+        # agg exchange with map-side partial combine — no dictionary,
+        # no join, unlike the vocab/encode path
+        ["HashAggregate"],
+        ["SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"],
+        1,
+    ),
     "text_fingerprint": ([], ["Exchange"], 0),
     "q12_derived_events": ([], ["Exchange"], 0),
     "q70_promo_discount_revenue": (
@@ -1131,6 +1166,7 @@ def test_kmv_overlap_single_shingle_exchange(spark):
 # pct-of-total; ≤720-row hourly series; ≤N_BINS calibration bins)
 GLOBAL_WINDOW_OK = {
     "q3_event_type_pct",
+    "q93_rrf_fusion",  # 2 rank windows over already-LIMITed <=50-row frames
     "q31_moving_avg",
     "dedup_threshold_curve",
 }
@@ -1142,6 +1178,7 @@ GLOBAL_WINDOW_OK = {
 # verification twins, never the scale path
 CARTESIAN_OK = {
     "dedup_containment_topk",
+    "q91_decayed_engagement",  # 1-row max-date readout broadcast
     "dedup_embedding_pairs", "dedup_ngram_jaccard_topk",
     "dedup_semantic", "dedup_semantic_trained",
     "dedup_simhash_hamming_topk", "dedup_threshold_curve",

@@ -129,6 +129,9 @@ EXPECTED_CARDINALITY = {
     "sim_cosine_topk": 50,           # k x query count
     "sketch_hist_quantiles": 10,     # fixed quantile grid
     "text_bpe_compression": 21,      # merge rounds 0..20 inclusive
+    "q91_decayed_engagement": 5,     # event-type domain
+    "q92_value_gini": 25,            # nation domain
+    "q93_rrf_fusion": 20,            # top-20 fused
 }
 
 
