@@ -84,6 +84,25 @@ BASELINE_REFREEZE = {
     # ASIA; the honest post-fix floor is the r8 full-run best-of-3
     # (BENCH_full_r08.json).  Keeping 0.44 showed a fake ×2.04.
     "q21_nation_revenue": 0.899,
+    # ---- r10 COVERAGE EXTENSION (VERDICT r9 ask #3): the overlay now
+    # also ADDS baseline entries for every headline query added after
+    # the r6 freeze, so baseline_ratio covers the FULL headline
+    # (baseline_n_common == len(HEADLINE)) instead of the 112-key r6
+    # subset.  Values are each query's FIRST committed >=2-run floor —
+    # never a later (possibly improved or degraded) draw:
+    # r9 additions, from BENCH_full_r09.json (2-run floor):
+    "q90_mad_outliers": 0.617,
+    "text_token_entropy": 0.338,
+    "dedup_containment_est": 1.394,
+    "sketch_ams_f2": 0.361,
+    # r10 additions, from BENCH_full_r10.json (3-run floor).  Caveat
+    # recorded in BASELINE.md: the r10 box ran 9-20% hot fleet-wide,
+    # so these four baselines carry that bias until a cooler floor
+    # deliberately re-freezes them.
+    "q91_decayed_engagement": 0.332,
+    "q92_value_gini": 0.806,
+    "q93_rrf_fusion": 0.258,
+    "text_hashed_features": 0.485,
 }
 
 def baseline_gate(timings: dict, sf: float, subset,

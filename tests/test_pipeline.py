@@ -348,3 +348,23 @@ def test_parse_round_arg_branches():
         bench._parse_round_arg(["bench.py", "--round", "ten"], {})
     with pytest.raises(SystemExit, match="not an integer"):
         bench._parse_round_arg(["bench.py"], {"SPARK_GRAFT_ROUND": "x"})
+
+
+def test_baseline_covers_full_headline():
+    """VERDICT r9 ask #3 pin: every HEADLINE query has a baseline entry
+    (the frozen r6 floor or the BASELINE_REFREEZE overlay), so
+    baseline_ratio is computed over the FULL headline — a new headline
+    query without a deliberate frozen baseline fails here."""
+    import json
+    import os
+
+    import bench
+
+    base_path = os.path.join(
+        os.path.dirname(os.path.abspath(bench.__file__)),
+        "BENCH_full_r06.json",
+    )
+    with open(base_path) as f:
+        covered = set(json.load(f)["queries"]) | set(bench.BASELINE_REFREEZE)
+    missing = [q for q in bench.HEADLINE if q not in covered]
+    assert not missing, f"headline queries without a frozen baseline: {missing}"
