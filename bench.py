@@ -356,11 +356,26 @@ def main() -> None:
             f"BENCH_full_r{int(rnd):02d}.json",
         )
         if os.path.exists(arch_path) and "--force" not in sys.argv:
-            raise SystemExit(
-                f"bench.py: {os.path.basename(arch_path)} already exists; "
-                "committed round records are immutable (BASELINE.md "
-                "provenance policy) — pass --force to overwrite deliberately"
+            if "--round" in sys.argv:
+                # interactive typo (a stale --round): fail fast BEFORE
+                # the 15-minute run rather than after it
+                raise SystemExit(
+                    f"bench.py: {os.path.basename(arch_path)} already "
+                    "exists; committed round records are immutable "
+                    "(BASELINE.md provenance policy) — pass --force to "
+                    "overwrite deliberately"
+                )
+            # env-var path (SPARK_GRAFT_ROUND): likely an automated
+            # caller — never abort its run; archive to a .new sibling
+            # so the committed record stays intact AND the run's
+            # summary line still prints
+            print(
+                f"# WARNING: {os.path.basename(arch_path)} already "
+                "exists — archiving to .new instead (immutable round "
+                "records; pass --force to overwrite)",
+                flush=True,
             )
+            arch_path += ".new"
     headline = (
         [q.strip() for q in subset.split(",") if q.strip()]
         if subset
