@@ -54,69 +54,69 @@ def entry(spark: SparkSession) -> DataFrame:
 # holds at least one green driver row, zero failures ever, and no
 # entry is vacuously green (fleet-wide ≥1-row guard,
 # tests/test_queries.py).
-# Round-10 window (the precomputed rotation from the r9 close-out /
-# VERDICT r9 ask #1): the 44 r6-latest entries (4 rounds stale at
-# r10, in their CORRECTNESS_r06 window order, including the 5
-# entries displaced out of the r9 window) + the 6 oldest r7-latest
-# entries (CORRECTNESS_r07 order) to fill 50.  After this window no
-# oracle-backed entry is more than 3 rounds stale.  Any NEW r10
-# entry displaces an r7 slot from the END, never an r6 one.
+# Round-11 window (the precomputed rotation from the r10 close-out /
+# VERDICT r10 ask #1): all 48 r7-latest entries (3 rounds stale at
+# r11, in their CORRECTNESS_r07 order, starting with the 4 entries
+# the r10 additions displaced) + the 2 oldest r8-latest entries to
+# fill 50 — and per the displacement rule the 2 NEW r11 entries
+# (q94_hhi_concentration, sim_search_rrf) take exactly those 2 r8
+# END slots (q66_late_supplier_blame, sketch_kmv_estimate — queued
+# first for the r12 window).  After this window no oracle-backed
+# entry is more than 3 rounds stale.
 _CHECK_FIRST = [
-    "q34_top_users_labeled",
-    "q35_ship_delay",
-    "q36_session_windows",
-    "q37_prior_hour_window",
-    "q38_unpivot_heatmap",
-    "q39_interval_join",
-    "q40_salted_skew_join",
-    "q41_latest_event_state",
-    "q42_daily_from_hourly",
-    "q43_full_outer_reconcile",
-    "q44_user_trend",
-    "q45_cohort_retention",
-    "q46_value_anomalies",
-    "q47_scd2_history",
-    "q48_funnel_steps",
-    "q49_fuzzy_name_match",
-    "q50_equidepth_buckets",
-    "q51_nation_pagerank",
-    "q52_gap_fill",
-    "q53_incremental_rollup",
-    "q54_hash_sample",
-    "q55_rolling_median",
-    "q56_grouped_stats",
-    "q57_rank_family",
-    "q58_event_nation_counts",
-    "q59_sliding_distinct",
-    "sim_ivf_topk",
-    "sim_ivfpq_topk",
-    "q20_shipping_priority",
-    "q66_late_supplier_blame_agg",
-    "q88_basket_pairs",
-    "q89_session_transitions",
-    "dedup_incremental_pairs",
-    "dedup_neardup_groups",
-    "corpus_funnel",
-    "corpus_survivors",
-    "corpus_forget_impact",
-    "sim_mmr_rerank",
-    "sketch_kmv_overlap",
-    "text_bpe_train",
-    "text_bpe_apply",
-    "text_index_postings",
-    "text_search_phrase",
-    "text_search_ranked",
-    # the 6 oldest r7-latest entries (CORRECTNESS_r07 order); NEW
-    # r10 entries displace from the END of this block
-    "q21_nation_revenue",
-    "dedup_contamination",
-    # the 4 NEW r10 entries displaced the 4 r7 END slots
-    # (dedup_embedding_pairs_lsh, sim_pq_codes, sim_pq_adc_topk,
-    # sim_sq_topk — queued first for the r11 window)
-    "q91_decayed_engagement",
-    "q92_value_gini",
-    "q93_rrf_fusion",
-    "text_hashed_features",
+    "dedup_embedding_pairs_lsh",
+    "sim_pq_codes",
+    "sim_pq_adc_topk",
+    "sim_sq_topk",
+    "sim_lsh_buckets",
+    "sketch_countmin",
+    "sketch_countmin_topk_est",
+    "sketch_hll_registers",
+    "sketch_hll_estimate",
+    "text_tokens_bpe",
+    "text_quality_filter",
+    "text_repetition",
+    "text_tfidf_topk",
+    "text_vocab",
+    "text_vocab_encode",
+    "text_chunks",
+    "text_packing",
+    "text_split_assign",
+    "media_resized",
+    "dedup_hash_stage_md5",
+    "dedup_semantic",
+    "text_scrub_pii",
+    "text_mix_sample",
+    "text_line_dedup",
+    "dedup_neardup_groups_lsss",
+    "text_dup_ngrams",
+    "text_quality_score",
+    "text_dsir_weights",
+    "q60_bucketed_join",
+    "q61_profile_events",
+    "dedup_incremental_exact",
+    "text_gopher_rules",
+    "q62_skew_stats",
+    "sim_recall_eval",
+    "sim_lsh_multiprobe_topk",
+    "sim_lang_centroids",
+    "sim_rp_topk",
+    "sim_lsh_topk",
+    "q63_drift_kl",
+    "q64_weighted_sample",
+    "q65_small_quantity_revenue",
+    "q67_important_parts",
+    "q68_value_deciles",
+    "dedup_contamination_multi",
+    "dedup_survivor_policy",
+    "dedup_training_triplets",
+    "dedup_pair_features",
+    "text_lm_logprob",
+    # the 2 NEW r11 entries, displacing the 2 oldest r8-latest
+    # (q66_late_supplier_blame, sketch_kmv_estimate) per the
+    # new-entries-take-the-END-slots rule
+    "q94_hhi_concentration",
+    "sim_search_rrf",
 ]
 
 

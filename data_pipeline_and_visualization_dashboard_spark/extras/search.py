@@ -453,6 +453,190 @@ def _duck_near_sql() -> str:
     """
 
 
+# ----------------------------------------------------------------------
+# hybrid retrieval: RRF fusion of the lexical and semantic rankers
+# ----------------------------------------------------------------------
+
+# Cormack/Clarke/Büttcher 2009 damping constant (same as q93's RRF_K)
+HYBRID_RRF_K = 60
+HYBRID_DEPTH = 20  # rank cutoff per list; absent from a list -> 0 term
+HYBRID_TOPN = 15
+HYBRID_QUERY_VEC = 0  # the semantic query: embeddings.vec_id == 0
+
+
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: reciprocal-rank fusion of the LEXICAL ranking
+    (text_search_ranked's TF-IDF over QUERY_RANKED) and the SEMANTIC
+    ranking (sim_cosine_topk's exact cosine for query vector
+    HYBRID_QUERY_VEC) into one doc ranking by
+    score = Σ_lists 1/(HYBRID_RRF_K + rank), rank ≤ HYBRID_DEPTH —
+    the fusion step q93_rrf_fusion's docstring names, applied to the
+    actual retrieval stack: keyword recall and embedding recall are
+    incomparable score scales, and RRF is THE calibration-free merge
+    (Cormack et al. 2009).  doc_id and vec_id share the corpus id
+    domain (TESTDATA: both 0..n-1), which is exactly how a production
+    hybrid index is keyed.
+
+    Exact cross-engine arithmetic by construction (q93's discipline):
+    both input rankings order by 6dp-ROUNDED scores with id
+    tie-breaks, each fused score is ≤2 correctly-rounded IEEE
+    divisions, and fused scores are 6dp-rounded before the final
+    order, so rank decisions agree engine-for-engine.  Ranks are cast
+    DOUBLE on BOTH sides — the full-outer fusion nulls them, and
+    pandas promotes nullable ints to float on the DuckDB side.
+
+    Shape: the lexical side is search_ranked's plan (tf pre-filtered
+    to query terms before any join; df/N price rarity globally); the
+    semantic side is ONE corpus scan with row-local dot products
+    (query row broadcast); each list is top-HYBRID_DEPTH via
+    TakeOrderedAndProject, ranks come from global windows over the
+    already-LIMITed ≤HYBRID_DEPTH-row frames (bounded constants —
+    fleet-gate whitelisted), and the fusion is a full outer join of
+    two ≤HYBRID_DEPTH-row frames.  At 100 TB only the two retrieval
+    scans scale with data; the fusion cost is a constant."""
+    from .similarity import _dot, _with_norm
+
+    # -- lexical list: search_ranked's scoring frame, depth HYBRID_DEPTH
+    toks = _positions(spark, sf_dir).select("doc_id", "term")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = (
+        read_table(spark, sf_dir, "documents", ["doc_id", "text"])
+        .filter(F.col("text").isNotNull())
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    scored = (
+        tf.filter(F.col("term").isin(*QUERY_RANKED))
+        .join(df_, "term")
+        .join(F.broadcast(n))
+        .withColumn(
+            "w",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ),
+        )
+    )
+    lex = (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum("w"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(HYBRID_DEPTH)
+    )
+    from pyspark.sql import Window
+
+    lex_rank = lex.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+        .cast("double")
+        .alias("r_lexical"),
+    )
+
+    # -- semantic list: exact cosine for the one query vector
+    emb = read_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = _with_norm(emb.filter(F.col("vec_id") == HYBRID_QUERY_VEC), "q")
+    c = _with_norm(emb, "c")
+    sim = F.round(
+        _dot(F.col("q_e"), F.col("c_e"))
+        / (F.col("q_norm") * F.col("c_norm")),
+        6,
+    )
+    sem = (
+        F.broadcast(q)
+        .join(c, F.col("q_id") != F.col("c_id"))
+        .select(F.col("c_id").alias("doc_id"), sim.alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("doc_id"))
+        .limit(HYBRID_DEPTH)
+    )
+    sem_rank = sem.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("sim"), F.asc("doc_id")))
+        .cast("double")
+        .alias("r_semantic"),
+    )
+
+    # -- fusion of two ≤HYBRID_DEPTH-row frames
+    fused = lex_rank.join(sem_rank, "doc_id", "full_outer")
+    score = F.coalesce(
+        F.lit(1.0) / (F.lit(HYBRID_RRF_K) + F.col("r_lexical")), F.lit(0.0)
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(HYBRID_RRF_K) + F.col("r_semantic")), F.lit(0.0)
+    )
+    return (
+        fused.select(
+            "doc_id",
+            "r_lexical",
+            "r_semantic",
+            F.round(score, 6).alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(HYBRID_TOPN)
+    )
+
+
+def _duck_hybrid_rrf_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in QUERY_RANKED)
+    return f"""
+        WITH pos AS ({_DUCK_POSITIONS}),
+        tf AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM pos GROUP BY doc_id, term
+        ), dfq AS (
+            SELECT term, count(*) AS df FROM tf GROUP BY term
+        ), n AS (
+            SELECT count(*) AS n_docs FROM documents
+            WHERE text IS NOT NULL
+        ), lex AS (
+            SELECT doc_id, round(sum(w), 6) AS score
+            FROM (
+                SELECT tf.doc_id,
+                       round(tf.tf * ln(CAST(n.n_docs AS DOUBLE)
+                                        / dfq.df), 6) AS w
+                FROM tf JOIN dfq USING (term) CROSS JOIN n
+                WHERE tf.term IN ({terms})
+            ) GROUP BY doc_id
+            ORDER BY score DESC, doc_id LIMIT {HYBRID_DEPTH}
+        ), lex_rank AS (
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                        AS DOUBLE) AS r_lexical
+            FROM lex
+        ), qv AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings WHERE vec_id = {HYBRID_QUERY_VEC}
+        ), sem AS (
+            SELECT c.vec_id AS doc_id,
+                   round(list_dot_product(qv.e, c.e)
+                         / (sqrt(list_dot_product(qv.e, qv.e))
+                            * sqrt(list_dot_product(c.e, c.e))), 6)
+                       AS sim
+            FROM qv, (SELECT vec_id,
+                             CAST(embedding AS DOUBLE[]) AS e
+                      FROM embeddings) c
+            WHERE c.vec_id <> {HYBRID_QUERY_VEC}
+            ORDER BY sim DESC, doc_id LIMIT {HYBRID_DEPTH}
+        ), sem_rank AS (
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY sim DESC, doc_id)
+                        AS DOUBLE) AS r_semantic
+            FROM sem
+        ), f AS (
+            SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+                   l.r_lexical, s.r_semantic
+            FROM lex_rank l FULL OUTER JOIN sem_rank s
+              ON l.doc_id = s.doc_id
+        )
+        SELECT doc_id, r_lexical, r_semantic,
+               round(coalesce(1.0 / ({HYBRID_RRF_K} + r_lexical), 0.0)
+                     + coalesce(1.0 / ({HYBRID_RRF_K} + r_semantic),
+                                0.0), 6) AS rrf_score
+        FROM f ORDER BY rrf_score DESC, doc_id LIMIT {HYBRID_TOPN}
+    """
+
+
 ORACLE_SQL: dict[str, str] = {
     "text_index_postings": _duck_postings_sql(),
     "text_search_and": _duck_and_sql(),
@@ -462,9 +646,11 @@ ORACLE_SQL: dict[str, str] = {
     "text_search_near": _duck_near_sql(),
     # merged incremental index ≡ from-scratch rebuild: same oracle
     "text_index_merge": _duck_postings_sql(),
+    "sim_search_rrf": _duck_hybrid_rrf_sql(),
 }
 
 QUERIES = {
+    "sim_search_rrf": search_hybrid_rrf,
     "text_index_postings": index_postings,
     "text_search_and": search_and,
     "text_search_phrase": search_phrase,

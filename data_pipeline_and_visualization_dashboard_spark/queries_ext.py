@@ -5000,6 +5000,79 @@ _DUCK_Q93_SQL = f"""
 """
 
 
+# ----------------------------------------------------------------------
+# q94: per-nation Herfindahl-Hirschman concentration index
+# ----------------------------------------------------------------------
+
+
+def q94_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-concentration statistic per nation: the Herfindahl-
+    Hirschman index of customer spend shares, HHI = Σ_i s_i² with
+    s_i = customer i's order total / nation total.  HHI→1/n means
+    spend is spread evenly across a nation's customers, HHI→1 means
+    one whale owns the market; 1/HHI is the standard "effective number
+    of customers" readout.  Complements q92's Gini on the same join
+    skeleton: Gini needs an exact per-group rank (window sort), HHI is
+    a PURE aggregation-of-squares — no window, no sort, so it stays a
+    two-level hash aggregate at any group size.
+
+    Shape: orders⋈customer is the one fact-grain equi-join (AQE picks
+    the strategy), nation names broadcast in; then (nation, customer)
+    partial-aggregated spend — map-side combine does most of the work
+    since orders of one customer co-locate after the join shuffle —
+    and ONE 25-group fold of squares.  At 100 TB every stage is
+    hash-agg; nothing needs a total order (the q92 contrast is the
+    point).  Float discipline: per-customer spend is rounded 4dp
+    FIRST, so the squared terms are bit-identical across engines and
+    only the 25-way sum order differs — ~1e-16 relative, invisible at
+    the 6dp rounding of the final ratios."""
+    orders = read_table(
+        spark, sf_dir, "orders", ["o_custkey", "o_totalprice"]
+    )
+    cust = read_table(spark, sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nation = read_table(spark, sf_dir, "nation", ["n_nationkey", "n_name"])
+    per_cust = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "c_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("spend"))
+    )
+    s_sq = F.sum(F.col("spend") * F.col("spend"))
+    s = F.sum("spend")
+    hhi = s_sq / (s * s)
+    return (
+        per_cust.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(s, 4).alias("total_spend"),
+            F.round(hhi, 6).alias("hhi"),
+            F.round(F.lit(1.0) / hhi, 6).alias("effective_customers"),
+        )
+        .orderBy("n_name")
+    )
+
+
+_DUCK_Q94_SQL = """
+    WITH per_cust AS (
+        SELECT n.n_name, c.c_custkey,
+               round(sum(o.o_totalprice), 4) AS spend
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2
+    )
+    SELECT n_name,
+           count(*) AS n_customers,
+           round(sum(spend), 4) AS total_spend,
+           round(sum(spend * spend) / (sum(spend) * sum(spend)), 6)
+               AS hhi,
+           round(1.0 / (sum(spend * spend)
+                        / (sum(spend) * sum(spend))), 6)
+               AS effective_customers
+    FROM per_cust GROUP BY 1 ORDER BY 1
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "q60_bucketed_join": """
         SELECT o_orderpriority, count(*) AS n_items,
@@ -5041,6 +5114,7 @@ ORACLE_SQL: dict[str, str] = {
     "q91_decayed_engagement": _DUCK_Q91_SQL,
     "q92_value_gini": _DUCK_Q92_SQL,
     "q93_rrf_fusion": _DUCK_Q93_SQL,
+    "q94_hhi_concentration": _DUCK_Q94_SQL,
     "sim_diverse_subset": _duck_diverse_subset_sql(),
     "q54_hash_sample": _duck_hash_sample_sql(),
     "q55_rolling_median": _DUCK_ROLLING_MEDIAN_SQL,
@@ -5555,6 +5629,7 @@ QUERIES = {
     "q91_decayed_engagement": q91_decayed_engagement,
     "q92_value_gini": q92_value_gini,
     "q93_rrf_fusion": q93_rrf_fusion,
+    "q94_hhi_concentration": q94_hhi_concentration,
     "q83_approx_percentile_guard": q83_approx_percentile_guard,
     "sim_diverse_subset": sim_diverse_subset,
     "sim_rp_topk_pretrained": sim_rp_topk_pretrained,

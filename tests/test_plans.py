@@ -583,6 +583,26 @@ CASES = {
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
         5,  # user agg + 2 rank SinglePartition + 2 tiny join exchanges
     ),
+    "q94_hhi_concentration": (
+        # pure two-level hash aggregation — the no-sort complement to
+        # q92's rank-statistic Gini: both joins broadcast, then the
+        # (nation, customer) spend agg and the 25-group fold of
+        # squares; NO window, NO sort of the fact anywhere
+        ["BroadcastHashJoin", "HashAggregate"],
+        ["SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin",
+         "Window"],
+        3,  # per-customer agg + nation agg + terminal 25-row sort
+    ),
+    "sim_search_rrf": (
+        # both retrieval lists end in TakeOrderedAndProject; the 1-row
+        # n_docs factor rides the text_search_ranked BNLJ broadcast;
+        # ranks = global windows over the already-LIMITed <=20-row
+        # frames (fleet-gate whitelisted); the fusion SMJ joins two
+        # <=20-row frames (Spark can't broadcast a full-outer side)
+        ["TakeOrderedAndProject", "Window", "BroadcastHashJoin"],
+        ["CartesianProduct"],
+        7,
+    ),
     "text_hashed_features": (
         # explode + hash + bucket are row-local; ONE (doc_id, bucket)
         # agg exchange with map-side partial combine — no dictionary,
@@ -1167,6 +1187,7 @@ def test_kmv_overlap_single_shingle_exchange(spark):
 GLOBAL_WINDOW_OK = {
     "q3_event_type_pct",
     "q93_rrf_fusion",  # 2 rank windows over already-LIMITed <=50-row frames
+    "sim_search_rrf",  # 2 rank windows over already-LIMITed <=20-row frames
     "q31_moving_avg",
     "dedup_threshold_curve",
 }
@@ -1194,6 +1215,7 @@ CARTESIAN_OK = {
     "sketch_hist_quantiles", "sketch_hll_estimate",
     "sketch_kmv_estimate", "sketch_kmv_overlap", "text_dsir_weights",
     "text_lm_logprob", "text_mix_sample", "text_search_bm25",
+    "sim_search_rrf",  # 1-row n_docs broadcast + 1-row query-vector join
     "text_search_ranked", "text_tfidf_topk", "text_vocab",
     "text_vocab_encode",
 }

@@ -132,6 +132,9 @@ EXPECTED_CARDINALITY = {
     "q91_decayed_engagement": 5,     # event-type domain
     "q92_value_gini": 25,            # nation domain
     "q93_rrf_fusion": 20,            # top-20 fused
+    "q94_hhi_concentration": 25,     # nation domain
+    "sim_search_rrf": 15,            # top-15 fused (union of two
+                                     # depth-20 lists always >= 15)
 }
 
 
