@@ -2383,3 +2383,98 @@ def test_streaming_ams_f2_matches_batch_with_one_state_row(spark):
     assert est == batch.ams_est
     # O(1) state: ONE row in the aggregation state store
     assert state_rows == 1
+
+
+def test_session_watermark_beyond_gap_rejected(spark):
+    """ADVICE r10 #2: the session folds' batch-parity proof requires
+    watermark delay ≤ session gap — a longer delay admits events more
+    than a gap older than the open session's start, which the min()
+    fold would merge while batch places them in an earlier session.
+    Both entry points must reject such configurations up front;
+    delays at or under the gap (and unparseable strings, left to
+    Spark) must pass through."""
+    import pytest
+
+    ev = spark.read.parquet(SF_SMOKE + "/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    for bad in ("31 minutes", "1 hour", "2 days", "1801 seconds"):
+        with pytest.raises(ValueError, match="exceeds the session gap"):
+            streaming.sessionize_stream(ev, watermark=bad)
+        with pytest.raises(ValueError, match="exceeds the session gap"):
+            streaming.sessionize_stream_timeout(ev, watermark=bad)
+    for ok in ("30 minutes", "10 minutes", "1800 seconds"):
+        streaming.sessionize_stream(ev, watermark=ok)  # must not raise
+
+
+def test_ams_f2_stream_skips_null_keys_in_n_rows(spark):
+    """ADVICE r10 #4: a NULL user_id contributes nothing to any S_r
+    (md5(NULL) signs are NULL, skipped by sum), so it must not inflate
+    n_rows either — n_rows is the count of rows actually sketched.
+    The signed sums must be unchanged by the NULL arrivals."""
+    ev = spark.read.parquet(SF_SMOKE + "/events.parquet")
+    with_nulls = ev.unionByName(
+        ev.limit(7).withColumn("user_id", F.lit(None).cast("long"))
+    )
+    clean = streaming.ams_f2_stream(ev).first()
+    dirty = streaming.ams_f2_stream(with_nulls).first()
+    assert dirty.n_rows == clean.n_rows == ev.count()
+    from data_pipeline_and_visualization_dashboard_spark.extras.sketches import AMS_R
+
+    assert [dirty[f"S_{r}"] for r in range(AMS_R)] == [
+        clean[f"S_{r}"] for r in range(AMS_R)
+    ]
+
+
+def test_streaming_ams_f2_survives_restart(spark, tmp_path):
+    """VERDICT r10 ask #4 — the last stateful family's restart pin
+    (15/15): drain file A through the checkpointed foreachBatch AMS
+    monitor, STOP the query, land file B, restart with the SAME
+    checkpoint.  The final S_r vector must equal the batch sketch over
+    A∪B bit-for-bit: the restart must recover A's signed sums from the
+    aggregation state store (a lost state would make the result equal
+    B-only sums) and must NOT re-consume A (a re-read would
+    double-add its signs)."""
+    from data_pipeline_and_visualization_dashboard_spark.extras.sketches import (
+        AMS_R,
+        ams_f2,
+    )
+
+    raw = spark.read.parquet(SF_SMOKE + "/events.parquet")
+    in_dir = str(tmp_path / "ams_in")
+    state = str(tmp_path / "ams_state")
+    ckpt = str(tmp_path / "ams_ckpt")
+    raw.filter("event_id % 2 = 0").coalesce(1).write.parquet(
+        in_dir, mode="append"
+    )
+    q = streaming.ams_merge_stream(spark, in_dir, state, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # the first wave alone must differ from the full answer, or the
+    # recovery assertion below would be vacuous
+    wave1 = spark.read.parquet(state).first()
+    raw.filter("event_id % 2 = 1").coalesce(1).write.parquet(
+        in_dir, mode="append"
+    )
+    q2 = streaming.ams_merge_stream(spark, in_dir, state, ckpt)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    got = spark.read.parquet(state).first()
+    # batch parity oracle: the SAME plan fragment over a batch read of
+    # the full fixture (the established stream-twin convention)
+    want = streaming.ams_f2_stream(raw).first()
+    assert [got[f"S_{r}"] for r in range(AMS_R)] == [
+        want[f"S_{r}"] for r in range(AMS_R)
+    ]
+    assert got.n_rows == want.n_rows
+    assert [wave1[f"S_{r}"] for r in range(AMS_R)] != [
+        want[f"S_{r}"] for r in range(AMS_R)
+    ]
+    # and the median-of-squares epilogue equals the batch operator's
+    sq = sorted(float(got[f"S_{r}"]) ** 2 for r in range(AMS_R))
+    est = (sq[AMS_R // 2 - 1] + sq[AMS_R // 2]) / 2.0
+    assert est == ams_f2(spark, SF_SMOKE).first().ams_est
