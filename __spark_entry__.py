@@ -61,7 +61,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # fill 50 — and per the displacement rule the 2 NEW r11 entries
 # (q94_hhi_concentration, sim_search_rrf) take exactly those 2 r8
 # END slots (q66_late_supplier_blame, sketch_kmv_estimate — queued
-# first for the r12 window).  After this window no oracle-backed
+# first for the r12 window, together with the never-checked
+# q92_value_gini_binned).  After this window no oracle-backed
 # entry is more than 3 rounds stale.
 _CHECK_FIRST = [
     "dedup_embedding_pairs_lsh",

@@ -95,7 +95,7 @@ BASELINE_REFREEZE = {
     "text_token_entropy": 0.338,
     "dedup_containment_est": 1.394,
     "sketch_ams_f2": 0.361,
-    # r10 additions, from BENCH_full_r10.json (3-run floor).  Caveat
+    # r10 additions, from BENCH_full_r10.json (4-run floor).  Caveat
     # recorded in BASELINE.md: the r10 box ran 9-20% hot fleet-wide,
     # so these four baselines carry that bias until a cooler floor
     # deliberately re-freezes them.
@@ -217,6 +217,7 @@ HEADLINE = [
     "q91_decayed_engagement",  # half-life decay rollup (BNLJ readout)
     "q92_value_gini",  # per-nation Gini (exact rank statistic)
     "q93_rrf_fusion",  # reciprocal-rank fusion of two top-k lists
+    "q94_hhi_concentration",  # per-nation HHI (pure agg-of-squares)
     "sim_recall_eval",  # LSH recall@k vs exact (eval as an operator)
     "sim_ivf_recall_guard",  # pretrained-IVF recall floor, in-plan assert
     "sim_ivfpq_recall_guard",  # pretrained-IVF-PQ floor, in-plan assert
@@ -278,6 +279,7 @@ HEADLINE = [
     "text_search_ranked",  # tf-idf scored retrieval, top-k
     "text_search_bm25",  # Okapi BM25 (saturation + length norm)
     "text_index_merge",  # incremental postings merge == rebuild
+    "sim_search_rrf",  # hybrid lexical+semantic RRF fusion
     "text_vocab_encode",  # vocab build + id encode (embedding prep)
     "text_scrub_pii",  # regex redaction + per-rule accounting (codegen)
     "text_mix_sample",  # domain-weighted token-budget sampling
@@ -334,6 +336,21 @@ def _parse_round_arg(argv: list[str], env: dict) -> str | None:
     return rnd
 
 
+def _divert_archive_path(arch_path: str) -> str:
+    """First free `.new` sibling for a diverted round archive (ADVICE
+    r10 #3): the automated-caller collision path must not clobber a
+    pre-existing .new either — each diverted run gets its own
+    .new/.new2/.new3… file, so no record is ever silently lost; every
+    diverted record still needs manual adjudication against the
+    committed one before any re-freeze uses it."""
+    sibling = arch_path + ".new"
+    k = 2
+    while os.path.exists(sibling):
+        sibling = f"{arch_path}.new{k}"
+        k += 1
+    return sibling
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([\d.]+)", sf_dir)
@@ -368,14 +385,21 @@ def main() -> None:
             # env-var path (SPARK_GRAFT_ROUND): likely an automated
             # caller — never abort its run; archive to a .new sibling
             # so the committed record stays intact AND the run's
-            # summary line still prints
+            # summary line still prints.  The sibling is uniquified
+            # (ADVICE r10 #3): a pre-existing .new is never clobbered
+            # either — each diverted run lands in its own .new/.newK
+            # file, and every diverted record needs MANUAL adjudication
+            # against the committed one before any re-freeze uses it.
+            sibling = _divert_archive_path(arch_path)
             print(
                 f"# WARNING: {os.path.basename(arch_path)} already "
-                "exists — archiving to .new instead (immutable round "
-                "records; pass --force to overwrite)",
+                f"exists — archiving to {os.path.basename(sibling)} "
+                "instead (immutable round records; pass --force to "
+                "overwrite). Diverted records require manual "
+                "adjudication against the committed one.",
                 flush=True,
             )
-            arch_path += ".new"
+            arch_path = sibling
     headline = (
         [q.strip() for q in subset.split(",") if q.strip()]
         if subset

@@ -4852,7 +4852,9 @@ def q92_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     without a total order. Float discipline: Σ i·x and Σ x are
     sum-order-sensitive doubles, but G is a ratio of ~1e11-magnitude
     sums whose reorder error is ~1e-13 relative — invisible at the
-    6dp rounding."""
+    6dp rounding. The named high-cardinality twin is
+    q92_value_gini_binned below (VERDICT r10 next #7): Gini from
+    histogram bins, no total order anywhere."""
     orders = read_table(
         spark, sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]
     )
@@ -4898,6 +4900,153 @@ _DUCK_Q92_SQL = """
            round((2.0 * sum(i * x)) / (count(*) * sum(x))
                  - (count(*) + 1.0) / count(*), 6) AS gini
     FROM r GROUP BY 1 ORDER BY 1
+"""
+
+
+GINI_BINS = 64  # histogram resolution for the binned Gini twin; the
+# bin-level cross frame is |nations|·B² = 102,400 rows at B=64 —
+# constant, row-count-independent
+
+
+def q92_value_gini_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q92's named high-cardinality twin (its docstring's "prices Gini
+    from bin boundaries without a total order", made an operator):
+    per-nation Gini approximated from a GINI_BINS-bucket histogram —
+    bins as atoms at their mean, G ≈ Σ_ij n_i·n_j·|x̄_i − x̄_j| /
+    (2·N·Σx), the grouped-data mean-difference form. Within-bin
+    inequality is invisible, so the estimate is a LOWER bound that
+    converges to the exact statistic as bins shrink (the accuracy
+    envelope vs q92 is pinned in tests/test_queries.py).
+
+    Why equi-WIDTH bins, not the q50/q68 equi-depth cuts: the binned
+    form is only oracle-exact if both engines assign identical
+    buckets, and equi-width boundaries are pure arithmetic from the
+    per-nation (min, max) — deterministic everywhere — while
+    equi-depth cuts come from approx_percentile, an engine-specific
+    sketch. A production deployment free of the cross-engine
+    constraint can swap in the q50 cuts without touching the
+    mean-difference fold.
+
+    Shape — the q92 contrast is the point: NO window, NO sort of the
+    fact, no per-group total order. Two fact passes (per-nation
+    bounds, then bucket assignment — the bounds come BACK as a 25-row
+    broadcast), ONE (nation, bucket) aggregation with map-side
+    combine, then a bin-grain self-join on the ≤25·B-row frame
+    (broadcast; the cross frame is a constant 25·B² rows regardless
+    of data volume). At 100 TB every fact-sized stage is a hash
+    aggregate; q92's per-group external sort is gone. Float
+    discipline: bin means rounded 6dp before the |x̄_i − x̄_j| fold so
+    every term matches engine-for-engine; only the constant-size sum
+    order differs, absorbed by the final 6dp rounding."""
+    orders = read_table(
+        spark, sf_dir, "orders", ["o_custkey", "o_totalprice"]
+    )
+    cust = read_table(spark, sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nation = read_table(spark, sf_dir, "nation", ["n_nationkey", "n_name"])
+    j = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select("n_name", "o_totalprice")
+    )
+    bounds = j.groupBy("n_name").agg(
+        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+    )
+    bucket = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+        F.least(
+            F.floor(
+                (F.col("o_totalprice") - F.col("mn"))
+                / ((F.col("mx") - F.col("mn")) / GINI_BINS)
+            ),
+            F.lit(GINI_BINS - 1),
+        )
+    )
+    bins = (
+        j.join(F.broadcast(bounds), "n_name")
+        .withColumn("bucket", bucket.cast("int"))
+        .groupBy("n_name", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_i"),
+            F.sum("o_totalprice").alias("s_i"),
+        )
+        .withColumn("xb_i", F.round(F.col("s_i") / F.col("n_i"), 6))
+    )
+    a = bins.select("n_name", "n_i", "xb_i")
+    b = bins.select(
+        F.col("n_name").alias("n_name_b"),
+        F.col("n_i").alias("n_j"),
+        F.col("xb_i").alias("xb_j"),
+    )
+    cross = a.join(
+        F.broadcast(b), F.col("n_name") == F.col("n_name_b")
+    ).select(
+        "n_name",
+        (
+            F.col("n_i")
+            * F.col("n_j")
+            * F.abs(F.col("xb_i") - F.col("xb_j"))
+        ).alias("term"),
+    )
+    totals = bins.groupBy("n_name").agg(
+        F.sum("n_i").alias("n_orders"),
+        F.round(F.sum("s_i"), 4).alias("total_value"),
+        F.count(F.lit(1)).alias("n_bins_used"),
+    )
+    md = cross.groupBy("n_name").agg(F.sum("term").alias("num"))
+    return (
+        totals.join(md, "n_name")
+        .select(
+            "n_name",
+            "n_orders",
+            "total_value",
+            "n_bins_used",
+            F.round(
+                F.col("num")
+                / (F.lit(2.0) * F.col("n_orders") * F.col("total_value")),
+                6,
+            ).alias("gini_binned"),
+        )
+        .orderBy("n_name")
+    )
+
+
+_DUCK_Q92B_SQL = f"""
+    WITH j AS (
+        SELECT n.n_name, o.o_totalprice AS x
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ), bounds AS (
+        SELECT n_name, min(x) AS mn, max(x) AS mx FROM j GROUP BY 1
+    ), bins AS (
+        SELECT j.n_name,
+               CAST(CASE WHEN b.mx = b.mn THEN 0
+                    ELSE least(CAST(floor((j.x - b.mn)
+                                   / ((b.mx - b.mn) / {GINI_BINS}))
+                               AS BIGINT), {GINI_BINS - 1})
+                    END AS INT) AS bucket,
+               count(*) AS n_i, sum(j.x) AS s_i
+        FROM j JOIN bounds b USING (n_name)
+        GROUP BY 1, 2
+    ), binm AS (
+        SELECT n_name, bucket, n_i, s_i,
+               round(s_i / n_i, 6) AS xb_i
+        FROM bins
+    ), totals AS (
+        SELECT n_name, CAST(sum(n_i) AS BIGINT) AS n_orders,
+               round(sum(s_i), 4) AS total_value,
+               count(*) AS n_bins_used
+        FROM binm GROUP BY 1
+    ), md AS (
+        SELECT a.n_name,
+               sum(a.n_i * b.n_i * abs(a.xb_i - b.xb_i)) AS num
+        FROM binm a JOIN binm b USING (n_name)
+        GROUP BY 1
+    )
+    SELECT t.n_name, t.n_orders, t.total_value, t.n_bins_used,
+           round(m.num / (2.0 * t.n_orders * t.total_value), 6)
+               AS gini_binned
+    FROM totals t JOIN md m USING (n_name)
+    ORDER BY t.n_name
 """
 
 
@@ -5114,6 +5263,7 @@ ORACLE_SQL: dict[str, str] = {
     "q91_decayed_engagement": _DUCK_Q91_SQL,
     "q92_value_gini": _DUCK_Q92_SQL,
     "q93_rrf_fusion": _DUCK_Q93_SQL,
+    "q92_value_gini_binned": _DUCK_Q92B_SQL,
     "q94_hhi_concentration": _DUCK_Q94_SQL,
     "sim_diverse_subset": _duck_diverse_subset_sql(),
     "q54_hash_sample": _duck_hash_sample_sql(),
@@ -5629,6 +5779,7 @@ QUERIES = {
     "q91_decayed_engagement": q91_decayed_engagement,
     "q92_value_gini": q92_value_gini,
     "q93_rrf_fusion": q93_rrf_fusion,
+    "q92_value_gini_binned": q92_value_gini_binned,
     "q94_hhi_concentration": q94_hhi_concentration,
     "q83_approx_percentile_guard": q83_approx_percentile_guard,
     "sim_diverse_subset": sim_diverse_subset,

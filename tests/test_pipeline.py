@@ -350,6 +350,20 @@ def test_parse_round_arg_branches():
         bench._parse_round_arg(["bench.py"], {"SPARK_GRAFT_ROUND": "x"})
 
 
+def test_divert_archive_path_never_clobbers(tmp_path):
+    """ADVICE r10 #3 pin: the diverted-archive fallback must uniquify —
+    a second (and third) collision lands in .new2/.new3 instead of
+    silently overwriting the first diverted record."""
+    import bench
+
+    base = str(tmp_path / "BENCH_full_r99.json")
+    assert bench._divert_archive_path(base) == base + ".new"
+    open(base + ".new", "w").write("{}")
+    assert bench._divert_archive_path(base) == base + ".new2"
+    open(base + ".new2", "w").write("{}")
+    assert bench._divert_archive_path(base) == base + ".new3"
+
+
 def test_baseline_covers_full_headline():
     """VERDICT r9 ask #3 pin: every HEADLINE query has a baseline entry
     (the frozen r6 floor or the BASELINE_REFREEZE overlay), so

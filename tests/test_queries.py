@@ -132,6 +132,7 @@ EXPECTED_CARDINALITY = {
     "q91_decayed_engagement": 5,     # event-type domain
     "q92_value_gini": 25,            # nation domain
     "q93_rrf_fusion": 20,            # top-20 fused
+    "q92_value_gini_binned": 25,     # nation domain
     "q94_hhi_concentration": 25,     # nation domain
     "sim_search_rrf": 15,            # top-15 fused (union of two
                                      # depth-20 lists always >= 15)
@@ -152,6 +153,32 @@ def test_structural_cardinalities_pinned(duck):
         if got != want:
             wrong[name] = (got, want)
     assert not wrong, f"structural cardinality drift (got, want): {wrong}"
+
+
+def test_binned_gini_accuracy_envelope(spark):
+    """q92_value_gini_binned's estimate quality vs the exact rank
+    statistic at SF_CORRECT: binned-from-atoms Gini ignores within-bin
+    inequality, so per nation it must (a) never exceed the exact value
+    by more than float noise (lower-bound property) and (b) sit within
+    a small absolute envelope of it at 64 bins — the twin is an
+    approximation of the SAME quantity, not a different statistic."""
+    from data_pipeline_and_visualization_dashboard_spark.queries_ext import (
+        q92_value_gini,
+        q92_value_gini_binned,
+    )
+
+    exact = {
+        r.n_name: r.gini for r in q92_value_gini(spark, SF_CORRECT).collect()
+    }
+    binned = {
+        r.n_name: r.gini_binned
+        for r in q92_value_gini_binned(spark, SF_CORRECT).collect()
+    }
+    assert set(binned) == set(exact) and len(exact) == 25
+    for nation, g in exact.items():
+        gb = binned[nation]
+        assert gb <= g + 1e-6, (nation, gb, g)
+        assert g - gb <= 0.02, (nation, gb, g)
 
 
 def test_no_vacuously_green_oracles(duck):
