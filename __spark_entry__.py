@@ -54,70 +54,64 @@ def entry(spark: SparkSession) -> DataFrame:
 # holds at least one green driver row, zero failures ever, and no
 # entry is vacuously green (fleet-wide ≥1-row guard,
 # tests/test_queries.py).
-# Round-11 window (the precomputed rotation from the r10 close-out /
-# VERDICT r10 ask #1): all 48 r7-latest entries (3 rounds stale at
-# r11, in their CORRECTNESS_r07 order, starting with the 4 entries
-# the r10 additions displaced) + the 2 oldest r8-latest entries to
-# fill 50 — and per the displacement rule the 2 NEW r11 entries
-# (q94_hhi_concentration, sim_search_rrf) take exactly those 2 r8
-# END slots (q66_late_supplier_blame, sketch_kmv_estimate — queued
-# first for the r12 window, together with the never-checked
-# q92_value_gini_binned).  After this window no oracle-backed
-# entry is more than 3 rounds stale.
+# Round-12 window (the precomputed rotation from VERDICT r11 ask #2):
+# q92_value_gini_binned FIRST (the only never-driver-checked
+# oracle-backed entry), then the 49 oldest r8-latest entries in their
+# CORRECTNESS_r08 order.  q14_clean_accounting (the 50th r8 entry)
+# slides to r13.  Any NEW r12 oracle-backed entry displaces from the
+# END of this list (each displacement just defers an r8 entry one
+# round).
 _CHECK_FIRST = [
-    "dedup_embedding_pairs_lsh",
-    "sim_pq_codes",
-    "sim_pq_adc_topk",
-    "sim_sq_topk",
-    "sim_lsh_buckets",
-    "sketch_countmin",
-    "sketch_countmin_topk_est",
-    "sketch_hll_registers",
-    "sketch_hll_estimate",
-    "text_tokens_bpe",
-    "text_quality_filter",
-    "text_repetition",
-    "text_tfidf_topk",
-    "text_vocab",
-    "text_vocab_encode",
-    "text_chunks",
-    "text_packing",
-    "text_split_assign",
-    "media_resized",
-    "dedup_hash_stage_md5",
-    "dedup_semantic",
-    "text_scrub_pii",
-    "text_mix_sample",
-    "text_line_dedup",
-    "dedup_neardup_groups_lsss",
-    "text_dup_ngrams",
-    "text_quality_score",
-    "text_dsir_weights",
-    "q60_bucketed_join",
-    "q61_profile_events",
-    "dedup_incremental_exact",
-    "text_gopher_rules",
-    "q62_skew_stats",
-    "sim_recall_eval",
-    "sim_lsh_multiprobe_topk",
-    "sim_lang_centroids",
-    "sim_rp_topk",
-    "sim_lsh_topk",
-    "q63_drift_kl",
-    "q64_weighted_sample",
-    "q65_small_quantity_revenue",
-    "q67_important_parts",
-    "q68_value_deciles",
-    "dedup_contamination_multi",
-    "dedup_survivor_policy",
-    "dedup_training_triplets",
-    "dedup_pair_features",
-    "text_lm_logprob",
-    # the 2 NEW r11 entries, displacing the 2 oldest r8-latest
-    # (q66_late_supplier_blame, sketch_kmv_estimate) per the
-    # new-entries-take-the-END-slots rule
-    "q94_hhi_concentration",
-    "sim_search_rrf",
+    "q92_value_gini_binned",
+    "q66_late_supplier_blame",
+    "sketch_kmv_estimate",
+    "sketch_hist_quantiles",
+    "text_bpe_compression",
+    "text_search_and",
+    "text_search_near",
+    "text_index_merge",
+    "media_features",
+    "sim_rp_topk_pretrained",
+    "dedup_minhash_pairs_xxhash",
+    "corpus_funnel_xxhash",
+    "dedup_hash_stage_xxhash",
+    "dedup_semantic_trained",
+    "sim_ivf_topk_pretrained",
+    "sim_ivfpq_topk_pretrained",
+    "q69_concurrent_sessions",
+    "q61_profile_events_approx",
+    "q61_profile_events_approx_xxhash",
+    "sim_ivf_recall_guard",
+    "sim_ivfpq_recall_guard",
+    "q80_market_share",
+    "q81_product_margin",
+    "q70_promo_discount_revenue",
+    "q71_idle_rich_customers",
+    "q72_top_quarter_supplier",
+    "q73_large_quantity_orders",
+    "q74_dominant_suppliers",
+    "q75_nation_trade_volume",
+    "text_dup_spans",
+    "sketch_bloom_bits",
+    "sketch_bloom_prefilter",
+    "text_search_bm25",
+    "dedup_snapshot_diff",
+    "q76_priority_late_orders",
+    "q77_returned_customers",
+    "q78_promo_revenue_share",
+    "q79_supplier_variety",
+    "sim_diverse_subset",
+    "dedup_threshold_curve",
+    "media_frames",
+    "q82_order_count_distribution",
+    "q83_approx_percentile_guard",
+    "q84_rollup_revenue",
+    "q85_corpus_grouping_sets",
+    "q1_top_nations",
+    "q2_avg_value_by_hour",
+    "q3_event_type_pct",
+    "q4_unit_price_by_weekday",
+    "q5_trade_routes",
 ]
 
 

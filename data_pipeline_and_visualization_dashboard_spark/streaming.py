@@ -318,6 +318,14 @@ _WATERMARK_UNITS_US = {
     "minute": 60 * 1_000_000,
     "hour": 3600 * 1_000_000,
     "day": 86400 * 1_000_000,
+    # Spark also accepts week/month/year delays (ADVICE r11 #3).
+    # Week is exact; month/year use their MINIMUM calendar span so the
+    # guard stays conservative (a shorter assumed delay can only
+    # under-reject, and any count >= 1 of these already exceeds the
+    # 30-min session gap, so in practice they are all rejected).
+    "week": 7 * 86400 * 1_000_000,
+    "month": 28 * 86400 * 1_000_000,
+    "year": 365 * 86400 * 1_000_000,
 }
 
 
@@ -334,7 +342,8 @@ def _check_session_watermark(watermark: str) -> None:
     import re
 
     m = re.fullmatch(
-        r"\s*(\d+)\s*(microsecond|millisecond|second|minute|hour|day)s?\s*",
+        r"\s*(\d+)\s*(microsecond|millisecond|second|minute|hour|day"
+        r"|week|month|year)s?\s*",
         watermark.lower(),
     )
     if m is None:

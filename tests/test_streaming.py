@@ -2398,7 +2398,10 @@ def test_session_watermark_beyond_gap_rejected(spark):
     ev = spark.read.parquet(SF_SMOKE + "/events.parquet").withColumn(
         "ts", F.col("ts").cast("timestamp")
     )
-    for bad in ("31 minutes", "1 hour", "2 days", "1801 seconds"):
+    # week/month/year are Spark-valid units too (ADVICE r11 #3) —
+    # any count >= 1 of them exceeds the 30-min gap.
+    for bad in ("31 minutes", "1 hour", "2 days", "1801 seconds",
+                "1 week", "1 month", "1 year"):
         with pytest.raises(ValueError, match="exceeds the session gap"):
             streaming.sessionize_stream(ev, watermark=bad)
         with pytest.raises(ValueError, match="exceeds the session gap"):
