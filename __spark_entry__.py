@@ -111,7 +111,10 @@ _CHECK_FIRST = [
     "q2_avg_value_by_hour",
     "q3_event_type_pct",
     "q4_unit_price_by_weekday",
-    "q5_trade_routes",
+    # NEW r12 entry (weighted-AMS HHI sketch), displacing the END slot
+    # per the displacement rule (q5_trade_routes slides to r13 with
+    # q14_clean_accounting)
+    "sketch_ams_hhi",
 ]
 
 

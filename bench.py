@@ -95,14 +95,26 @@ BASELINE_REFREEZE = {
     "text_token_entropy": 0.338,
     "dedup_containment_est": 1.394,
     "sketch_ams_f2": 0.361,
-    # r10 additions, from BENCH_full_r10.json (4-run floor).  Caveat
-    # recorded in BASELINE.md: the r10 box ran 9-20% hot fleet-wide,
-    # so these four baselines carry that bias until a cooler floor
-    # deliberately re-freezes them.
-    "q91_decayed_engagement": 0.332,
-    "q92_value_gini": 0.806,
-    "q93_rrf_fusion": 0.258,
-    "text_hashed_features": 0.485,
+    # r10 additions, originally frozen from the hot-box
+    # BENCH_full_r10.json 4-run floor (0.332/0.806/0.258/0.485) and
+    # re-frozen DOWNWARD r12 from the BENCH_full_r12{,b,c}.json 3-run
+    # floor per BASELINE.md's stricter-only clause (the r12 floors
+    # confirmed the r11 driver's cool-box reading; drift log closes
+    # the r10 hot-box caveat):
+    "q91_decayed_engagement": 0.291,
+    "q92_value_gini": 0.763,
+    "q93_rrf_fusion": 0.224,
+    "text_hashed_features": 0.426,
+    # r11 additions, frozen r12 at their FIRST committed >=2-run floor
+    # (BENCH_full_r12{,b,c}.json 3-run floor — VERDICT r11 ask #1):
+    "q94_hhi_concentration": 0.424,
+    "sim_search_rrf": 0.970,
+    # r12 additions, frozen at their first committed floor: the
+    # BENCH_full_r12b/r12c 2-run floor (run 1 predates
+    # q92_value_gini_binned's self-join->array-fold rewrite and
+    # sketch_ams_hhi's registration, so it is excluded for both):
+    "q92_value_gini_binned": 0.669,
+    "sketch_ams_hhi": 0.820,
 }
 
 def baseline_gate(timings: dict, sf: float, subset,
@@ -216,6 +228,7 @@ HEADLINE = [
     "q90_mad_outliers",  # median/MAD robust outlier screen (exact pctl)
     "q91_decayed_engagement",  # half-life decay rollup (BNLJ readout)
     "q92_value_gini",  # per-nation Gini (exact rank statistic)
+    "q92_value_gini_binned",  # grouped-data Gini, no window/fact sort
     "q93_rrf_fusion",  # reciprocal-rank fusion of two top-k lists
     "q94_hhi_concentration",  # per-nation HHI (pure agg-of-squares)
     "sim_recall_eval",  # LSH recall@k vs exact (eval as an operator)
@@ -262,6 +275,7 @@ HEADLINE = [
     "sketch_countmin",  # deterministic frequency sketch
     "sketch_hll_estimate",  # deterministic cardinality sketch
     "sketch_ams_f2",  # tug-of-war second-moment (join-size) sketch
+    "sketch_ams_hhi",  # weighted AMS -> streaming-estimable HHI
     "sketch_kmv_overlap",  # bottom-k cross-corpus overlap estimate
     "sketch_hist_quantiles",  # mergeable fixed-bin quantile sketch
     "sketch_bloom_prefilter",  # adaptive Bloom runtime join filter

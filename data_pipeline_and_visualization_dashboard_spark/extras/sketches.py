@@ -1068,12 +1068,152 @@ def _duck_ams_f2_sql() -> str:
     """
 
 
+# ----------------------------------------------------------------------
+# weighted AMS → streaming-estimable HHI
+# ----------------------------------------------------------------------
+# The AMS construction generalizes verbatim to WEIGHTED frequency
+# vectors (Alon-Matias-Szegedy 1996 §2 — f(x) is any additive weight):
+# with spend(c) = Σ order amounts of customer c,
+#   S_r = Σ_c spend(c)·s_r(c)  and  E[S_r²] = Σ_c spend(c)² ,
+# the numerator of the Herfindahl-Hirschman index
+#   HHI = Σ spend² / (Σ spend)² .
+# Because S_r is per-ARRIVAL updatable (each order adds
+# sign(cust)·amount) and the denominator is a plain global sum, the
+# whole market-concentration monitor is TWO streaming global sums —
+# one state row, no per-customer state — the streaming twin is
+# streaming.hhi_ams_stream.  Amounts are cast DECIMAL(18,2) (every
+# o_totalprice is an exact 2dp value) so the signed sums are EXACT
+# integers-in-decimal in both engines and the batch/stream/oracle
+# parity is bit-for-bit regardless of addition order; only the final
+# ratio readouts are double.
+
+_AMS_HHI_SPARK_KEY = "CAST(o_custkey AS STRING)"
+_AMS_HHI_DUCK_KEY = "CAST(o_custkey AS VARCHAR)"
+
+
+def ams_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global customer-concentration (HHI) readout next to its
+    weighted-AMS estimate (one row: customer count, exact and
+    estimated effective-customer counts 1/HHI, F2 relative error —
+    the ams_f2/hll_estimate readout contract).
+
+    Scale shape: ONE customer-grain aggregation (the only fact-sized
+    shuffle — the per-customer spend frame q94 already builds), then
+    the 16 signed sums + the spend sum fold in ONE global aggregation
+    whose state is 17 decimals; partial sums combine map-side.  The
+    exact Σspend² column exists only for the error readout — the
+    production path at 100 TB is the estimate, whose stream twin
+    (streaming.hhi_ams_stream) never materializes the customer grain
+    at all.  Float discipline: per-customer spend is exact
+    DECIMAL(18,2) (so the S_r decimals match the oracle bit-for-bit);
+    Σspend² is a double fold whose addition-order spread (≲n·ε,
+    relative ~1e-12 at bench SFs) is absorbed by the 4dp readout
+    rounding."""
+    orders = read_table(
+        spark, sf_dir, "orders", ["o_custkey", "o_totalprice"]
+    )
+    spend = (
+        orders.filter(F.col("o_custkey").isNotNull())
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("spend")
+        )
+    )
+    base = _spark_base(_AMS_HHI_SPARK_KEY)
+    signed = spend.selectExpr(
+        "spend",
+        *[f"CAST({_ams_sign(r, base)} AS INT) AS s_{r}"
+          for r in range(AMS_R)],
+    )
+    sums = signed.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("spend").alias("f1"),
+        F.sum(
+            F.col("spend").cast("double") * F.col("spend").cast("double")
+        ).alias("f2_exact"),
+        *[
+            F.sum(F.col("spend") * F.col(f"s_{r}")).alias(f"S_{r}")
+            for r in range(AMS_R)
+        ],
+    )
+    sq = F.array_sort(
+        F.array(*[
+            (F.col(f"S_{r}").cast("double") * F.col(f"S_{r}").cast("double"))
+            for r in range(AMS_R)
+        ])
+    )
+    mid = AMS_R // 2
+    est = (
+        F.element_at(sq, mid) + F.element_at(sq, mid + 1)
+    ).cast("double") / F.lit(2.0)
+    f1d = F.col("f1").cast("double")
+    return sums.select(
+        "n_customers",
+        F.round(f1d * f1d / F.col("f2_exact"), 4).alias(
+            "eff_customers_exact"
+        ),
+        F.round(f1d * f1d / est, 4).alias("eff_customers_est"),
+        F.round(
+            F.abs(est - F.col("f2_exact")) / F.col("f2_exact"), 4
+        ).alias("rel_err"),
+    )
+
+
+def _duck_ams_hhi_sql() -> str:
+    base = _duck_base(_AMS_HHI_DUCK_KEY)
+    signs = ",\n               ".join(
+        f"{_ams_sign(r, base)} AS s_{r}" for r in range(AMS_R)
+    )
+    s_sums = ",\n               ".join(
+        f"sum(spend * s_{r}) AS S_{r}" for r in range(AMS_R)
+    )
+    sq_list = ", ".join(
+        f"CAST(S_{r} AS DOUBLE) * CAST(S_{r} AS DOUBLE)"
+        for r in range(AMS_R)
+    )
+    mid = AMS_R // 2
+    return f"""
+        WITH spend AS (
+            SELECT o_custkey,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                        AS DECIMAL(18,2)) AS spend
+            FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1
+        ), signed AS (
+            SELECT spend,
+               {signs}
+            FROM spend
+        ), sums AS (
+            SELECT count(*) AS n_customers,
+               sum(spend) AS f1,
+               sum(CAST(spend AS DOUBLE) * CAST(spend AS DOUBLE))
+                   AS f2_exact,
+               {s_sums}
+            FROM signed
+        ), arr AS (
+            SELECT n_customers, CAST(f1 AS DOUBLE) AS f1d, f2_exact,
+                   list_sort([{sq_list}]) AS sq
+            FROM sums
+        )
+        SELECT n_customers,
+               round(f1d * f1d / f2_exact, 4) AS eff_customers_exact,
+               round(f1d * f1d /
+                     (CAST(sq[{mid}] + sq[{mid + 1}] AS DOUBLE) / 2.0),
+                     4) AS eff_customers_est,
+               round(abs(CAST(sq[{mid}] + sq[{mid + 1}] AS DOUBLE) / 2.0
+                         - f2_exact) / f2_exact, 4) AS rel_err
+        FROM arr
+    """
+
+
 ORACLE_SQL: dict[str, str] = {
     "sketch_countmin": _duck_countmin_sql(),
     "sketch_countmin_topk_est": _duck_countmin_est_sql(),
     "sketch_hll_registers": _duck_hll_registers_sql(),
     "sketch_hll_estimate": _duck_hll_estimate_sql(),
     "sketch_ams_f2": _duck_ams_f2_sql(),
+    "sketch_ams_hhi": _duck_ams_hhi_sql(),
     "sketch_kmv_estimate": _duck_kmv_estimate_sql(),
     "sketch_kmv_overlap": _duck_kmv_overlap_sql(),
     "sketch_hist_quantiles": _duck_hist_quantiles_sql(),
@@ -1087,6 +1227,7 @@ QUERIES = {
     "sketch_hll_registers": hll_registers,
     "sketch_hll_estimate": hll_estimate,
     "sketch_ams_f2": ams_f2,
+    "sketch_ams_hhi": ams_hhi,
     "sketch_kmv_estimate": kmv_estimate,
     "sketch_kmv_overlap": kmv_overlap,
     "sketch_hist_quantiles": hist_quantiles,

@@ -4928,16 +4928,24 @@ def q92_value_gini_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean-difference fold.
 
     Shape — the q92 contrast is the point: NO window, NO sort of the
-    fact, no per-group total order. Two fact passes (per-nation
-    bounds, then bucket assignment — the bounds come BACK as a 25-row
-    broadcast), ONE (nation, bucket) aggregation with map-side
-    combine, then a bin-grain self-join on the ≤25·B-row frame
-    (broadcast; the cross frame is a constant 25·B² rows regardless
-    of data volume). At 100 TB every fact-sized stage is a hash
-    aggregate; q92's per-group external sort is gone. Float
-    discipline: bin means rounded 6dp before the |x̄_i − x̄_j| fold so
-    every term matches engine-for-engine; only the constant-size sum
-    order differs, absorbed by the final 6dp rounding."""
+    fact, no per-group total order, and (since r12) NO self-join
+    either. Two fact passes (per-nation bounds, then bucket
+    assignment — the bounds come BACK as a 25-row broadcast), ONE
+    (nation, bucket) aggregation with map-side combine, then each
+    nation's ≤B bin atoms collect into ONE array row and the O(B²)
+    mean-difference double sum runs as a row-local nested
+    higher-order fold (codegen'd `aggregate`, no Python) — the r11
+    self-join formulation planned the bins subtree THREE times
+    (static exchange reuse never fired across the aliased branches),
+    turning the claimed 2 fact passes into 4; the array fold makes
+    every subtree single-consumer so the plan literally has the two
+    scans the docstring promises (pinned: 4 exchanges, no
+    join/window/sort past the broadcast dim chain). At 100 TB every
+    fact-sized stage is a hash aggregate; q92's per-group external
+    sort is gone. Float discipline: bin means rounded 6dp before the
+    |x̄_i − x̄_j| fold so every term matches engine-for-engine; only
+    the constant-size (≤B²-term) sum order differs from the oracle's
+    cross-join sum, absorbed by the final 6dp rounding."""
     orders = read_table(
         spark, sf_dir, "orders", ["o_custkey", "o_totalprice"]
     )
@@ -4970,43 +4978,39 @@ def q92_value_gini_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("xb_i", F.round(F.col("s_i") / F.col("n_i"), 6))
     )
-    a = bins.select("n_name", "n_i", "xb_i")
-    b = bins.select(
-        F.col("n_name").alias("n_name_b"),
-        F.col("n_i").alias("n_j"),
-        F.col("xb_i").alias("xb_j"),
-    )
-    cross = a.join(
-        F.broadcast(b), F.col("n_name") == F.col("n_name_b")
-    ).select(
-        "n_name",
-        (
-            F.col("n_i")
-            * F.col("n_j")
-            * F.abs(F.col("xb_i") - F.col("xb_j"))
-        ).alias("term"),
-    )
-    totals = bins.groupBy("n_name").agg(
+    per_nation = bins.groupBy("n_name").agg(
         F.sum("n_i").alias("n_orders"),
         F.round(F.sum("s_i"), 4).alias("total_value"),
         F.count(F.lit(1)).alias("n_bins_used"),
+        F.collect_list(F.struct("n_i", "xb_i")).alias("atoms"),
     )
-    md = cross.groupBy("n_name").agg(F.sum("term").alias("num"))
-    return (
-        totals.join(md, "n_name")
-        .select(
-            "n_name",
-            "n_orders",
-            "total_value",
-            "n_bins_used",
-            F.round(
-                F.col("num")
-                / (F.lit(2.0) * F.col("n_orders") * F.col("total_value")),
-                6,
-            ).alias("gini_binned"),
-        )
-        .orderBy("n_name")
+    # Σ_ij n_i·n_j·|x̄_i − x̄_j| as a nested row-local fold over the
+    # ≤B-element atom array — replaces the r11 bin-grain self-join
+    # (see docstring); collect_list order is nondeterministic, but the
+    # double sum's order spread (≤B²·ε relative) is absorbed by the
+    # terminal 6dp rounding
+    num = F.aggregate(
+        F.col("atoms"),
+        F.lit(0.0),
+        lambda acc, b: acc
+        + b["n_i"].cast("double")
+        * F.aggregate(
+            F.col("atoms"),
+            F.lit(0.0),
+            lambda acc2, c: acc2
+            + c["n_i"].cast("double") * F.abs(b["xb_i"] - c["xb_i"]),
+        ),
     )
+    return per_nation.select(
+        "n_name",
+        "n_orders",
+        "total_value",
+        "n_bins_used",
+        F.round(
+            num / (F.lit(2.0) * F.col("n_orders") * F.col("total_value")),
+            6,
+        ).alias("gini_binned"),
+    ).orderBy("n_name")
 
 
 _DUCK_Q92B_SQL = f"""

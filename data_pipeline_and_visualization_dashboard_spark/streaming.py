@@ -1399,6 +1399,145 @@ def ams_merge_stream(spark: SparkSession, in_dir: str, state_dir: str,
     )
 
 
+# orders arrive as their own stream for the market-concentration
+# monitor; same NTZ-timestamp declaration rationale as _STREAM_SCHEMA
+_ORDERS_STREAM_SCHEMA = (
+    "o_orderkey long, o_custkey long, o_orderstatus string, "
+    "o_totalprice double, o_orderdate timestamp_ntz, "
+    "o_orderpriority string"
+)
+
+
+def hhi_ams_stream(orders: DataFrame) -> DataFrame:
+    """Live market-concentration (HHI) monitor — the streaming twin of
+    extras.sketches.ams_hhi (VERDICT r11 next #7): HHI = Σspend²/F1²
+    where both terms are per-ARRIVAL updatable global sums.  The
+    numerator is the weighted AMS estimate — each order adds
+    sign_r(custkey)·amount to S_r, so E[S_r²] = Σ_c spend(c)² with NO
+    per-customer state — and the denominator is the plain amount sum.
+    Like ams_f2_stream this reduces the whole monitor to ONE streaming
+    global aggregation: the state store holds exactly one row of
+    AMS_R+2 values regardless of customer cardinality or stream
+    length, partial sums combine map-side, no watermark, no custom
+    operator.
+
+    Parity contract: amounts are cast DECIMAL(18,2) (o_totalprice is
+    an exact 2dp value) so every signed sum is EXACT decimal
+    arithmetic — the emitted S_r/F1 equal the batch twin's
+    customer-grain sums bit-for-bit regardless of micro-batch
+    boundaries or addition order (a double fold would make stream ≡
+    batch parity hold only to ulps).  The HHI readout (median of
+    squares / F1²) stays OUTSIDE the stream — a stateless O(1)
+    epilogue (hhi_from_row) — keeping the state raw mergeable sums so
+    two independent stream monitors remain combinable by addition.
+    NULL custkeys are filtered before signing for the same n_rows
+    honesty reason as ams_f2_stream."""
+    from .extras.sketches import (
+        AMS_R,
+        _AMS_HHI_SPARK_KEY,
+        _ams_sign,
+        _spark_base,
+    )
+
+    base = _spark_base(_AMS_HHI_SPARK_KEY)
+    signed = orders.filter(F.col("o_custkey").isNotNull()).selectExpr(
+        "CAST(o_totalprice AS DECIMAL(18,2)) AS amount",
+        *[
+            f"CAST({_ams_sign(r, base)} AS INT) AS sg_{r}"
+            for r in range(AMS_R)
+        ],
+    )
+    return signed.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("amount").alias("F1"),
+        *[
+            F.sum(F.col("amount") * F.col(f"sg_{r}")).alias(f"S_{r}")
+            for r in range(AMS_R)
+        ],
+    )
+
+
+def hhi_from_row(row) -> dict:
+    """Stateless O(1) readout epilogue over one emitted monitor row:
+    median-of-squares F2 estimate, HHI estimate, effective customers.
+    Lives outside the stream on purpose (see hhi_ams_stream)."""
+    from .extras.sketches import AMS_R
+
+    sq = sorted(float(row[f"S_{r}"]) ** 2 for r in range(AMS_R))
+    est_f2 = (sq[AMS_R // 2 - 1] + sq[AMS_R // 2]) / 2.0
+    f1 = float(row["F1"])
+    hhi = est_f2 / (f1 * f1) if f1 else float("nan")
+    return {
+        "n_rows": row["n_rows"],
+        "est_f2": est_f2,
+        "hhi_est": hhi,
+        "eff_customers_est": (1.0 / hhi) if hhi else float("inf"),
+    }
+
+
+def run_hhi_stream_to_completion(spark: SparkSession, in_dir: str,
+                                 query_name: str = "hhi_out"):
+    """Drive the HHI monitor over a finite orders fixture;
+    complete-mode memory sink. Returns (result_df, state_rows_total)
+    so callers can assert the O(1)-state claim from the query's own
+    progress metrics (the round-9 state-honesty rule)."""
+    raw = (
+        spark.readStream.schema(_ORDERS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "orders.parquet")
+        .parquet(in_dir)
+    )
+    q = (
+        hhi_ams_stream(raw)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        prog = q.lastProgress
+        if prog is None:
+            raise RuntimeError(
+                "HHI stream finished without a progress record; "
+                "state_rows cannot be read from lastProgress"
+            )
+        state_rows = sum(
+            op["numRowsTotal"] for op in prog["stateOperators"]
+        )
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}"), state_rows
+
+
+def hhi_merge_stream(spark: SparkSession, in_dir: str, state_dir: str,
+                     checkpoint_dir: str):
+    """Restartable HHI monitor: same one-state-row global aggregation
+    as hhi_ams_stream, persisted through foreachBatch with a
+    checkpoint so a crash/restart resumes the signed sums instead of
+    restarting the sketch.  Complete-mode output is the WHOLE 1-row
+    monitor every trigger → the sink is a plain idempotent overwrite
+    (last-write-wins, no epoch fence needed — the ams_merge_stream
+    disposition)."""
+    raw = (
+        spark.readStream.schema(_ORDERS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(in_dir)
+    )
+
+    def persist(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.coalesce(1).write.mode("overwrite").parquet(state_dir)
+
+    return (
+        hhi_ams_stream(raw)
+        .writeStream.outputMode("complete")
+        .foreachBatch(persist)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 BLOOM_STREAM_M = 1 << 16  # provisioned width — a stream filter cannot
 # resize without a rebuild, so unlike the batch bloom_bits (width
 # adapts to the build cardinality) the streaming filter provisions for

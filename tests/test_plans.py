@@ -539,6 +539,16 @@ CASES = {
          "Window", "BatchEvalPython", "ArrowEvalPython"],
         2,  # user_id agg + SinglePartition fold
     ),
+    "sketch_ams_hhi": (
+        # one customer-grain agg + ONE global fold whose state is 17
+        # decimals (weighted AMS — the streaming twin keeps exactly
+        # this state row); signs are row-local codegen — no join, no
+        # window, no Python
+        ["HashAggregate"],
+        ["SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin",
+         "Window", "BatchEvalPython", "ArrowEvalPython"],
+        2,  # o_custkey agg + SinglePartition fold
+    ),
     "text_token_entropy": (
         # explode -> (doc,token) partial-combined agg -> doc-grain agg;
         # entropy math is codegen'd into the final agg — no join, no
@@ -571,6 +581,21 @@ CASES = {
         ["BroadcastHashJoin", "Window"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
         4,
+    ),
+    "q92_value_gini_binned": (
+        # the operator's THESIS (its reason to exist next to q92): NO
+        # Window, NO sort of the fact, and no join at all past the
+        # broadcast dim chain — two fact passes end in hash
+        # aggregates, the per-nation bounds come BACK as a 25-row
+        # broadcast, and the O(B²) mean-difference runs as a
+        # row-local nested higher-order fold over each nation's
+        # collect_list'ed bin atoms (the r11 self-join form planned
+        # the bins subtree 3×); no Python eval anywhere
+        ["BroadcastHashJoin", "HashAggregate"],
+        ["SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin",
+         "Window", "BatchEvalPython", "ArrowEvalPython"],
+        4,  # bounds agg + (nation,bucket) agg + nation agg +
+        # terminal 25-row sort
     ),
     "q93_rrf_fusion": (
         # both leaderboards are TakeOrderedAndProject over ONE shared

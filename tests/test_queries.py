@@ -136,6 +136,7 @@ EXPECTED_CARDINALITY = {
     "q94_hhi_concentration": 25,     # nation domain
     "sim_search_rrf": 15,            # top-15 fused (union of two
                                      # depth-20 lists always >= 15)
+    "sketch_ams_hhi": 1,             # one-row global monitor readout
 }
 
 

@@ -2481,3 +2481,85 @@ def test_streaming_ams_f2_survives_restart(spark, tmp_path):
     sq = sorted(float(got[f"S_{r}"]) ** 2 for r in range(AMS_R))
     est = (sq[AMS_R // 2 - 1] + sq[AMS_R // 2]) / 2.0
     assert est == ams_f2(spark, SF_SMOKE).first().ams_est
+
+
+def test_streaming_hhi_matches_batch_with_one_state_row(spark):
+    """The weighted-AMS HHI monitor (VERDICT r11 next #7). (a) the
+    emitted S_r/F1 decimals equal the batch twin plan fragment over
+    the same fixture BIT-FOR-BIT (decimal sums are exact, so
+    micro-batch boundaries and addition order cannot shift them);
+    (b) they also equal the CUSTOMER-grain signed sums that
+    extras.sketches.ams_hhi folds — the cross-grain identity
+    S_r = Σ_c sign(c)·spend(c) = Σ_arrivals sign(cust)·amount that
+    makes the monitor per-arrival updatable at all; (c) the
+    hhi_from_row epilogue reproduces ams_hhi's estimate readout; (d)
+    state is ONE row in the aggregation state store."""
+    from data_pipeline_and_visualization_dashboard_spark.extras.sketches import (
+        AMS_R,
+        ams_hhi,
+    )
+
+    out, state_rows = streaming.run_hhi_stream_to_completion(
+        spark, SF_SMOKE
+    )
+    rows = out.collect()
+    assert len(rows) == 1
+    row = rows[0]
+    raw = spark.read.parquet(SF_SMOKE + "/orders.parquet")
+    want = streaming.hhi_ams_stream(raw).first()
+    assert [row[f"S_{r}"] for r in range(AMS_R)] == [
+        want[f"S_{r}"] for r in range(AMS_R)
+    ]
+    assert row.F1 == want.F1 and row.n_rows == want.n_rows
+    batch = ams_hhi(spark, SF_SMOKE).first()
+    read = streaming.hhi_from_row(row)
+    assert round(read["eff_customers_est"], 4) == batch.eff_customers_est
+    assert state_rows == 1
+    # the estimator must be in the right ballpark of the exact HHI
+    # (same ~1/sqrt(R) statistical-error contract as sketch_ams_f2)
+    assert (
+        0.2 * batch.eff_customers_exact
+        <= read["eff_customers_est"]
+        <= 5.0 * batch.eff_customers_exact
+    )
+
+
+def test_streaming_hhi_survives_restart(spark, tmp_path):
+    """Restart pin for the HHI monitor (16th stateful family): drain
+    file A through the checkpointed foreachBatch monitor, STOP, land
+    file B, restart with the SAME checkpoint. Final sums must equal
+    the batch fragment over A∪B exactly — state recovered, A not
+    re-consumed."""
+    from data_pipeline_and_visualization_dashboard_spark.extras.sketches import AMS_R
+
+    raw = spark.read.parquet(SF_SMOKE + "/orders.parquet")
+    in_dir = str(tmp_path / "hhi_in")
+    state = str(tmp_path / "hhi_state")
+    ckpt = str(tmp_path / "hhi_ckpt")
+    raw.filter("o_orderkey % 2 = 0").coalesce(1).write.parquet(
+        in_dir, mode="append"
+    )
+    q = streaming.hhi_merge_stream(spark, in_dir, state, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    wave1 = spark.read.parquet(state).first()
+    raw.filter("o_orderkey % 2 = 1").coalesce(1).write.parquet(
+        in_dir, mode="append"
+    )
+    q2 = streaming.hhi_merge_stream(spark, in_dir, state, ckpt)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    got = spark.read.parquet(state).first()
+    want = streaming.hhi_ams_stream(raw).first()
+    assert [got[f"S_{r}"] for r in range(AMS_R)] == [
+        want[f"S_{r}"] for r in range(AMS_R)
+    ]
+    assert got.F1 == want.F1 and got.n_rows == want.n_rows
+    # wave 1 alone must differ, or the recovery assertion is vacuous
+    assert [wave1[f"S_{r}"] for r in range(AMS_R)] != [
+        want[f"S_{r}"] for r in range(AMS_R)
+    ]
