@@ -110,11 +110,12 @@ _CHECK_FIRST = [
     "q1_top_nations",
     "q2_avg_value_by_hour",
     "q3_event_type_pct",
-    "q4_unit_price_by_weekday",
-    # NEW r12 entry (weighted-AMS HHI sketch), displacing the END slot
-    # per the displacement rule (q5_trade_routes slides to r13 with
+    # NEW r12 entries (weighted-AMS HHI sketch, top-decile Pareto
+    # share), displacing the 2 END slots per the displacement rule
+    # (q4_unit_price_by_weekday and q5_trade_routes slide to r13 with
     # q14_clean_accounting)
     "sketch_ams_hhi",
+    "q95_top_decile_share",
 ]
 
 

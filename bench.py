@@ -115,6 +115,9 @@ BASELINE_REFREEZE = {
     # sketch_ams_hhi's registration, so it is excluded for both):
     "q92_value_gini_binned": 0.669,
     "sketch_ams_hhi": 0.820,
+    # frozen at its first committed floor, the BENCH_full_r12d/r12e
+    # 2-run pair (registered after the r12/b/c runs):
+    "q95_top_decile_share": 0.600,
 }
 
 def baseline_gate(timings: dict, sf: float, subset,
@@ -231,6 +234,7 @@ HEADLINE = [
     "q92_value_gini_binned",  # grouped-data Gini, no window/fact sort
     "q93_rrf_fusion",  # reciprocal-rank fusion of two top-k lists
     "q94_hhi_concentration",  # per-nation HHI (pure agg-of-squares)
+    "q95_top_decile_share",  # Pareto top-10% share (exact pctl, q90 shape)
     "sim_recall_eval",  # LSH recall@k vs exact (eval as an operator)
     "sim_ivf_recall_guard",  # pretrained-IVF recall floor, in-plan assert
     "sim_ivfpq_recall_guard",  # pretrained-IVF-PQ floor, in-plan assert

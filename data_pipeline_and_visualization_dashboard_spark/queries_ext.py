@@ -5226,6 +5226,88 @@ _DUCK_Q94_SQL = """
 """
 
 
+def q95_top_decile_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration readout per nation — the third member of
+    the inequality family (q92 Gini = full-distribution rank
+    statistic, q94 HHI = aggregation-of-squares, q95 = the "what
+    share of revenue do the top 10% of customers hold" number every
+    business review actually asks for): per-nation 90th-percentile
+    customer-spend threshold, then the revenue share and headcount of
+    customers at or above it.
+
+    Shape — the q90 template at customer grain: ONE (nation, customer)
+    spend aggregation (the only fact-sized shuffle; map-side combined),
+    an exact-percentile fold to a 25-row threshold frame (exact holds
+    because the GROUPING key is low-cardinality — the per-group sort
+    cost is bounded by the nation count, not the fact; the
+    approx_percentile twin q83 is the high-cardinality path), the
+    thresholds broadcast BACK onto the customer-grain frame (never a
+    fact self-join), one 25-group share fold.  No window, no fact
+    sort.  Float discipline: per-customer spend is rounded 2dp FIRST
+    (sums of exact 2dp prices; the ≤1e-9 double-fold spread is far
+    under the rounding quantum), so the percentile interpolates over
+    bit-identical values in both engines — Spark `percentile` and
+    DuckDB `quantile_cont` share the rank = p·(n−1) linear-
+    interpolation definition (the q90 median precedent at general p)
+    — and the >= threshold comparison sees identical operands; only
+    the 6dp-rounded share carries a constant-size sum-order spread."""
+    orders = read_table(
+        spark, sf_dir, "orders", ["o_custkey", "o_totalprice"]
+    )
+    cust = read_table(spark, sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nation = read_table(spark, sf_dir, "nation", ["n_nationkey", "n_name"])
+    spend = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "c_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
+    )
+    thr = spend.groupBy("n_name").agg(
+        F.expr("percentile(spend, 0.9)").alias("thr")
+    )
+    top = F.col("spend") >= F.col("thr")
+    return (
+        spend.join(F.broadcast(thr), "n_name")
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.when(top, 1).otherwise(0)).alias("n_top"),
+            F.round(F.first("thr"), 2).alias("decile_threshold"),
+            F.round(
+                F.sum(F.when(top, F.col("spend")).otherwise(0.0))
+                / F.sum("spend"),
+                6,
+            ).alias("top_decile_share"),
+        )
+        .orderBy("n_name")
+    )
+
+
+_DUCK_Q95_SQL = """
+    WITH spend AS (
+        SELECT n.n_name, c.c_custkey,
+               round(sum(o.o_totalprice), 2) AS spend
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2
+    ), thr AS (
+        SELECT n_name, quantile_cont(spend, 0.9) AS thr
+        FROM spend GROUP BY 1
+    )
+    SELECT s.n_name,
+           count(*) AS n_customers,
+           CAST(sum(CASE WHEN s.spend >= t.thr THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_top,
+           round(CAST(t.thr AS DOUBLE), 2) AS decile_threshold,
+           round(sum(CASE WHEN s.spend >= t.thr THEN s.spend
+                          ELSE 0.0 END) / sum(s.spend), 6)
+               AS top_decile_share
+    FROM spend s JOIN thr t ON s.n_name = t.n_name
+    GROUP BY s.n_name, t.thr ORDER BY s.n_name
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "q60_bucketed_join": """
         SELECT o_orderpriority, count(*) AS n_items,
@@ -5269,6 +5351,7 @@ ORACLE_SQL: dict[str, str] = {
     "q93_rrf_fusion": _DUCK_Q93_SQL,
     "q92_value_gini_binned": _DUCK_Q92B_SQL,
     "q94_hhi_concentration": _DUCK_Q94_SQL,
+    "q95_top_decile_share": _DUCK_Q95_SQL,
     "sim_diverse_subset": _duck_diverse_subset_sql(),
     "q54_hash_sample": _duck_hash_sample_sql(),
     "q55_rolling_median": _DUCK_ROLLING_MEDIAN_SQL,
@@ -5785,6 +5868,7 @@ QUERIES = {
     "q93_rrf_fusion": q93_rrf_fusion,
     "q92_value_gini_binned": q92_value_gini_binned,
     "q94_hhi_concentration": q94_hhi_concentration,
+    "q95_top_decile_share": q95_top_decile_share,
     "q83_approx_percentile_guard": q83_approx_percentile_guard,
     "sim_diverse_subset": sim_diverse_subset,
     "sim_rp_topk_pretrained": sim_rp_topk_pretrained,

@@ -539,6 +539,18 @@ CASES = {
          "Window", "BatchEvalPython", "ArrowEvalPython"],
         2,  # user_id agg + SinglePartition fold
     ),
+    "q95_top_decile_share": (
+        # q90's template at customer grain: ONE fact-sized (nation,
+        # customer) agg, exact-percentile fold to a 25-row threshold
+        # frame that comes BACK as a broadcast (never a fact
+        # self-join), one 25-group share fold; no window, no fact sort
+        ["BroadcastHashJoin", "HashAggregate"],
+        ["SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin",
+         "Window", "BatchEvalPython", "ArrowEvalPython"],
+        5,  # 2x (nation,customer) agg (the spend subtree feeds the
+        # threshold fold and the share fold) + percentile fold +
+        # share fold + terminal 25-row sort
+    ),
     "sketch_ams_hhi": (
         # one customer-grain agg + ONE global fold whose state is 17
         # decimals (weighted AMS — the streaming twin keeps exactly

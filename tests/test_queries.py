@@ -137,6 +137,7 @@ EXPECTED_CARDINALITY = {
     "sim_search_rrf": 15,            # top-15 fused (union of two
                                      # depth-20 lists always >= 15)
     "sketch_ams_hhi": 1,             # one-row global monitor readout
+    "q95_top_decile_share": 25,      # nation domain
 }
 
 
