@@ -37,7 +37,7 @@ def family(name: str) -> str:
             "text": "text", "media": "media"}.get(prefix, "other")
 
 # HEADLINE vs registry — the exclusion policy (VERDICT r6 next #7).
-# The registry holds 198 entries; HEADLINE benches 120.  The 78
+# The registry holds 203 entries; HEADLINE benches 125.  The 78
 # excluded entries fall into six families, each excluded for a reason,
 # not forgotten:
 #   1. display-grain chart twins / plan-shape variants of benched
