@@ -115,6 +115,34 @@ def plan_audit(df: DataFrame) -> dict:
         "scan_columns": scan_columns,
         "pushed_filters": [p for p in pushed if p],
         "global_windows": _global_windows(df),
+        "fact_scan_fanout": _fact_scan_fanout(plan),
+    }
+
+
+# the data-sized tables; dims (region/nation/customer/supplier/part)
+# are broadcast-cheap to re-scan, facts are not
+FACT_TABLES = ("orders", "lineitem", "events", "documents", "embeddings")
+
+
+def _fact_scan_fanout(plan: str) -> dict:
+    """How many times each FACT table's FileScan appears in the plan —
+    the duplicated-subtree detector (the r12 q92_value_gini_binned
+    lesson: a frame consumed by N aliased branches is PLANNED N times;
+    static exchange reuse does not bridge re-aliased aggregates, so
+    the claimed 'two fact passes' can silently be four). A count of 2
+    is the normal shape for bounds-then-use patterns; >= 3 means the
+    query either genuinely needs multiple passes (pair joins rejoin
+    the corpus per side, funnels stage passes) or is recomputing a
+    subtree it should restructure/checkpoint — the fleet gate in
+    tests/test_plans.py keeps the >= 3 set explicit and annotated.
+    Cached subtrees print InMemoryTableScan, not FileScan, so a warm
+    artifact cache legitimately lowers the count."""
+    return {
+        t: n
+        for t in FACT_TABLES
+        if (n := len(re.findall(
+            rf"FileScan [^\n]*\b{t}\.parquet", plan
+        ))) >= 1
     }
 
 

@@ -1258,6 +1258,81 @@ CARTESIAN_OK = {
 }
 
 
+# Queries allowed to plan >= 3 FileScans of the same FACT table (the
+# r12 duplicated-subtree gate; see plans._fact_scan_fanout). Each
+# entry has a structural reason — a pair join rejoins the corpus once
+# per side, a funnel re-reads per curation stage, a recall harness
+# runs index + query + oracle over the same embeddings, a multi-pass
+# statistic (median/MAD, set ops, unrolled PageRank) scans per pass.
+# What the gate prevents is the q92_value_gini_binned failure mode:
+# an operator whose DOCSTRING claims k passes silently planning more
+# because static exchange reuse never bridges re-aliased aggregate
+# branches. New >= 3-fanout queries must be added HERE deliberately,
+# with their reason.
+FACT_FANOUT_OK = {
+    # pair/candidate joins — corpus texts rejoined per pair side,
+    # plus the signature/candidate build itself:
+    "dedup_minhash_pairs", "dedup_minhash_pairs_xxhash",
+    "dedup_simhash_pairs", "dedup_simhash_hamming_topk",
+    "dedup_incremental_pairs", "dedup_incremental_exact",
+    "dedup_containment_est", "dedup_pair_features",
+    "dedup_training_triplets", "dedup_embedding_pairs_lsh",
+    "dedup_split_leakage", "dedup_semantic", "dedup_threshold_curve",
+    # staged curation funnels — one pass per quality/exact/near stage:
+    "corpus_funnel", "corpus_funnel_xxhash", "corpus_survivors",
+    "corpus_forget_impact",
+    # ANN index + query + (for guards) brute-force oracle over the
+    # same embeddings; MMR re-ranks against the candidate pool:
+    "sim_ivf_topk", "sim_ivfpq_topk", "sim_ivf_topk_pretrained",
+    "sim_ivf_recall_guard", "sim_ivfpq_recall_guard", "sim_mmr_rerank",
+    # retrieval — postings build + corpus-stats frame + doc-length
+    # norm over the same documents:
+    "text_search_bm25", "text_search_ranked", "text_tfidf_topk",
+    "text_lm_logprob", "text_mix_sample", "sim_search_rrf",
+    "sketch_kmv_overlap",
+    # multi-pass SQL statistics — one scan per pass by construction:
+    "q25_set_ops",          # each set-op branch scans
+    "q39_interval_join",    # as-of bounds + probe sides
+    "q51_nation_pagerank",  # unrolled iterations re-derive the graph
+    "q52_gap_fill",         # spine bounds + LOCF source + fill
+    "q63_drift_kl",         # per-day dist + corpus dist + readout
+    "q66_late_supplier_blame",  # EXISTS/NOT-EXISTS double self-join
+    "q69_concurrent_sessions",  # sweep endpoints from both interval ends
+    "q88_basket_pairs",     # basket pair sides + basket sizes
+    "q90_mad_outliers",     # median pass + MAD pass + flag pass
+    "sketch_hist_quantiles",  # bounds pass + bin pass + readout
+}
+
+
+def test_fleet_scan_fanout_gate(spark):
+    """Sweep the FULL registry: no query may plan >= 3 FileScans of
+    the same fact table unless it is on the annotated whitelist
+    (exact equality from a cold cache, so stale entries fail too).
+    This is the anti-regression gate for the r12
+    q92_value_gini_binned finding: its self-join formulation planned
+    the bins subtree 3x — 4 fact passes where the docstring promised
+    2 — and nothing failed. Cached subtrees print InMemoryTableScan,
+    not FileScan, so the sweep starts from a cleared cache to make
+    the counts deterministic."""
+    from data_pipeline_and_visualization_dashboard_spark.plans import (
+        plan_audit,
+    )
+    from tests.conftest import SF_SMOKE
+
+    spark.catalog.clearCache()
+    flagged = set()
+    for name, fn in entrymod.queries().items():
+        if name == "dedup_snapshot_ledger":
+            continue
+        a = plan_audit(fn(spark, SF_SMOKE))
+        if any(n >= 3 for n in a["fact_scan_fanout"].values()):
+            flagged.add(name)
+    assert flagged == FACT_FANOUT_OK, (
+        f"new >=3-fact-scan fanout: {flagged - FACT_FANOUT_OK}; "
+        f"stale whitelist: {FACT_FANOUT_OK - flagged}"
+    )
+
+
 def test_fleet_plan_gate(spark):
     """Sweep the FULL registry: no query may carry an unpartitioned
     window or an unconditioned join that is not on the documented
