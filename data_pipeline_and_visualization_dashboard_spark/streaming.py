@@ -1423,6 +1423,64 @@ def ams_merge_stream(spark: SparkSession, in_dir: str, state_dir: str,
     )
 
 
+def countmin_cell_stream(events: DataFrame) -> DataFrame:
+    """Live count-min sketch — the streaming twin of
+    extras.sketches.countmin_sketch (17th stateful family): every
+    arrival fans out to its CM_D cells and the (d, w) keyed streaming
+    aggregation maintains the cell table continuously. Cell counts
+    are ADDITIVE integers, so there is no watermark and no custom
+    operator, and total state is bounded by the sketch GEOMETRY —
+    ≤ CM_D·CM_W cells (+ CM_D NULL-key cells) regardless of key
+    cardinality or stream length. The batch twin pre-aggregates keys
+    first (its fact-sized shuffle carries key grain); the stream
+    skips that frame entirely — cell(d, w) = Σ_keys→w count(key) =
+    Σ_arrivals→w 1, so the final table is IDENTICAL row-for-row
+    (integer counts: no float discipline needed). NULL keys are kept,
+    matching the batch twin cell-for-cell: md5(NULL) makes every w_j
+    NULL, so they land in the CM_D (d, NULL) cells both sides."""
+    from .extras.hashing import minhash_term
+    from .extras.sketches import CM_D, CM_W, _SPARK_KEY, _spark_base
+
+    base = _spark_base(_SPARK_KEY)
+    hashed = events.selectExpr(
+        *[
+            f"({minhash_term(j, base)} % {CM_W}) AS w_{j}"
+            for j in range(CM_D)
+        ]
+    )
+    stack_args = ", ".join(f"{j}, w_{j}" for j in range(CM_D))
+    return (
+        hashed.selectExpr(f"stack({CM_D}, {stack_args}) AS (d, w)")
+        .groupBy("d", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .selectExpr("CAST(d AS INT) AS d", "CAST(w AS INT) AS w", "cnt")
+    )
+
+
+def run_countmin_stream_to_completion(spark: SparkSession, in_dir: str,
+                                      query_name: str = "cm_out"):
+    """Drive the count-min cell monitor over a finite fixture; see
+    _run_global_sketch_to_completion for the contract (here the
+    O(geometry)-state claim: state rows == live cells ≤ CM_D·CM_W
+    + CM_D)."""
+    return _run_global_sketch_to_completion(
+        spark, in_dir, _STREAM_SCHEMA, "events.parquet",
+        countmin_cell_stream, query_name, "count-min",
+    )
+
+
+def countmin_merge_stream(spark: SparkSession, in_dir: str,
+                          state_dir: str, checkpoint_dir: str):
+    """Restartable count-min cell monitor (_global_sketch_merge_stream
+    over countmin_cell_stream): complete-mode output is the WHOLE cell
+    table every trigger, so the overwrite sink is idempotent and
+    restart recovery lives in the aggregation state store."""
+    return _global_sketch_merge_stream(
+        spark, in_dir, _STREAM_SCHEMA, countmin_cell_stream,
+        state_dir, checkpoint_dir,
+    )
+
+
 # orders arrive as their own stream for the market-concentration
 # monitor; same NTZ-timestamp declaration rationale as _STREAM_SCHEMA
 _ORDERS_STREAM_SCHEMA = (
