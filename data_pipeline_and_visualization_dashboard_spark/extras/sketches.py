@@ -62,6 +62,29 @@ def _duck_base(expr: str) -> str:
 # count-min
 # ----------------------------------------------------------------------
 
+def cm_cell_rows(df: DataFrame, carry: str | None = None) -> DataFrame:
+    """Shared D-way (d, w) cell fan-out over a frame carrying a
+    user_id column — the ONE definition of the count-min geometry
+    (code-review r12: the batch sketch and the streaming twin each
+    hand-spelled these expressions, and their cell-for-cell parity
+    contract depends on the hash family and stack spelling staying
+    bit-identical). `carry` names an optional column to ride along
+    (the batch twin's per-key count)."""
+    base = _spark_base(_SPARK_KEY)
+    hashed = df.selectExpr(
+        *([carry] if carry else []),
+        *[
+            f"({minhash_term(j, base)} % {CM_W}) AS w_{j}"
+            for j in range(CM_D)
+        ],
+    )
+    stack_args = ", ".join(f"{j}, w_{j}" for j in range(CM_D))
+    return hashed.selectExpr(
+        f"stack({CM_D}, {stack_args}) AS (d, w)",
+        *([carry] if carry else []),
+    )
+
+
 def countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The D×W count-min table over event user_ids: cell (d, w) holds
     the total event count of all keys hashing to bucket w under hash
@@ -70,17 +93,8 @@ def countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     output is a constant 1024 rows at any corpus size."""
     ev = read_table(spark, sf_dir, "events", ["user_id"])
     keyed = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
-    base = _spark_base(_SPARK_KEY)
-    hashed = keyed.selectExpr(
-        "c",
-        *[
-            f"({minhash_term(j, base)} % {CM_W}) AS w_{j}"
-            for j in range(CM_D)
-        ],
-    )
-    stack_args = ", ".join(f"{j}, w_{j}" for j in range(CM_D))
     return (
-        hashed.selectExpr(f"stack({CM_D}, {stack_args}) AS (d, w)", "c")
+        cm_cell_rows(keyed, carry="c")
         .groupBy("d", "w")
         .agg(F.sum("c").alias("cnt"))
         .selectExpr("CAST(d AS INT) AS d", "CAST(w AS INT) AS w", "cnt")

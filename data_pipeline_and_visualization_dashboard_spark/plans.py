@@ -49,8 +49,26 @@ def _split_top_level(schema: str) -> list[str]:
 
 
 def physical_plan(df: DataFrame) -> str:
-    """The final (post-AQE-initial) physical plan string."""
-    return df._jdf.queryExecution().executedPlan().toString()
+    """The final (post-AQE-initial) physical plan string.
+
+    Stringified under a raised spark.sql.maxMetadataStringLength:
+    the default (100) truncates each metadata value — including the
+    FileScan Location — at ~97 chars + '...', so on any realistically
+    deep warehouse path the table filename is cut off and
+    _fact_scan_fanout would return {} (a VACUOUSLY passing gate —
+    code-review r12, reproduced live). 4096 covers any sane path;
+    the conf is restored afterwards."""
+    spark = df.sparkSession
+    key = "spark.sql.maxMetadataStringLength"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "4096")
+    try:
+        return df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
 
 
 def plan_audit(df: DataFrame) -> dict:

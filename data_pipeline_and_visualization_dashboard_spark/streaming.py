@@ -1437,20 +1437,14 @@ def countmin_cell_stream(events: DataFrame) -> DataFrame:
     Σ_arrivals→w 1, so the final table is IDENTICAL row-for-row
     (integer counts: no float discipline needed). NULL keys are kept,
     matching the batch twin cell-for-cell: md5(NULL) makes every w_j
-    NULL, so they land in the CM_D (d, NULL) cells both sides."""
-    from .extras.hashing import minhash_term
-    from .extras.sketches import CM_D, CM_W, _SPARK_KEY, _spark_base
+    NULL, so they land in the CM_D (d, NULL) cells both sides. The
+    cell fan-out itself is sketches.cm_cell_rows — ONE definition of
+    the geometry shared with the batch twin, so the parity is
+    structural, not a hand-synced spelling."""
+    from .extras.sketches import cm_cell_rows
 
-    base = _spark_base(_SPARK_KEY)
-    hashed = events.selectExpr(
-        *[
-            f"({minhash_term(j, base)} % {CM_W}) AS w_{j}"
-            for j in range(CM_D)
-        ]
-    )
-    stack_args = ", ".join(f"{j}, w_{j}" for j in range(CM_D))
     return (
-        hashed.selectExpr(f"stack({CM_D}, {stack_args}) AS (d, w)")
+        cm_cell_rows(events)
         .groupBy("d", "w")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .selectExpr("CAST(d AS INT) AS d", "CAST(w AS INT) AS w", "cnt")

@@ -1273,7 +1273,10 @@ FACT_FANOUT_OK = {
     # pair/candidate joins — corpus texts rejoined per pair side,
     # plus the signature/candidate build itself:
     "dedup_minhash_pairs", "dedup_minhash_pairs_xxhash",
-    "dedup_simhash_pairs", "dedup_simhash_hamming_topk",
+    "dedup_simhash_pairs",
+    # (dedup_simhash_hamming_topk is NOT here: its constructor caches
+    # the fingerprint frame, so even from a per-query cold cache its
+    # own plan reads InMemoryTableScan and stays under the threshold)
     "dedup_incremental_pairs", "dedup_incremental_exact",
     "dedup_containment_est", "dedup_pair_features",
     "dedup_training_triplets", "dedup_embedding_pairs_lsh",
@@ -1304,29 +1307,56 @@ FACT_FANOUT_OK = {
 }
 
 
-def test_fleet_scan_fanout_gate(spark):
-    """Sweep the FULL registry: no query may plan >= 3 FileScans of
-    the same fact table unless it is on the annotated whitelist
-    (exact equality from a cold cache, so stale entries fail too).
-    This is the anti-regression gate for the r12
-    q92_value_gini_binned finding: its self-join formulation planned
-    the bins subtree 3x — 4 fact passes where the docstring promised
-    2 — and nothing failed. Cached subtrees print InMemoryTableScan,
-    not FileScan, so the sweep starts from a cleared cache to make
-    the counts deterministic."""
+_FLEET_FLAGS: dict = {}
+
+
+def _fleet_sweep(spark) -> dict:
+    """ONE full-registry planning sweep shared by both fleet gates
+    (code-review r12: the two gates used to each pay the ~150-query
+    planning loop, and cache state leaked between them and between
+    registry entries). Per-query spark.catalog.clearCache() makes
+    every plan COLD-cache deterministic: registry constructors call
+    .cache() during frame construction, so without the per-query
+    clear a subtree cached by an earlier entry prints
+    InMemoryTableScan in later plans — hiding FileScans (weakening
+    the fanout gate), and potentially hiding joins/windows inside the
+    cached block (coupling the plan gate to test execution order).
+    dedup_snapshot_ledger is skipped: building its frame drives a
+    Structured Streaming job; its readout is a plain partitioned
+    scan."""
+    if _FLEET_FLAGS:
+        return _FLEET_FLAGS
     from data_pipeline_and_visualization_dashboard_spark.plans import (
         plan_audit,
     )
     from tests.conftest import SF_SMOKE
 
-    spark.catalog.clearCache()
-    flagged = set()
+    gw, cart, fanout = set(), set(), set()
     for name, fn in entrymod.queries().items():
         if name == "dedup_snapshot_ledger":
             continue
+        spark.catalog.clearCache()
         a = plan_audit(fn(spark, SF_SMOKE))
+        if a["global_windows"]:
+            gw.add(name)
+        if a["cartesian"]:
+            cart.add(name)
         if any(n >= 3 for n in a["fact_scan_fanout"].values()):
-            flagged.add(name)
+            fanout.add(name)
+    spark.catalog.clearCache()
+    _FLEET_FLAGS.update(gw=gw, cart=cart, fanout=fanout)
+    return _FLEET_FLAGS
+
+
+def test_fleet_scan_fanout_gate(spark):
+    """No registry query may plan >= 3 FileScans of the same fact
+    table unless it is on the annotated whitelist (exact equality
+    from a per-query cold cache, so stale entries fail too). This is
+    the anti-regression gate for the r12 q92_value_gini_binned
+    finding: its self-join formulation planned the bins subtree 3x —
+    4 fact passes where the docstring promised 2 — and nothing
+    failed."""
+    flagged = _fleet_sweep(spark)["fanout"]
     assert flagged == FACT_FANOUT_OK, (
         f"new >=3-fact-scan fanout: {flagged - FACT_FANOUT_OK}; "
         f"stale whitelist: {FACT_FANOUT_OK - flagged}"
@@ -1334,25 +1364,11 @@ def test_fleet_scan_fanout_gate(spark):
 
 
 def test_fleet_plan_gate(spark):
-    """Sweep the FULL registry: no query may carry an unpartitioned
-    window or an unconditioned join that is not on the documented
-    whitelist (exact equality, so stale whitelist entries fail too).
-    dedup_snapshot_ledger is skipped: building its frame drives a
-    Structured Streaming job; its readout is a plain partitioned scan."""
-    from data_pipeline_and_visualization_dashboard_spark.plans import (
-        plan_audit,
-    )
-    from tests.conftest import SF_SMOKE
-
-    flagged_gw, flagged_cart = set(), set()
-    for name, fn in entrymod.queries().items():
-        if name == "dedup_snapshot_ledger":
-            continue
-        a = plan_audit(fn(spark, SF_SMOKE))
-        if a["global_windows"]:
-            flagged_gw.add(name)
-        if a["cartesian"]:
-            flagged_cart.add(name)
+    """No registry query may carry an unpartitioned window or an
+    unconditioned join that is not on the documented whitelist
+    (exact equality, so stale whitelist entries fail too)."""
+    flags = _fleet_sweep(spark)
+    flagged_gw, flagged_cart = flags["gw"], flags["cart"]
     assert flagged_gw == GLOBAL_WINDOW_OK, (
         f"new global windows: {flagged_gw - GLOBAL_WINDOW_OK}; "
         f"stale whitelist: {GLOBAL_WINDOW_OK - flagged_gw}"
