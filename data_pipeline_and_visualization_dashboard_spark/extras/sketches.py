@@ -62,17 +62,24 @@ def _duck_base(expr: str) -> str:
 # count-min
 # ----------------------------------------------------------------------
 
-def cm_cell_rows(df: DataFrame, carry: str | None = None) -> DataFrame:
+def cm_cell_rows(df: DataFrame,
+                 carry: str | list | None = None) -> DataFrame:
     """Shared D-way (d, w) cell fan-out over a frame carrying a
     user_id column — the ONE definition of the count-min geometry
-    (code-review r12: the batch sketch and the streaming twin each
-    hand-spelled these expressions, and their cell-for-cell parity
-    contract depends on the hash family and stack spelling staying
-    bit-identical). `carry` names an optional column to ride along
-    (the batch twin's per-key count)."""
+    for all three spellings that must stay bit-identical: the batch
+    sketch BUILD, the streaming twin, and the topk-estimate READ
+    path (code-review r12 ×2 — if build and read ever drift on the
+    hash family or CM_W derivation, estimates read the wrong cells
+    and the over-count invariant silently breaks). `carry` names
+    optional column(s) to ride along (the batch twin's per-key
+    count; the read path's user_id + true_cnt)."""
+    if carry is None:
+        carry = []
+    elif isinstance(carry, str):
+        carry = [carry]
     base = _spark_base(_SPARK_KEY)
     hashed = df.selectExpr(
-        *([carry] if carry else []),
+        *carry,
         *[
             f"({minhash_term(j, base)} % {CM_W}) AS w_{j}"
             for j in range(CM_D)
@@ -81,7 +88,7 @@ def cm_cell_rows(df: DataFrame, carry: str | None = None) -> DataFrame:
     stack_args = ", ".join(f"{j}, w_{j}" for j in range(CM_D))
     return hashed.selectExpr(
         f"stack({CM_D}, {stack_args}) AS (d, w)",
-        *([carry] if carry else []),
+        *carry,
     )
 
 
@@ -116,18 +123,11 @@ def countmin_topk_est(spark: SparkSession, sf_dir: str) -> DataFrame:
         CM_TOPK
     )
     sketch = countmin_sketch(spark, sf_dir)
-    base = _spark_base(_SPARK_KEY)
-    hashed = top.selectExpr(
+    stacked = cm_cell_rows(top, carry=["user_id", "true_cnt"]).selectExpr(
         "user_id",
         "true_cnt",
-        *[
-            f"CAST({minhash_term(j, base)} % {CM_W} AS INT) AS w_{j}"
-            for j in range(CM_D)
-        ],
-    )
-    stack_args = ", ".join(f"{j}, w_{j}" for j in range(CM_D))
-    stacked = hashed.selectExpr(
-        "user_id", "true_cnt", f"stack({CM_D}, {stack_args}) AS (d, w)"
+        "CAST(d AS INT) AS d",
+        "CAST(w AS INT) AS w",
     )
     return (
         stacked.join(F.broadcast(sketch), ["d", "w"])

@@ -15,8 +15,13 @@ Typical gate in a production job::
 from __future__ import annotations
 
 import re
+import threading
 
 from pyspark.sql import DataFrame
+
+# serializes the session-global maxMetadataStringLength mutate/restore
+# in physical_plan (see its docstring)
+_PLAN_STR_LOCK = threading.Lock()
 
 # join operators as they print in executedPlan().toString()
 _JOIN_NODES = (
@@ -57,18 +62,22 @@ def physical_plan(df: DataFrame) -> str:
     deep warehouse path the table filename is cut off and
     _fact_scan_fanout would return {} (a VACUOUSLY passing gate —
     code-review r12, reproduced live). 4096 covers any sane path;
-    the conf is restored afterwards."""
+    the conf is restored afterwards. The mutate/stringify/restore is
+    serialized under a module lock: the conf is session-global, so an
+    unguarded concurrent audit could stringify under the default
+    limit (reintroducing the truncation) or leak 4096 permanently."""
     spark = df.sparkSession
     key = "spark.sql.maxMetadataStringLength"
-    old = spark.conf.get(key, None)
-    spark.conf.set(key, "4096")
-    try:
-        return df._jdf.queryExecution().executedPlan().toString()
-    finally:
-        if old is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, old)
+    with _PLAN_STR_LOCK:
+        old = spark.conf.get(key, None)
+        spark.conf.set(key, "4096")
+        try:
+            return df._jdf.queryExecution().executedPlan().toString()
+        finally:
+            if old is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, old)
 
 
 def plan_audit(df: DataFrame) -> dict:

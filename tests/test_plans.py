@@ -12,8 +12,16 @@ from tests.conftest import SF_CORRECT
 
 
 def _plan(spark, name: str) -> str:
+    # delegate to physical_plan for its raised-metadata-limit
+    # stringification — a second direct toString() spelling would
+    # silently truncate path-bearing metadata (the vacuous-gate class
+    # of bug fixed in code-review r12)
+    from data_pipeline_and_visualization_dashboard_spark.plans import (
+        physical_plan,
+    )
+
     df = entrymod.queries()[name](spark, SF_CORRECT)
-    return df._jdf.queryExecution().executedPlan().toString()
+    return physical_plan(df)
 
 
 def _shuffles(plan: str) -> int:
@@ -1274,9 +1282,9 @@ FACT_FANOUT_OK = {
     # plus the signature/candidate build itself:
     "dedup_minhash_pairs", "dedup_minhash_pairs_xxhash",
     "dedup_simhash_pairs",
-    # (dedup_simhash_hamming_topk is NOT here: its constructor caches
-    # the fingerprint frame, so even from a per-query cold cache its
-    # own plan reads InMemoryTableScan and stays under the threshold)
+    # (dedup_simhash_hamming_topk is NOT here: its plan reads the
+    # documents fingerprint subtree exactly TWICE — once per pair
+    # side — which is under the >= 3 threshold; probed cold-cache)
     "dedup_incremental_pairs", "dedup_incremental_exact",
     "dedup_containment_est", "dedup_pair_features",
     "dedup_training_triplets", "dedup_embedding_pairs_lsh",
