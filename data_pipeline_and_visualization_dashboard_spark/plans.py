@@ -65,7 +65,16 @@ def physical_plan(df: DataFrame) -> str:
     the conf is restored afterwards. The mutate/stringify/restore is
     serialized under a module lock: the conf is session-global, so an
     unguarded concurrent audit could stringify under the default
-    limit (reintroducing the truncation) or leak 4096 permanently."""
+    limit (reintroducing the truncation) or leak 4096 permanently.
+
+    CAVEAT (ADVICE r12 #1): FileSourceScanExec builds its metadata
+    map — including the possibly-truncated Location — LAZILY on first
+    stringification and caches it on the operator. A frame that was
+    already explained/collected before this call returns the STALE
+    truncated string no matter what the conf says now, so audits must
+    run on freshly constructed DataFrames. _fact_scan_fanout detects
+    the stale-truncation case defensively and raises instead of
+    returning a vacuous fanout map."""
     spark = df.sparkSession
     key = "spark.sql.maxMetadataStringLength"
     with _PLAN_STR_LOCK:
@@ -143,12 +152,24 @@ def plan_audit(df: DataFrame) -> dict:
         "pushed_filters": [p for p in pushed if p],
         "global_windows": _global_windows(df),
         "fact_scan_fanout": _fact_scan_fanout(plan),
+        # cached subtrees print InMemoryTableScan INSTEAD of their
+        # FileScans, so for a self-caching query fact_scan_fanout is
+        # a LOWER bound (ADVICE r12 #2); non-zero here says "this
+        # plan hides subtrees behind a cache boundary"
+        "cached_scans": plan.count("InMemoryTableScan"),
     }
 
 
 # the data-sized tables; dims (region/nation/customer/supplier/part)
 # are broadcast-cheap to re-scan, facts are not
 FACT_TABLES = ("orders", "lineitem", "events", "documents", "embeddings")
+
+# every table the engine reads — a FileScan whose (possibly
+# truncated) Location matches none of these is either a user table
+# (fine when untruncated) or evidence of stale truncated metadata
+_KNOWN_TABLES = FACT_TABLES + (
+    "region", "nation", "customer", "supplier", "part",
+)
 
 
 def _fact_scan_fanout(plan: str) -> dict:
@@ -163,7 +184,28 @@ def _fact_scan_fanout(plan: str) -> dict:
     subtree it should restructure/checkpoint — the fleet gate in
     tests/test_plans.py keeps the >= 3 set explicit and annotated.
     Cached subtrees print InMemoryTableScan, not FileScan, so a warm
-    artifact cache legitimately lowers the count."""
+    artifact cache legitimately lowers the count (plan_audit reports
+    ``cached_scans`` alongside so the lower-bound case is visible).
+
+    Truncation defense (ADVICE r12 #1): a FileScan stringified before
+    physical_plan raised maxMetadataStringLength carries a STALE
+    Location cut at ~97 chars + '...' — usually before the table
+    filename — which would make this map silently empty (a vacuous
+    fanout gate). Any FileScan line whose Location is truncated AND
+    names no known table raises instead."""
+    for line in plan.splitlines():
+        if "FileScan" not in line or "Location:" not in line:
+            continue
+        loc_head = line.split("Location:", 1)[1].split("]", 1)[0]
+        if "..." in loc_head and not any(
+            f"{t}.parquet" in line for t in _KNOWN_TABLES
+        ):
+            raise ValueError(
+                "truncated FileScan Location in a pre-stringified "
+                "plan — FileSourceScanExec caches its metadata on "
+                "first toString, so plan_audit must run on a freshly "
+                f"constructed DataFrame; offending line: {line.strip()[:200]}"
+            )
     return {
         t: n
         for t in FACT_TABLES

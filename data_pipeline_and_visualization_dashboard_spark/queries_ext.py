@@ -2951,10 +2951,14 @@ def q90_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: two exact-percentile aggregations over the fact (each one
     shuffle on event_type, partial-agg combined) producing a ≤|types|
     row frame, broadcast back twice for the deviation and the flag
-    pass — the fact is scanned, never self-joined. Exact percentile
-    holds at 100 TB because the grouping key is low-cardinality (the
-    per-group sort is the cost; for high-cardinality keys the
-    approx_percentile twin q29/q83 is the path). Cut comparison is on
+    pass — the fact is scanned, never self-joined. Exact-percentile
+    cost stated exactly: the group COUNT is type-bounded, but the
+    per-group STATE is not — exact `percentile` runs as an
+    ObjectHashAggregate buffering every distinct value in the group,
+    i.e. O(values/event_type) executor memory, fact-derived; when a
+    group's value cardinality outgrows that buffer the
+    approx_percentile twin q29/q83 (bounded-sketch state) is the
+    path. Cut comparison is on
     6dp-rounded values in BOTH engines so a last-ulp median drift
     cannot flip a boundary row."""
     ev = read_table(spark, sf_dir, "events", ["event_type", "value"]).filter(
@@ -5247,10 +5251,14 @@ def q95_top_decile_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     production pipeline that already materializes the per-customer
     spend frame (q94 builds the same one) pays the second pass from
     that checkpoint instead.  The exact-percentile fold reduces to a
-    25-row threshold frame (exact holds because the GROUPING key is
-    low-cardinality — the per-group sort cost is bounded by the
-    nation count, not the fact; the approx_percentile twin q83 is
-    the high-cardinality path), the thresholds broadcast BACK onto
+    25-row threshold frame.  Cost stated exactly: the NUMBER of
+    percentile groups is nation-bounded (25), but the per-group STATE
+    is not — exact `percentile` runs as an ObjectHashAggregate that
+    buffers every distinct per-customer spend in the group, i.e.
+    O(customers/nation) executor memory, fact-derived; that buffer is
+    the price of exactness, and the approx_percentile twin q83
+    (bounded-sketch state) is the path when the group's value
+    cardinality outgrows it.  The thresholds broadcast BACK onto
     the customer-grain frame (never a fact self-join), one 25-group
     share fold.  No window, no fact sort.  Float discipline: per-customer spend is rounded 2dp FIRST
     (sums of exact 2dp prices; the ≤1e-9 double-fold spread is far
