@@ -54,68 +54,64 @@ def entry(spark: SparkSession) -> DataFrame:
 # holds at least one green driver row, zero failures ever, and no
 # entry is vacuously green (fleet-wide ≥1-row guard,
 # tests/test_queries.py).
-# Round-12 window (the precomputed rotation from VERDICT r11 ask #2):
-# q92_value_gini_binned FIRST (the only never-driver-checked
-# oracle-backed entry), then the 49 oldest r8-latest entries in their
-# CORRECTNESS_r08 order.  q14_clean_accounting (the 50th r8 entry)
-# slides to r13.  Any NEW r12 oracle-backed entry displaces from the
-# END of this list (each displacement just defers an r8 entry one
-# round).
+# Round-13 window (the precomputed rotation from VERDICT r12 ask #1):
+# the 3 r8-latest leftovers FIRST (oldest rows — 4 rounds stale),
+# then the first 46 of the r9-latest cohort in CORRECTNESS_r09 order.
+# NEW r13 oracle-backed entries displace from the END per the
+# displacement rule: text_pack_sequences displaces text_token_entropy
+# (the 47th r9 entry), which slides to r14 with q90_mad_outliers,
+# dedup_containment_est and sketch_ams_f2.
 _CHECK_FIRST = [
-    "q92_value_gini_binned",
-    "q66_late_supplier_blame",
-    "sketch_kmv_estimate",
-    "sketch_hist_quantiles",
-    "text_bpe_compression",
-    "text_search_and",
-    "text_search_near",
-    "text_index_merge",
-    "media_features",
-    "sim_rp_topk_pretrained",
-    "dedup_minhash_pairs_xxhash",
-    "corpus_funnel_xxhash",
-    "dedup_hash_stage_xxhash",
-    "dedup_semantic_trained",
-    "sim_ivf_topk_pretrained",
-    "sim_ivfpq_topk_pretrained",
-    "q69_concurrent_sessions",
-    "q61_profile_events_approx",
-    "q61_profile_events_approx_xxhash",
-    "sim_ivf_recall_guard",
-    "sim_ivfpq_recall_guard",
-    "q80_market_share",
-    "q81_product_margin",
-    "q70_promo_discount_revenue",
-    "q71_idle_rich_customers",
-    "q72_top_quarter_supplier",
-    "q73_large_quantity_orders",
-    "q74_dominant_suppliers",
-    "q75_nation_trade_volume",
-    "text_dup_spans",
-    "sketch_bloom_bits",
-    "sketch_bloom_prefilter",
-    "text_search_bm25",
-    "dedup_snapshot_diff",
-    "q76_priority_late_orders",
-    "q77_returned_customers",
-    "q78_promo_revenue_share",
-    "q79_supplier_variety",
-    "sim_diverse_subset",
-    "dedup_threshold_curve",
-    "media_frames",
-    "q82_order_count_distribution",
-    "q83_approx_percentile_guard",
-    "q84_rollup_revenue",
-    "q85_corpus_grouping_sets",
-    "q1_top_nations",
-    "q2_avg_value_by_hour",
-    "q3_event_type_pct",
-    # NEW r12 entries (weighted-AMS HHI sketch, top-decile Pareto
-    # share), displacing the 2 END slots per the displacement rule
-    # (q4_unit_price_by_weekday and q5_trade_routes slide to r13 with
-    # q14_clean_accounting)
-    "sketch_ams_hhi",
-    "q95_top_decile_share",
+    "q14_clean_accounting",
+    "q4_unit_price_by_weekday",
+    "q5_trade_routes",
+    "q7_filtered_metrics",
+    "q8_top_users",
+    "q9_value_histogram",
+    "q10_type_donut",
+    "q11_day_hour_heatmap",
+    "q12_derived_events",
+    "q22_heatmap_pivot",
+    "q23_value_percentiles",
+    "q24_distinct_users",
+    "q25_set_ops",
+    "q26_regex_filter",
+    "q27_asof_join",
+    "dedup_exact_groups",
+    "dedup_exact_docs",
+    "dedup_minhash_signatures",
+    "dedup_minhash_pairs",
+    "dedup_ngram_jaccard_topk",
+    "dedup_simhash_fingerprints",
+    "dedup_simhash_pairs",
+    "dedup_simhash_hamming_topk",
+    "dedup_embedding_pairs",
+    "text_stats",
+    "text_lang_id",
+    "text_fingerprint",
+    "sim_cosine_topk",
+    "sim_cosine_topk_pandas",
+    "q15_sample_events",
+    "q19_stratified_sample",
+    "q6_pricing_summary",
+    "q13_windowed_counts",
+    "q16_sessionization",
+    "q17_top_customers_per_nation",
+    "q18_status_priority_rollup",
+    "q33_status_priority_cube",
+    "q28_json_extract",
+    "q29_approx_stats",
+    "q30_semi_anti",
+    "q31_moving_avg",
+    "q32_collect_sets",
+    "sim_centroid_assign",
+    "dedup_snapshot_ledger",
+    "q86_zorder_layout",
+    "media_audio_windows",
+    "dedup_split_leakage",
+    "q87_time_weighted_value",
+    "dedup_containment_topk",
+    "text_pack_sequences",
 ]
 
 

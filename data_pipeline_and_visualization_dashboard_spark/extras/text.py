@@ -561,6 +561,143 @@ _DUCK_PACKING_SQL = f"""
 """
 
 
+# Whole-document sequence packing (VERDICT r12 #4): fixed context
+# windows, per-doc truncation, per-length-band accounting. CTX is
+# sized so truncation actually fires on the synthetic corpus (token
+# counts run ~10-99 at every SF; production: 2048/4096/8192).
+PACK_SEQ_CTX = 64      # tokens per context window
+PACK_SEQ_SHARDS = 8    # independent packing streams (scale: ~cluster cores)
+PACK_SEQ_BAND = 32     # doc-length band width; last band open-ended
+_PACK_SEQ_MAX_BAND = 3  # bands: [0,32) [32,64) [64,96) [96,inf)
+# shard*KEY + bin packs both into one bigint for COUNT(DISTINCT);
+# 2^40 bins/shard = 2^46 tokens/shard before collision — at larger
+# corpora raise SHARDS (the intended scale knob), not the multiplier
+_PACK_SEQ_SHARD_KEY = 1 << 40
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-document sequence packing accounting — the question a
+    training-data pipeline asks BEFORE writing packed examples: with a
+    fixed context window of PACK_SEQ_CTX tokens and truncate-to-one-
+    window long-doc policy, how many windows does the corpus fill,
+    how full are they, and how much text does truncation cost — per
+    doc-length band (short docs pack densely; long docs truncate).
+
+    Packing rule, deterministic in both engines: docs are laid
+    end-to-end in doc_id order within PACK_SEQ_SHARDS independent
+    shards (shard = doc_id % SHARDS — a pure function of the key, so
+    the layout is reproducible run-to-run); a doc's tokens are first
+    truncated to CTX (kept = least(n_tokens, CTX)), and the doc
+    belongs to the window where it STARTS: bin = floor((cumsum(kept)
+    - kept) / CTX) — the GPT-style concat-packing convention
+    `text_packing` established at chunk grain (docs may straddle a
+    boundary; attention masking handles the seam). Greedy-vs-optimal,
+    stated honestly: concat packing wastes at most one partial window
+    per shard but splits documents; whole-doc best-fit (bin packing,
+    NP-hard — first-fit-decreasing is the practical variant) avoids
+    splits at the cost of per-window padding and a sort — the
+    efficiency this query reports is the UPPER bound a best-fit
+    packer is judged against.
+
+    Per band row: doc count, truncated-doc count + fraction, raw /
+    kept / truncation-lost token totals, windows touched (distinct
+    (shard, bin) the band's docs start in — shared windows count in
+    each band they serve), and pack_efficiency = kept / (windows *
+    CTX), the band-attributed fill.
+
+    Plan (pinned in tests/test_plans.py): one documents scan with the
+    row-local BPE piece count (tokens_bpe's expressions; the pieces
+    array never shuffles — only (doc_id, n_tokens) does), ONE shuffle
+    on shard for the running-total window over a per-shard frame
+    (corpus/SHARDS rows; at 100 TB SHARDS rises to the cluster's
+    parallelism and each shard packs independently — no global sort,
+    no coordination), one partial-agg-combined shuffle on the ≤4
+    band keys, terminal 4-row sort. No join, no fact self-join, no
+    Python."""
+    toks = tokens_bpe(spark, sf_dir).select("doc_id", "n_tokens")
+    base = toks.select(
+        "doc_id",
+        "n_tokens",
+        F.least(F.col("n_tokens"), F.lit(PACK_SEQ_CTX)).alias("kept"),
+        (F.col("doc_id") % PACK_SEQ_SHARDS).alias("shard"),
+        F.expr(
+            f"CAST(least(n_tokens div {PACK_SEQ_BAND},"
+            f" {_PACK_SEQ_MAX_BAND}) * {PACK_SEQ_BAND} AS INT)"
+        ).alias("band_lo"),
+    )
+    packed = base.withColumn(
+        "bin_key",
+        F.col("shard") * _PACK_SEQ_SHARD_KEY
+        + F.expr(
+            f"(sum(kept) OVER (PARTITION BY shard ORDER BY doc_id"
+            f" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            f" - kept) div {PACK_SEQ_CTX}"
+        ),
+    )
+    truncated = F.when(F.col("n_tokens") > PACK_SEQ_CTX, 1).otherwise(0)
+    return (
+        packed.groupBy("band_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(truncated).alias("n_truncated"),
+            F.round(
+                F.sum(truncated) / F.count(F.lit(1)).cast("double"), 6
+            ).alias("truncation_fraction"),
+            F.sum("n_tokens").alias("tokens_total"),
+            F.sum("kept").alias("tokens_kept"),
+            (F.sum("n_tokens") - F.sum("kept")).alias("tokens_lost"),
+            F.countDistinct("bin_key").alias("bins_used"),
+            F.round(
+                F.sum("kept").cast("double")
+                / (F.countDistinct("bin_key") * PACK_SEQ_CTX),
+                6,
+            ).alias("pack_efficiency"),
+        )
+        .orderBy("band_lo")
+    )
+
+
+_DUCK_PACK_SEQUENCES_SQL = f"""
+    WITH counted AS (
+        SELECT doc_id,
+               len(list_filter(regexp_extract_all(text,
+                   '{BPE_PATTERN.replace("'", "''")}'),
+                   p -> NOT regexp_full_match(p, '\\s+'))) AS n_tokens
+        FROM documents
+    ), base AS (
+        SELECT doc_id, n_tokens,
+               least(n_tokens, {PACK_SEQ_CTX}) AS kept,
+               doc_id % {PACK_SEQ_SHARDS} AS shard,
+               CAST(least(n_tokens // {PACK_SEQ_BAND},
+                          {_PACK_SEQ_MAX_BAND}) * {PACK_SEQ_BAND}
+                    AS INT) AS band_lo
+        FROM counted
+    ), packed AS (
+        SELECT band_lo, n_tokens, kept,
+               shard * {_PACK_SEQ_SHARD_KEY}
+               + (sum(kept) OVER (
+                      PARTITION BY shard ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - kept) // {PACK_SEQ_CTX} AS bin_key
+        FROM base
+    )
+    SELECT band_lo,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN n_tokens > {PACK_SEQ_CTX} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_truncated,
+           round(sum(CASE WHEN n_tokens > {PACK_SEQ_CTX} THEN 1 ELSE 0 END)
+                     ::DOUBLE / count(*), 6) AS truncation_fraction,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+           CAST(sum(kept) AS BIGINT) AS tokens_kept,
+           CAST(sum(n_tokens) - sum(kept) AS BIGINT) AS tokens_lost,
+           count(DISTINCT bin_key) AS bins_used,
+           round(sum(kept)::DOUBLE
+                 / (count(DISTINCT bin_key) * {PACK_SEQ_CTX}), 6)
+               AS pack_efficiency
+    FROM packed GROUP BY band_lo ORDER BY band_lo
+"""
+
+
 # ----------------------------------------------------------------------
 # vocabulary build + token-id encoding — the embedding-table prep step
 # of a training pipeline (tokenize -> frequency-ranked vocab -> docs as
@@ -1972,6 +2109,7 @@ QUERIES = {
     "text_tfidf_topk": tfidf_topk,
     "text_chunks": chunks,
     "text_packing": packing,
+    "text_pack_sequences": pack_sequences,
     "text_split_assign": split_assign,
     "corpus_forget_impact": corpus_forget_impact,
     "text_vocab": vocab_table,
@@ -1987,6 +2125,7 @@ QUERIES = {
     "text_lm_logprob": lm_logprob,
 }
 
+ORACLE_SQL["text_pack_sequences"] = _DUCK_PACK_SEQUENCES_SQL
 ORACLE_SQL["text_token_entropy"] = _DUCK_TOKEN_ENTROPY_SQL
 ORACLE_SQL["text_hashed_features"] = _DUCK_HASHED_FEATURES_SQL
 ORACLE_SQL["text_scrub_pii"] = _duck_scrub_sql()

@@ -569,6 +569,17 @@ CASES = {
          "Window", "BatchEvalPython", "ArrowEvalPython"],
         2,  # o_custkey agg + SinglePartition fold
     ),
+    "text_pack_sequences": (
+        # row-local BPE token count -> ONE shard exchange for the
+        # running-total window (per-shard frame, no global sort) ->
+        # distinct-(band,bin) pre-agg -> 4-band agg -> 4-row sort;
+        # no join, no fact self-join, no Python
+        ["Window", "HashAggregate"],
+        ["SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+         "CartesianProduct", "BroadcastNestedLoopJoin",
+         "BatchEvalPython", "ArrowEvalPython"],
+        4,  # shard window + countDistinct two-phase agg + band sort
+    ),
     "text_token_entropy": (
         # explode -> (doc,token) partial-combined agg -> doc-grain agg;
         # entropy math is codegen'd into the final agg — no join, no
@@ -1315,7 +1326,39 @@ FACT_FANOUT_OK = {
 }
 
 
-_FLEET_FLAGS: dict = {}
+# Queries whose OWN constructor marks a subtree .cache()d, so their
+# plan prints InMemoryTableScan at the cache boundary and
+# fact_scan_fanout is a LOWER bound for them (ADVICE r12 #2 — the
+# per-query clearCache clears OTHER entries' caches, not a query's
+# own). Every entry caches deliberately: the cache IS the fix for a
+# multi-consumer subtree that would otherwise re-plan (the q92 lesson
+# applied in the other direction), so the carve-out is explicit and
+# annotated rather than silent.
+SELF_CACHE_OK = {
+    # minhash signature frame cached, reused by band-bucket join +
+    # pair verification (each consumer would otherwise recompute the
+    # full shingle->minhash pipeline):
+    "dedup_minhash_pairs", "dedup_minhash_pairs_xxhash",
+    "dedup_incremental_pairs", "dedup_containment_est",
+    "dedup_pair_features", "dedup_training_triplets",
+    "dedup_split_leakage",
+    # simhash fingerprint frame cached, reused per pair side:
+    "dedup_simhash_pairs",
+    # funnel flags cached: stage verdicts feed survivor + accounting
+    # branches (and the LSH pairs frame inside is count()-pinned):
+    "corpus_funnel", "corpus_funnel_xxhash", "corpus_survivors",
+    # normalized edge matrix cached: reused by every unrolled
+    # PageRank iteration:
+    "q51_nation_pagerank",
+    # per-side KMV sets cached: reused by union + intersection folds:
+    "sketch_kmv_overlap",
+}
+
+
+# keyed on id(spark) (ADVICE r12 #3): a re-created or re-configured
+# session in the same process must not reuse a stale sweep — the memo
+# dies with the session object instead of living module-global
+_FLEET_SWEEPS: dict = {}
 
 
 def _fleet_sweep(spark) -> dict:
@@ -1332,14 +1375,15 @@ def _fleet_sweep(spark) -> dict:
     dedup_snapshot_ledger is skipped: building its frame drives a
     Structured Streaming job; its readout is a plain partitioned
     scan."""
-    if _FLEET_FLAGS:
-        return _FLEET_FLAGS
+    cached = _FLEET_SWEEPS.get(id(spark))
+    if cached is not None:
+        return cached
     from data_pipeline_and_visualization_dashboard_spark.plans import (
         plan_audit,
     )
     from tests.conftest import SF_SMOKE
 
-    gw, cart, fanout = set(), set(), set()
+    gw, cart, fanout, selfcache = set(), set(), set(), set()
     for name, fn in entrymod.queries().items():
         if name == "dedup_snapshot_ledger":
             continue
@@ -1351,9 +1395,12 @@ def _fleet_sweep(spark) -> dict:
             cart.add(name)
         if any(n >= 3 for n in a["fact_scan_fanout"].values()):
             fanout.add(name)
+        if a["cached_scans"]:
+            selfcache.add(name)
     spark.catalog.clearCache()
-    _FLEET_FLAGS.update(gw=gw, cart=cart, fanout=fanout)
-    return _FLEET_FLAGS
+    flags = dict(gw=gw, cart=cart, fanout=fanout, selfcache=selfcache)
+    _FLEET_SWEEPS[id(spark)] = flags
+    return flags
 
 
 def test_fleet_scan_fanout_gate(spark):
@@ -1363,11 +1410,33 @@ def test_fleet_scan_fanout_gate(spark):
     the anti-regression gate for the r12 q92_value_gini_binned
     finding: its self-join formulation planned the bins subtree 3x —
     4 fact passes where the docstring promised 2 — and nothing
-    failed."""
+    failed.
+
+    Stated carve-out (ADVICE r12 #2): the per-query clearCache makes
+    plans cold with respect to OTHER entries' caches, but a query
+    whose own constructor calls .cache() prints InMemoryTableScan at
+    that boundary, so for the SELF_CACHE_OK set the FileScan count is
+    a lower bound — those queries' fanout is governed by the
+    self-cache gate below, not this one."""
     flagged = _fleet_sweep(spark)["fanout"]
     assert flagged == FACT_FANOUT_OK, (
         f"new >=3-fact-scan fanout: {flagged - FACT_FANOUT_OK}; "
         f"stale whitelist: {FACT_FANOUT_OK - flagged}"
+    )
+
+
+def test_fleet_self_cache_gate(spark):
+    """Exactly the annotated SELF_CACHE_OK queries plan an
+    InMemoryTableScan from their own constructor's .cache() (exact
+    equality, cold cache). This makes the fanout gate's blind spot
+    explicit AND bounded: a new self-caching operator must be listed
+    here with its reuse reason, and a whitelisted one that stops
+    caching must be removed — so 'the fanout count is a lower bound'
+    is only ever true for queries this list names."""
+    flagged = _fleet_sweep(spark)["selfcache"]
+    assert flagged == SELF_CACHE_OK, (
+        f"new self-caching plans: {flagged - SELF_CACHE_OK}; "
+        f"stale whitelist: {SELF_CACHE_OK - flagged}"
     )
 
 

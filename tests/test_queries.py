@@ -138,6 +138,8 @@ EXPECTED_CARDINALITY = {
                                      # depth-20 lists always >= 15)
     "sketch_ams_hhi": 1,             # one-row global monitor readout
     "q95_top_decile_share": 25,      # nation domain
+    "text_pack_sequences": 4,        # doc-length band domain (32-token
+                                     # bands over 10-99-token docs)
 }
 
 
