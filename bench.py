@@ -37,7 +37,7 @@ def family(name: str) -> str:
             "text": "text", "media": "media"}.get(prefix, "other")
 
 # HEADLINE vs registry — the exclusion policy (VERDICT r6 next #7).
-# The registry holds 203 entries; HEADLINE benches 125.  The 78
+# The registry holds 204 entries; HEADLINE benches 126.  The 78
 # excluded entries fall into six families, each excluded for a reason,
 # not forgotten:
 #   1. display-grain chart twins / plan-shape variants of benched
@@ -118,6 +118,13 @@ BASELINE_REFREEZE = {
     # frozen at its first committed floor, the BENCH_full_r12d/r12e
     # 2-run pair (registered after the r12/b/c runs):
     "q95_top_decile_share": 0.600,
+    # r13 addition, frozen at its first committed floor (the
+    # BENCH_full_r13{,b,c}.json 3-run floor).  The r13 session is a
+    # documented SLOW box regime (drift log r13: fleet floor ×1.085
+    # over r6, uniform across untouched code), so this freeze may
+    # re-freeze DOWNWARD later per the stricter-only clause — the
+    # r10-sourced precedent:
+    "text_pack_sequences": 0.393,
 }
 
 def baseline_gate(timings: dict, sf: float, subset,
@@ -299,6 +306,8 @@ HEADLINE = [
     "text_index_merge",  # incremental postings merge == rebuild
     "sim_search_rrf",  # hybrid lexical+semantic RRF fusion
     "text_vocab_encode",  # vocab build + id encode (embedding prep)
+    "text_pack_sequences",  # whole-doc context packing accounting
+
     "text_scrub_pii",  # regex redaction + per-rule accounting (codegen)
     "text_mix_sample",  # domain-weighted token-budget sampling
     "corpus_forget_impact",  # deletion propagation across artifacts
