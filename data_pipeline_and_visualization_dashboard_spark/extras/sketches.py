@@ -152,34 +152,58 @@ def _spark_rank() -> str:
     )
 
 
+def hll_register_rows(keys: DataFrame,
+                      carry: str | list | None = None) -> DataFrame:
+    """(bucket, rank) fan-out over a user_id frame — ONE definition of
+    the HLL GEOMETRY (bucket split + leading-zero rank), shared by the
+    batch sketch (hll_registers, over distinct keys) and the streaming
+    monitor (streaming.hll_register_stream, over raw arrivals), so the
+    register parity is structural (the cm_cell_rows / hist_bin_expr
+    precedent). The stream may skip the distinct because rank is a
+    PURE function of the key and max() absorbs duplicates:
+    max_over_arrivals(rank) == max_over_distinct_keys(rank). `carry`
+    names optional column(s) to ride along (the restart pin's
+    champion-user search keeps user_id next to its cell)."""
+    if carry is None:
+        carry = []
+    elif isinstance(carry, str):
+        carry = [carry]
+    h = spark_h60(_SPARK_KEY)
+    bucketed = keys.selectExpr(
+        *carry,
+        f"CAST({h} % {HLL_M} AS INT) AS bucket",
+        f"CAST({h} div {HLL_M} AS BIGINT) AS rest",
+    )
+    return bucketed.selectExpr(
+        *carry, "bucket", f"{_spark_rank()} AS rank"
+    )
+
+
 def hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The M-register HLL state over distinct user_ids: register b
     holds the max leading-zero rank among keys bucketed to b. Shuffles:
     key-distinct (fact-sized, the unavoidable one) + the M-cell max —
     constant-size state, mergeable by max() across partitions/days,
-    which is why HLL is the standard distributed distinct counter."""
+    which is why HLL is the standard distributed distinct counter.
+    Geometry lives in hll_register_rows (shared with the streaming
+    twin)."""
     ev = read_table(spark, sf_dir, "events", ["user_id"])
     keys = ev.select("user_id").distinct()
-    h = spark_h60(_SPARK_KEY)
-    bucketed = keys.selectExpr(
-        f"CAST({h} % {HLL_M} AS INT) AS bucket",
-        f"CAST({h} div {HLL_M} AS BIGINT) AS rest",
-    )
-    ranked = bucketed.selectExpr("bucket", f"{_spark_rank()} AS rank")
-    return ranked.groupBy("bucket").agg(
+    return hll_register_rows(keys).groupBy("bucket").agg(
         F.max("rank").alias("max_rank")
     )  # no terminal sort: O(M) output, order-insensitive compare
 
 
-def hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The HLL readout next to ground truth: raw estimate
-    alpha*m^2 / sum(2^-reg) with the standard small-range linear-
-    counting correction (E <= 2.5m and empty registers present ->
-    m*ln(m/zeros)). One result row: exact distinct count, estimate,
-    relative error. Estimate rounded 4dp (register sum + ln are
-    aggregate-derived; rounding policy)."""
-    regs = hll_registers(spark, sf_dir)
-    # full register spine 0..M-1: empty registers count as rank 0
+def hll_est_from_registers(regs: DataFrame) -> DataFrame:
+    """HLL readout over a (bucket, max_rank) register frame: spine out
+    to the full 0..M-1 register set (empty registers count rank 0),
+    fold Σ2^-r, apply the standard small-range linear-counting
+    correction. Returns ONE row (hll_est, unrounded). Shared by the
+    batch readout (hll_estimate, which joins the exact count next to
+    it) and the streaming monitor's stateless epilogue
+    (streaming.hll_estimate_from_cells) — so a live dashboard's
+    estimate is definitionally the batch estimate."""
+    spark = regs.sparkSession
     spine = spark.range(HLL_M).selectExpr("CAST(id AS INT) AS bucket")
     full = spine.join(F.broadcast(regs), "bucket", "left").select(
         "bucket", F.coalesce("max_rank", F.lit(0)).alias("r")
@@ -193,14 +217,29 @@ def hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (raw <= F.lit(2.5 * HLL_M)) & (F.col("zeros") > 0),
         F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / F.col("zeros")),
     ).otherwise(raw)
+    return folded.select(est.alias("hll_est"))
+
+
+def hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL readout next to ground truth: raw estimate
+    alpha*m^2 / sum(2^-reg) with the standard small-range linear-
+    counting correction (E <= 2.5m and empty registers present ->
+    m*ln(m/zeros)). One result row: exact distinct count, estimate,
+    relative error. Estimate rounded 4dp (register sum + ln are
+    aggregate-derived; rounding policy). Readout math lives in
+    hll_est_from_registers (shared with the streaming twin's
+    epilogue)."""
+    folded = hll_est_from_registers(hll_registers(spark, sf_dir))
     ev = read_table(spark, sf_dir, "events", ["user_id"])
     exact = ev.agg(F.countDistinct("user_id").alias("n_exact"))
     joined = exact.join(F.broadcast(folded))
     return joined.select(
         "n_exact",
-        F.round(est, 4).alias("hll_est"),
+        F.round("hll_est", 4).alias("hll_est"),
         F.round(
-            F.abs(est - F.col("n_exact")) / F.col("n_exact"), 4
+            F.abs(F.col("hll_est") - F.col("n_exact"))
+            / F.col("n_exact"),
+            4,
         ).alias("rel_err"),
     )
 

@@ -1241,49 +1241,6 @@ def run_rollup_merge_to_completion(spark: SparkSession, in_dir: str,
     ).orderBy("event_date", "event_type")
 
 
-def hll_register_stream(events: DataFrame) -> DataFrame:
-    """Streaming cardinality monitor: HyperLogLog registers maintained
-    over the event stream — the live "how many distinct users so far"
-    counter. The insert operation is max(), which is IDEMPOTENT: a
-    user seen a thousand times moves the registers exactly as far as a
-    user seen once, so unlike streaming count-distinct this needs NO
-    dedup state and no watermark — total state is the constant 256
-    registers regardless of stream length or key cardinality. That
-    merge-by-max property is also what makes per-partition partial
-    registers combine correctly (same plan fragment as the batch
-    extras.sketches.hll_registers, which is the parity oracle)."""
-    from .extras.sketches import HLL_M, _SPARK_KEY, _spark_rank, spark_h60
-
-    h = spark_h60(_SPARK_KEY)
-    bucketed = events.selectExpr(
-        f"CAST({h} % {HLL_M} AS INT) AS bucket",
-        f"CAST({h} div {HLL_M} AS BIGINT) AS rest",
-    ).selectExpr("bucket", f"{_spark_rank()} AS rank")
-    return bucketed.groupBy("bucket").agg(F.max("rank").alias("max_rank"))
-
-
-def run_hll_stream_to_completion(spark: SparkSession, in_dir: str,
-                                 query_name: str = "hll_out") -> DataFrame:
-    raw = (
-        spark.readStream.schema(_STREAM_SCHEMA)
-        .option("maxFilesPerTrigger", "1")
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(in_dir)
-    )
-    q = (
-        hll_register_stream(raw)
-        .writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(query_name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.sql(f"SELECT * FROM {query_name}")
-
-
 def ams_f2_stream(events: DataFrame) -> DataFrame:
     """Streaming AMS F2 (tug-of-war) second-moment monitor — the
     incremental twin of extras.sketches.ams_f2, making that
@@ -1569,6 +1526,83 @@ def hist_quantiles_from_cells(cells: DataFrame, lo: float,
         F.lit(float(hi)).alias("hi"),
     )
     return hist_quantile_rows(hist, qs if qs is not None else HIST_QS)
+
+
+def hll_register_stream(events: DataFrame) -> DataFrame:
+    """Live distinct-user (HLL) monitor (19th stateful family) — the
+    streaming twin of extras.sketches.hll_registers: every arrival
+    fans out to its (bucket, rank) cell and the bucket-keyed streaming
+    aggregation maintains the M-register table continuously. Register
+    merge is max() — idempotent AND additive-free — so there is no
+    watermark and no custom operator, and total state is bounded by
+    the sketch GEOMETRY: ≤ HLL_M registers (+1 NULL-hash register)
+    regardless of key cardinality or stream length.
+
+    The batch twin runs key-distinct FIRST (its fact-sized shuffle);
+    the stream skips the distinct entirely — rank is a PURE function
+    of the key, so max over raw arrivals equals max over distinct
+    keys, and the register tables agree cell-for-cell (integer ranks:
+    no float discipline). That reduction is the whole point: the
+    classic "how many distinct users so far" stream question needs
+    per-key state in exact form, but HLL's answer is M integers. The
+    fan-out itself is sketches.hll_register_rows — ONE definition of
+    the geometry shared with the batch twin (the cm_cell_rows /
+    hist_bin_expr precedent). NULL user_ids are kept, matching the
+    batch: md5(NULL) makes bucket and rank NULL, so both sides carry
+    the same (NULL, NULL) register row. The cardinality readout stays
+    OUTSIDE the stream (hll_estimate_from_cells): state remains the
+    raw mergeable registers, so two independent monitors (or a batch
+    sketch and a live one) stay combinable by max()."""
+    from .extras.sketches import hll_register_rows
+
+    return (
+        hll_register_rows(events.select("user_id"))
+        .groupBy("bucket")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+
+
+def run_hll_stream_to_completion(spark: SparkSession, in_dir: str,
+                                 query_name: str = "hll_out"):
+    """Drive the HLL register monitor over a finite fixture; see
+    _run_global_sketch_to_completion for the contract (here the
+    bounded-state claim: state rows == live registers ≤ HLL_M + 1)."""
+    return _run_global_sketch_to_completion(
+        spark, in_dir, _STREAM_SCHEMA, "events.parquet",
+        hll_register_stream, query_name, "HLL",
+    )
+
+
+def hll_merge_stream(spark: SparkSession, in_dir: str, state_dir: str,
+                     checkpoint_dir: str):
+    """Restartable HLL register monitor (_global_sketch_merge_stream
+    over hll_register_stream): complete-mode output is the WHOLE
+    register table every trigger, so the overwrite sink is idempotent
+    and restart recovery lives in the aggregation state store. One
+    honesty note for the restart pin: max() is IDEMPOTENT, so a
+    replayed batch could never inflate a register — what the pin
+    proves here is state RECOVERY (registers whose max was seen only
+    before the stop must survive the restart), asserted against the
+    second wave's own registers, not just A∪B."""
+    return _global_sketch_merge_stream(
+        spark, in_dir, _STREAM_SCHEMA, hll_register_stream,
+        state_dir, checkpoint_dir,
+    )
+
+
+def hll_estimate_from_cells(cells: DataFrame) -> DataFrame:
+    """Stateless O(M) readout epilogue for the HLL monitor: run
+    sketches.hll_est_from_registers — the SAME spine/fold/correction
+    the batch readout uses — over the emitted register table, rounded
+    to the batch twin's 4dp policy. NULL-register rows (the NULL-hash
+    key) are dropped first, exactly as the batch spine join drops
+    them (a NULL bucket matches no spine row)."""
+    from .extras.sketches import hll_est_from_registers
+
+    regs = cells.filter(F.col("bucket").isNotNull())
+    return hll_est_from_registers(regs).select(
+        F.round("hll_est", 4).alias("hll_est")
+    )
 
 
 # orders arrive as their own stream for the market-concentration

@@ -372,27 +372,11 @@ def test_streaming_rollup_survives_restart_without_double_merge(
     assert got == want and len(got) > 0
 
 
-def test_streaming_hll_registers_match_batch(spark):
-    """The streaming HLL monitor's complete-mode registers must equal
-    the batch sketch exactly: max-insert is idempotent, so duplicate
-    user arrivals across micro-batches cannot move a register past the
-    batch-distinct value."""
-    from data_pipeline_and_visualization_dashboard_spark import streaming
-    from data_pipeline_and_visualization_dashboard_spark.extras.sketches import (
-        hll_registers,
-    )
+# (the r4-era parity-only HLL stream test was subsumed by
+# test_streaming_hll_matches_batch_with_bounded_state at the end of
+# this file, which asserts the same cell parity PLUS the bounded-state
+# and shared-epilogue contracts the family bar requires)
 
-    got = sorted(
-        (r.bucket, r.max_rank)
-        for r in streaming.run_hll_stream_to_completion(
-            spark, SF_SMOKE
-        ).collect()
-    )
-    want = sorted(
-        (r.bucket, r.max_rank)
-        for r in hll_registers(spark, SF_SMOKE).collect()
-    )
-    assert got == want and len(got) > 0
 
 def test_watermark_drops_late_rows_with_accounting(spark, tmp_path):
     """Late-data semantics made explicit AND two non-obvious engine
@@ -2774,3 +2758,121 @@ def test_streaming_hist_survives_restart(spark, tmp_path):
     want = {(r.event_type, r.bin): r.cnt for r in batch_cells}
     assert got == want
     assert wave1 != want  # or the recovery assertion is vacuous
+
+
+def test_streaming_hll_matches_batch_with_bounded_state(spark):
+    """The live HLL register monitor (19th stateful family): (a) the
+    final register table equals extras.sketches.hll_registers over the
+    same fixture CELL-FOR-CELL even though the stream never runs the
+    batch twin's key-distinct (rank is a pure function of the key and
+    max() absorbs duplicates — the reduction the operator exists for);
+    (b) state is bounded by the sketch GEOMETRY: rows in the
+    aggregation state store == live registers <= HLL_M + 1 (the +1 is
+    the NULL-hash register both sides keep); (c) the stateless readout
+    epilogue over the streamed registers reproduces the batch
+    estimate exactly (shared hll_est_from_registers fold)."""
+    from data_pipeline_and_visualization_dashboard_spark.extras.sketches import (
+        HLL_M,
+        hll_estimate,
+        hll_registers,
+    )
+
+    out, state_rows = streaming.run_hll_stream_to_completion(
+        spark, SF_SMOKE
+    )
+    got = {r.bucket: r.max_rank for r in out.collect()}
+    want = {
+        r.bucket: r.max_rank
+        for r in hll_registers(spark, SF_SMOKE).collect()
+    }
+    assert got == want and len(got) > 0
+    assert state_rows == len(got)
+    assert state_rows <= HLL_M + 1
+    est = streaming.hll_estimate_from_cells(out).first().hll_est
+    batch_est = hll_estimate(spark, SF_SMOKE).first().hll_est
+    assert est == batch_est
+
+
+def test_streaming_hll_survives_restart(spark, tmp_path):
+    """Restart pin for the HLL monitor: drain file A through the
+    checkpointed foreachBatch variant, STOP, land file B, restart
+    with the SAME checkpoint. max() is idempotent, so a replay can
+    never inflate a register — what this pin proves is RECOVERY: the
+    final table must equal the batch registers over A∪B AND differ
+    from the registers of B alone (so a register max seen only in A
+    provably came from recovered state, not from re-reading A).
+
+    The split is chosen to make BOTH vacuousness guards bite: an
+    event_id parity split fails them (half the users already saturate
+    every register max — max converges fast), so wave A is exactly
+    ONE champion user who uniquely holds their bucket's max rank
+    (found from the batch cells), and wave B is everyone else. Then
+    wave1 != final (A populates one register) and final !=
+    registers(B) (B lacks the champion's max) are both guaranteed
+    non-vacuous."""
+    from collections import defaultdict
+
+    from data_pipeline_and_visualization_dashboard_spark.extras.sketches import (
+        hll_register_rows,
+    )
+
+    def batch_regs(df):
+        return {
+            r.bucket: r.max_rank
+            for r in hll_register_rows(
+                df.select("user_id").distinct()
+            )
+            .groupBy("bucket")
+            .agg(F.max("rank").alias("max_rank"))
+            .collect()
+        }
+
+    raw = spark.read.parquet(SF_SMOKE + "/events.parquet")
+    # (user_id, bucket, rank) per distinct user: pick a champion who
+    # UNIQUELY holds their bucket's max rank
+    cells = hll_register_rows(
+        raw.select("user_id").distinct().filter("user_id IS NOT NULL"),
+        carry="user_id",
+    ).collect()
+    by_bucket = defaultdict(list)
+    for r in cells:
+        by_bucket[r.bucket].append((r.rank, r.user_id))
+    champion = None
+    for ranked in by_bucket.values():
+        ranked.sort(reverse=True)
+        if len(ranked) == 1 or ranked[0][0] > ranked[1][0]:
+            champion = ranked[0][1]
+            break
+    assert champion is not None, (
+        "degenerate fixture: every bucket max is tied — no champion"
+    )
+    in_dir = str(tmp_path / "hll_in")
+    state = str(tmp_path / "hll_state")
+    ckpt = str(tmp_path / "hll_ckpt")
+    a = raw.filter(F.col("user_id") == champion)
+    b = raw.filter(
+        F.col("user_id").isNull() | (F.col("user_id") != champion)
+    )
+    a.coalesce(1).write.parquet(in_dir, mode="append")
+    q = streaming.hll_merge_stream(spark, in_dir, state, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    wave1 = {
+        r.bucket: r.max_rank for r in spark.read.parquet(state).collect()
+    }
+    b.coalesce(1).write.parquet(in_dir, mode="append")
+    q2 = streaming.hll_merge_stream(spark, in_dir, state, ckpt)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    got = {
+        r.bucket: r.max_rank for r in spark.read.parquet(state).collect()
+    }
+    want = batch_regs(raw)
+    assert got == want
+    assert wave1 != want      # wave B moved some register
+    assert got != batch_regs(b)  # ...and some register max came only
+    # from the recovered wave-A state
