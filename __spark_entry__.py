@@ -58,9 +58,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # the 3 r8-latest leftovers FIRST (oldest rows — 4 rounds stale),
 # then the first 46 of the r9-latest cohort in CORRECTNESS_r09 order.
 # NEW r13 oracle-backed entries displace from the END per the
-# displacement rule: text_pack_sequences displaces text_token_entropy
-# (the 47th r9 entry), which slides to r14 with q90_mad_outliers,
-# dedup_containment_est and sketch_ams_f2.
+# displacement rule: text_pack_sequences and q96_theil_decomposition
+# displace text_token_entropy (the 47th r9 entry) and
+# dedup_containment_topk (the 46th), which slide to r14 with
+# q90_mad_outliers, dedup_containment_est and sketch_ams_f2.
 _CHECK_FIRST = [
     "q14_clean_accounting",
     "q4_unit_price_by_weekday",
@@ -110,8 +111,8 @@ _CHECK_FIRST = [
     "media_audio_windows",
     "dedup_split_leakage",
     "q87_time_weighted_value",
-    "dedup_containment_topk",
     "text_pack_sequences",
+    "q96_theil_decomposition",
 ]
 
 

@@ -5300,6 +5300,113 @@ def q95_top_decile_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q96_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index with its exact between/within
+    decomposition — the fourth member of the inequality family, and
+    the one with the BEST scale shape: unlike Gini (q92: a rank
+    statistic needing a per-group sort or a binned approximation) and
+    unlike the Pareto share (q95: a percentile needing fact-derived
+    ObjectHashAggregate state), Theil is a plain decomposable
+    aggregate.  The identity Σ(x/μ)ln(x/μ)/N = Σx·ln(x)/Σx − ln(μ)
+    turns the per-nation index into THREE map-side-combinable sums
+    (count, Σx, Σx·lnx) — so the whole operator is ONE fact scan and
+    ONE fact-sized shuffle (the (nation, customer) spend grain q94/
+    q95 also build), a 25-row nation aggregation, and a W1-pattern
+    global window over that 25-row frame for the grand totals (the
+    pct-of-total idiom; whitelisted global window over an aggregated
+    series, never the fact).  No join back, no subtree re-plan (the
+    q95/q92 two-pass shapes are AVOIDED here — fanout 1, pinned).
+
+    And Theil is the only standard inequality index that decomposes
+    EXACTLY by population subgroup: T_total = Σ_g s_g·T_g (within) +
+    Σ_g s_g·ln(μ_g/μ) (between), s_g the group's spend share — the
+    between sum is a KL divergence (spend share vs headcount share),
+    so both components are non-negative and their sum reconstructs
+    the undecomposed index, a property pinned against a raw-input
+    Python fold in tests/test_properties.py.  At 100 TB the same
+    three sums roll up along ANY dimension hierarchy (the additive-
+    state argument of sketch_ams_hhi, applied to an inequality
+    statistic).
+
+    Float discipline: per-customer spend is rounded 2dp FIRST (sums
+    of exact 2dp prices, the q95 precedent) so ln() sees identical
+    operands in both engines; all derived terms round 6dp at output
+    only (internals unrounded; sum-order ulp spread is far below the
+    quantum).  Spark `ln` (java.lang.Math.log) ≡ DuckDB `ln` (libm)
+    within double ulps — the q63_drift_kl precedent."""
+    from pyspark.sql import Window
+
+    orders = read_table(
+        spark, sf_dir, "orders", ["o_custkey", "o_totalprice"]
+    )
+    cust = read_table(spark, sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nation = read_table(spark, sf_dir, "nation", ["n_nationkey", "n_name"])
+    spend = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "c_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
+    )
+    nat = spend.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("spend").alias("spend_sum"),
+        F.sum(F.col("spend") * F.log("spend")).alias("sxlx"),
+    )
+    w = Window.partitionBy()  # W1: global window over the 25-row agg
+    tot = nat.withColumn(
+        "n_total", F.sum("n_customers").over(w)
+    ).withColumn("s_total", F.sum("spend_sum").over(w))
+    mean_g = F.col("spend_sum") / F.col("n_customers")
+    mu = F.col("s_total") / F.col("n_total")
+    theil_g = F.col("sxlx") / F.col("spend_sum") - F.log(mean_g)
+    s_g = F.col("spend_sum") / F.col("s_total")
+    return tot.select(
+        "n_name",
+        "n_customers",
+        F.round(mean_g, 6).alias("mean_spend"),
+        F.round(theil_g, 6).alias("theil_within"),
+        F.round(s_g, 6).alias("spend_share"),
+        F.round(s_g * theil_g, 6).alias("within_contrib"),
+        F.round(s_g * F.log(mean_g / mu), 6).alias("between_term"),
+    ).orderBy("n_name")
+
+
+_DUCK_Q96_SQL = """
+    WITH spend AS (
+        SELECT n.n_name, c.c_custkey,
+               round(sum(o.o_totalprice), 2) AS spend
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2
+    ), nat AS (
+        SELECT n_name,
+               count(*) AS n_customers,
+               sum(spend) AS spend_sum,
+               sum(spend * ln(spend)) AS sxlx
+        FROM spend GROUP BY 1
+    ), tot AS (
+        SELECT *,
+               sum(n_customers) OVER () AS n_total,
+               sum(spend_sum) OVER () AS s_total
+        FROM nat
+    )
+    SELECT n_name,
+           n_customers,
+           round(spend_sum / n_customers, 6) AS mean_spend,
+           round(sxlx / spend_sum
+                 - ln(spend_sum / n_customers), 6) AS theil_within,
+           round(spend_sum / s_total, 6) AS spend_share,
+           round((spend_sum / s_total)
+                 * (sxlx / spend_sum - ln(spend_sum / n_customers)),
+                 6) AS within_contrib,
+           round((spend_sum / s_total)
+                 * ln((spend_sum / n_customers) / (s_total / n_total)),
+                 6) AS between_term
+    FROM tot ORDER BY n_name
+"""
+
+
 _DUCK_Q95_SQL = """
     WITH spend AS (
         SELECT n.n_name, c.c_custkey,
@@ -5369,6 +5476,7 @@ ORACLE_SQL: dict[str, str] = {
     "q92_value_gini_binned": _DUCK_Q92B_SQL,
     "q94_hhi_concentration": _DUCK_Q94_SQL,
     "q95_top_decile_share": _DUCK_Q95_SQL,
+    "q96_theil_decomposition": _DUCK_Q96_SQL,
     "sim_diverse_subset": _duck_diverse_subset_sql(),
     "q54_hash_sample": _duck_hash_sample_sql(),
     "q55_rolling_median": _DUCK_ROLLING_MEDIAN_SQL,
@@ -5886,6 +5994,7 @@ QUERIES = {
     "q92_value_gini_binned": q92_value_gini_binned,
     "q94_hhi_concentration": q94_hhi_concentration,
     "q95_top_decile_share": q95_top_decile_share,
+    "q96_theil_decomposition": q96_theil_decomposition,
     "q83_approx_percentile_guard": q83_approx_percentile_guard,
     "sim_diverse_subset": sim_diverse_subset,
     "sim_rp_topk_pretrained": sim_rp_topk_pretrained,

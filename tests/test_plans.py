@@ -569,6 +569,18 @@ CASES = {
          "Window", "BatchEvalPython", "ArrowEvalPython"],
         2,  # o_custkey agg + SinglePartition fold
     ),
+    "q96_theil_decomposition": (
+        # ONE fact scan (pinned by the fanout gate at 1): customer-
+        # grain agg -> 25-row nation agg of three decomposable sums ->
+        # W1 global window for the grand totals -> row-local Theil
+        # math -> 25-row sort. No join back, no subtree re-plan, no
+        # Python
+        ["Window", "HashAggregate"],
+        ["SortMergeJoin", "ShuffledHashJoin",
+         "CartesianProduct", "BroadcastNestedLoopJoin",
+         "BatchEvalPython", "ArrowEvalPython"],
+        4,  # custkey agg + nation agg + SinglePartition window + sort
+    ),
     "text_pack_sequences": (
         # row-local BPE token count -> ONE shard exchange for the
         # running-total window (per-shard frame, no global sort) ->
@@ -1246,6 +1258,11 @@ GLOBAL_WINDOW_OK = {
     "sim_search_rrf",  # 2 rank windows over already-LIMITed <=20-row frames
     "q31_moving_avg",
     "dedup_threshold_curve",
+    # grand-total fold over the 25-row nation aggregate (the W1
+    # pct-of-total idiom) — chosen INSTEAD of a 1-row readout join so
+    # the fact subtree is planned once (fanout 1, unlike q95's
+    # bounds-then-use double pass)
+    "q96_theil_decomposition",
 }
 
 # the deliberate BroadcastNestedLoopJoin idiom: a 1-row/tiny broadcast

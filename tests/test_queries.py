@@ -140,6 +140,7 @@ EXPECTED_CARDINALITY = {
     "q95_top_decile_share": 25,      # nation domain
     "text_pack_sequences": 4,        # doc-length band domain (32-token
                                      # bands over 10-99-token docs)
+    "q96_theil_decomposition": 25,   # nation domain
 }
 
 
