@@ -37,7 +37,7 @@ def family(name: str) -> str:
             "text": "text", "media": "media"}.get(prefix, "other")
 
 # HEADLINE vs registry — the exclusion policy (VERDICT r6 next #7).
-# The registry holds 204 entries; HEADLINE benches 126.  The 78
+# The registry holds 205 entries; HEADLINE benches 127.  The 78
 # excluded entries fall into six families, each excluded for a reason,
 # not forgotten:
 #   1. display-grain chart twins / plan-shape variants of benched
@@ -118,13 +118,16 @@ BASELINE_REFREEZE = {
     # frozen at its first committed floor, the BENCH_full_r12d/r12e
     # 2-run pair (registered after the r12/b/c runs):
     "q95_top_decile_share": 0.600,
-    # r13 addition, frozen at its first committed floor (the
-    # BENCH_full_r13{,b,c}.json 3-run floor).  The r13 session is a
-    # documented SLOW box regime (drift log r13: fleet floor ×1.085
-    # over r6, uniform across untouched code), so this freeze may
-    # re-freeze DOWNWARD later per the stricter-only clause — the
-    # r10-sourced precedent:
+    # r13 additions, each frozen at its first committed >=2-run floor.
+    # text_pack_sequences: the r13{,b,c} 3-run floor (confirmed by the
+    # later d/e pair — 0.433 there, so 0.393 stands).
+    # q96_theil_decomposition: the r13d/r13e pair (registered after
+    # the abc runs).  The r13 session started in a SLOW box regime
+    # that decayed to baseline across the five runs (drift log r13:
+    # fleet 5-run floor ×1.007 over r6), so both freezes sit at or
+    # near regime-neutral floors:
     "text_pack_sequences": 0.393,
+    "q96_theil_decomposition": 0.439,
 }
 
 def baseline_gate(timings: dict, sf: float, subset,
@@ -242,6 +245,7 @@ HEADLINE = [
     "q93_rrf_fusion",  # reciprocal-rank fusion of two top-k lists
     "q94_hhi_concentration",  # per-nation HHI (pure agg-of-squares)
     "q95_top_decile_share",  # Pareto top-10% share (exact pctl, q90 shape)
+    "q96_theil_decomposition",  # decomposable Theil index (fanout-1)
     "sim_recall_eval",  # LSH recall@k vs exact (eval as an operator)
     "sim_ivf_recall_guard",  # pretrained-IVF recall floor, in-plan assert
     "sim_ivfpq_recall_guard",  # pretrained-IVF-PQ floor, in-plan assert
