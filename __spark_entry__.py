@@ -56,11 +56,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_queries.py).
 # Round-13 window (the precomputed rotation from VERDICT r12 ask #1):
 # the 3 r8-latest leftovers FIRST (oldest rows — 4 rounds stale),
-# then the first 46 of the r9-latest cohort in CORRECTNESS_r09 order.
-# NEW r13 oracle-backed entries displace from the END per the
-# displacement rule: text_pack_sequences and q96_theil_decomposition
-# displace text_token_entropy (the 47th r9 entry) and
-# dedup_containment_topk (the 46th), which slide to r14 with
+# then the r9-latest cohort in CORRECTNESS_r09 order, of which the
+# first 45 survive here: the round's two NEW oracle-backed entries
+# (text_pack_sequences, q96_theil_decomposition) displace from the
+# END per the displacement rule, sliding dedup_containment_topk (the
+# 46th r9 entry) and text_token_entropy (the 47th) to r14 alongside
 # q90_mad_outliers, dedup_containment_est and sketch_ams_f2.
 _CHECK_FIRST = [
     "q14_clean_accounting",

@@ -1464,11 +1464,22 @@ def hist_cell_stream(events: DataFrame, lo: float, hi: float) -> DataFrame:
     fact-derived."""
     from .extras.sketches import hist_bin_expr
 
+    lo, hi = float(lo), float(hi)
+    # guard (r13 self-review): a degenerate domain would not error —
+    # (hi-lo)==0 makes the bin division NULL, least() skips NULLs and
+    # greatest(0, NULL->127) silently piles EVERY arrival into the top
+    # bin; an inverted domain scatters everything into the edge bins.
+    # Reject at the entry point instead of corrupting cells quietly.
+    if not hi > lo:
+        raise ValueError(
+            f"hist_cell_stream domain must satisfy hi > lo, got "
+            f"[{lo}, {hi})"
+        )
     return (
         events.filter(F.col("value").isNotNull())
         .selectExpr(
             "event_type",
-            f"{hist_bin_expr(repr(float(lo)), repr(float(hi)))} AS bin",
+            f"{hist_bin_expr(repr(lo), repr(hi))} AS bin",
         )
         .groupBy("event_type", "bin")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -1494,15 +1505,48 @@ def hist_merge_stream(spark: SparkSession, in_dir: str, state_dir: str,
     (_global_sketch_merge_stream over hist_cell_stream): complete-mode
     output is the WHOLE cell table every trigger, so the overwrite
     sink is idempotent and restart recovery lives in the aggregation
-    state store. The domain (lo, hi) must be the SAME across restarts
-    — it is the sketch's geometry, exactly like CM_D/CM_W for the
-    count-min monitor (recovered cells are only meaningful under the
-    edges that built them)."""
+    state store. The domain (lo, hi) is the sketch's GEOMETRY, exactly
+    like CM_D/CM_W for the count-min monitor — recovered cells are
+    only meaningful under the edges that built them — but unlike
+    those module constants it is caller-supplied per start, so the
+    same-domain-across-restarts contract is ENFORCED, not just
+    documented (r13 self-review): the emitted cell table carries the
+    domain as two literal columns, and a restart whose domain differs
+    from the persisted state's raises before any state is touched."""
+    lo, hi = float(lo), float(hi)
+    prev = _read_hist_domain(spark, state_dir)
+    if prev is not None and prev != (lo, hi):
+        raise ValueError(
+            f"hist_merge_stream restarted with domain [{lo}, {hi}) "
+            f"but {state_dir} holds cells built under "
+            f"[{prev[0]}, {prev[1]}); recovered additive counts are "
+            "only meaningful under the edges that built them — "
+            "resume with the original domain or start a fresh "
+            "state/checkpoint pair"
+        )
     return _global_sketch_merge_stream(
         spark, in_dir, _STREAM_SCHEMA,
-        lambda df: hist_cell_stream(df, lo, hi), state_dir,
-        checkpoint_dir,
+        lambda df: hist_cell_stream(df, lo, hi)
+        .withColumn("lo", F.lit(lo))
+        .withColumn("hi", F.lit(hi)),
+        state_dir, checkpoint_dir,
     )
+
+
+def _read_hist_domain(spark: SparkSession, state_dir: str):
+    """The (lo, hi) under which an existing hist_merge_stream state
+    parquet was built, or None when no readable prior state exists
+    (first start). Read through Spark so the guard works on any
+    filesystem the sink writes to."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        row = spark.read.parquet(state_dir).select("lo", "hi").first()
+    except AnalysisException:
+        return None
+    if row is None:
+        return None
+    return (row.lo, row.hi)
 
 
 def hist_quantiles_from_cells(cells: DataFrame, lo: float,

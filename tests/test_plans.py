@@ -1372,10 +1372,16 @@ SELF_CACHE_OK = {
 }
 
 
-# keyed on id(spark) (ADVICE r12 #3): a re-created or re-configured
-# session in the same process must not reuse a stale sweep — the memo
-# dies with the session object instead of living module-global
-_FLEET_SWEEPS: dict = {}
+# weakref-keyed (ADVICE r12 #3, hardened by the r13 self-review): a
+# re-created or re-configured session in the same process must not
+# reuse a stale sweep. An id(spark) key would be wrong twice — CPython
+# can reuse a freed session's address (stale hit), and dead ids would
+# pile up (no eviction). A WeakKeyDictionary holds the session itself
+# while alive (identity cannot be recycled under a live key) and the
+# entry vanishes with the session.
+import weakref
+
+_FLEET_SWEEPS: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def _fleet_sweep(spark) -> dict:
@@ -1392,7 +1398,7 @@ def _fleet_sweep(spark) -> dict:
     dedup_snapshot_ledger is skipped: building its frame drives a
     Structured Streaming job; its readout is a plain partitioned
     scan."""
-    cached = _FLEET_SWEEPS.get(id(spark))
+    cached = _FLEET_SWEEPS.get(spark)
     if cached is not None:
         return cached
     from data_pipeline_and_visualization_dashboard_spark.plans import (
@@ -1416,7 +1422,7 @@ def _fleet_sweep(spark) -> dict:
             selfcache.add(name)
     spark.catalog.clearCache()
     flags = dict(gw=gw, cart=cart, fanout=fanout, selfcache=selfcache)
-    _FLEET_SWEEPS[id(spark)] = flags
+    _FLEET_SWEEPS[spark] = flags
     return flags
 
 

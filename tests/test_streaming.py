@@ -2876,3 +2876,41 @@ def test_streaming_hll_survives_restart(spark, tmp_path):
     assert wave1 != want      # wave B moved some register
     assert got != batch_regs(b)  # ...and some register max came only
     # from the recovered wave-A state
+
+
+def test_streaming_hist_domain_guards(spark, tmp_path):
+    """The histogram monitor's geometry guards (r13 self-review): (a)
+    a degenerate (hi == lo) or inverted (hi < lo) domain raises at the
+    entry point — without the guard, division by zero yields NULL
+    bins that greatest/least silently clamp into the top bin, and an
+    inverted domain scatters everything into the edge bins, both with
+    no error anywhere; (b) hist_merge_stream refuses a restart whose
+    domain differs from the one the persisted state was built under —
+    recovered additive cells are only meaningful under their own
+    edges."""
+    import pytest
+
+    events = spark.read.parquet(SF_SMOKE + "/events.parquet")
+    with pytest.raises(ValueError, match="hi > lo"):
+        streaming.hist_cell_stream(events, 5.0, 5.0)
+    with pytest.raises(ValueError, match="hi > lo"):
+        streaming.hist_cell_stream(events, 9.0, 1.0)
+
+    in_dir = str(tmp_path / "hd_in")
+    state = str(tmp_path / "hd_state")
+    ckpt = str(tmp_path / "hd_ckpt")
+    events.limit(50).coalesce(1).write.parquet(in_dir, mode="append")
+    q = streaming.hist_merge_stream(spark, in_dir, state, ckpt, 0.0, 10.0)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # same domain resumes fine
+    q2 = streaming.hist_merge_stream(spark, in_dir, state, ckpt, 0.0, 10.0)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    # different domain refused BEFORE any state is touched
+    with pytest.raises(ValueError, match="only meaningful under"):
+        streaming.hist_merge_stream(spark, in_dir, state, ckpt, 0.0, 20.0)
