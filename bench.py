@@ -37,7 +37,7 @@ def family(name: str) -> str:
             "text": "text", "media": "media"}.get(prefix, "other")
 
 # HEADLINE vs registry — the exclusion policy (VERDICT r6 next #7).
-# The registry holds 205 entries; HEADLINE benches 127.  The 78
+# The registry holds 206 entries; HEADLINE benches 127.  The 79
 # excluded entries fall into six families, each excluded for a reason,
 # not forgotten:
 #   1. display-grain chart twins / plan-shape variants of benched
@@ -61,8 +61,11 @@ def family(name: str) -> str:
 #      dedup_ngram_jaccard_topk, dedup_containment_topk,
 #      dedup_simhash_hamming_topk,
 #      sim_cosine_topk_pandas, dedup_embedding_pairs_lsh's exact
-#      side): exist to verify recall, not to be fast; timing them
-#      would reward all-pairs paths the engine must never take.
+#      side, and text_pack_bestfit — the BFD planning tool that
+#      prices the concat packer's splits; the benched scale path is
+#      text_pack_sequences): exist to verify/measure, not to be
+#      fast; timing them would reward paths the engine must never
+#      take at scale.
 #   4. re-training variants (sim_ivf_topk, sim_ivfpq_topk): rebuild
 #      the index per call; the *_pretrained twins are benched and the
 #      one-time build is priced separately in index_build_sec.

@@ -575,6 +575,52 @@ _PACK_SEQ_MAX_BAND = 3  # bands: [0,32) [32,64) [64,96) [96,inf)
 _PACK_SEQ_SHARD_KEY = 1 << 40
 
 
+def _pack_seq_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared doc-grain packing input — (doc_id, n_tokens, kept,
+    shard, band_lo) — ONE definition of the truncate/shard/band
+    geometry for the two packers (pack_sequences' concat layout and
+    pack_bestfit's whole-doc FFD), so their head-to-head band
+    accounting compares layouts, never drifting input rules."""
+    toks = tokens_bpe(spark, sf_dir).select("doc_id", "n_tokens")
+    return toks.select(
+        "doc_id",
+        "n_tokens",
+        F.least(F.col("n_tokens"), F.lit(PACK_SEQ_CTX)).alias("kept"),
+        (F.col("doc_id") % PACK_SEQ_SHARDS).alias("shard"),
+        F.expr(
+            f"CAST(least(n_tokens div {PACK_SEQ_BAND},"
+            f" {_PACK_SEQ_MAX_BAND}) * {PACK_SEQ_BAND} AS INT)"
+        ).alias("band_lo"),
+    )
+
+
+def _pack_band_rollup(packed: DataFrame) -> DataFrame:
+    """Shared band-grain accounting over a packed doc frame carrying
+    (band_lo, n_tokens, kept, bin_key) — identical output columns for
+    both packers so the concat-vs-FFD gap reads column-by-column."""
+    truncated = F.when(F.col("n_tokens") > PACK_SEQ_CTX, 1).otherwise(0)
+    return (
+        packed.groupBy("band_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(truncated).alias("n_truncated"),
+            F.round(
+                F.sum(truncated) / F.count(F.lit(1)).cast("double"), 6
+            ).alias("truncation_fraction"),
+            F.sum("n_tokens").alias("tokens_total"),
+            F.sum("kept").alias("tokens_kept"),
+            (F.sum("n_tokens") - F.sum("kept")).alias("tokens_lost"),
+            F.countDistinct("bin_key").alias("bins_used"),
+            F.round(
+                F.sum("kept").cast("double")
+                / (F.countDistinct("bin_key") * PACK_SEQ_CTX),
+                6,
+            ).alias("pack_efficiency"),
+        )
+        .orderBy("band_lo")
+    )
+
+
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-document sequence packing accounting — the question a
     training-data pipeline asks BEFORE writing packed examples: with a
@@ -614,18 +660,7 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     no coordination), one partial-agg-combined shuffle on the ≤4
     band keys, terminal 4-row sort. No join, no fact self-join, no
     Python."""
-    toks = tokens_bpe(spark, sf_dir).select("doc_id", "n_tokens")
-    base = toks.select(
-        "doc_id",
-        "n_tokens",
-        F.least(F.col("n_tokens"), F.lit(PACK_SEQ_CTX)).alias("kept"),
-        (F.col("doc_id") % PACK_SEQ_SHARDS).alias("shard"),
-        F.expr(
-            f"CAST(least(n_tokens div {PACK_SEQ_BAND},"
-            f" {_PACK_SEQ_MAX_BAND}) * {PACK_SEQ_BAND} AS INT)"
-        ).alias("band_lo"),
-    )
-    packed = base.withColumn(
+    packed = _pack_seq_base(spark, sf_dir).withColumn(
         "bin_key",
         F.col("shard") * _PACK_SEQ_SHARD_KEY
         + F.expr(
@@ -634,27 +669,76 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" - kept) div {PACK_SEQ_CTX}"
         ),
     )
-    truncated = F.when(F.col("n_tokens") > PACK_SEQ_CTX, 1).otherwise(0)
-    return (
-        packed.groupBy("band_lo")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(truncated).alias("n_truncated"),
-            F.round(
-                F.sum(truncated) / F.count(F.lit(1)).cast("double"), 6
-            ).alias("truncation_fraction"),
-            F.sum("n_tokens").alias("tokens_total"),
-            F.sum("kept").alias("tokens_kept"),
-            (F.sum("n_tokens") - F.sum("kept")).alias("tokens_lost"),
-            F.countDistinct("bin_key").alias("bins_used"),
-            F.round(
-                F.sum("kept").cast("double")
-                / (F.countDistinct("bin_key") * PACK_SEQ_CTX),
-                6,
-            ).alias("pack_efficiency"),
+    return _pack_band_rollup(packed)
+
+
+def pack_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-document best-fit-decreasing packing — the other side of
+    pack_sequences' documented greedy-vs-optimal gap, made MEASURABLE:
+    concat packing never pads (every window full except the last per
+    shard) but splits documents across window boundaries; this packer
+    never splits (each doc occupies one window intact, the layout
+    attention-mask-free training wants) and pays for it in padding.
+    Same truncate/shard/band geometry (_pack_seq_base), same band
+    accounting columns (_pack_band_rollup), so the two outputs diff
+    column-by-column: pack_bestfit.bins_used ≥ pack_sequences'
+    ceil-count, and the pack_efficiency delta IS the padding cost of
+    split-free packing.
+
+    Within each shard: docs sorted by kept DESC (tie: doc_id ASC —
+    fully deterministic), each placed into the best-fitting open
+    window (tightest remaining capacity that still fits; first-opened
+    wins ties), else a new window opens. Bin packing is NP-hard; BFD
+    is the standard 11/9·OPT+1 heuristic.
+
+    This is the repo's one legitimate applyInPandas BATCH operator:
+    a bin packer is inherently sequential per shard (each placement
+    depends on all remaining capacities), inexpressible in
+    SQL/DataFrame ops — exactly the "built-ins genuinely can't
+    express the semantics" carve-out. Honest scale statement: each
+    shard's doc list must fit one Arrow batch (O(docs/SHARDS) rows of
+    three ints), so at 100 TB SHARDS rises with the corpus — same
+    knob as the concat packer — or the planner runs on a sample;
+    pack_sequences remains the benched SCALE path, this operator is
+    the PLANNING tool that prices its splits. No oracle: DuckDB can't
+    express the loop either — the registry entry is rows-only, with
+    an exact Python-reference BFD differential in
+    tests/test_properties.py standing in (the sampling/ANN
+    precedent)."""
+    import pandas as pd
+
+    def ffd(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(
+            ["kept", "doc_id"], ascending=[False, True]
         )
-        .orderBy("band_lo")
+        rem: list[int] = []  # remaining capacity per open window
+        bins = []
+        for kept in pdf["kept"]:
+            k = int(kept)
+            best, best_rem = -1, PACK_SEQ_CTX + 1
+            for i, r in enumerate(rem):
+                if k <= r < best_rem:
+                    best, best_rem = i, r
+            if best < 0:
+                rem.append(PACK_SEQ_CTX - k)
+                bins.append(len(rem) - 1)
+            else:
+                rem[best] -= k
+                bins.append(best)
+        pdf = pdf.assign(bin_id=bins)
+        return pdf[["doc_id", "n_tokens", "kept", "shard",
+                    "band_lo", "bin_id"]]
+
+    base = _pack_seq_base(spark, sf_dir)
+    packed = base.groupBy("shard").applyInPandas(
+        ffd,
+        "doc_id long, n_tokens int, kept int, shard bigint, "
+        "band_lo int, bin_id long",
+    ).withColumn(
+        "bin_key",
+        F.col("shard") * _PACK_SEQ_SHARD_KEY + F.col("bin_id"),
     )
+    return _pack_band_rollup(packed)
 
 
 _DUCK_PACK_SEQUENCES_SQL = f"""
@@ -2110,6 +2194,7 @@ QUERIES = {
     "text_chunks": chunks,
     "text_packing": packing,
     "text_pack_sequences": pack_sequences,
+    "text_pack_bestfit": pack_bestfit,
     "text_split_assign": split_assign,
     "corpus_forget_impact": corpus_forget_impact,
     "text_vocab": vocab_table,
