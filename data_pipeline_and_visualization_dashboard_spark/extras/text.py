@@ -579,7 +579,7 @@ def _pack_seq_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared doc-grain packing input — (doc_id, n_tokens, kept,
     shard, band_lo) — ONE definition of the truncate/shard/band
     geometry for the two packers (pack_sequences' concat layout and
-    pack_bestfit's whole-doc FFD), so their head-to-head band
+    pack_bestfit's whole-doc BFD), so their head-to-head band
     accounting compares layouts, never drifting input rules."""
     toks = tokens_bpe(spark, sf_dir).select("doc_id", "n_tokens")
     return toks.select(
@@ -639,11 +639,12 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     `text_packing` established at chunk grain (docs may straddle a
     boundary; attention masking handles the seam). Greedy-vs-optimal,
     stated honestly: concat packing wastes at most one partial window
-    per shard but splits documents; whole-doc best-fit (bin packing,
-    NP-hard — first-fit-decreasing is the practical variant) avoids
-    splits at the cost of per-window padding and a sort — the
-    efficiency this query reports is the UPPER bound a best-fit
-    packer is judged against.
+    per shard but splits documents; whole-doc packing (bin packing,
+    NP-hard — best-fit-decreasing is the implemented heuristic,
+    pack_bestfit) avoids splits at the cost of per-window padding and
+    a sort — the efficiency this query reports is the UPPER bound the
+    split-free packer is judged against, and the measured gap is the
+    pair's reason to exist side by side.
 
     Per band row: doc count, truncated-doc count + fraction, raw /
     kept / truncation-lost token totals, windows touched (distinct
@@ -705,9 +706,8 @@ def pack_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     an exact Python-reference BFD differential in
     tests/test_properties.py standing in (the sampling/ANN
     precedent)."""
-    import pandas as pd
 
-    def ffd(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    def bfd(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values(
             ["kept", "doc_id"], ascending=[False, True]
         )
@@ -731,7 +731,7 @@ def pack_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = _pack_seq_base(spark, sf_dir)
     packed = base.groupBy("shard").applyInPandas(
-        ffd,
+        bfd,
         "doc_id long, n_tokens int, kept int, shard bigint, "
         "band_lo int, bin_id long",
     ).withColumn(

@@ -1535,17 +1535,39 @@ def hist_merge_stream(spark: SparkSession, in_dir: str, state_dir: str,
 
 def _read_hist_domain(spark: SparkSession, state_dir: str):
     """The (lo, hi) under which an existing hist_merge_stream state
-    parquet was built, or None when no readable prior state exists
-    (first start). Read through Spark so the guard works on any
-    filesystem the sink writes to."""
+    parquet was built, or None ONLY for a genuinely absent state dir
+    (first start). The guard fails CLOSED (r13 second review): any
+    other read problem — an empty/mid-overwrite-corrupted dir
+    (UNABLE_TO_INFER_SCHEMA: the non-atomic overwrite sink can crash
+    between delete and commit while the checkpoint still holds the
+    old-domain counts) or a pre-domain-stamp state parquet without
+    lo/hi columns — raises instead of silently disabling the
+    same-domain enforcement. Read through Spark so the guard works on
+    any filesystem the sink writes to."""
     from pyspark.errors import AnalysisException
 
     try:
-        row = spark.read.parquet(state_dir).select("lo", "hi").first()
-    except AnalysisException:
-        return None
+        df = spark.read.parquet(state_dir)
+    except AnalysisException as e:
+        cond = (getattr(e, "getCondition", None) or e.getErrorClass)()
+        if cond == "PATH_NOT_FOUND":
+            return None  # first start: nothing to validate
+        raise ValueError(
+            f"hist_merge_stream state at {state_dir} exists but is "
+            f"unreadable ({cond}); cannot validate the domain the "
+            "recovered checkpoint counts were built under — start a "
+            "fresh state/checkpoint pair instead of resuming blind"
+        ) from e
+    if "lo" not in df.columns or "hi" not in df.columns:
+        raise ValueError(
+            f"hist_merge_stream state at {state_dir} predates the "
+            "domain-stamped format (no lo/hi columns); cannot "
+            "validate its geometry — start a fresh state/checkpoint "
+            "pair"
+        )
+    row = df.select("lo", "hi").first()
     if row is None:
-        return None
+        return None  # zero-row stamp: no cells built yet
     return (row.lo, row.hi)
 
 

@@ -2914,3 +2914,24 @@ def test_streaming_hist_domain_guards(spark, tmp_path):
     # different domain refused BEFORE any state is touched
     with pytest.raises(ValueError, match="only meaningful under"):
         streaming.hist_merge_stream(spark, in_dir, state, ckpt, 0.0, 20.0)
+    # fail-CLOSED paths (r13 second review): a state parquet that
+    # PREDATES the domain stamp (no lo/hi columns) cannot be
+    # validated -> refuse; an existing-but-unreadable state dir (the
+    # non-atomic overwrite sink can crash between delete and commit)
+    # also refuses rather than silently resuming blind
+    legacy = str(tmp_path / "hd_legacy_state")
+    spark.createDataFrame(
+        [("click", 3, 7)], "event_type string, bin int, cnt long"
+    ).write.parquet(legacy)
+    with pytest.raises(ValueError, match="predates"):
+        streaming.hist_merge_stream(
+            spark, in_dir, legacy, str(tmp_path / "hd_ckpt2"), 0.0, 10.0
+        )
+    corrupt = str(tmp_path / "hd_corrupt_state")
+    import os
+
+    os.makedirs(corrupt)  # exists but holds no readable parquet
+    with pytest.raises(ValueError, match="unreadable"):
+        streaming.hist_merge_stream(
+            spark, in_dir, corrupt, str(tmp_path / "hd_ckpt3"), 0.0, 10.0
+        )
