@@ -569,6 +569,16 @@ CASES = {
          "Window", "BatchEvalPython", "ArrowEvalPython"],
         2,  # o_custkey agg + SinglePartition fold
     ),
+    "text_pack_bestfit": (
+        # the one legitimate applyInPandas BATCH operator: per-shard
+        # BFD placement loop (FlatMapGroupsInPandas), then the shared
+        # band rollup — no joins, no fact self-join, ONE fact scan
+        ["FlatMapGroupsInPandas", "HashAggregate"],
+        ["SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+         "CartesianProduct", "BroadcastNestedLoopJoin",
+         "BatchEvalPython", "ArrowEvalPython"],
+        4,  # shard grouping + countDistinct two-phase agg + band sort
+    ),
     "q96_theil_decomposition": (
         # ONE fact scan (pinned by the fanout gate at 1): customer-
         # grain agg -> 25-row nation agg of three decomposable sums ->
