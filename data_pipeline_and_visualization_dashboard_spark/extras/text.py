@@ -597,7 +597,7 @@ def _pack_seq_base(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pack_band_rollup(packed: DataFrame) -> DataFrame:
     """Shared band-grain accounting over a packed doc frame carrying
     (band_lo, n_tokens, kept, bin_key) — identical output columns for
-    both packers so the concat-vs-FFD gap reads column-by-column."""
+    both packers so the concat-vs-BFD gap reads column-by-column."""
     truncated = F.when(F.col("n_tokens") > PACK_SEQ_CTX, 1).otherwise(0)
     return (
         packed.groupBy("band_lo")

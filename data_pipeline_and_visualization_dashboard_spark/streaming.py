@@ -1555,8 +1555,13 @@ def _read_hist_domain(spark: SparkSession, state_dir: str):
         raise ValueError(
             f"hist_merge_stream state at {state_dir} exists but is "
             f"unreadable ({cond}); cannot validate the domain the "
-            "recovered checkpoint counts were built under — start a "
-            "fresh state/checkpoint pair instead of resuming blind"
+            "recovered checkpoint counts were built under. If the "
+            "overwrite sink crashed mid-write, the CHECKPOINT is "
+            "still intact and complete mode regenerates the full "
+            "cell table on the next trigger — delete ONLY the state "
+            "dir and resume with the ORIGINAL domain to keep the "
+            "accumulated counts; start a fresh state/checkpoint "
+            "pair only if the original domain is unknown"
         ) from e
     if "lo" not in df.columns or "hi" not in df.columns:
         raise ValueError(
