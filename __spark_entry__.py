@@ -57,10 +57,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round-13 window (the precomputed rotation from VERDICT r12 ask #1):
 # the 3 r8-latest leftovers FIRST (oldest rows — 4 rounds stale),
 # then the r9-latest cohort in CORRECTNESS_r09 order, of which the
-# first 45 survive here: the round's two NEW oracle-backed entries
-# (text_pack_sequences, q96_theil_decomposition) displace from the
-# END per the displacement rule, sliding dedup_containment_topk (the
-# 46th r9 entry) and text_token_entropy (the 47th) to r14 alongside
+# first 44 survive here: the round's three NEW oracle-backed entries
+# (text_pack_sequences, q96_theil_decomposition, q97_atkinson_index)
+# displace from the END per the displacement rule, sliding
+# q87_time_weighted_value (the 45th r9 entry), dedup_containment_topk
+# (the 46th) and text_token_entropy (the 47th) to r14 alongside
 # q90_mad_outliers, dedup_containment_est and sketch_ams_f2.
 _CHECK_FIRST = [
     "q14_clean_accounting",
@@ -110,9 +111,9 @@ _CHECK_FIRST = [
     "q86_zorder_layout",
     "media_audio_windows",
     "dedup_split_leakage",
-    "q87_time_weighted_value",
     "text_pack_sequences",
     "q96_theil_decomposition",
+    "q97_atkinson_index",
 ]
 
 

@@ -5407,6 +5407,105 @@ _DUCK_Q96_SQL = """
 """
 
 
+def q97_atkinson_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atkinson welfare-based inequality index per nation at three
+    inequality-aversion levels (ε = 0.5, 1, 2) — the fifth member of
+    the inequality family (Gini q92/q92_binned, HHI q94/ams, Pareto
+    share q95, Theil q96), and the member with a TUNABLE sensitivity
+    knob: A(ε) = 1 − EDE_ε/μ where EDE_ε is the generalized power
+    mean M_{1−ε} of the spend vector — ε=0.5 → (avg√x)², ε=1 → the
+    geometric mean exp(avg ln x), ε=2 → the harmonic mean 1/avg(1/x).
+    Low ε weights the top of the distribution, high ε the bottom, so
+    the three columns read as "which end of the distribution carries
+    the inequality" — a per-segment fairness readout no single index
+    gives.
+
+    Scale shape — the BEST in the family, sharing q96's decomposable-
+    sums argument and dropping even its W1 window: all three levels
+    come from FIVE map-side-combinable sums over the (nation,
+    customer) spend grain (count, Σx, Σ√x, Σln x, Σ1/x), so the whole
+    operator is ONE fact scan (fanout 1, pinned), ONE fact-sized
+    shuffle (the customer-grain agg q94/q95/q96 also build), a 25-row
+    nation aggregation, and a 25-row sort.  No window at all (per-
+    nation indices need no grand total — pinned: Window is in the
+    CASES forbid list), no join back, no subtree re-plan.  At 100 TB
+    the five sums roll up along ANY dimension hierarchy exactly like
+    sketch_ams_hhi's signed sums — partials combine map-side and
+    merge across partitions/days/corpora by addition.
+
+    Float discipline (the q96 recipe verbatim): per-customer spend is
+    rounded 2dp FIRST (sums of exact 2dp prices) so √/ln/1/x see
+    identical operands in both engines; EDE_0.5 squares via explicit
+    multiplication (never pow); all outputs round 6dp, internals
+    unrounded.  √ is IEEE-754 correctly rounded (bit-identical across
+    engines); ln/exp are the q63/q96 ulp-level precedents.  Spend is
+    strictly positive (o_totalprice > 0 at every SF), so every mean
+    is finite and 0 ≤ A(ε) < 1; the power-mean inequality fixes the
+    column ORDER A(0.5) ≤ A(1) ≤ A(2) — both properties pinned in
+    tests/test_properties.py against a raw-input Python fold."""
+    orders = read_table(
+        spark, sf_dir, "orders", ["o_custkey", "o_totalprice"]
+    )
+    cust = read_table(spark, sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nation = read_table(spark, sf_dir, "nation", ["n_nationkey", "n_name"])
+    spend = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "c_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
+    )
+    nat = spend.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("spend").alias("s1"),
+        F.sum(F.sqrt("spend")).alias("sh"),
+        F.sum(F.log("spend")).alias("sl"),
+        F.sum(F.lit(1.0) / F.col("spend")).alias("si"),
+    )
+    n = F.col("n_customers")
+    mu = F.col("s1") / n
+    ede_half = (F.col("sh") / n) * (F.col("sh") / n)
+    ede_one = F.exp(F.col("sl") / n)
+    ede_two = n / F.col("si")
+    return nat.select(
+        "n_name",
+        "n_customers",
+        F.round(mu, 6).alias("mean_spend"),
+        F.round(F.lit(1.0) - ede_half / mu, 6).alias("atkinson_05"),
+        F.round(F.lit(1.0) - ede_one / mu, 6).alias("atkinson_1"),
+        F.round(F.lit(1.0) - ede_two / mu, 6).alias("atkinson_2"),
+    ).orderBy("n_name")
+
+
+_DUCK_Q97_SQL = """
+    WITH spend AS (
+        SELECT n.n_name, c.c_custkey,
+               round(sum(o.o_totalprice), 2) AS spend
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2
+    ), nat AS (
+        SELECT n_name,
+               count(*) AS n_customers,
+               sum(spend) AS s1,
+               sum(sqrt(spend)) AS sh,
+               sum(ln(spend)) AS sl,
+               sum(1.0 / spend) AS si
+        FROM spend GROUP BY 1
+    )
+    SELECT n_name,
+           n_customers,
+           round(s1 / n_customers, 6) AS mean_spend,
+           round(1.0 - ((sh / n_customers) * (sh / n_customers))
+                       / (s1 / n_customers), 6) AS atkinson_05,
+           round(1.0 - exp(sl / n_customers)
+                       / (s1 / n_customers), 6) AS atkinson_1,
+           round(1.0 - (n_customers / si)
+                       / (s1 / n_customers), 6) AS atkinson_2
+    FROM nat ORDER BY n_name
+"""
+
+
 _DUCK_Q95_SQL = """
     WITH spend AS (
         SELECT n.n_name, c.c_custkey,
@@ -5477,6 +5576,7 @@ ORACLE_SQL: dict[str, str] = {
     "q94_hhi_concentration": _DUCK_Q94_SQL,
     "q95_top_decile_share": _DUCK_Q95_SQL,
     "q96_theil_decomposition": _DUCK_Q96_SQL,
+    "q97_atkinson_index": _DUCK_Q97_SQL,
     "sim_diverse_subset": _duck_diverse_subset_sql(),
     "q54_hash_sample": _duck_hash_sample_sql(),
     "q55_rolling_median": _DUCK_ROLLING_MEDIAN_SQL,
@@ -5995,6 +6095,7 @@ QUERIES = {
     "q94_hhi_concentration": q94_hhi_concentration,
     "q95_top_decile_share": q95_top_decile_share,
     "q96_theil_decomposition": q96_theil_decomposition,
+    "q97_atkinson_index": q97_atkinson_index,
     "q83_approx_percentile_guard": q83_approx_percentile_guard,
     "sim_diverse_subset": sim_diverse_subset,
     "sim_rp_topk_pretrained": sim_rp_topk_pretrained,

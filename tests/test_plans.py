@@ -591,6 +591,19 @@ CASES = {
          "BatchEvalPython", "ArrowEvalPython"],
         4,  # custkey agg + nation agg + SinglePartition window + sort
     ),
+    "q97_atkinson_index": (
+        # ONE fact scan (pinned by the fanout gate at 1): customer-
+        # grain agg -> 25-row nation agg of FIVE decomposable sums ->
+        # row-local power-mean math -> 25-row sort.  NO window at all
+        # (q96 still needs its W1 grand-total fold; the per-nation
+        # Atkinson levels don't) — Window is in the forbid list to pin
+        # that thesis.  No join back, no subtree re-plan, no Python
+        ["HashAggregate"],
+        ["Window", "SortMergeJoin", "ShuffledHashJoin",
+         "CartesianProduct", "BroadcastNestedLoopJoin",
+         "BatchEvalPython", "ArrowEvalPython"],
+        3,  # custkey agg + nation agg + terminal 25-row sort
+    ),
     "text_pack_sequences": (
         # row-local BPE token count -> ONE shard exchange for the
         # running-total window (per-shard frame, no global sort) ->

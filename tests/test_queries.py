@@ -141,6 +141,7 @@ EXPECTED_CARDINALITY = {
     "text_pack_sequences": 4,        # doc-length band domain (32-token
                                      # bands over 10-99-token docs)
     "q96_theil_decomposition": 25,   # nation domain
+    "q97_atkinson_index": 25,        # nation domain
 }
 
 
