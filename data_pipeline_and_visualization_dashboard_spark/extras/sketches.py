@@ -878,14 +878,54 @@ def _bloom_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bloom_bits_from(members: DataFrame) -> DataFrame:
-    pos = _bloom_positions("CAST(c_custkey AS STRING)", _spark_base)
+def bloom_bit_rows(keyed: DataFrame, key_expr: str,
+                   keep: tuple = ()) -> DataFrame:
+    """The BLOOM_K bit-position rows for every input row, under the
+    width carried by the frame's `mb` column — ONE definition of the
+    Bloom geometry (hash family, K, modulus) shared by the batch
+    filter build (_bloom_bits_from), the batch probe fan-out
+    (bloom_prefilter), the fixed-width counting cells
+    (bloom_counting_cells), and the streaming bit monitor
+    (streaming.bloom_cell_stream), so their parity is structural,
+    not a hand-synced spelling.  `keep` names pass-through columns
+    (e.g. the probe key) to carry alongside the stacked bits."""
+    pos = _bloom_positions(key_expr, _spark_base)
     stack_args = ", ".join(pos)
-    return (
-        members.join(F.broadcast(_bloom_width(members)))
-        .selectExpr(f"stack({BLOOM_K}, {stack_args}) AS bit")
-        .distinct()
+    return keyed.selectExpr(
+        *keep, f"stack({BLOOM_K}, {stack_args}) AS bit"
     )
+
+
+def _bloom_bits_from(members: DataFrame) -> DataFrame:
+    return bloom_bit_rows(
+        members.join(F.broadcast(_bloom_width(members))),
+        "CAST(c_custkey AS STRING)",
+    ).distinct()
+
+
+def bloom_counting_cells(keys: DataFrame, mb: int) -> DataFrame:
+    """Batch counting-Bloom cell table under a FIXED width: one row
+    per arrival in `keys` (column `k`), pre-aggregated to key grain
+    (the only fact-sized shuffle carries key grain, the countmin_sketch
+    shape), then the K-bit fan-out via bloom_bit_rows and a bit-grain
+    sum.  cell(bit) = Σ_keys→bit count(key) = Σ_arrivals→bit 1, so the
+    streaming twin (which stacks every arrival and counts — no
+    key-grain frame at all) lands the IDENTICAL table cell-for-cell:
+    integer counts, no float discipline.  Presence (classic Bloom) is
+    cnt > 0; keeping counts instead of bits is the counting-Bloom
+    form, whose cells stay additive across partitions, days, and
+    micro-batches.  The fixed width is the streaming monitor's
+    geometry contract — the batch build's dynamic BPK sizing
+    (_bloom_width) cannot move once counts exist under a modulus."""
+    if int(mb) < 1:
+        raise ValueError(f"bloom width must be >= 1, got {mb}")
+    pre = keys.groupBy("k").agg(F.count(F.lit(1)).alias("cnt"))
+    rows = bloom_bit_rows(
+        pre.withColumn("mb", F.lit(int(mb))),
+        "CAST(k AS STRING)",
+        keep=("cnt",),
+    )
+    return rows.groupBy("bit").agg(F.sum("cnt").alias("cnt"))
 
 
 def bloom_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -914,10 +954,10 @@ def bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = orders.select("o_custkey").distinct()
     members_frame = _bloom_members(spark, sf_dir)
     width = _bloom_width(members_frame)
-    pos = _bloom_positions("CAST(o_custkey AS STRING)", _spark_base)
-    stack_args = ", ".join(pos)
-    stacked = probe.join(F.broadcast(width)).selectExpr(
-        "o_custkey", f"stack({BLOOM_K}, {stack_args}) AS bit"
+    stacked = bloom_bit_rows(
+        probe.join(F.broadcast(width)),
+        "CAST(o_custkey AS STRING)",
+        keep=("o_custkey",),
     )
     bits = _bloom_bits_from(members_frame)
     hits = (

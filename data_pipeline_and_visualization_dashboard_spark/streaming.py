@@ -1533,17 +1533,21 @@ def hist_merge_stream(spark: SparkSession, in_dir: str, state_dir: str,
     )
 
 
-def _read_hist_domain(spark: SparkSession, state_dir: str):
-    """The (lo, hi) under which an existing hist_merge_stream state
-    parquet was built, or None ONLY for a genuinely absent state dir
-    (first start). The guard fails CLOSED (r13 second review): any
-    other read problem — an empty/mid-overwrite-corrupted dir
-    (UNABLE_TO_INFER_SCHEMA: the non-atomic overwrite sink can crash
-    between delete and commit while the checkpoint still holds the
-    old-domain counts) or a pre-domain-stamp state parquet without
-    lo/hi columns — raises instead of silently disabling the
-    same-domain enforcement. Read through Spark so the guard works on
-    any filesystem the sink writes to."""
+def _read_state_stamp(spark: SparkSession, state_dir: str,
+                      cols: tuple, label: str):
+    """The geometry-stamp tuple (`cols`) under which an existing
+    geometry-stamped monitor state parquet was built, or None ONLY
+    for a genuinely absent state dir (first start). The guard fails
+    CLOSED (r13 second review): any other read problem — an
+    empty/mid-overwrite-corrupted dir (UNABLE_TO_INFER_SCHEMA: the
+    non-atomic overwrite sink can crash between delete and commit
+    while the checkpoint still holds the old-geometry counts) or a
+    pre-stamp state parquet without the geometry columns — raises
+    instead of silently disabling the same-geometry enforcement.
+    Read through Spark so the guard works on any filesystem the sink
+    writes to.  Shared by every geometry-stamped monitor
+    (hist_merge_stream's lo/hi domain, bloom_merge_stream's mb
+    width), so the fail-closed semantics can't drift per monitor."""
     from pyspark.errors import AnalysisException
 
     try:
@@ -1553,27 +1557,37 @@ def _read_hist_domain(spark: SparkSession, state_dir: str):
         if cond == "PATH_NOT_FOUND":
             return None  # first start: nothing to validate
         raise ValueError(
-            f"hist_merge_stream state at {state_dir} exists but is "
-            f"unreadable ({cond}); cannot validate the domain the "
+            f"{label} state at {state_dir} exists but is "
+            f"unreadable ({cond}); cannot validate the geometry the "
             "recovered checkpoint counts were built under. If the "
             "overwrite sink crashed mid-write, the CHECKPOINT is "
             "still intact and complete mode regenerates the full "
             "cell table on the next trigger — delete ONLY the state "
-            "dir and resume with the ORIGINAL domain to keep the "
+            "dir and resume with the ORIGINAL geometry to keep the "
             "accumulated counts; start a fresh state/checkpoint "
-            "pair only if the original domain is unknown"
+            "pair only if the original geometry is unknown"
         ) from e
-    if "lo" not in df.columns or "hi" not in df.columns:
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
         raise ValueError(
-            f"hist_merge_stream state at {state_dir} predates the "
-            "domain-stamped format (no lo/hi columns); cannot "
-            "validate its geometry — start a fresh state/checkpoint "
-            "pair"
+            f"{label} state at {state_dir} predates the "
+            f"geometry-stamped format (no {'/'.join(missing)} "
+            "columns); cannot validate its geometry — start a fresh "
+            "state/checkpoint pair"
         )
-    row = df.select("lo", "hi").first()
+    row = df.select(*cols).first()
     if row is None:
         return None  # zero-row stamp: no cells built yet
-    return (row.lo, row.hi)
+    return tuple(row)
+
+
+def _read_hist_domain(spark: SparkSession, state_dir: str):
+    """The (lo, hi) domain stamp of an existing hist_merge_stream
+    state parquet — _read_state_stamp with the histogram's geometry
+    columns."""
+    return _read_state_stamp(
+        spark, state_dir, ("lo", "hi"), "hist_merge_stream"
+    )
 
 
 def hist_quantiles_from_cells(cells: DataFrame, lo: float,
@@ -1673,6 +1687,132 @@ def hll_estimate_from_cells(cells: DataFrame) -> DataFrame:
     regs = cells.filter(F.col("bucket").isNotNull())
     return hll_est_from_registers(regs).select(
         F.round("hll_est", 4).alias("hll_est")
+    )
+
+
+def bloom_cell_stream(events: DataFrame, mb: int) -> DataFrame:
+    """Live counting-Bloom membership filter over the user-id stream
+    (20th stateful family) — the streaming twin of the fixed-width
+    batch cells (extras.sketches.bloom_counting_cells): every arrival
+    fans out to its BLOOM_K bit positions under the FIXED width `mb`
+    and the bit-keyed streaming aggregation maintains the cell table
+    continuously.  Cell counts are ADDITIVE integers, so there is no
+    watermark and no custom operator, and total state is bounded by
+    the filter GEOMETRY — ≤ mb live-bit cells (+1 for the NULL-key
+    cell) regardless of key cardinality or stream length.  That bound
+    is the monitor's reason to exist next to the exact streaming
+    dedup family: dropDuplicates-forever state grows O(distinct ids),
+    the watermark variant trades coverage for its bound — the Bloom
+    monitor's state NEVER exceeds its configured geometry, and the
+    price is a calibrated false-positive rate on the membership
+    readout (bloom_pass_from_cells), never a false negative.
+
+    The batch twin pre-aggregates to key grain first (its fact-sized
+    shuffle carries key grain); the stream skips that frame entirely —
+    cell(bit) = Σ_keys→bit count(key) = Σ_arrivals→bit 1 — so the
+    final table is IDENTICAL cell-for-cell (integer counts, no float
+    discipline).  NULL user-ids are kept, matching the batch twin:
+    md5(NULL) makes every position NULL, so both sides land one
+    (bit NULL) cell.  The bit fan-out is sketches.bloom_bit_rows —
+    ONE definition of the geometry (hash family, K, modulus) shared
+    with the batch build and probe paths, so parity is structural.
+    Like the histogram monitor's domain, the width is geometry that
+    must never move once counts exist under its modulus — batch
+    bloom_bits' dynamic BPK sizing is exactly what a stream cannot
+    do, so `mb` is a configured contract, sized from the expected
+    key budget (BLOOM_BPK × keys) and ENFORCED across restarts by
+    bloom_merge_stream's stamp guard."""
+    from .extras.sketches import bloom_bit_rows
+
+    if int(mb) < 1:
+        raise ValueError(f"bloom_cell_stream width must be >= 1, got {mb}")
+    keyed = events.select(F.col("user_id").alias("k")).withColumn(
+        "mb", F.lit(int(mb))
+    )
+    return (
+        bloom_bit_rows(keyed, "CAST(k AS STRING)")
+        .groupBy("bit")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("bit", "cnt", F.lit(int(mb)).alias("mb"))
+    )
+
+
+def run_bloom_cells_to_completion(spark: SparkSession, in_dir: str,
+                                  mb: int,
+                                  query_name: str = "bloom_cells_out"):
+    """Drive the counting-Bloom monitor over a finite fixture; see
+    _run_global_sketch_to_completion for the contract (here the
+    bounded-state claim: state rows == live cells ≤ mb + 1).
+    (run_bloom_stream_to_completion, below, drives the legacy
+    purchase-filtered instance without the state readout.)"""
+    return _run_global_sketch_to_completion(
+        spark, in_dir, _STREAM_SCHEMA, "events.parquet",
+        lambda df: bloom_cell_stream(df, mb), query_name, "bloom",
+    )
+
+
+def bloom_merge_stream(spark: SparkSession, in_dir: str, state_dir: str,
+                       checkpoint_dir: str, mb: int):
+    """Restartable counting-Bloom monitor (_global_sketch_merge_stream
+    over bloom_cell_stream): complete-mode output is the WHOLE cell
+    table every trigger, so the overwrite sink is idempotent and
+    restart recovery lives in the aggregation state store.  The width
+    `mb` is the filter's GEOMETRY — recovered cells are only
+    meaningful under the modulus that built them — and like the
+    histogram monitor's domain it is caller-supplied per start, so
+    the same-width-across-restarts contract is ENFORCED via the
+    stamped `mb` column and the shared fail-closed stamp guard
+    (_read_state_stamp): a restart whose width differs from the
+    persisted state's raises before any state is touched."""
+    mb = int(mb)
+    if mb < 1:
+        raise ValueError(f"bloom_merge_stream width must be >= 1, got {mb}")
+    prev = _read_state_stamp(spark, state_dir, ("mb",),
+                             "bloom_merge_stream")
+    if prev is not None and prev != (mb,):
+        raise ValueError(
+            f"bloom_merge_stream restarted with width {mb} but the "
+            f"persisted state at {state_dir} was built under width "
+            f"{prev[0]}; recovered cells are only meaningful under "
+            "the modulus that built them — resume with the original "
+            "width, or start a fresh state/checkpoint pair"
+        )
+    return _global_sketch_merge_stream(
+        spark, in_dir, _STREAM_SCHEMA,
+        lambda df: bloom_cell_stream(df, mb),
+        state_dir, checkpoint_dir,
+    )
+
+
+def bloom_pass_from_cells(cells: DataFrame, probe: DataFrame,
+                          key_col: str) -> DataFrame:
+    """Stateless membership readout over the live cell table: a probe
+    key PASSES iff all BLOOM_K of its bit positions hold live cells
+    (cnt > 0) — the Bloom guarantee is no false NEGATIVES for any key
+    the monitor ever ingested (pinned in tests/test_streaming.py);
+    false positives run at the calibrated rate the width buys.  The
+    probe fan-out is the SAME sketches.bloom_bit_rows geometry under
+    the width stamped on the cells (a 1-row broadcast, never a
+    collect), so the readout is definitionally probing the filter the
+    monitor built — the structural-parity argument of every sketch
+    epilogue here (hhi_from_row, hist_quantiles_from_cells).  Kept
+    outside the stream so the state stays raw additive counts."""
+    from .extras.sketches import BLOOM_K, bloom_bit_rows
+
+    width = cells.agg(F.max("mb").alias("mb"))
+    keys = probe.select(F.col(key_col).alias("k")).distinct()
+    stacked = bloom_bit_rows(
+        keys.join(F.broadcast(width)), "CAST(k AS STRING)", keep=("k",)
+    )
+    live = cells.filter(F.col("cnt") > 0).select("bit").distinct()
+    hits = (
+        stacked.join(F.broadcast(live), "bit")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return keys.join(hits, "k", "left").select(
+        "k",
+        (F.coalesce("n_hit", F.lit(0)) == BLOOM_K).alias("bloom_pass"),
     )
 
 
@@ -1809,21 +1949,17 @@ def bloom_bit_stream(events: DataFrame) -> DataFrame:
     bits one arrival sets, so no dedup state and no watermark — total
     state is <= BLOOM_STREAM_M bit rows regardless of stream length.
     Same plan fragment batch and stream (the parity oracle in
-    tests/test_streaming.py applies THIS function to a batch read)."""
-    from .extras.hashing import minhash_term
-    from .extras.sketches import BLOOM_K, _spark_base
+    tests/test_streaming.py applies THIS function to a batch read).
 
-    base = _spark_base("CAST(user_id AS STRING)")
-    pos = [
-        f"CAST({minhash_term(j, base)} % {BLOOM_STREAM_M} AS INT)"
-        for j in range(BLOOM_K)
-    ]
-    stacked = events.filter(
-        F.col("event_type") == "purchase"
-    ).selectExpr(f"stack({BLOOM_K}, {', '.join(pos)}) AS bit")
-    return stacked.groupBy("bit").agg(
-        F.count(F.lit(1)).alias("n_inserts")
-    )
+    Since the counting-Bloom monitor landed this is a thin
+    composition over it — the purchase-filtered instance of
+    bloom_cell_stream at the provisioned width, keeping its original
+    (bit, n_inserts) output contract — so the bit geometry lives in
+    exactly one place (sketches.bloom_bit_rows)."""
+    return bloom_cell_stream(
+        events.filter(F.col("event_type") == "purchase"),
+        BLOOM_STREAM_M,
+    ).select("bit", F.col("cnt").alias("n_inserts"))
 
 
 def run_bloom_stream_to_completion(spark: SparkSession, in_dir: str,

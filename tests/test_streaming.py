@@ -2935,3 +2935,134 @@ def test_streaming_hist_domain_guards(spark, tmp_path):
         streaming.hist_merge_stream(
             spark, in_dir, corrupt, str(tmp_path / "hd_ckpt3"), 0.0, 10.0
         )
+
+
+def test_streaming_bloom_matches_batch_with_bounded_state(spark):
+    """The live counting-Bloom membership monitor (20th stateful
+    family): (a) the final cell table equals
+    extras.sketches.bloom_counting_cells over the same fixture
+    CELL-FOR-CELL (integer counts — exact; the shared bloom_bit_rows
+    geometry makes this structural; the stream never builds the batch
+    twin's key-grain frame); (b) state is bounded by the filter
+    GEOMETRY, not the data: rows in the aggregation state store ==
+    live cells <= mb + 1; (c) the stateless membership readout over
+    the streamed cells passes EVERY ingested key (the no-false-
+    negative Bloom guarantee) while actually pruning absent probe
+    keys (the false-positive rate stays far below 1)."""
+    from data_pipeline_and_visualization_dashboard_spark.extras.sketches import (
+        bloom_counting_cells,
+    )
+    from pyspark.sql import functions as F
+
+    MB = 256
+    out, state_rows = streaming.run_bloom_cells_to_completion(
+        spark, SF_SMOKE, MB
+    )
+    events = spark.read.parquet(SF_SMOKE + "/events.parquet")
+    want = {
+        r.bit: r.cnt
+        for r in bloom_counting_cells(
+            events.select(F.col("user_id").alias("k")), MB
+        ).collect()
+    }
+    got = {r.bit: r.cnt for r in out.collect()}
+    assert got == want and len(got) > 0
+    assert state_rows == len(got)
+    assert state_rows <= MB + 1
+
+    ingested = streaming.bloom_pass_from_cells(
+        out, events.select("user_id"), "user_id"
+    ).collect()
+    assert len(ingested) > 0 and all(r.bloom_pass for r in ingested)
+
+    absent = spark.range(100000, 101000).select(
+        F.col("id").alias("user_id")
+    )
+    fp = streaming.bloom_pass_from_cells(out, absent, "user_id").collect()
+    n_fp = sum(1 for r in fp if r.bloom_pass)
+    # ~60/256 bits live -> expected fp ~(0.23)^4 ~ 0.3%; 10% is a
+    # generous noise margin that still proves the filter prunes
+    assert n_fp <= len(fp) * 0.10
+
+
+def test_streaming_bloom_survives_restart(spark, tmp_path):
+    """Restart pin for the counting-Bloom monitor: drain file A
+    through the checkpointed foreachBatch variant, STOP, land file B,
+    restart with the SAME checkpoint and width. The final cell table
+    must equal the batch cells over A∪B exactly — additive integer
+    state recovered, A not re-consumed (a double-add would inflate
+    every cell A touched)."""
+    from data_pipeline_and_visualization_dashboard_spark.extras.sketches import (
+        bloom_counting_cells,
+    )
+    from pyspark.sql import functions as F
+
+    MB = 256
+    raw = spark.read.parquet(SF_SMOKE + "/events.parquet")
+    in_dir = str(tmp_path / "bl_in")
+    state = str(tmp_path / "bl_state")
+    ckpt = str(tmp_path / "bl_ckpt")
+    raw.filter("event_id % 2 = 0").coalesce(1).write.parquet(
+        in_dir, mode="append"
+    )
+    q = streaming.bloom_merge_stream(spark, in_dir, state, ckpt, MB)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    wave1 = {r.bit: r.cnt for r in spark.read.parquet(state).collect()}
+    raw.filter("event_id % 2 = 1").coalesce(1).write.parquet(
+        in_dir, mode="append"
+    )
+    q2 = streaming.bloom_merge_stream(spark, in_dir, state, ckpt, MB)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    got = {r.bit: r.cnt for r in spark.read.parquet(state).collect()}
+    want = {
+        r.bit: r.cnt
+        for r in bloom_counting_cells(
+            raw.select(F.col("user_id").alias("k")), MB
+        ).collect()
+    }
+    assert got == want
+    assert wave1 != want  # or the recovery assertion is vacuous
+
+
+def test_streaming_bloom_width_guard(spark, tmp_path):
+    """The Bloom monitor's geometry guards: (a) a non-positive width
+    raises at both entry points; (b) bloom_merge_stream refuses a
+    restart whose width differs from the one the persisted state was
+    built under — recovered additive cells are only meaningful under
+    the modulus that built them (the shared _read_state_stamp
+    fail-closed guard, same contract as the histogram domain)."""
+    import pytest
+
+    events = spark.read.parquet(SF_SMOKE + "/events.parquet")
+    with pytest.raises(ValueError, match=">= 1"):
+        streaming.bloom_cell_stream(events, 0)
+    with pytest.raises(ValueError, match=">= 1"):
+        streaming.bloom_merge_stream(
+            spark, str(tmp_path / "x"), str(tmp_path / "y"),
+            str(tmp_path / "z"), -5
+        )
+
+    in_dir = str(tmp_path / "bw_in")
+    state = str(tmp_path / "bw_state")
+    ckpt = str(tmp_path / "bw_ckpt")
+    events.limit(50).coalesce(1).write.parquet(in_dir, mode="append")
+    q = streaming.bloom_merge_stream(spark, in_dir, state, ckpt, 256)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # same width resumes fine
+    q2 = streaming.bloom_merge_stream(spark, in_dir, state, ckpt, 256)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    # different width refused BEFORE any state is touched
+    with pytest.raises(ValueError, match="only meaningful under"):
+        streaming.bloom_merge_stream(spark, in_dir, state, ckpt, 512)
