@@ -57,11 +57,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round-13 window (the precomputed rotation from VERDICT r12 ask #1):
 # the 3 r8-latest leftovers FIRST (oldest rows — 4 rounds stale),
 # then the r9-latest cohort in CORRECTNESS_r09 order, of which the
-# first 44 survive here: the round's three NEW oracle-backed entries
-# (text_pack_sequences, q96_theil_decomposition, q97_atkinson_index)
-# displace from the END per the displacement rule, sliding
-# q87_time_weighted_value (the 45th r9 entry), dedup_containment_topk
-# (the 46th) and text_token_entropy (the 47th) to r14 alongside
+# first 43 survive here: the round's four NEW oracle-backed entries
+# (text_pack_sequences, q96_theil_decomposition, q97_atkinson_index,
+# sketch_cm_join_card) displace from the END per the displacement
+# rule, sliding dedup_split_leakage (the 44th r9 entry),
+# q87_time_weighted_value (the 45th), dedup_containment_topk (the
+# 46th) and text_token_entropy (the 47th) to r14 alongside
 # q90_mad_outliers, dedup_containment_est and sketch_ams_f2.
 _CHECK_FIRST = [
     "q14_clean_accounting",
@@ -110,10 +111,10 @@ _CHECK_FIRST = [
     "dedup_snapshot_ledger",
     "q86_zorder_layout",
     "media_audio_windows",
-    "dedup_split_leakage",
     "text_pack_sequences",
     "q96_theil_decomposition",
     "q97_atkinson_index",
+    "sketch_cm_join_card",
 ]
 
 

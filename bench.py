@@ -131,6 +131,17 @@ BASELINE_REFREEZE = {
     # near regime-neutral floors:
     "text_pack_sequences": 0.393,
     "q96_theil_decomposition": 0.439,
+    # late-r13 additions, frozen at their first committed >=2-run
+    # floor from the second r13 wave (BENCH_full_r13{f,g,h,i}.json).
+    # q97_atkinson_index: 4-run floor (f read 0.802 — that run
+    # overlapped the session's own pytest load, documented in the
+    # drift log; g/h/i read 0.538/0.533/0.543).
+    # sketch_cm_join_card: the h/i pair (registered after f/g).
+    # The whole f-i wave sat in a hot regime (fleet ratios
+    # 1.13-1.35), so both freezes are expected to re-freeze DOWNWARD
+    # under the stricter-only clause in a cooler round:
+    "q97_atkinson_index": 0.533,
+    "sketch_cm_join_card": 0.353,
 }
 
 def baseline_gate(timings: dict, sf: float, subset,
@@ -249,6 +260,8 @@ HEADLINE = [
     "q94_hhi_concentration",  # per-nation HHI (pure agg-of-squares)
     "q95_top_decile_share",  # Pareto top-10% share (exact pctl, q90 shape)
     "q96_theil_decomposition",  # decomposable Theil index (fanout-1)
+    "q97_atkinson_index",  # 3-level Atkinson (5 sums, no window)
+    "sketch_cm_join_card",  # CM inner-product join-size estimate
     "sim_recall_eval",  # LSH recall@k vs exact (eval as an operator)
     "sim_ivf_recall_guard",  # pretrained-IVF recall floor, in-plan assert
     "sim_ivfpq_recall_guard",  # pretrained-IVF-PQ floor, in-plan assert

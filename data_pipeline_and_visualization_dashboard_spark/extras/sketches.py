@@ -137,6 +137,144 @@ def countmin_topk_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# count-min inner-product join-cardinality estimation: the two event
+# streams whose user-join size the operator prices (a real shuffle
+# pre-flight: "how many (purchase, click) co-occurrence pairs will the
+# user join produce" is exactly the number the join's shuffle/skew
+# planning needs before paying for it)
+CM_JOIN_A = "purchase"
+CM_JOIN_B = "click"
+
+
+def cm_join_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from count-min sketches (the
+    inner-product estimator of Cormode & Muthukrishnan 2005, §4.2):
+    |A ⋈_k B| = Σ_k fA(k)·fB(k), estimated by min over the D hash
+    rows of Σ_w A_d[w]·B_d[w] — an OVER-estimate only (expanding the
+    product adds collision cross-terms to the diagonal, never removes
+    them; pinned est ≥ exact in tests/test_properties.py).  This is
+    the pre-flight number every big join wants before paying its
+    shuffle: two 1024-cell sketches — built independently per stream,
+    mergeable across partitions/days — price the join's output size
+    (and, per-cell, its heaviest buckets) without touching either
+    side's full key set.
+
+    Spark shape — ONE fact scan (fanout 1, pinned), everything after
+    the first aggregation bounded by sketch geometry: the scan pivots
+    to user grain carrying BOTH sides' counts (ca, cb) in one agg, the
+    shared cm_cell_rows fan-out (the count-min geometry's single
+    definition) stacks D rows per user, and the (d, w) cell agg keeps
+    sa, sb AND the diagonal Σca·cb per cell — so the EXACT join size
+    rides the same 1024-row frame as the estimate (every user lands
+    once per hash row, so any d's Σp is the true Σca·cb; the 1-row
+    readout takes min over d of both).  No join anywhere in the plan
+    (the operator that prices joins plans none itself): 4 exchanges —
+    user agg, cell agg, per-d agg, 1-row fold.  NULL user_ids are
+    filtered first: SQL join semantics never match NULL keys, so they
+    must not contribute pairs.  At 100 TB the production form keeps
+    one 1024-cell table per stream per day and answers any pairwise
+    join-size question by a 1024-row inner product — this operator
+    fuses the two builds into one pass so the whole statistic stays
+    DuckDB-oracle-checkable (integer cells, md5 family: bit-identical
+    both engines; the one division is guarded and rounded 6dp).
+    Integer-range note for the geometry: cells and products are
+    BIGINT, and under ANSI mode an overflow FAILS the query rather
+    than wrapping — the binding term is the per-d inner-product fold
+    Σ_w sa·sb ≈ rows²/CM_W, in BIGINT range while per-side streams
+    stay ≲ 5×10^10 rows under this CM_W=256 geometry; beyond that
+    the production sizing move is a wider CM_W (smaller per-cell
+    sums and a smaller rows²/CM_W fold), the same knob that tightens
+    the estimate."""
+    ev = read_table(spark, sf_dir, "events", ["user_id", "event_type"])
+    keyed = (
+        ev.filter(F.col("user_id").isNotNull())
+        .filter(F.col("event_type").isin(CM_JOIN_A, CM_JOIN_B))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == CM_JOIN_A, 1).otherwise(0)
+            ).alias("ca"),
+            F.sum(
+                F.when(F.col("event_type") == CM_JOIN_B, 1).otherwise(0)
+            ).alias("cb"),
+        )
+    )
+    cells = (
+        cm_cell_rows(keyed, carry=["ca", "cb"])
+        .groupBy("d", "w")
+        .agg(
+            F.sum("ca").alias("sa"),
+            F.sum("cb").alias("sb"),
+            F.sum(F.col("ca") * F.col("cb")).alias("p"),
+        )
+    )
+    per_d = cells.groupBy("d").agg(
+        F.sum(F.col("sa") * F.col("sb")).alias("ip"),
+        F.sum("p").alias("exact_d"),
+        F.sum("sa").alias("na"),
+        F.sum("sb").alias("nb"),
+    )
+    exact = F.min("exact_d")
+    est = F.min("ip")
+    return per_d.agg(
+        F.min("na").cast("bigint").alias("rows_a"),
+        F.min("nb").cast("bigint").alias("rows_b"),
+        exact.cast("bigint").alias("exact_join_rows"),
+        est.cast("bigint").alias("est_join_rows"),
+        F.when(
+            exact > 0,
+            F.round((est - exact).cast("double") / exact, 6),
+        ).alias("rel_overcount"),
+    )
+
+
+def _duck_cm_join_card_sql() -> str:
+    base = _duck_base(_DUCK_KEY)
+    hashes = ",\n                   ".join(
+        f"({minhash_term(j, base)} % {CM_W}) AS w_{j}" for j in range(CM_D)
+    )
+    union = "\n            UNION ALL\n".join(
+        f"            SELECT {j} AS d, w_{j} AS w, ca, cb FROM hashed"
+        for j in range(CM_D)
+    )
+    return f"""
+        WITH keyed AS (
+            SELECT user_id,
+                   sum(CASE WHEN event_type = '{CM_JOIN_A}'
+                            THEN 1 ELSE 0 END) AS ca,
+                   sum(CASE WHEN event_type = '{CM_JOIN_B}'
+                            THEN 1 ELSE 0 END) AS cb
+            FROM events
+            WHERE user_id IS NOT NULL
+              AND event_type IN ('{CM_JOIN_A}', '{CM_JOIN_B}')
+            GROUP BY user_id
+        ), hashed AS (
+            SELECT ca, cb,
+                   {hashes}
+            FROM keyed
+        ), stacked AS (
+{union}
+        ), cells AS (
+            SELECT d, w, sum(ca) AS sa, sum(cb) AS sb,
+                   sum(ca * cb) AS p
+            FROM stacked GROUP BY d, w
+        ), per_d AS (
+            SELECT d, sum(sa * sb) AS ip, sum(p) AS exact_d,
+                   sum(sa) AS na, sum(sb) AS nb
+            FROM cells GROUP BY d
+        )
+        SELECT CAST(min(na) AS BIGINT) AS rows_a,
+               CAST(min(nb) AS BIGINT) AS rows_b,
+               CAST(min(exact_d) AS BIGINT) AS exact_join_rows,
+               CAST(min(ip) AS BIGINT) AS est_join_rows,
+               CASE WHEN min(exact_d) > 0
+                    THEN round((min(ip) - min(exact_d))
+                               / CAST(min(exact_d) AS DOUBLE), 6)
+                    END AS rel_overcount
+        FROM per_d
+    """
+
+
 # ----------------------------------------------------------------------
 # HyperLogLog
 # ----------------------------------------------------------------------
@@ -1355,6 +1493,7 @@ ORACLE_SQL: dict[str, str] = {
     "sketch_hist_quantiles": _duck_hist_quantiles_sql(),
     "sketch_bloom_bits": _duck_bloom_bits_sql(),
     "sketch_bloom_prefilter": _duck_bloom_prefilter_sql(),
+    "sketch_cm_join_card": _duck_cm_join_card_sql(),
 }
 
 QUERIES = {
@@ -1369,4 +1508,5 @@ QUERIES = {
     "sketch_hist_quantiles": hist_quantiles,
     "sketch_bloom_bits": bloom_bits,
     "sketch_bloom_prefilter": bloom_prefilter,
+    "sketch_cm_join_card": cm_join_card,
 }

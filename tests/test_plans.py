@@ -591,6 +591,18 @@ CASES = {
          "BatchEvalPython", "ArrowEvalPython"],
         4,  # custkey agg + nation agg + SinglePartition window + sort
     ),
+    "sketch_cm_join_card": (
+        # the operator that prices joins plans NONE itself: ONE fact
+        # scan (fanout 1, pinned) -> user-grain pivot agg carrying
+        # both sides' counts -> cm_cell_rows stack (row-local) ->
+        # 1024-cell agg -> CM_D-row per-d agg -> 1-row fold.  No join,
+        # no window, no sort, no Python anywhere
+        ["HashAggregate"],
+        ["SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+         "CartesianProduct", "BroadcastNestedLoopJoin", "Window",
+         "BatchEvalPython", "ArrowEvalPython"],
+        4,  # user agg + cell agg + per-d agg + SinglePartition fold
+    ),
     "q97_atkinson_index": (
         # ONE fact scan (pinned by the fanout gate at 1): customer-
         # grain agg -> 25-row nation agg of FIVE decomposable sums ->

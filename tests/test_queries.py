@@ -142,6 +142,7 @@ EXPECTED_CARDINALITY = {
                                      # bands over 10-99-token docs)
     "q96_theil_decomposition": 25,   # nation domain
     "q97_atkinson_index": 25,        # nation domain
+    "sketch_cm_join_card": 1,        # one-row join-size readout
 }
 
 
