@@ -1784,6 +1784,98 @@ def bloom_merge_stream(spark: SparkSession, in_dir: str, state_dir: str,
     )
 
 
+def cm_join_cell_stream(events: DataFrame) -> DataFrame:
+    """Live join-cardinality cells (21st stateful family) — the
+    streaming twin of extras.sketches.cm_join_card's cell stage: the
+    two sides' count-min tables maintained side by side in ONE
+    (d, w)-keyed streaming aggregation (sa = purchase arrivals in the
+    cell, sb = click arrivals), so any trigger can price the
+    purchase⋈click user-join's output size from a 1024-row inner
+    product BEFORE anyone pays its shuffle.  Cell counts are ADDITIVE
+    integers — no watermark, no custom operator — and total state is
+    bounded by the sketch GEOMETRY: ≤ CM_D·CM_W rows regardless of
+    key cardinality or stream length (NULL user_ids are filtered, as
+    in the batch twin: join semantics never match NULL keys).
+
+    One honesty note, the sketch_ams_hhi precedent: the batch twin
+    also carries the exact diagonal Σca·cb on its cells to price the
+    estimate's error — a PRODUCT of per-key counts, which is not
+    additive across arrivals, so the stream cannot maintain it
+    without key-grain state.  The monitor therefore serves the
+    ESTIMATE only (exactly the production division of labor: the
+    batch run calibrates the overcount, the live monitor answers the
+    sizing question), and its cells are definitionally the batch
+    cells — the fan-out is sketches.cm_cell_rows, the same single
+    definition of the count-min geometry, so sa/sb parity with the
+    batch operator is structural (pinned cell-free via the shared
+    readout in tests/test_streaming.py)."""
+    from .extras.sketches import CM_JOIN_A, CM_JOIN_B, cm_cell_rows
+
+    filt = events.filter(F.col("user_id").isNotNull()).filter(
+        F.col("event_type").isin(CM_JOIN_A, CM_JOIN_B)
+    )
+    return (
+        cm_cell_rows(filt, carry="event_type")
+        .groupBy("d", "w")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == CM_JOIN_A, 1).otherwise(0)
+            ).alias("sa"),
+            F.sum(
+                F.when(F.col("event_type") == CM_JOIN_B, 1).otherwise(0)
+            ).alias("sb"),
+        )
+        .selectExpr("CAST(d AS INT) AS d", "CAST(w AS INT) AS w",
+                    "sa", "sb")
+    )
+
+
+def run_cm_join_stream_to_completion(spark: SparkSession, in_dir: str,
+                                     query_name: str = "cmj_out"):
+    """Drive the join-cardinality monitor over a finite fixture; see
+    _run_global_sketch_to_completion for the contract (here the
+    bounded-state claim: state rows == live cells ≤ CM_D·CM_W)."""
+    return _run_global_sketch_to_completion(
+        spark, in_dir, _STREAM_SCHEMA, "events.parquet",
+        cm_join_cell_stream, query_name, "cm-join",
+    )
+
+
+def cm_join_merge_stream(spark: SparkSession, in_dir: str,
+                         state_dir: str, checkpoint_dir: str):
+    """Restartable join-cardinality monitor (_global_sketch_merge_stream
+    over cm_join_cell_stream): complete-mode output is the WHOLE cell
+    table every trigger, so the overwrite sink is idempotent and
+    restart recovery lives in the aggregation state store.  The
+    geometry is the module-constant CM_D/CM_W, exactly like the
+    count-min monitor — no per-start stamp needed."""
+    return _global_sketch_merge_stream(
+        spark, in_dir, _STREAM_SCHEMA, cm_join_cell_stream,
+        state_dir, checkpoint_dir,
+    )
+
+
+def cm_join_est_from_cells(cells: DataFrame) -> DataFrame:
+    """Stateless O(cells) readout epilogue for the join-cardinality
+    monitor: per-d inner products and side totals over the emitted
+    (d, w, sa, sb) cell table, min-folded to one row — the SAME
+    estimator the batch operator computes on the same cell grain, so
+    the estimate any dashboard reads from the live cells equals
+    cm_join_card's est_join_rows/rows_a/rows_b columns to the row
+    (structural parity, like hhi_from_row).  Kept outside the stream
+    so the state stays raw additive counts."""
+    per_d = cells.groupBy("d").agg(
+        F.sum(F.col("sa") * F.col("sb")).alias("ip"),
+        F.sum("sa").alias("na"),
+        F.sum("sb").alias("nb"),
+    )
+    return per_d.agg(
+        F.min("na").cast("bigint").alias("rows_a"),
+        F.min("nb").cast("bigint").alias("rows_b"),
+        F.min("ip").cast("bigint").alias("est_join_rows"),
+    )
+
+
 def bloom_pass_from_cells(cells: DataFrame, probe: DataFrame,
                           key_col: str) -> DataFrame:
     """Stateless membership readout over the live cell table: a probe

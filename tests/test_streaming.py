@@ -3066,3 +3066,82 @@ def test_streaming_bloom_width_guard(spark, tmp_path):
     # different width refused BEFORE any state is touched
     with pytest.raises(ValueError, match="only meaningful under"):
         streaming.bloom_merge_stream(spark, in_dir, state, ckpt, 512)
+
+
+def test_streaming_cm_join_matches_batch_with_bounded_state(spark):
+    """The live join-cardinality monitor (21st stateful family): (a)
+    the stateless readout over the streamed (d, w, sa, sb) cells
+    equals the batch sketch_cm_join_card's est_join_rows / rows_a /
+    rows_b to the row — the shared cm_cell_rows geometry and shared
+    estimator grain make this structural (the stream aggregates
+    arrivals, the batch pre-aggregates keys; cell sums are the same
+    theorem the count-min parity pins); (b) state is bounded by the
+    sketch GEOMETRY, not the data: rows in the aggregation state
+    store == live cells <= CM_D*CM_W (NULL keys filtered, so no NULL
+    cells); (c) the estimate the monitor serves is one-sided above
+    the batch twin's exact diagonal."""
+    from data_pipeline_and_visualization_dashboard_spark.extras.sketches import (
+        CM_D,
+        CM_W,
+        cm_join_card,
+    )
+
+    out, state_rows = streaming.run_cm_join_stream_to_completion(
+        spark, SF_SMOKE
+    )
+    got = streaming.cm_join_est_from_cells(out).collect()[0]
+    want = cm_join_card(spark, SF_SMOKE).collect()[0]
+    assert (got.rows_a, got.rows_b, got.est_join_rows) == (
+        want.rows_a, want.rows_b, want.est_join_rows,
+    )
+    assert got.rows_a > 0 and got.rows_b > 0
+    assert got.est_join_rows >= want.exact_join_rows
+    n_cells = out.count()
+    assert state_rows == n_cells
+    assert state_rows <= CM_D * CM_W
+
+
+def test_streaming_cm_join_survives_restart(spark, tmp_path):
+    """Restart pin for the join-cardinality monitor: drain file A
+    through the checkpointed foreachBatch variant, STOP, land file B,
+    restart with the SAME checkpoint. The readout over the final cell
+    table must equal the batch operator over A∪B exactly — additive
+    integer state recovered, A not re-consumed (a double-add would
+    inflate sa/sb in every cell A touched, and with them the
+    estimate)."""
+    from data_pipeline_and_visualization_dashboard_spark.extras.sketches import (
+        cm_join_card,
+    )
+
+    raw = spark.read.parquet(SF_SMOKE + "/events.parquet")
+    in_dir = str(tmp_path / "cmj_in")
+    state = str(tmp_path / "cmj_state")
+    ckpt = str(tmp_path / "cmj_ckpt")
+    raw.filter("event_id % 2 = 0").coalesce(1).write.parquet(
+        in_dir, mode="append"
+    )
+    q = streaming.cm_join_merge_stream(spark, in_dir, state, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    wave1 = streaming.cm_join_est_from_cells(
+        spark.read.parquet(state)
+    ).collect()[0]
+    raw.filter("event_id % 2 = 1").coalesce(1).write.parquet(
+        in_dir, mode="append"
+    )
+    q2 = streaming.cm_join_merge_stream(spark, in_dir, state, ckpt)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    got = streaming.cm_join_est_from_cells(
+        spark.read.parquet(state)
+    ).collect()[0]
+    want = cm_join_card(spark, SF_SMOKE).collect()[0]
+    assert (got.rows_a, got.rows_b, got.est_join_rows) == (
+        want.rows_a, want.rows_b, want.est_join_rows,
+    )
+    # or the recovery assertion is vacuous
+    assert (wave1.rows_a, wave1.rows_b) != (got.rows_a, got.rows_b)
