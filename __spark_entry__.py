@@ -57,10 +57,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round-13 window (the precomputed rotation from VERDICT r12 ask #1):
 # the 3 r8-latest leftovers FIRST (oldest rows — 4 rounds stale),
 # then the r9-latest cohort in CORRECTNESS_r09 order, of which the
-# first 43 survive here: the round's four NEW oracle-backed entries
+# first 42 survive here: the round's five NEW oracle-backed entries
 # (text_pack_sequences, q96_theil_decomposition, q97_atkinson_index,
-# sketch_cm_join_card) displace from the END per the displacement
-# rule, sliding dedup_split_leakage (the 44th r9 entry),
+# sketch_cm_join_card, q98_last_touch_attribution) displace from the
+# END per the displacement rule, sliding media_audio_windows (the
+# 43rd r9 entry), dedup_split_leakage (the 44th),
 # q87_time_weighted_value (the 45th), dedup_containment_topk (the
 # 46th) and text_token_entropy (the 47th) to r14 alongside
 # q90_mad_outliers, dedup_containment_est and sketch_ams_f2.
@@ -110,11 +111,11 @@ _CHECK_FIRST = [
     "sim_centroid_assign",
     "dedup_snapshot_ledger",
     "q86_zorder_layout",
-    "media_audio_windows",
     "text_pack_sequences",
     "q96_theil_decomposition",
     "q97_atkinson_index",
     "sketch_cm_join_card",
+    "q98_last_touch_attribution",
 ]
 
 

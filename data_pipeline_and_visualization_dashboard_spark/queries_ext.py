@@ -5476,6 +5476,81 @@ def q97_atkinson_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("n_name")
 
 
+def q98_last_touch_attribution(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Last-touch revenue attribution — the marketing-dashboard
+    question every funnel report ends with: each purchase's value is
+    credited to the CHANNEL of the user's most recent preceding
+    non-purchase event (their last touch), then revenue rolls up per
+    channel.  Purchases with no preceding touch (a user's first-ever
+    event is the purchase) credit the '(none)' bucket — the
+    direct-traffic line of a real attribution report.
+
+    Spark shape: ONE fact scan, ONE keyed window — the carry-forward
+    is F.last(ignorenulls) over a user-partitioned (ts, event_id)
+    order with an explicit ROWS frame ending at 1 PRECEDING (strictly
+    BEFORE the purchase: a same-timestamp touch never credits itself;
+    the event_id tiebreak makes the order total, so both engines walk
+    identical sequences — the q52 LOCF idiom with a shifted frame).
+    Then a ≤|types|-row channel aggregation and a tiny sort.  No
+    global window, no join (the as-of-join spelling q27 uses is the
+    same semantics paid as a join; the window spelling shuffles the
+    fact ONCE on user_id and never again).  At 100 TB the window
+    partitions by user — millions of small independent partitions,
+    no skew beyond whale users (q62's diagnostics apply), and the
+    channel rollup is map-side-combinable from each partition's
+    output.  Float discipline: per-channel revenue is a sum of raw
+    event values rounded 4dp at output (addition-order spread ≪ the
+    quantum), avg order value 6dp."""
+    ev = read_table(
+        spark, sf_dir, "events",
+        ["event_id", "user_id", "ts", "event_type", "value"],
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touched = ev.withColumn(
+        "channel",
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return (
+        touched.filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("channel", F.lit("(none)")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 4).alias("attributed_revenue"),
+            F.round(F.avg("value"), 6).alias("avg_order_value"),
+        )
+        .orderBy("channel")
+    )
+
+
+_DUCK_Q98_SQL = """
+    WITH touched AS (
+        SELECT event_type, value,
+               last_value(CASE WHEN event_type <> 'purchase'
+                               THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS channel
+        FROM events
+    )
+    SELECT coalesce(channel, '(none)') AS channel,
+           count(*) AS n_purchases,
+           round(sum(value), 4) AS attributed_revenue,
+           round(avg(value), 6) AS avg_order_value
+    FROM touched
+    WHERE event_type = 'purchase'
+    GROUP BY 1 ORDER BY 1
+"""
+
+
 _DUCK_Q97_SQL = """
     WITH spend AS (
         SELECT n.n_name, c.c_custkey,
@@ -5577,6 +5652,7 @@ ORACLE_SQL: dict[str, str] = {
     "q95_top_decile_share": _DUCK_Q95_SQL,
     "q96_theil_decomposition": _DUCK_Q96_SQL,
     "q97_atkinson_index": _DUCK_Q97_SQL,
+    "q98_last_touch_attribution": _DUCK_Q98_SQL,
     "sim_diverse_subset": _duck_diverse_subset_sql(),
     "q54_hash_sample": _duck_hash_sample_sql(),
     "q55_rolling_median": _DUCK_ROLLING_MEDIAN_SQL,
@@ -6096,6 +6172,7 @@ QUERIES = {
     "q95_top_decile_share": q95_top_decile_share,
     "q96_theil_decomposition": q96_theil_decomposition,
     "q97_atkinson_index": q97_atkinson_index,
+    "q98_last_touch_attribution": q98_last_touch_attribution,
     "q83_approx_percentile_guard": q83_approx_percentile_guard,
     "sim_diverse_subset": sim_diverse_subset,
     "sim_rp_topk_pretrained": sim_rp_topk_pretrained,

@@ -591,6 +591,18 @@ CASES = {
          "BatchEvalPython", "ArrowEvalPython"],
         4,  # custkey agg + nation agg + SinglePartition window + sort
     ),
+    "q98_last_touch_attribution": (
+        # ONE fact scan, ONE keyed (user-partitioned) window for the
+        # last-touch carry-forward — never a global sort — then a
+        # <=|types|-row channel agg and a tiny terminal sort.  The
+        # as-of-join spelling would pay a join; the window spelling
+        # shuffles the fact once on user_id and never again
+        ["Window", "HashAggregate"],
+        ["SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+         "CartesianProduct", "BroadcastNestedLoopJoin",
+         "BatchEvalPython", "ArrowEvalPython"],
+        3,  # user window shuffle + channel agg + terminal sort
+    ),
     "sketch_cm_join_card": (
         # the operator that prices joins plans NONE itself: ONE fact
         # scan (fanout 1, pinned) -> user-grain pivot agg carrying
