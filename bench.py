@@ -132,16 +132,19 @@ BASELINE_REFREEZE = {
     "text_pack_sequences": 0.393,
     "q96_theil_decomposition": 0.439,
     # late-r13 additions, frozen at their first committed >=2-run
-    # floor from the second r13 wave (BENCH_full_r13{f,g,h,i}.json).
-    # q97_atkinson_index: 4-run floor (f read 0.802 — that run
-    # overlapped the session's own pytest load, documented in the
-    # drift log; g/h/i read 0.538/0.533/0.543).
-    # sketch_cm_join_card: the h/i pair (registered after f/g).
-    # The whole f-i wave sat in a hot regime (fleet ratios
-    # 1.13-1.35), so both freezes are expected to re-freeze DOWNWARD
-    # under the stricter-only clause in a cooler round:
-    "q97_atkinson_index": 0.533,
-    "sketch_cm_join_card": 0.353,
+    # floors and re-frozen DOWNWARD in the same session when the
+    # third wave (BENCH_full_r13{j,k}.json) decayed toward baseline
+    # (ratios 1.096/1.052 after the hot f-i wave's 1.13-1.35 —
+    # exactly the stricter-only clause's purpose).
+    # q97_atkinson_index: 6-run floor (f 0.802 under the session's
+    # own pytest load — drift log; g/h/i 0.538/0.533/0.543; j/k
+    # 0.500/0.510).
+    # sketch_cm_join_card: 4-run floor (h/i 0.353/0.368, j/k
+    # 0.322/0.320; registered after f/g).
+    # q98_last_touch_attribution: the j/k pair (registered after i):
+    "q97_atkinson_index": 0.500,
+    "sketch_cm_join_card": 0.320,
+    "q98_last_touch_attribution": 0.347,
 }
 
 def baseline_gate(timings: dict, sf: float, subset,
@@ -262,6 +265,7 @@ HEADLINE = [
     "q96_theil_decomposition",  # decomposable Theil index (fanout-1)
     "q97_atkinson_index",  # 3-level Atkinson (5 sums, no window)
     "sketch_cm_join_card",  # CM inner-product join-size estimate
+    "q98_last_touch_attribution",  # keyed-window last-touch credit
     "sim_recall_eval",  # LSH recall@k vs exact (eval as an operator)
     "sim_ivf_recall_guard",  # pretrained-IVF recall floor, in-plan assert
     "sim_ivfpq_recall_guard",  # pretrained-IVF-PQ floor, in-plan assert
