@@ -214,11 +214,16 @@ def cm_join_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sa").alias("na"),
         F.sum("sb").alias("nb"),
     )
-    exact = F.min("exact_d")
-    est = F.min("ip")
+    # coalesce to 0 (review r13-2 #1): with NO qualifying arrivals the
+    # per_d frame is empty and a bare global min would report an
+    # all-NULL row — but "the join would produce 0 rows" is a real
+    # answer, not missing data. rel_overcount alone stays NULL when
+    # the true join is empty (an overcount ratio over 0 is undefined).
+    exact = F.coalesce(F.min("exact_d"), F.lit(0))
+    est = F.coalesce(F.min("ip"), F.lit(0))
     return per_d.agg(
-        F.min("na").cast("bigint").alias("rows_a"),
-        F.min("nb").cast("bigint").alias("rows_b"),
+        F.coalesce(F.min("na"), F.lit(0)).cast("bigint").alias("rows_a"),
+        F.coalesce(F.min("nb"), F.lit(0)).cast("bigint").alias("rows_b"),
         exact.cast("bigint").alias("exact_join_rows"),
         est.cast("bigint").alias("est_join_rows"),
         F.when(
@@ -263,11 +268,12 @@ def _duck_cm_join_card_sql() -> str:
                    sum(sa) AS na, sum(sb) AS nb
             FROM cells GROUP BY d
         )
-        SELECT CAST(min(na) AS BIGINT) AS rows_a,
-               CAST(min(nb) AS BIGINT) AS rows_b,
-               CAST(min(exact_d) AS BIGINT) AS exact_join_rows,
-               CAST(min(ip) AS BIGINT) AS est_join_rows,
-               CASE WHEN min(exact_d) > 0
+        SELECT CAST(coalesce(min(na), 0) AS BIGINT) AS rows_a,
+               CAST(coalesce(min(nb), 0) AS BIGINT) AS rows_b,
+               CAST(coalesce(min(exact_d), 0) AS BIGINT)
+                   AS exact_join_rows,
+               CAST(coalesce(min(ip), 0) AS BIGINT) AS est_join_rows,
+               CASE WHEN coalesce(min(exact_d), 0) > 0
                     THEN round((min(ip) - min(exact_d))
                                / CAST(min(exact_d) AS DOUBLE), 6)
                     END AS rel_overcount

@@ -1896,13 +1896,27 @@ def bloom_pass_from_cells(cells: DataFrame, probe: DataFrame,
     stacked = bloom_bit_rows(
         keys.join(F.broadcast(width)), "CAST(k AS STRING)", keep=("k",)
     )
-    live = cells.filter(F.col("cnt") > 0).select("bit").distinct()
+    live = cells.filter(F.col("cnt") > 0).select(
+        F.col("bit").alias("lbit")
+    ).distinct()
+    # every match below is NULL-SAFE (review r13-2 #2): the monitor
+    # deliberately keeps NULL keys as one (bit NULL) cell, and a NULL
+    # probe key stacks K NULL positions — a plain equi-join would drop
+    # both sides and report a FALSE NEGATIVE for an ingested NULL key,
+    # breaking the one guarantee this readout pins.  eqNullSafe keeps
+    # the broadcast hash joins and makes NULL behave as the ordinary
+    # (single-cell) key the cell table already treats it as.
     hits = (
-        stacked.join(F.broadcast(live), "bit")
+        stacked.join(
+            F.broadcast(live), F.col("bit").eqNullSafe(F.col("lbit"))
+        )
         .groupBy("k")
         .agg(F.count(F.lit(1)).alias("n_hit"))
     )
-    return keys.join(hits, "k", "left").select(
+    hits = hits.select(F.col("k").alias("hk"), "n_hit")
+    return keys.join(
+        hits, F.col("k").eqNullSafe(F.col("hk")), "left"
+    ).select(
         "k",
         (F.coalesce("n_hit", F.lit(0)) == BLOOM_K).alias("bloom_pass"),
     )

@@ -3145,3 +3145,55 @@ def test_streaming_cm_join_survives_restart(spark, tmp_path):
     )
     # or the recovery assertion is vacuous
     assert (wave1.rows_a, wave1.rows_b) != (got.rows_a, got.rows_b)
+
+
+def test_streaming_bloom_null_key_no_false_negative(spark, tmp_path):
+    """The no-false-negative guarantee must hold for a NULL key too
+    (review r13-2 #2): the monitor deliberately keeps NULL user_ids
+    as one (bit NULL) cell, so a NULL probe against a stream that
+    ingested NULLs must PASS — a plain equi-join readout would drop
+    the NULL match on both hops and report a false negative. Also
+    pinned: a never-ingested ordinary key still fails on this
+    near-empty filter (the readout did not become vacuously true)."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # the run-to-completion harness globs literal events.parquet FILES
+    # (the driver testdata layout), so write the fixture as one file
+    # via pyarrow rather than a Spark part-file directory
+    t = pa.table({
+        "event_id": pa.array([1, 2], pa.int64()),
+        "ts": pa.array(
+            [dt.datetime(2024, 1, 1, 0, 0, 0),
+             dt.datetime(2024, 1, 1, 0, 0, 1)],
+            pa.timestamp("us"),
+        ),
+        "user_id": pa.array([None, 7], pa.int64()),
+        "event_type": pa.array(["click", "click"]),
+        "value": pa.array([1.0, 2.0], pa.float64()),
+        "props": pa.array(["{}", "{}"]),
+    })
+    in_dir = str(tmp_path / "bn_in")
+    os.makedirs(in_dir)
+    pq.write_table(t, in_dir + "/events.parquet")
+    out, state_rows = streaming.run_bloom_cells_to_completion(
+        spark, in_dir, 256
+    )
+    # the NULL key lands exactly one (bit NULL) cell
+    assert sum(1 for r in out.collect() if r.bit is None) == 1
+    assert state_rows <= 256 + 1
+    probe = spark.createDataFrame(
+        [(None,), (7,), (424242,)], "user_id long"
+    )
+    got = {
+        r.k: r.bloom_pass
+        for r in streaming.bloom_pass_from_cells(
+            out, probe, "user_id"
+        ).collect()
+    }
+    assert got[None] is True    # ingested NULL: must pass
+    assert got[7] is True       # ingested ordinary key: must pass
+    assert got[424242] is False  # absent key on a ~8-bit filter
