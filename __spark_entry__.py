@@ -54,68 +54,69 @@ def entry(spark: SparkSession) -> DataFrame:
 # holds at least one green driver row, zero failures ever, and no
 # entry is vacuously green (fleet-wide ≥1-row guard,
 # tests/test_queries.py).
-# Round-13 window (the precomputed rotation from VERDICT r12 ask #1):
-# the 3 r8-latest leftovers FIRST (oldest rows — 4 rounds stale),
-# then the r9-latest cohort in CORRECTNESS_r09 order, of which the
-# first 42 survive here: the round's five NEW oracle-backed entries
-# (text_pack_sequences, q96_theil_decomposition, q97_atkinson_index,
-# sketch_cm_join_card, q98_last_touch_attribution) displace from the
-# END per the displacement rule, sliding media_audio_windows (the
-# 43rd r9 entry), dedup_split_leakage (the 44th),
-# q87_time_weighted_value (the 45th), dedup_containment_topk (the
-# 46th) and text_token_entropy (the 47th) to r14 alongside
-# q90_mad_outliers, dedup_containment_est and sketch_ams_f2.
+# Round-14 window (the precomputed rotation from VERDICT r13 ask #1):
+# the 8 staleness-queue leads FIRST (oldest rows — r9-latest, 5 rounds
+# stale: the five entries r13's new operators displaced plus the three
+# that slid from the r12 plan), then the first 42 of the r10-latest
+# cohort in CORRECTNESS_r10 order, of which 41 survive here: the
+# round's NEW oracle-backed entry (dedup_canonical_pick) displaces
+# from the END per the displacement rule, sliding
+# text_index_postings (the 42nd r10-cohort entry) to r15 alongside
+# the rest of the r10-latest tail (text_search_phrase,
+# text_search_ranked, q21_nation_revenue, dedup_contamination,
+# q91_decayed_engagement, q92_value_gini, q93_rrf_fusion,
+# text_hashed_features).
 _CHECK_FIRST = [
-    "q14_clean_accounting",
-    "q4_unit_price_by_weekday",
-    "q5_trade_routes",
-    "q7_filtered_metrics",
-    "q8_top_users",
-    "q9_value_histogram",
-    "q10_type_donut",
-    "q11_day_hour_heatmap",
-    "q12_derived_events",
-    "q22_heatmap_pivot",
-    "q23_value_percentiles",
-    "q24_distinct_users",
-    "q25_set_ops",
-    "q26_regex_filter",
-    "q27_asof_join",
-    "dedup_exact_groups",
-    "dedup_exact_docs",
-    "dedup_minhash_signatures",
-    "dedup_minhash_pairs",
-    "dedup_ngram_jaccard_topk",
-    "dedup_simhash_fingerprints",
-    "dedup_simhash_pairs",
-    "dedup_simhash_hamming_topk",
-    "dedup_embedding_pairs",
-    "text_stats",
-    "text_lang_id",
-    "text_fingerprint",
-    "sim_cosine_topk",
-    "sim_cosine_topk_pandas",
-    "q15_sample_events",
-    "q19_stratified_sample",
-    "q6_pricing_summary",
-    "q13_windowed_counts",
-    "q16_sessionization",
-    "q17_top_customers_per_nation",
-    "q18_status_priority_rollup",
-    "q33_status_priority_cube",
-    "q28_json_extract",
-    "q29_approx_stats",
-    "q30_semi_anti",
-    "q31_moving_avg",
-    "q32_collect_sets",
-    "sim_centroid_assign",
-    "dedup_snapshot_ledger",
-    "q86_zorder_layout",
-    "text_pack_sequences",
-    "q96_theil_decomposition",
-    "q97_atkinson_index",
-    "sketch_cm_join_card",
-    "q98_last_touch_attribution",
+    "media_audio_windows",
+    "dedup_split_leakage",
+    "q87_time_weighted_value",
+    "dedup_containment_topk",
+    "text_token_entropy",
+    "q90_mad_outliers",
+    "dedup_containment_est",
+    "sketch_ams_f2",
+    "q34_top_users_labeled",
+    "q35_ship_delay",
+    "q36_session_windows",
+    "q37_prior_hour_window",
+    "q38_unpivot_heatmap",
+    "q39_interval_join",
+    "q40_salted_skew_join",
+    "q41_latest_event_state",
+    "q42_daily_from_hourly",
+    "q43_full_outer_reconcile",
+    "q44_user_trend",
+    "q45_cohort_retention",
+    "q46_value_anomalies",
+    "q47_scd2_history",
+    "q48_funnel_steps",
+    "q49_fuzzy_name_match",
+    "q50_equidepth_buckets",
+    "q51_nation_pagerank",
+    "q52_gap_fill",
+    "q53_incremental_rollup",
+    "q54_hash_sample",
+    "q55_rolling_median",
+    "q56_grouped_stats",
+    "q57_rank_family",
+    "q58_event_nation_counts",
+    "q59_sliding_distinct",
+    "sim_ivf_topk",
+    "sim_ivfpq_topk",
+    "q20_shipping_priority",
+    "q66_late_supplier_blame_agg",
+    "q88_basket_pairs",
+    "q89_session_transitions",
+    "dedup_incremental_pairs",
+    "dedup_neardup_groups",
+    "corpus_funnel",
+    "corpus_survivors",
+    "corpus_forget_impact",
+    "sim_mmr_rerank",
+    "sketch_kmv_overlap",
+    "text_bpe_train",
+    "text_bpe_apply",
+    "dedup_canonical_pick",
 ]
 
 

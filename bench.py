@@ -122,14 +122,17 @@ BASELINE_REFREEZE = {
     # 2-run pair (registered after the r12/b/c runs):
     "q95_top_decile_share": 0.600,
     # r13 additions, each frozen at its first committed >=2-run floor.
-    # text_pack_sequences: the r13{,b,c} 3-run floor (confirmed by the
-    # later d/e pair — 0.433 there, so 0.393 stands).
+    # text_pack_sequences: first frozen at the r13{,b,c} 3-run floor
+    # (0.393), then re-frozen DOWNWARD r14 per BASELINE.md's
+    # stricter-only clause to the BENCH_full_r13k.json reading (0.386)
+    # — VERDICT r13 ask #2: the clause that re-froze q97/cm in-session
+    # applies uniformly, and run k's 0.386 undercut the abc freeze.
     # q96_theil_decomposition: the r13d/r13e pair (registered after
     # the abc runs).  The r13 session started in a SLOW box regime
     # that decayed to baseline across the five runs (drift log r13:
     # fleet 5-run floor ×1.007 over r6), so both freezes sit at or
     # near regime-neutral floors:
-    "text_pack_sequences": 0.393,
+    "text_pack_sequences": 0.386,
     "q96_theil_decomposition": 0.439,
     # late-r13 additions, frozen at their first committed >=2-run
     # floors and re-frozen DOWNWARD in the same session when the

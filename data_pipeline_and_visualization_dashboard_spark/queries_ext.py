@@ -5501,11 +5501,20 @@ def q98_last_touch_attribution(spark: SparkSession,
     channel rollup is map-side-combinable from each partition's
     output.  Float discipline: per-channel revenue is a sum of raw
     event values rounded 4dp at output (addition-order spread ≪ the
-    quantum), avg order value 6dp."""
+    quantum), avg order value 6dp.
+
+    NULL-key policy (ADVICE r13): anonymous events (user_id NULL) are
+    EXCLUDED on both engine sides — both Spark and DuckDB group NULL
+    partition keys together, so leaving them in would conflate every
+    anonymous visitor into one shared touch sequence and credit a
+    NULL-user purchase to a DIFFERENT anonymous user's touch.  Same
+    policy as sketch_cm_join_card's key filter; the streaming twin
+    (streaming.last_touch_stream) applies the identical filter so
+    batch ≡ stream holds on the same population."""
     ev = read_table(
         spark, sf_dir, "events",
         ["event_id", "user_id", "ts", "event_type", "value"],
-    )
+    ).filter(F.col("user_id").isNotNull())
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -5540,6 +5549,7 @@ _DUCK_Q98_SQL = """
                          ROWS BETWEEN UNBOUNDED PRECEDING
                                   AND 1 PRECEDING) AS channel
         FROM events
+        WHERE user_id IS NOT NULL
     )
     SELECT coalesce(channel, '(none)') AS channel,
            count(*) AS n_purchases,

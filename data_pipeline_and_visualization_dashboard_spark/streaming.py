@@ -1869,10 +1869,18 @@ def cm_join_est_from_cells(cells: DataFrame) -> DataFrame:
         F.sum("sa").alias("na"),
         F.sum("sb").alias("nb"),
     )
+    # coalesce to 0 (ADVICE r13): an EMPTY cell table (the state
+    # parquet after a first trigger carrying only non-qualifying
+    # events) means "the join would produce 0 rows" — a real answer,
+    # not missing data — exactly the no-arrivals case the batch twin
+    # cm_join_card coalesces (extras/sketches.py); the readout and
+    # the batch operator must agree on it.
     return per_d.agg(
-        F.min("na").cast("bigint").alias("rows_a"),
-        F.min("nb").cast("bigint").alias("rows_b"),
-        F.min("ip").cast("bigint").alias("est_join_rows"),
+        F.coalesce(F.min("na"), F.lit(0)).cast("bigint").alias("rows_a"),
+        F.coalesce(F.min("nb"), F.lit(0)).cast("bigint").alias("rows_b"),
+        F.coalesce(F.min("ip"), F.lit(0))
+        .cast("bigint")
+        .alias("est_join_rows"),
     )
 
 
