@@ -37,7 +37,7 @@ def family(name: str) -> str:
             "text": "text", "media": "media"}.get(prefix, "other")
 
 # HEADLINE vs registry — the exclusion policy (VERDICT r6 next #7).
-# The registry holds 206 entries; HEADLINE benches 127.  The 79
+# The registry holds 210 entries; HEADLINE benches 131.  The 79
 # excluded entries fall into six families, each excluded for a reason,
 # not forgotten:
 #   1. display-grain chart twins / plan-shape variants of benched
@@ -148,6 +148,12 @@ BASELINE_REFREEZE = {
     "q97_atkinson_index": 0.500,
     "sketch_cm_join_card": 0.320,
     "q98_last_touch_attribution": 0.347,
+    # r14 addition, frozen at its first committed >=2-run floor (the
+    # BENCH_full_r14/r14b pair: 3.378 hot-regime, 2.708 after the box
+    # cooled — ratios 1.405/1.099, the r13 oscillation pattern).  The
+    # cost is dominated by the near-dup component build the operator
+    # composes (dedup_neardup_groups floor ~2.0 inside it):
+    "dedup_canonical_pick": 2.708,
 }
 
 def baseline_gate(timings: dict, sf: float, subset,
@@ -280,6 +286,7 @@ HEADLINE = [
     "dedup_incremental_exact",  # delta-vs-corpus exact tier (hash join)
     "dedup_neardup_groups",  # iterative connected components
     "dedup_neardup_groups_lsss",  # web-scale large-star/small-star CC
+    "dedup_canonical_pick",  # best-vs-first keeper policy, priced
     "corpus_funnel",  # end-to-end: quality gate -> exact -> near-dup
     "corpus_funnel_xxhash",  # same funnel on the production hash family
     "dedup_simhash_pairs",

@@ -1543,6 +1543,102 @@ def _duck_survivor_policy_sql() -> str:
     """
 
 
+def canonical_pick(spark: SparkSession, sf_dir: str,
+                   hash_impl: str = "md5") -> DataFrame:
+    """Quality-aware canonical selection, PRICED against the chain's
+    default (VERDICT r13 ask #3): the dedup funnel keeps the FIRST doc
+    per cluster (min doc_id — dedup_exact_docs' "first doc_id per
+    distinct text survives", reference app.py's drop_duplicates keep=
+    'first'); a production corpus keeps the BEST copy.  Per near-dup
+    cluster this reports BOTH picks side by side — canonical = argmax
+    quality (tie: min doc_id), first = min doc_id — with the quality
+    delta the policy switch buys and the kept/dropped accounting, so a
+    curator reads exactly what upgrading the keeper policy is worth
+    before rewriting the corpus.
+
+    Differs from dedup_survivor_policy (which answers "who survives
+    under the quality policy") by carrying the INCUMBENT policy in the
+    same row and by its plan: no window at all — both picks fold in
+    ONE cluster-grain aggregation via max_by/min_by over a
+    deliberately totalized order ((score_mean, -doc_id) is unique
+    within a cluster because doc_id is), so ties in score_mean —
+    common, since exact duplicates score identically — break
+    deterministically to the smaller doc_id in both engines.
+
+    Scale shape: the cluster table (dup docs only — a small fraction
+    of the corpus) joins the zero-shuffle quality scorer on doc_id,
+    then ONE shuffle at cluster grain; partial aggregation is
+    map-side-combinable (max_by/min_by both combine).  Ordering
+    compares raw doubles — identical expression trees produce
+    identical doubles in both engines (row-level float policy);
+    score_delta is a difference of two such doubles, rounded 6dp at
+    output in both."""
+    from .text import quality_score
+
+    groups = dedup_neardup_groups(spark, sf_dir, hash_impl)
+    q = quality_score(spark, sf_dir).select("doc_id", "score_mean")
+    j = groups.join(q, "doc_id")
+    ordkey = F.struct(
+        F.col("score_mean").alias("s"), (-F.col("doc_id")).alias("nd")
+    )
+    agg = j.groupBy("group_id").agg(
+        F.max_by("doc_id", ordkey).alias("canonical_id"),
+        F.max(F.col("score_mean")).alias("canonical_score"),
+        F.min("doc_id").alias("first_id"),
+        F.min_by("score_mean", F.col("doc_id")).alias("first_score"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    return agg.select(
+        "group_id",
+        "canonical_id",
+        "canonical_score",
+        "first_id",
+        "first_score",
+        F.round(
+            F.col("canonical_score") - F.col("first_score"), 6
+        ).alias("score_delta"),
+        F.col("n_members").cast("int").alias("n_members"),
+        (F.col("n_members") - F.lit(1)).cast("int").alias("n_dropped"),
+        (F.col("canonical_id") != F.col("first_id")).alias("changed"),
+    )  # no terminal sort: cluster-grain, order-insensitive compare
+
+
+def _duck_canonical_pick_sql() -> str:
+    from .text import ORACLE_SQL as _TEXT_ORACLES
+
+    return f"""
+        WITH groups AS ({_duck_neardup_groups_sql()}),
+        q AS ({_TEXT_ORACLES["text_quality_score"]}),
+        m AS (
+            SELECT g.group_id, g.doc_id, q.score_mean
+            FROM groups g JOIN q ON g.doc_id = q.doc_id
+        ), ranked AS (
+            SELECT group_id, doc_id, score_mean,
+                   row_number() OVER (PARTITION BY group_id
+                                      ORDER BY score_mean DESC,
+                                               doc_id) AS rn
+            FROM m
+        ), agg AS (
+            SELECT group_id,
+                   max(CASE WHEN rn = 1 THEN doc_id END)
+                       AS canonical_id,
+                   max(CASE WHEN rn = 1 THEN score_mean END)
+                       AS canonical_score,
+                   min(doc_id) AS first_id,
+                   arg_min(score_mean, doc_id) AS first_score,
+                   count(*) AS n_members
+            FROM ranked GROUP BY group_id
+        )
+        SELECT group_id, canonical_id, canonical_score,
+               first_id, first_score,
+               round(canonical_score - first_score, 6) AS score_delta,
+               CAST(n_members AS INT) AS n_members,
+               CAST(n_members - 1 AS INT) AS n_dropped,
+               canonical_id <> first_id AS changed
+        FROM agg ORDER BY group_id
+    """
+
+
 TRIPLET_BUCKETS = 64
 
 
@@ -2726,6 +2822,7 @@ QUERIES = {
     "dedup_contamination": contamination,
     "dedup_contamination_multi": contamination_multi,
     "dedup_survivor_policy": survivor_policy,
+    "dedup_canonical_pick": canonical_pick,
     "dedup_training_triplets": training_triplets,
     "dedup_pair_features": pair_features,
     "dedup_hash_stage_md5": dedup_hash_stage_md5,
@@ -2738,6 +2835,7 @@ QUERIES = {
     "dedup_threshold_curve": dedup_threshold_curve,
 }
 
+ORACLE_SQL["dedup_canonical_pick"] = _duck_canonical_pick_sql()
 ORACLE_SQL["dedup_containment_topk"] = _DUCK_CONTAINMENT_TOPK_SQL
 ORACLE_SQL["dedup_containment_est"] = _duck_containment_est_sql()
 ORACLE_SQL["dedup_snapshot_diff"] = _DUCK_SNAPSHOT_DIFF_SQL

@@ -1518,6 +1518,57 @@ def test_contamination_multi_and_survivor_policy(spark):
         assert r.survivor_score == scores[best]
 
 
+def test_canonical_pick_prices_first_doc_policy(spark):
+    """dedup_canonical_pick vs a raw Python fold of both keeper
+    policies: canonical = argmax(quality, tie min doc_id) must equal
+    survivor_policy's pick (same policy, windowless spelling), first =
+    min doc_id (the chain's incumbent — dedup_exact_docs' keep-first),
+    and the accounting invariants hold: n_dropped = n_members - 1,
+    score_delta >= 0 always, and changed ⟺ delta > 0 (a tie on the
+    max score breaks to the minimum doc_id, which IS the first-doc
+    pick, so a changed canonical strictly improves quality)."""
+    from data_pipeline_and_visualization_dashboard_spark.extras.dedup import (
+        canonical_pick, dedup_neardup_groups, survivor_policy,
+    )
+    from data_pipeline_and_visualization_dashboard_spark.extras.text import (
+        quality_score,
+    )
+
+    scores = {
+        r.doc_id: r.score_mean
+        for r in quality_score(spark, SF_SMOKE).collect()
+    }
+    comps = {}
+    for r in dedup_neardup_groups(spark, SF_SMOKE).collect():
+        comps.setdefault(r.group_id, []).append(r.doc_id)
+    surv = {
+        r.group_id: r.survivor_id
+        for r in survivor_policy(spark, SF_SMOKE).collect()
+    }
+    rows = canonical_pick(spark, SF_SMOKE).collect()
+    assert {r.group_id for r in rows} == set(comps)
+    changed_seen = False
+    for r in rows:
+        members = comps[r.group_id]
+        best = max(members, key=lambda d: (scores[d], -d))
+        first = min(members)
+        assert r.canonical_id == best == surv[r.group_id]
+        assert r.canonical_score == scores[best]
+        assert r.first_id == first
+        assert r.first_score == scores[first]
+        assert r.n_members == len(members)
+        assert r.n_dropped == len(members) - 1
+        assert abs(
+            r.score_delta - round(scores[best] - scores[first], 6)
+        ) <= 1e-12
+        assert r.score_delta >= 0.0
+        assert r.changed == (r.canonical_id != r.first_id)
+        assert r.changed == (r.score_delta > 0.0)
+        changed_seen = changed_seen or r.changed
+    # the planted dup corpus must actually exercise the policy switch
+    assert changed_seen
+
+
 def test_hist_quantiles_error_bound_and_drift_nonneg(spark):
     """The histogram sketch's defining guarantee: the q-th order
     statistic lies inside the crossing bin, so the estimate is within

@@ -591,6 +591,23 @@ CASES = {
          "BatchEvalPython", "ArrowEvalPython"],
         4,  # custkey agg + nation agg + SinglePartition window + sort
     ),
+    "dedup_canonical_pick": (
+        # best-vs-first keeper policy: cluster table (label-prop
+        # output, dup docs only) joins the zero-shuffle quality
+        # scorer, then BOTH picks fold in ONE cluster-grain
+        # aggregation (partial+final max_by/min_by over a totalized
+        # (score,-doc_id) order -> SortAggregate pair, map-side
+        # combinable).  NO window — that is the thesis vs
+        # dedup_survivor_policy's row_number spelling — and no
+        # Python, no cartesian.  The quality side broadcasts at test
+        # SF; at 100 TB both sides exceed the threshold and Catalyst
+        # flips to an SMJ on doc_id, which is why SortMergeJoin is
+        # NOT in the forbid list
+        ["SortAggregate"],
+        ["Window", "CartesianProduct", "BroadcastNestedLoopJoin",
+         "FlatMapGroupsInPandas", "BatchEvalPython", "ArrowEvalPython"],
+        1,  # the cluster-grain agg exchange
+    ),
     "q98_last_touch_attribution": (
         # ONE fact scan, ONE keyed (user-partitioned) window for the
         # last-touch carry-forward — never a global sort — then a
