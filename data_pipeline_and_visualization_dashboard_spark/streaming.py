@@ -750,6 +750,202 @@ def run_transitions_to_completion(spark: SparkSession, in_dir: str,
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
+_LAST_TOUCH_OUT_SCHEMA = "user_id long, channel string, value double"
+_LAST_TOUCH_STATE_SCHEMA = "last_us long, last_eid long, channel string"
+
+
+def _last_touch_fold(user_id, pdf_iter, last_us, last_eid, channel):
+    """Shared per-batch fold for both last-touch funcs: buffer the
+    user's rows, sort the union by (ts, event_id) ONCE — the exact
+    total order the batch q98 window walks, so a micro-batch split can
+    never reorder equal timestamps differently — then walk it: a
+    purchase CREDITS the carried channel (strictly-preceding rows
+    only, because the carry updates after the credit check — the
+    1-PRECEDING frame), a non-purchase BECOMES the carry.  Purchases
+    never move the carry, matching q98's when(type != 'purchase')
+    inside last(ignorenulls).  Returns (emit_rows, new_state)."""
+    import pandas as pd
+
+    frames = [
+        pd.DataFrame(
+            {
+                "us": pdf["ts"].astype("int64") // 1000,
+                "eid": pdf["event_id"],
+                "et": pdf["event_type"],
+                "val": pdf["value"],
+            }
+        )
+        for pdf in pdf_iter
+    ]
+    rows = []
+    if frames:
+        df = pd.concat(frames).sort_values(["us", "eid"])
+        for us, eid, et, val in df.itertuples(index=False):
+            if et == "purchase":
+                rows.append((user_id, channel, val))
+            else:
+                last_us, last_eid, channel = int(us), int(eid), et
+    return rows, (last_us, last_eid, channel)
+
+
+def _last_touch_func(key, pdf_iter, state):
+    """Per-user stateful last-touch attributor: state = the user's
+    last NON-purchase event (ts, event_id, type) — the LOCF
+    carry-forward q98 computes with a window, kept live.  Three
+    scalars per user; a user who has only ever purchased carries a
+    NULL channel (the '(none)' direct-traffic bucket downstream)."""
+    import pandas as pd
+
+    (user_id,) = key
+    if state.exists:
+        last_us, last_eid, channel = state.get
+    else:
+        last_us, last_eid, channel = -1, -1, None
+    rows, new_state = _last_touch_fold(
+        user_id, pdf_iter, last_us, last_eid, channel
+    )
+    state.update(new_state)
+    if rows:
+        yield pd.DataFrame(rows, columns=["user_id", "channel", "value"])
+
+
+def last_touch_stream(events: DataFrame,
+                      watermark: str = "10 minutes") -> DataFrame:
+    """Streaming twin of q98_last_touch_attribution's credit stage
+    (22nd stateful family): each purchase is credited to the channel
+    of the user's most recent preceding non-purchase event the moment
+    it arrives — the live feed a marketing dashboard rolls up instead
+    of recomputing the window over history.  last_touch_rollup over
+    the emitted credits reproduces the batch q98 output exactly on
+    time-split input (parity-tested).  NULL user_ids are excluded —
+    the SAME population policy as the batch twin (its docstring has
+    the why: grouping NULL keys would conflate every anonymous
+    visitor).  State is one (ts, event_id, channel) triple per user
+    EVER SEEN; under "NoTimeout" it is never evicted (see
+    sessionize_stream's state-honesty note) — the bounded-domain
+    spelling is last_touch_stream_bounded."""
+    return (
+        events.filter(F.col("user_id").isNotNull())
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _last_touch_func,
+            _LAST_TOUCH_OUT_SCHEMA,
+            _LAST_TOUCH_STATE_SCHEMA,
+            "append",
+            "NoTimeout",
+        )
+    )
+
+
+LAST_TOUCH_IDLE_US = 30 * 24 * 3600 * 1_000_000  # 30-day idle horizon
+
+
+def _last_touch_timeout_func(key, pdf_iter, state):
+    """_last_touch_func plus idle eviction: a user silent past
+    LAST_TOUCH_IDLE_US is dropped from the state store.  The traded
+    semantics, stated precisely (the eviction test demonstrates both
+    sides): a purchase by a user whose pre-idle touch was evicted
+    credits '(none)' instead of the stale channel — arguably the
+    RIGHT attribution call (a 30-day-old touch has expired in most
+    attribution models), and exactly the transition family's
+    hasTimedOut mechanics: Spark only delivers the timeout to keys
+    with no data in the batch, so an expired key whose purchase
+    arrives before any such batch still credits the intact state.
+    What the timeout GUARANTEES is the state bound — idle entries
+    cannot outlive the horizon by more than one batch interval."""
+    import pandas as pd
+
+    (user_id,) = key
+    if state.hasTimedOut:
+        state.remove()
+        return
+    if state.exists:
+        last_us, last_eid, channel = state.get
+    else:
+        last_us, last_eid, channel = -1, -1, None
+    rows, new_state = _last_touch_fold(
+        user_id, pdf_iter, last_us, last_eid, channel
+    )
+    state.update(new_state)
+    state.setTimeoutTimestamp(
+        max(
+            (new_state[0] + LAST_TOUCH_IDLE_US) // 1000 + 1,
+            state.getCurrentWatermarkMs() + 1,
+        )
+    )
+    if rows:
+        yield pd.DataFrame(rows, columns=["user_id", "channel", "value"])
+
+
+def last_touch_stream_bounded(events: DataFrame,
+                              watermark: str = "10 minutes") -> DataFrame:
+    """UNBOUNDED-DOMAIN last-touch attributor: last_touch_stream with
+    an EventTimeTimeout that evicts users idle past
+    LAST_TOUCH_IDLE_US — state is O(users active within one horizon),
+    independent of stream lifetime (the transition family's
+    bounded-state story, applied to the 22nd family).  Within the
+    horizon, output is identical to the exact twin (the parity corpus
+    spans less than the horizon, so the restart pin compares equal);
+    the eviction semantics themselves are pinned on a synthetic
+    idle-user fixture."""
+    return (
+        events.filter(F.col("user_id").isNotNull())
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _last_touch_timeout_func,
+            _LAST_TOUCH_OUT_SCHEMA,
+            _LAST_TOUCH_STATE_SCHEMA,
+            "append",
+            "EventTimeTimeout",
+        )
+    )
+
+
+def last_touch_rollup(credits: DataFrame) -> DataFrame:
+    """Stateless channel rollup over emitted credits — column-for-
+    column the batch q98 epilogue (coalesce NULL carry to '(none)',
+    count / 4dp revenue sum / 6dp avg order value), kept OUTSIDE the
+    stream so the state stays the raw per-user carry and the rollup
+    is map-side-combinable over whatever credit window a dashboard
+    selects."""
+    return (
+        credits.groupBy(
+            F.coalesce("channel", F.lit("(none)")).alias("channel")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 4).alias("attributed_revenue"),
+            F.round(F.avg("value"), 6).alias("avg_order_value"),
+        )
+        .orderBy("channel")
+    )
+
+
+def run_last_touch_to_completion(spark: SparkSession, in_dir: str,
+                                 query_name: str = "last_touch_out",
+                                 ) -> DataFrame:
+    raw = (
+        spark.readStream.schema(_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    events = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    q = (
+        last_touch_stream(events)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
 def sessionize_stream_native(events: DataFrame,
                              watermark: str = "10 minutes",
                              gap: str = "30 minutes") -> DataFrame:

@@ -1448,6 +1448,163 @@ def test_transition_stream_matches_batch(spark, tmp_path):
     assert got == want and len(want) > 0
 
 
+def test_last_touch_stream_matches_batch(spark, tmp_path):
+    """22nd stateful family, batch ≡ stream (VERDICT r13 ask #4): the
+    per-user last-touch credits, rolled up by last_touch_rollup, must
+    equal the batch q98_last_touch_attribution output column-for-
+    column over the same events — the carried (ts, event_id, channel)
+    state bridges the micro-batch split, the per-batch (ts, event_id)
+    sort matches the batch window's total tie order, and the
+    credit-before-carry walk reproduces the 1-PRECEDING frame (a
+    same-timestamp touch never credits itself)."""
+    from data_pipeline_and_visualization_dashboard_spark.queries_ext import (
+        q98_last_touch_attribution,
+    )
+    from tests.conftest import SF_SMOKE as _SF
+
+    raw = spark.read.parquet(_SF + "/events.parquet")
+    in_dir = str(tmp_path / "lt_in")
+    _split_by_median_ts(raw, in_dir)
+    credits = streaming.run_last_touch_to_completion(spark, in_dir)
+    got = sorted(
+        map(tuple, streaming.last_touch_rollup(credits).collect())
+    )
+    want = sorted(
+        map(tuple, q98_last_touch_attribution(spark, _SF).collect())
+    )
+    assert got == want and len(want) > 0
+
+
+def test_bounded_last_touch_survives_restart(spark, tmp_path):
+    """Restart pin for the 22nd family's bounded spelling: stop after
+    waves 1-2, land wave 3, resume on the same checkpoint — the
+    file-sink credits must roll up to exactly the batch q98 output
+    (the 30-day idle horizon dominates the smoke corpus's span, so no
+    eviction fires and bounded ≡ exact).  Pins that BOTH the per-user
+    carry state AND the armed EventTimeTimeout recover from the state
+    store: a lost carry mis-credits every user's first post-restart
+    purchase to '(none)'; a state recovered without its timeout would
+    fire spurious evictions on the resumed run."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_and_visualization_dashboard_spark.queries_ext import (
+        q98_last_touch_attribution,
+    )
+    from tests.conftest import SF_SMOKE as _SF
+
+    raw = spark.read.parquet(_SF + "/events.parquet")
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    t1, t2 = _split_three_waves(raw, in_dir)
+
+    def start():
+        raw_s = (
+            spark.readStream.schema(streaming._STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+        )
+        ev = raw_s.withColumn("ts", F.col("ts").cast("timestamp"))
+        return (
+            streaming.last_touch_stream_bounded(ev)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    raw.filter(us > t2).coalesce(1).write.parquet(in_dir, mode="append")
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        map(
+            tuple,
+            streaming.last_touch_rollup(
+                spark.read.parquet(out_dir)
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(tuple, q98_last_touch_attribution(spark, _SF).collect())
+    )
+    assert got == want and len(want) > 0
+
+
+def test_bounded_last_touch_evicts_idle_user(spark, tmp_path):
+    """The traded semantics of the bounded spelling, demonstrated on
+    BOTH sides of the horizon: user A touches ('click') then goes
+    idle past LAST_TOUCH_IDLE_US while user B's events advance the
+    watermark in batches where A has no data — so Spark delivers the
+    timeout, A's carry is evicted, and A's eventual purchase credits
+    '(none)'.  The EXACT twin on the identical input credits 'click'
+    (state never evicted).  Mechanics note (transition family
+    precedent): eviction needs a post-horizon batch WITHOUT the
+    user's data, hence the two B-only waves before A's return."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    day = dt.timedelta(days=1)
+    waves = [
+        # wave 1: A's touch + B filler (same batch)
+        [(1, t0, 100, "click", 1.0), (2, t0, 200, "view", 1.0)],
+        # wave 2: B-only, 50 days on — watermark will pass A's horizon
+        [(3, t0 + 50 * day, 200, "view", 1.0)],
+        # wave 3: B-only — A absent AND watermark now past the
+        # horizon, so the timeout fires and A's carry is evicted
+        [(4, t0 + 52 * day, 200, "view", 1.0)],
+        # wave 4: A returns and purchases
+        [(5, t0 + 55 * day, 100, "purchase", 9.0)],
+    ]
+    in_dir = str(tmp_path / "in")
+    for wave in waves:
+        spark.createDataFrame(
+            wave,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double",
+        ).selectExpr(
+            "event_id", "CAST(ts AS timestamp_ntz) AS ts", "user_id",
+            "event_type", "value", "CAST(NULL AS string) AS props",
+        ).coalesce(1).write.parquet(in_dir, mode="append")
+
+    def run(builder, name):
+        raw_s = (
+            spark.readStream.schema(streaming._STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+        )
+        ev = raw_s.withColumn("ts", F.col("ts").cast("timestamp"))
+        q = (
+            builder(ev)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return {
+            r.user_id: r.channel
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+
+    bounded = run(streaming.last_touch_stream_bounded, "lt_evict_b")
+    exact = run(streaming.last_touch_stream, "lt_evict_e")
+    assert exact == {100: "click"}  # state never evicted
+    assert bounded == {100: None}   # carry evicted -> '(none)' bucket
+
+
 def test_transition_stream_survives_restart(spark, tmp_path):
     """applyInPandasWithState recovery: stop the transition stream
     after the first batches, restart on the same checkpoint with more
