@@ -58,14 +58,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # the 8 staleness-queue leads FIRST (oldest rows — r9-latest, 5 rounds
 # stale: the five entries r13's new operators displaced plus the three
 # that slid from the r12 plan), then the first 42 of the r10-latest
-# cohort in CORRECTNESS_r10 order, of which 41 survive here: the
-# round's NEW oracle-backed entry (dedup_canonical_pick) displaces
-# from the END per the displacement rule, sliding
-# text_index_postings (the 42nd r10-cohort entry) to r15 alongside
-# the rest of the r10-latest tail (text_search_phrase,
-# text_search_ranked, q21_nation_revenue, dedup_contamination,
-# q91_decayed_engagement, q92_value_gini, q93_rrf_fusion,
-# text_hashed_features).
+# cohort in CORRECTNESS_r10 order, of which 40 survive here: the
+# round's TWO new oracle-backed entries (dedup_canonical_pick,
+# q99_linear_attribution) displace from the END per the displacement
+# rule, sliding text_bpe_apply (the 41st r10-cohort entry) and
+# text_index_postings (the 42nd) to r15 alongside the rest of the
+# r10-latest tail (text_search_phrase, text_search_ranked,
+# q21_nation_revenue, dedup_contamination, q91_decayed_engagement,
+# q92_value_gini, q93_rrf_fusion, text_hashed_features).
 _CHECK_FIRST = [
     "media_audio_windows",
     "dedup_split_leakage",
@@ -115,8 +115,8 @@ _CHECK_FIRST = [
     "sim_mmr_rerank",
     "sketch_kmv_overlap",
     "text_bpe_train",
-    "text_bpe_apply",
     "dedup_canonical_pick",
+    "q99_linear_attribution",
 ]
 
 

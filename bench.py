@@ -37,7 +37,7 @@ def family(name: str) -> str:
             "text": "text", "media": "media"}.get(prefix, "other")
 
 # HEADLINE vs registry — the exclusion policy (VERDICT r6 next #7).
-# The registry holds 210 entries; HEADLINE benches 131.  The 79
+# The registry holds 211 entries; HEADLINE benches 132.  The 79
 # excluded entries fall into six families, each excluded for a reason,
 # not forgotten:
 #   1. display-grain chart twins / plan-shape variants of benched
@@ -154,6 +154,11 @@ BASELINE_REFREEZE = {
     # cost is dominated by the near-dup component build the operator
     # composes (dedup_neardup_groups floor ~2.0 inside it):
     "dedup_canonical_pick": 2.708,
+    # second r14 addition, frozen at its first committed >=2-run floor
+    # (the BENCH_full_r14c/r14d pair: 0.556/0.647, both hot-regime
+    # runs — ratios 1.315/1.230; the stricter-only clause applies if a
+    # cooler later run undercuts):
+    "q99_linear_attribution": 0.556,
 }
 
 def baseline_gate(timings: dict, sf: float, subset,
@@ -275,6 +280,7 @@ HEADLINE = [
     "q97_atkinson_index",  # 3-level Atkinson (5 sums, no window)
     "sketch_cm_join_card",  # CM inner-product join-size estimate
     "q98_last_touch_attribution",  # keyed-window last-touch credit
+    "q99_linear_attribution",  # suffix-sum multi-touch credit split
     "sim_recall_eval",  # LSH recall@k vs exact (eval as an operator)
     "sim_ivf_recall_guard",  # pretrained-IVF recall floor, in-plan assert
     "sim_ivfpq_recall_guard",  # pretrained-IVF-PQ floor, in-plan assert

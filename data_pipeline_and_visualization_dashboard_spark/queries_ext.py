@@ -5539,6 +5539,123 @@ def q98_last_touch_attribution(spark: SparkSession,
     )
 
 
+def q99_linear_attribution(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Multi-touch LINEAR attribution — the standard complement to
+    q98's last-touch model: each purchase's value is split EQUALLY
+    across ALL of the user's strictly-preceding non-purchase events
+    (the touchpoint path), so early-funnel channels that last-touch
+    starves get credit proportional to their presence in converting
+    paths.  A purchase with no preceding touch credits the '(none)'
+    direct-traffic bucket in full, exactly as in q98.
+
+    Spark shape: ONE fact scan, ONE user-keyed shuffle serving BOTH
+    window passes (they share the identical partition/order spec, so
+    Catalyst plans one Exchange + one Sort): pass 1 counts each
+    purchase's preceding touches over the q98 1-PRECEDING frame
+    (same-ts touch counts only if its event_id precedes — the total
+    (ts, event_id) order again) and derives its per-touch share;
+    pass 2 gives every TOUCH the suffix sum of shares of the
+    purchases AFTER it (1 FOLLOWING .. UNBOUNDED) — the join-free
+    spelling of "each touch collects value/n from each later
+    purchase", which a self-join would pay a second fact shuffle for.
+    Then a ≤|types|-row channel rollup and a tiny sort.  At 100 TB:
+    same single user-keyed shuffle as q98, same whale-user caveat
+    (q62's diagnostics), map-side-combinable rollup.
+
+    NULL-key policy: user_id IS NOT NULL on both engine sides (q98's
+    docstring has the why).  Float discipline: shares and suffix sums
+    are identical expression trees over identical frames in both
+    engines; revenue rounds 4dp at output, conservation (Σ credited =
+    Σ purchase value) is property-tested."""
+    ev = read_table(
+        spark, sf_dir, "events",
+        ["event_id", "user_id", "ts", "event_type", "value"],
+    ).filter(F.col("user_id").isNotNull())
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_prec = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    w_foll = w_ord.rowsBetween(1, Window.unboundedFollowing)
+    is_touch = F.col("event_type") != "purchase"
+    staged = ev.withColumn(
+        "n_prior",
+        F.coalesce(
+            F.sum(F.when(is_touch, 1).otherwise(0)).over(w_prec),
+            F.lit(0),
+        ),
+    ).withColumn(
+        "share",
+        F.when(
+            (~is_touch) & (F.col("n_prior") > 0),
+            F.col("value") / F.col("n_prior"),
+        ),
+    )
+    contrib = staged.withColumn(
+        "credit", F.sum("share").over(w_foll)
+    ).select(
+        F.when(is_touch, F.col("event_type"))
+        .otherwise(F.lit("(none)"))
+        .alias("channel"),
+        F.when(is_touch, F.coalesce(F.col("credit"), F.lit(0.0)))
+        .when(F.col("n_prior") == 0, F.col("value"))
+        .alias("contribution"),
+    )
+    return (
+        contrib.filter(F.col("contribution").isNotNull())
+        .groupBy("channel")
+        .agg(
+            F.count(
+                F.when(F.col("contribution") > 0, 1)
+            ).alias("n_credited"),
+            F.round(F.sum("contribution"), 4).alias(
+                "attributed_revenue"
+            ),
+        )
+        .orderBy("channel")
+    )
+
+
+_DUCK_Q99_SQL = """
+    WITH staged AS (
+        SELECT event_type, value,
+               coalesce(sum(CASE WHEN event_type <> 'purchase'
+                                 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0) AS n_prior,
+               user_id, ts, event_id
+        FROM events
+        WHERE user_id IS NOT NULL
+    ), shared AS (
+        SELECT *,
+               CASE WHEN event_type = 'purchase' AND n_prior > 0
+                    THEN value / n_prior END AS share
+        FROM staged
+    ), credited AS (
+        SELECT event_type, value, n_prior,
+               sum(share) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id
+                                ROWS BETWEEN 1 FOLLOWING
+                                         AND UNBOUNDED FOLLOWING)
+                   AS credit
+        FROM shared
+    ), contrib AS (
+        SELECT CASE WHEN event_type <> 'purchase' THEN event_type
+                    ELSE '(none)' END AS channel,
+               CASE WHEN event_type <> 'purchase'
+                    THEN coalesce(credit, 0.0)
+                    WHEN n_prior = 0 THEN value END AS contribution
+        FROM credited
+    )
+    SELECT channel,
+           count(CASE WHEN contribution > 0 THEN 1 END) AS n_credited,
+           round(sum(contribution), 4) AS attributed_revenue
+    FROM contrib
+    WHERE contribution IS NOT NULL
+    GROUP BY 1 ORDER BY 1
+"""
+
+
 _DUCK_Q98_SQL = """
     WITH touched AS (
         SELECT event_type, value,
@@ -5663,6 +5780,7 @@ ORACLE_SQL: dict[str, str] = {
     "q96_theil_decomposition": _DUCK_Q96_SQL,
     "q97_atkinson_index": _DUCK_Q97_SQL,
     "q98_last_touch_attribution": _DUCK_Q98_SQL,
+    "q99_linear_attribution": _DUCK_Q99_SQL,
     "sim_diverse_subset": _duck_diverse_subset_sql(),
     "q54_hash_sample": _duck_hash_sample_sql(),
     "q55_rolling_median": _DUCK_ROLLING_MEDIAN_SQL,
@@ -6183,6 +6301,7 @@ QUERIES = {
     "q96_theil_decomposition": q96_theil_decomposition,
     "q97_atkinson_index": q97_atkinson_index,
     "q98_last_touch_attribution": q98_last_touch_attribution,
+    "q99_linear_attribution": q99_linear_attribution,
     "q83_approx_percentile_guard": q83_approx_percentile_guard,
     "sim_diverse_subset": sim_diverse_subset,
     "sim_rp_topk_pretrained": sim_rp_topk_pretrained,

@@ -620,6 +620,21 @@ CASES = {
          "BatchEvalPython", "ArrowEvalPython"],
         3,  # user window shuffle + channel agg + terminal sort
     ),
+    "q99_linear_attribution": (
+        # ONE fact scan, ONE user-keyed exchange + ONE sort serving
+        # BOTH window passes (identical partition/order spec — the
+        # plan shows two adjacent Window nodes over one Exchange),
+        # then the channel agg and a tiny terminal sort.  The
+        # self-join spelling of "each touch collects value/n from
+        # each later purchase" would pay a second fact shuffle;
+        # every join type is in the forbid list to pin the
+        # window-only thesis
+        ["Window", "HashAggregate"],
+        ["SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+         "CartesianProduct", "BroadcastNestedLoopJoin",
+         "BatchEvalPython", "ArrowEvalPython"],
+        3,  # user window shuffle + channel agg + terminal sort
+    ),
     "sketch_cm_join_card": (
         # the operator that prices joins plans NONE itself: ONE fact
         # scan (fanout 1, pinned) -> user-grain pivot agg carrying

@@ -144,6 +144,7 @@ EXPECTED_CARDINALITY = {
     "q97_atkinson_index": 25,        # nation domain
     "sketch_cm_join_card": 1,        # one-row join-size readout
     "q98_last_touch_attribution": 5,  # 4 non-purchase channels + (none)
+    "q99_linear_attribution": 5,     # same channel domain as q98
 }
 
 
