@@ -37,7 +37,7 @@ def family(name: str) -> str:
             "text": "text", "media": "media"}.get(prefix, "other")
 
 # HEADLINE vs registry — the exclusion policy (VERDICT r6 next #7).
-# The registry holds 211 entries; HEADLINE benches 132.  The 79
+# The registry holds 212 entries; HEADLINE benches 133.  The 79
 # excluded entries fall into six families, each excluded for a reason,
 # not forgotten:
 #   1. display-grain chart twins / plan-shape variants of benched
@@ -86,7 +86,11 @@ BASELINE_REFREEZE = {
     # phantom literal REGION_0 (0-row aggregation).  r7 fixed it to
     # ASIA; the honest post-fix floor is the r8 full-run best-of-3
     # (BENCH_full_r08.json).  Keeping 0.44 showed a fake ×2.04.
-    "q21_nation_revenue": 0.899,
+    # Re-frozen DOWNWARD r14 per the stricter-only clause: the r14
+    # session's fleet scan (the r13 uniformity lesson, applied to the
+    # WHOLE overlay every round now) found BENCH_full_r14b.json
+    # reading 0.793, under the r8 freeze:
+    "q21_nation_revenue": 0.793,
     # ---- r10 COVERAGE EXTENSION (VERDICT r9 ask #3): the overlay now
     # also ADDS baseline entries for every headline query added after
     # the r6 freeze, so baseline_ratio covers the FULL headline
@@ -119,8 +123,10 @@ BASELINE_REFREEZE = {
     "q92_value_gini_binned": 0.669,
     "sketch_ams_hhi": 0.820,
     # frozen at its first committed floor, the BENCH_full_r12d/r12e
-    # 2-run pair (registered after the r12/b/c runs):
-    "q95_top_decile_share": 0.600,
+    # 2-run pair (registered after the r12/b/c runs); re-frozen
+    # DOWNWARD r14 per the stricter-only clause (fleet scan:
+    # BENCH_full_r14b.json read 0.560):
+    "q95_top_decile_share": 0.560,
     # r13 additions, each frozen at its first committed >=2-run floor.
     # text_pack_sequences: first frozen at the r13{,b,c} 3-run floor
     # (0.393), then re-frozen DOWNWARD r14 per BASELINE.md's
@@ -159,6 +165,10 @@ BASELINE_REFREEZE = {
     # runs — ratios 1.315/1.230; the stricter-only clause applies if a
     # cooler later run undercuts):
     "q99_linear_attribution": 0.556,
+    # third r14 addition, frozen at its first committed >=2-run floor
+    # (the BENCH_full_r14e/r14f pair: 0.775/1.161 — e partially under
+    # the session's own pytest load, f clean; both hot-regime):
+    "q100_rfm_segments": 0.775,
 }
 
 def baseline_gate(timings: dict, sf: float, subset,
@@ -281,6 +291,7 @@ HEADLINE = [
     "sketch_cm_join_card",  # CM inner-product join-size estimate
     "q98_last_touch_attribution",  # keyed-window last-touch credit
     "q99_linear_attribution",  # suffix-sum multi-touch credit split
+    "q100_rfm_segments",  # per-nation RFM quintile segmentation
     "sim_recall_eval",  # LSH recall@k vs exact (eval as an operator)
     "sim_ivf_recall_guard",  # pretrained-IVF recall floor, in-plan assert
     "sim_ivfpq_recall_guard",  # pretrained-IVF-PQ floor, in-plan assert

@@ -5539,6 +5539,136 @@ def q98_last_touch_attribution(spark: SparkSession,
     )
 
 
+def q100_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the classic recency / frequency /
+    monetary quintile scoring every CRM and retention report is built
+    on, spelled per nation so the quantile grain stays bounded (the
+    q95 lesson: a GLOBAL customer rank is a global sort the fleet
+    gates forbid; per-nation ntile partitions parallelize across
+    nations and each holds customers/nation rows).  Per customer with
+    ≥1 order: R = quintile of last order date (5 = most recent), F =
+    quintile of order count (5 = most frequent), M = quintile of
+    total spend (5 = biggest) — ntile(5) over a (metric, custkey)
+    total order, so ties break identically in both engines (Spark and
+    DuckDB share the SQL-standard ntile definition: earlier buckets
+    take the remainder rows).  Scores fold into the five canonical
+    segments (champions / new / at_risk / hibernating / core) and
+    roll up per (nation, segment).
+
+    Spark shape: orders⋈customer at customer grain (the q94/q95
+    spend-frame joins, nation broadcast), ONE customer-grain agg,
+    then ONE nation-keyed exchange serving ALL THREE ntile windows
+    (same partitioning, three in-partition sorts — sorts are
+    per-nation, never global) AND the ≤25×5-row segment agg (grouping
+    by (nation, segment) is satisfied by the nation partitioning, so
+    the rollup plans ZERO additional exchange — plan-pinned at 3
+    shuffles total), then a tiny terminal sort.  At 100 TB the window
+    partitions are per-nation: the
+    in-partition sort is the price of exact quintiles, and the
+    approx-percentile threshold spelling (q83's sketch) is the
+    documented fallback when a single nation's customer count
+    outgrows a partition sort.  Float discipline: spend rounds 2dp
+    before ranking (bit-identical operands), segment averages 6dp at
+    output."""
+    orders = read_table(
+        spark, sf_dir, "orders",
+        ["o_custkey", "o_totalprice", "o_orderdate"],
+    )
+    cust = read_table(
+        spark, sf_dir, "customer", ["c_custkey", "c_nationkey"]
+    )
+    nation = read_table(
+        spark, sf_dir, "nation", ["n_nationkey", "n_name"]
+    )
+    per_cust = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation),
+              cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "c_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("spend"),
+        )
+    )
+    wr = Window.partitionBy("n_name").orderBy("last_order", "c_custkey")
+    wf = Window.partitionBy("n_name").orderBy("n_orders", "c_custkey")
+    wm = Window.partitionBy("n_name").orderBy("spend", "c_custkey")
+    scored = per_cust.select(
+        "n_name",
+        "spend",
+        F.ntile(5).over(wr).alias("r_score"),
+        F.ntile(5).over(wf).alias("f_score"),
+        F.ntile(5).over(wm).alias("m_score"),
+    ).withColumn(
+        "segment",
+        F.when(
+            (F.col("r_score") >= 4) & (F.col("f_score") >= 4)
+            & (F.col("m_score") >= 4),
+            "champions",
+        )
+        .when((F.col("r_score") >= 4) & (F.col("f_score") <= 2), "new")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 4),
+              "at_risk")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") <= 2),
+              "hibernating")
+        .otherwise("core"),
+    )
+    return (
+        scored.groupBy("n_name", "segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("spend"), 2).alias("segment_spend"),
+            F.round(F.avg("spend"), 6).alias("avg_spend"),
+        )
+        .orderBy("n_name", "segment")
+    )
+
+
+_DUCK_Q100_SQL = """
+    WITH per_cust AS (
+        SELECT n.n_name, c.c_custkey,
+               max(o.o_orderdate) AS last_order,
+               count(*) AS n_orders,
+               round(sum(o.o_totalprice), 2) AS spend
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2
+    ), scored AS (
+        SELECT n_name, spend,
+               ntile(5) OVER (PARTITION BY n_name
+                              ORDER BY last_order, c_custkey)
+                   AS r_score,
+               ntile(5) OVER (PARTITION BY n_name
+                              ORDER BY n_orders, c_custkey)
+                   AS f_score,
+               ntile(5) OVER (PARTITION BY n_name
+                              ORDER BY spend, c_custkey)
+                   AS m_score
+        FROM per_cust
+    ), seg AS (
+        SELECT n_name, spend,
+               CASE
+                   WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+                       THEN 'champions'
+                   WHEN r_score >= 4 AND f_score <= 2 THEN 'new'
+                   WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+                   WHEN r_score <= 2 AND f_score <= 2
+                       THEN 'hibernating'
+                   ELSE 'core'
+               END AS segment
+        FROM scored
+    )
+    SELECT n_name, segment,
+           count(*) AS n_customers,
+           round(sum(spend), 2) AS segment_spend,
+           round(avg(spend), 6) AS avg_spend
+    FROM seg
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q99_linear_attribution(spark: SparkSession,
                            sf_dir: str) -> DataFrame:
     """Multi-touch LINEAR attribution — the standard complement to
@@ -5781,6 +5911,7 @@ ORACLE_SQL: dict[str, str] = {
     "q97_atkinson_index": _DUCK_Q97_SQL,
     "q98_last_touch_attribution": _DUCK_Q98_SQL,
     "q99_linear_attribution": _DUCK_Q99_SQL,
+    "q100_rfm_segments": _DUCK_Q100_SQL,
     "sim_diverse_subset": _duck_diverse_subset_sql(),
     "q54_hash_sample": _duck_hash_sample_sql(),
     "q55_rolling_median": _DUCK_ROLLING_MEDIAN_SQL,
@@ -6302,6 +6433,7 @@ QUERIES = {
     "q97_atkinson_index": q97_atkinson_index,
     "q98_last_touch_attribution": q98_last_touch_attribution,
     "q99_linear_attribution": q99_linear_attribution,
+    "q100_rfm_segments": q100_rfm_segments,
     "q83_approx_percentile_guard": q83_approx_percentile_guard,
     "sim_diverse_subset": sim_diverse_subset,
     "sim_rp_topk_pretrained": sim_rp_topk_pretrained,

@@ -903,6 +903,139 @@ def last_touch_stream_bounded(events: DataFrame,
     )
 
 
+_LINEAR_ATTR_OUT_SCHEMA = "user_id long, channel string, credit double"
+_LINEAR_ATTR_STATE_SCHEMA = "channels array<string>, counts array<bigint>"
+
+
+def _linear_attr_func(key, pdf_iter, state):
+    """Per-user stateful LINEAR-attribution crediter: state is the
+    user's per-channel preceding-touch COUNTS (two parallel arrays,
+    ≤|event types| entries — the insight that makes this streamable:
+    equal splitting needs only the channel histogram of the path, not
+    the path itself, so state is bounded by the type domain, not by
+    path length).  Each purchase emits one credit row per seen
+    channel (value·count/total), or a NULL-channel row for the whole
+    value when no touch precedes — q99's '(none)' bucket.  Purchases
+    with a NULL value emit nothing (q99 derives a NULL share from
+    them; pandas NaN is the Arrow image of that NULL and must not
+    poison the sums)."""
+    import pandas as pd
+
+    (user_id,) = key
+    if state.exists:
+        channels, counts = state.get
+        tally = {c: int(n) for c, n in zip(channels, counts)}
+    else:
+        tally = {}
+    frames = [
+        pd.DataFrame(
+            {
+                "us": pdf["ts"].astype("int64") // 1000,
+                "eid": pdf["event_id"],
+                "et": pdf["event_type"],
+                "val": pdf["value"],
+            }
+        )
+        for pdf in pdf_iter
+    ]
+    rows = []
+    if frames:
+        df = pd.concat(frames).sort_values(["us", "eid"])
+        for us, eid, et, val in df.itertuples(index=False):
+            if et == "purchase":
+                if val != val:  # NaN == SQL NULL here: no credit
+                    continue
+                n = sum(tally.values())
+                if n:
+                    for ch, c in tally.items():
+                        rows.append((user_id, ch, val * c / n))
+                else:
+                    rows.append((user_id, None, val))
+            else:
+                tally[et] = tally.get(et, 0) + 1
+    state.update((list(tally.keys()), list(tally.values())))
+    if rows:
+        yield pd.DataFrame(
+            rows, columns=["user_id", "channel", "credit"]
+        )
+
+
+def linear_attribution_stream(events: DataFrame,
+                              watermark: str = "10 minutes",
+                              ) -> DataFrame:
+    """Streaming twin of q99_linear_attribution's credit stage (23rd
+    stateful family): each purchase's equal-split credits are emitted
+    the moment it arrives.  The batch query needs TWO window passes
+    over history (count preceding touches, then suffix-sum the
+    shares); the stream needs neither — equal splitting depends only
+    on the per-channel count of preceding touches, so the keyed state
+    is a channel HISTOGRAM (≤|event types| counters per user, bounded
+    regardless of path length — contrast sessionization's per-event
+    state).  `linear_attr_rollup` over the emitted credits matches
+    q99's per-channel attributed_revenue on time-split input
+    (parity-tested), with the one honest asymmetry documented there:
+    a touch channel never credited by any purchase appears in batch
+    q99 with 0.0 revenue but produces no stream emission.  NULL
+    user_ids excluded — the family's shared population policy.
+
+    No bounded-eviction spelling is shipped ON PURPOSE: evicting a
+    user's histogram silently RE-WEIGHTS every later purchase's
+    split (the forgotten touches' share redistributes), unlike
+    last-touch where eviction cleanly maps to "the stale touch
+    expired".  A lookback-bounded attribution model belongs in the
+    batch query's filter, not in silent state loss; the 22nd family's
+    timeout spelling is the template if a deployment accepts the
+    trade."""
+    return (
+        events.filter(F.col("user_id").isNotNull())
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _linear_attr_func,
+            _LINEAR_ATTR_OUT_SCHEMA,
+            _LINEAR_ATTR_STATE_SCHEMA,
+            "append",
+            "NoTimeout",
+        )
+    )
+
+
+def linear_attr_rollup(credits: DataFrame) -> DataFrame:
+    """Stateless per-channel revenue rollup over emitted credits —
+    q99's attributed_revenue column (coalesce NULL → '(none)', 4dp),
+    map-side-combinable over any credit window."""
+    return (
+        credits.groupBy(
+            F.coalesce("channel", F.lit("(none)")).alias("channel")
+        )
+        .agg(F.round(F.sum("credit"), 4).alias("attributed_revenue"))
+        .orderBy("channel")
+    )
+
+
+def run_linear_attr_to_completion(spark: SparkSession, in_dir: str,
+                                  query_name: str = "linear_attr_out",
+                                  ) -> DataFrame:
+    raw = (
+        spark.readStream.schema(_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    events = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    q = (
+        linear_attribution_stream(events)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
 def last_touch_rollup(credits: DataFrame) -> DataFrame:
     """Stateless channel rollup over emitted credits — column-for-
     column the batch q98 epilogue (coalesce NULL carry to '(none)',

@@ -620,6 +620,19 @@ CASES = {
          "BatchEvalPython", "ArrowEvalPython"],
         3,  # user window shuffle + channel agg + terminal sort
     ),
+    "q100_rfm_segments": (
+        # customer-grain agg exchange, then ONE nation-keyed exchange
+        # serving all THREE ntile windows (three in-partition sorts,
+        # never a global sort) AND the (nation, segment) rollup —
+        # grouping on a superset of the partition key plans zero
+        # additional exchange — then the terminal 25x5-row sort.
+        # Joins broadcast at test SF (customer side flips to SMJ at
+        # 100x, so SMJ is not forbidden); no Python, no cartesian
+        ["Window", "HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin",
+         "BatchEvalPython", "ArrowEvalPython"],
+        3,  # cust agg + nation window/rollup + terminal sort
+    ),
     "q99_linear_attribution": (
         # ONE fact scan, ONE user-keyed exchange + ONE sort serving
         # BOTH window passes (identical partition/order spec — the

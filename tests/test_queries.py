@@ -145,6 +145,8 @@ EXPECTED_CARDINALITY = {
     "sketch_cm_join_card": 1,        # one-row join-size readout
     "q98_last_touch_attribution": 5,  # 4 non-purchase channels + (none)
     "q99_linear_attribution": 5,     # same channel domain as q98
+    "q100_rfm_segments": 125,        # 25 nations x 5 canonical
+                                     # segments (dense at sf0.01)
 }
 
 

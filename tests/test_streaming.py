@@ -1475,6 +1475,105 @@ def test_last_touch_stream_matches_batch(spark, tmp_path):
     assert got == want and len(want) > 0
 
 
+def _q99_revenue(spark, sf):
+    from data_pipeline_and_visualization_dashboard_spark.queries_ext import (
+        q99_linear_attribution,
+    )
+
+    return {
+        r.channel: r.attributed_revenue
+        for r in q99_linear_attribution(spark, sf).collect()
+    }
+
+
+def _assert_linear_attr_parity(spark, got_rows, sf):
+    """Shared assertion for the 23rd family: stream rollup matches
+    batch q99's attributed_revenue per channel.  The one honest
+    asymmetry (stream docstring): a touch channel never credited by
+    any purchase appears batch-side with 0.0 revenue but produces no
+    stream emission.  Credits group differently before the 4dp round
+    (stream: per-purchase per-channel v·c/n; batch: per-touch suffix
+    sums), so allow one rounding quantum of float spread."""
+    got = {r.channel: r.attributed_revenue for r in got_rows}
+    want = _q99_revenue(spark, sf)
+    assert set(got) <= set(want)
+    for ch, rev in want.items():
+        if ch in got:
+            assert abs(got[ch] - rev) <= 1.01e-4, (ch, got[ch], rev)
+        else:
+            assert rev == 0.0, (ch, rev)
+    assert got  # non-vacuous
+
+
+def test_linear_attribution_stream_matches_batch(spark, tmp_path):
+    """23rd stateful family, batch ≡ stream: equal-split credits
+    emitted per arriving purchase, rolled up, must match the batch
+    q99 revenue column — the per-user channel HISTOGRAM state (the
+    family's bounded-state insight: equal splitting needs only the
+    histogram of the path, never the path) bridges the micro-batch
+    split, and the per-batch (ts, event_id) sort keeps the
+    strictly-preceding contract across the boundary."""
+    from tests.conftest import SF_SMOKE as _SF
+
+    raw = spark.read.parquet(_SF + "/events.parquet")
+    in_dir = str(tmp_path / "la_in")
+    _split_by_median_ts(raw, in_dir)
+    credits = streaming.run_linear_attr_to_completion(spark, in_dir)
+    rows = streaming.linear_attr_rollup(credits).collect()
+    _assert_linear_attr_parity(spark, rows, _SF)
+
+
+def test_linear_attribution_stream_survives_restart(spark, tmp_path):
+    """Restart pin for the 23rd family: stop after waves 1-2, land
+    wave 3, resume on the same checkpoint — the file-sink credits
+    must still roll up to the batch q99 revenue column.  A lost
+    histogram mis-splits every post-restart purchase (wrong
+    denominators AND wrong channel weights), so recovery of the
+    array-typed state columns is exactly what this pins."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMOKE as _SF
+
+    raw = spark.read.parquet(_SF + "/events.parquet")
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    t1, t2 = _split_three_waves(raw, in_dir)
+
+    def start():
+        raw_s = (
+            spark.readStream.schema(streaming._STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+        )
+        ev = raw_s.withColumn("ts", F.col("ts").cast("timestamp"))
+        return (
+            streaming.linear_attribution_stream(ev)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    raw.filter(us > t2).coalesce(1).write.parquet(in_dir, mode="append")
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = streaming.linear_attr_rollup(
+        spark.read.parquet(out_dir)
+    ).collect()
+    _assert_linear_attr_parity(spark, rows, _SF)
+
+
 def test_bounded_last_touch_survives_restart(spark, tmp_path):
     """Restart pin for the 22nd family's bounded spelling: stop after
     waves 1-2, land wave 3, resume on the same checkpoint — the
