@@ -673,6 +673,39 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pack_band_rollup(packed)
 
 
+def _bfd_place(kepts) -> list:
+    """The BFD placement loop, module-level so the per-doc placement
+    contract is directly testable (review r14 #2: the band-grain
+    differential alone cannot pin WHICH doc lands in WHICH window).
+    Input: kept token counts in placement order (the caller sorts by
+    kept DESC, doc_id ASC).  Output: bin index per input position.
+
+    The probe is a bisect on a capacity-sorted (remaining,
+    opened-seq) list: the first tuple >= (k, -1) is the tightest
+    capacity that still fits, and among equal capacities the smallest
+    opened-seq — exactly "best fit, first-opened wins ties", bit-
+    identical to the linear-scan spelling (pinned per-placement in
+    tests/test_properties.py against that spelling), in O(n log n)
+    probes instead of O(n²)."""
+    import bisect
+
+    open_bins: list = []  # sorted (remaining, opened-seq)
+    n_opened = 0
+    bins = []
+    for kept in kepts:
+        k = int(kept)
+        i = bisect.bisect_left(open_bins, (k, -1))
+        if i == len(open_bins):
+            bins.append(n_opened)
+            bisect.insort(open_bins, (PACK_SEQ_CTX - k, n_opened))
+            n_opened += 1
+        else:
+            r, b = open_bins.pop(i)
+            bins.append(b)
+            bisect.insort(open_bins, (r - k, b))
+    return bins
+
+
 def pack_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-document best-fit-decreasing packing — the other side of
     pack_sequences' documented greedy-vs-optimal gap, made MEASURABLE:
@@ -715,30 +748,10 @@ def pack_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     precedent)."""
 
     def bfd(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        import bisect
-
         pdf = pdf.sort_values(
             ["kept", "doc_id"], ascending=[False, True]
         )
-        # capacity-sorted (remaining, opened-seq) open windows: the
-        # first tuple >= (k, -1) is the tightest capacity that still
-        # fits, and among equal capacities the smallest opened-seq —
-        # exactly "best fit, first-opened wins ties"
-        open_bins: list[tuple[int, int]] = []
-        n_opened = 0
-        bins = []
-        for kept in pdf["kept"]:
-            k = int(kept)
-            i = bisect.bisect_left(open_bins, (k, -1))
-            if i == len(open_bins):
-                bins.append(n_opened)
-                bisect.insort(open_bins, (PACK_SEQ_CTX - k, n_opened))
-                n_opened += 1
-            else:
-                r, b = open_bins.pop(i)
-                bins.append(b)
-                bisect.insort(open_bins, (r - k, b))
-        pdf = pdf.assign(bin_id=bins)
+        pdf = pdf.assign(bin_id=_bfd_place(pdf["kept"]))
         return pdf[["doc_id", "n_tokens", "kept", "shard",
                     "band_lo", "bin_id"]]
 

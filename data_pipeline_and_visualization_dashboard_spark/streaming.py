@@ -762,8 +762,14 @@ def _last_touch_fold(user_id, pdf_iter, last_us, last_eid, channel):
     purchase CREDITS the carried channel (strictly-preceding rows
     only, because the carry updates after the credit check — the
     1-PRECEDING frame), a non-purchase BECOMES the carry.  Purchases
-    never move the carry, matching q98's when(type != 'purchase')
-    inside last(ignorenulls).  Returns (emit_rows, new_state)."""
+    never move the CARRY, matching q98's when(type != 'purchase')
+    inside last(ignorenulls) — but they DO advance (last_us,
+    last_eid), which tracks the user's last event of ANY type: the
+    bounded spelling arms its idle timeout from it, and eviction is
+    about user IDLENESS, not touch age (review r14 #1: arming from
+    the last touch would evict an actively-PURCHASING user 30 days
+    after their last touch and silently mis-credit their next
+    purchase to '(none)').  Returns (emit_rows, new_state)."""
     import pandas as pd
 
     frames = [
@@ -784,16 +790,19 @@ def _last_touch_fold(user_id, pdf_iter, last_us, last_eid, channel):
             if et == "purchase":
                 rows.append((user_id, channel, val))
             else:
-                last_us, last_eid, channel = int(us), int(eid), et
+                channel = et
+            last_us, last_eid = int(us), int(eid)
     return rows, (last_us, last_eid, channel)
 
 
 def _last_touch_func(key, pdf_iter, state):
     """Per-user stateful last-touch attributor: state = the user's
-    last NON-purchase event (ts, event_id, type) — the LOCF
-    carry-forward q98 computes with a window, kept live.  Three
-    scalars per user; a user who has only ever purchased carries a
-    NULL channel (the '(none)' direct-traffic bucket downstream)."""
+    last event position of ANY type (ts, event_id — the idle-timeout
+    anchor for the bounded spelling) plus the carried CHANNEL (last
+    non-purchase type — the LOCF carry-forward q98 computes with a
+    window, kept live).  Three scalars per user; a user who has only
+    ever purchased carries a NULL channel (the '(none)'
+    direct-traffic bucket downstream)."""
     import pandas as pd
 
     (user_id,) = key

@@ -1558,12 +1558,20 @@ def test_canonical_pick_prices_first_doc_policy(spark):
         assert r.first_score == scores[first]
         assert r.n_members == len(members)
         assert r.n_dropped == len(members) - 1
+        # compare against the RAW delta with half-quantum tolerance:
+        # the engine rounds 6dp half-up while Python round() banks,
+        # so exact equality against round(...) is knife-edge fragile
+        # (review r14 #3)
         assert abs(
-            r.score_delta - round(scores[best] - scores[first], 6)
-        ) <= 1e-12
+            r.score_delta - (scores[best] - scores[first])
+        ) <= 5e-7
         assert r.score_delta >= 0.0
         assert r.changed == (r.canonical_id != r.first_id)
-        assert r.changed == (r.score_delta > 0.0)
+        # the true invariant at raw precision: a changed canonical
+        # strictly improves quality (a tie breaks to min doc_id ==
+        # the first pick); the ROUNDED delta may still read 0.0 for
+        # sub-quantum improvements, so it is not asserted against
+        assert r.changed == (scores[best] > scores[first])
         changed_seen = changed_seen or r.changed
     # the planted dup corpus must actually exercise the policy switch
     assert changed_seen

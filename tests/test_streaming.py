@@ -1648,21 +1648,34 @@ def test_bounded_last_touch_evicts_idle_user(spark, tmp_path):
     '(none)'.  The EXACT twin on the identical input credits 'click'
     (state never evicted).  Mechanics note (transition family
     precedent): eviction needs a post-horizon batch WITHOUT the
-    user's data, hence the two B-only waves before A's return."""
+    user's data, hence the two B-only waves before A's return.
+
+    User C pins the review-r14 #1 fix: C touches once, then keeps
+    PURCHASING within the horizon — the idle timeout must re-arm from
+    the last event of ANY type (true idleness), so C's state survives
+    the same post-horizon batches that evict A, and C's late purchase
+    still credits 'click'.  A timer armed from the last TOUCH instead
+    (the reviewed bug) would have evicted the actively-purchasing C
+    at the 30-day touch-age mark and mis-credited '(none)'."""
     import datetime as dt
 
     t0 = dt.datetime(2024, 1, 1)
     day = dt.timedelta(days=1)
     waves = [
-        # wave 1: A's touch + B filler (same batch)
-        [(1, t0, 100, "click", 1.0), (2, t0, 200, "view", 1.0)],
-        # wave 2: B-only, 50 days on — watermark will pass A's horizon
-        [(3, t0 + 50 * day, 200, "view", 1.0)],
-        # wave 3: B-only — A absent AND watermark now past the
-        # horizon, so the timeout fires and A's carry is evicted
-        [(4, t0 + 52 * day, 200, "view", 1.0)],
-        # wave 4: A returns and purchases
-        [(5, t0 + 55 * day, 100, "purchase", 9.0)],
+        # wave 1: A's and C's touches + B filler (same batch)
+        [(1, t0, 100, "click", 1.0), (2, t0, 200, "view", 1.0),
+         (3, t0, 300, "click", 1.0)],
+        # wave 2: C purchases inside the horizon (credits 'click' and
+        # — the fix — re-arms C's timeout from THIS event)
+        [(4, t0 + 25 * day, 300, "purchase", 5.0)],
+        # wave 3: B-only, 50 days on — watermark will pass A's horizon
+        [(5, t0 + 50 * day, 200, "view", 1.0)],
+        # wave 4: B-only — A absent AND watermark now past t0+30d, so
+        # A's timeout fires; C's (re-armed to t0+55d) must NOT
+        [(6, t0 + 52 * day, 200, "view", 1.0)],
+        # wave 5: A and C return and purchase
+        [(7, t0 + 55 * day, 100, "purchase", 9.0),
+         (8, t0 + 54 * day, 300, "purchase", 7.0)],
     ]
     in_dir = str(tmp_path / "in")
     for wave in waves:
@@ -1693,15 +1706,19 @@ def test_bounded_last_touch_evicts_idle_user(spark, tmp_path):
             q.processAllAvailable()
         finally:
             q.stop()
-        return {
-            r.user_id: r.channel
+        return sorted(
+            (r.user_id, r.channel)
             for r in spark.sql(f"SELECT * FROM {name}").collect()
-        }
+        )
 
     bounded = run(streaming.last_touch_stream_bounded, "lt_evict_b")
     exact = run(streaming.last_touch_stream, "lt_evict_e")
-    assert exact == {100: "click"}  # state never evicted
-    assert bounded == {100: None}   # carry evicted -> '(none)' bucket
+    # exact twin: no eviction ever — both users keep their touch
+    assert exact == [(100, "click"), (300, "click"), (300, "click")]
+    # bounded: idle A evicted -> '(none)'; actively-purchasing C's
+    # state survives (timeout re-armed from every event, not just
+    # touches) and both its purchases credit 'click'
+    assert bounded == [(100, None), (300, "click"), (300, "click")]
 
 
 def test_transition_stream_survives_restart(spark, tmp_path):
