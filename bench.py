@@ -160,15 +160,18 @@ BASELINE_REFREEZE = {
     # cost is dominated by the near-dup component build the operator
     # composes (dedup_neardup_groups floor ~2.0 inside it):
     "dedup_canonical_pick": 2.708,
-    # second r14 addition, frozen at its first committed >=2-run floor
-    # (the BENCH_full_r14c/r14d pair: 0.556/0.647, both hot-regime
-    # runs — ratios 1.315/1.230; the stricter-only clause applies if a
-    # cooler later run undercuts):
-    "q99_linear_attribution": 0.556,
-    # third r14 addition, frozen at its first committed >=2-run floor
-    # (the BENCH_full_r14e/r14f pair: 0.775/1.161 — e partially under
-    # the session's own pytest load, f clean; both hot-regime):
-    "q100_rfm_segments": 0.775,
+    # second r14 addition, first frozen at the BENCH_full_r14c/r14d
+    # pair floor (0.556/0.647, both hot-regime) and re-frozen
+    # DOWNWARD in the same session when the confirmation pair's run h
+    # (BENCH_full_r14h.json) read 0.547 — the stricter-only clause,
+    # as forecast in the first freeze comment:
+    "q99_linear_attribution": 0.547,
+    # third r14 addition, first frozen at the BENCH_full_r14e/r14f
+    # pair floor (0.775/1.161 — e partially under the session's own
+    # pytest load, f clean) and re-frozen DOWNWARD in the same
+    # session from the confirmation pair (g 0.756, h 0.712 —
+    # BENCH_full_r14h.json):
+    "q100_rfm_segments": 0.712,
 }
 
 def baseline_gate(timings: dict, sf: float, subset,
