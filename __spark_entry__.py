@@ -58,11 +58,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # the 8 staleness-queue leads FIRST (oldest rows — r9-latest, 5 rounds
 # stale: the five entries r13's new operators displaced plus the three
 # that slid from the r12 plan), then the first 42 of the r10-latest
-# cohort in CORRECTNESS_r10 order, of which 39 survive here: the
-# round's THREE new oracle-backed entries (dedup_canonical_pick,
-# q99_linear_attribution, q100_rfm_segments) displace from the END
-# per the displacement rule, sliding text_bpe_train (the 40th
-# r10-cohort entry), text_bpe_apply (the 41st) and
+# cohort in CORRECTNESS_r10 order, of which 38 survive here: the
+# round's FOUR new oracle-backed entries (dedup_canonical_pick,
+# q99_linear_attribution, q100_rfm_segments,
+# text_quality_calibration) displace from the END per the
+# displacement rule, sliding sketch_kmv_overlap (the 39th r10-cohort
+# entry), text_bpe_train (the 40th), text_bpe_apply (the 41st) and
 # text_index_postings (the 42nd) to r15 alongside the rest of the
 # r10-latest tail (text_search_phrase, text_search_ranked,
 # q21_nation_revenue, dedup_contamination, q91_decayed_engagement,
@@ -114,10 +115,10 @@ _CHECK_FIRST = [
     "corpus_survivors",
     "corpus_forget_impact",
     "sim_mmr_rerank",
-    "sketch_kmv_overlap",
     "dedup_canonical_pick",
     "q99_linear_attribution",
     "q100_rfm_segments",
+    "text_quality_calibration",
 ]
 
 

@@ -37,7 +37,7 @@ def family(name: str) -> str:
             "text": "text", "media": "media"}.get(prefix, "other")
 
 # HEADLINE vs registry — the exclusion policy (VERDICT r6 next #7).
-# The registry holds 212 entries; HEADLINE benches 133.  The 79
+# The registry holds 213 entries; HEADLINE benches 134.  The 79
 # excluded entries fall into six families, each excluded for a reason,
 # not forgotten:
 #   1. display-grain chart twins / plan-shape variants of benched
@@ -113,8 +113,10 @@ BASELINE_REFREEZE = {
     "q93_rrf_fusion": 0.224,
     "text_hashed_features": 0.426,
     # r11 additions, frozen r12 at their FIRST committed >=2-run floor
-    # (BENCH_full_r12{,b,c}.json 3-run floor — VERDICT r11 ask #1):
-    "q94_hhi_concentration": 0.424,
+    # (BENCH_full_r12{,b,c}.json 3-run floor — VERDICT r11 ask #1);
+    # q94 re-frozen DOWNWARD r14 (fleet scan: BENCH_full_r14i.json
+    # read 0.423 — 1 ms, applied anyway, the clause is uniform):
+    "q94_hhi_concentration": 0.423,
     "sim_search_rrf": 0.970,
     # r12 additions, frozen at their first committed floor: the
     # BENCH_full_r12b/r12c 2-run floor (run 1 predates
@@ -164,14 +166,21 @@ BASELINE_REFREEZE = {
     # pair floor (0.556/0.647, both hot-regime) and re-frozen
     # DOWNWARD in the same session when the confirmation pair's run h
     # (BENCH_full_r14h.json) read 0.547 — the stricter-only clause,
-    # as forecast in the first freeze comment:
-    "q99_linear_attribution": 0.547,
+    # as forecast in the first freeze comment; run i then read 0.490
+    # and the clause applied again:
+    "q99_linear_attribution": 0.490,
     # third r14 addition, first frozen at the BENCH_full_r14e/r14f
     # pair floor (0.775/1.161 — e partially under the session's own
     # pytest load, f clean) and re-frozen DOWNWARD in the same
     # session from the confirmation pair (g 0.756, h 0.712 —
-    # BENCH_full_r14h.json):
-    "q100_rfm_segments": 0.712,
+    # BENCH_full_r14h.json), then again from run i (0.697):
+    "q100_rfm_segments": 0.697,
+    # fourth r14 addition, frozen at its first committed >=2-run
+    # floor (the BENCH_full_r14i/r14j pair: 3.674/3.437 — i cool
+    # ratio 1.109, j the session's hottest at 1.486; like
+    # dedup_canonical_pick, the cost is dominated by the near-dup
+    # component build the diagnostic composes):
+    "text_quality_calibration": 3.437,
 }
 
 def baseline_gate(timings: dict, sf: float, subset,
@@ -372,6 +381,7 @@ HEADLINE = [
     "text_dup_ngrams",  # per-doc repeated-span (5-gram) accounting
     "text_dup_spans",  # maximal duplicated-span cut list (Lee et al.)
     "text_quality_score",  # hashing-trick linear classifier (codegen)
+    "text_quality_calibration",  # score-bin x dup-rate cross diagnostic
     "text_gopher_rules",  # full Gopher heuristic battery (codegen)
     "text_dsir_weights",  # DSIR importance weights (profile broadcast)
     "text_lm_logprob",  # bigram LM scoring (CCNet-style quality)

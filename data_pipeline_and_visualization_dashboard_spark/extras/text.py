@@ -1694,6 +1694,103 @@ def _duck_quality_score_sql() -> str:
     """
 
 
+QCAL_BINS = 20
+QCAL_LO = -0.5
+QCAL_W = 0.05
+
+
+def quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score calibration against the dedup signal — the
+    cross-stage curation diagnostic ("do low-quality docs duplicate
+    more?") a corpus owner reads before trusting either filter: docs
+    bucket into FIXED score bins (row-local arithmetic, no quantile —
+    the bins are comparable across corpora and across time, which a
+    per-corpus ntile is not), and each bin reports headcount, mean
+    token count, the keep-rate of the quality gate, and the near-dup
+    rate (fraction of the bin's docs that sit in some near-dup
+    cluster).
+
+    Spark shape: the zero-shuffle scorer projects at scan speed; the
+    cluster table (dup docs only) LEFT-joins on doc_id to flag
+    membership — a doc-grain sort-merge join (the label-propagation
+    output carries no stats, so the planner correctly refuses to
+    broadcast a frame of unknown size; at 100 TB the SMJ is the right
+    plan anyway, and the join is doc-grain, never pair-grain) — then
+    one 20-row fixed-bin aggregation (map-side combinable) and a tiny
+    sort: 4 shuffles total, pinned.  Bin ids are floor((score−lo)/w)
+    clamped to [0, bins−1] over bit-identical score doubles
+    (row-level float policy), so binning is exact in both engines;
+    rates round 6dp at output."""
+    from .dedup import dedup_neardup_groups
+
+    q = quality_score(spark, sf_dir)
+    groups = dedup_neardup_groups(spark, sf_dir).select(
+        "doc_id", F.lit(True).alias("is_dup")
+    )
+    binned = q.join(groups, "doc_id", "left").select(
+        F.least(
+            F.greatest(
+                F.floor(
+                    (F.col("score_mean") - F.lit(QCAL_LO))
+                    / F.lit(QCAL_W)
+                ),
+                F.lit(0),
+            ),
+            F.lit(QCAL_BINS - 1),
+        ).cast("int").alias("bin_id"),
+        "token_cnt",
+        "kept",
+        F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+    )
+    return (
+        binned.groupBy("bin_id")
+        .agg(
+            F.round(
+                F.lit(QCAL_LO) + F.col("bin_id") * F.lit(QCAL_W), 2
+            ).alias("bin_lo"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("token_cnt"), 6).alias("avg_tokens"),
+            F.round(
+                F.avg(F.col("kept").cast("double")), 6
+            ).alias("kept_frac"),
+            F.sum(F.col("is_dup").cast("bigint")).alias("n_dup"),
+            F.round(
+                F.avg(F.col("is_dup").cast("double")), 6
+            ).alias("dup_rate"),
+        )
+        .orderBy("bin_id")
+    )
+
+
+def _duck_quality_calibration_sql() -> str:
+    from .dedup import _duck_neardup_groups_sql
+
+    return f"""
+        WITH q AS ({_duck_quality_score_sql()}),
+        groups AS ({_duck_neardup_groups_sql()}),
+        binned AS (
+            SELECT CAST(least(greatest(
+                       floor((q.score_mean - ({QCAL_LO}))
+                             / {QCAL_W}), 0), {QCAL_BINS - 1})
+                   AS INT) AS bin_id,
+                   q.token_cnt, q.kept,
+                   g.doc_id IS NOT NULL AS is_dup
+            FROM q LEFT JOIN groups g ON q.doc_id = g.doc_id
+        )
+        SELECT bin_id,
+               round(CAST({QCAL_LO} + bin_id * {QCAL_W} AS DOUBLE), 2)
+                   AS bin_lo,
+               count(*) AS n_docs,
+               round(avg(token_cnt), 6) AS avg_tokens,
+               round(avg(CAST(kept AS DOUBLE)), 6) AS kept_frac,
+               CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup,
+               round(avg(CASE WHEN is_dup THEN 1.0 ELSE 0.0 END), 6)
+                   AS dup_rate
+        FROM binned GROUP BY bin_id ORDER BY bin_id
+    """
+
+
 # DSIR feature space: hashed unigram+bigram buckets. 2^10 buckets is
 # the sandbox-sized stand-in for DSIR's 10^4; the plan (D-row profile
 # table broadcast onto the token stream) is dimension-independent.
@@ -2231,11 +2328,13 @@ QUERIES = {
     "text_dup_ngrams": dup_ngrams,
     "text_dup_spans": dup_spans,
     "text_quality_score": quality_score,
+    "text_quality_calibration": quality_calibration,
     "text_dsir_weights": dsir_weights,
     "text_gopher_rules": gopher_rules,
     "text_lm_logprob": lm_logprob,
 }
 
+ORACLE_SQL["text_quality_calibration"] = _duck_quality_calibration_sql()
 ORACLE_SQL["text_pack_sequences"] = _DUCK_PACK_SEQUENCES_SQL
 ORACLE_SQL["text_token_entropy"] = _DUCK_TOKEN_ENTROPY_SQL
 ORACLE_SQL["text_hashed_features"] = _DUCK_HASHED_FEATURES_SQL

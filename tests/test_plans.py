@@ -620,6 +620,18 @@ CASES = {
          "BatchEvalPython", "ArrowEvalPython"],
         3,  # user window shuffle + channel agg + terminal sort
     ),
+    "text_quality_calibration": (
+        # zero-shuffle scorer -> doc-grain LEFT join with the cluster
+        # table (SMJ: the label-prop output has no stats, broadcast
+        # is correctly refused; join type deliberately NOT pinned) ->
+        # 20-row fixed-bin agg -> tiny sort.  No window, no Python,
+        # no cartesian, and never a pair-grain join
+        ["HashAggregate"],
+        ["Window", "CartesianProduct", "BroadcastNestedLoopJoin",
+         "BatchEvalPython", "ArrowEvalPython",
+         "FlatMapGroupsInPandas"],
+        4,  # join (2 sides) + bin agg + terminal sort
+    ),
     "q100_rfm_segments": (
         # customer-grain agg exchange, then ONE nation-keyed exchange
         # serving all THREE ntile windows (three in-partition sorts,
