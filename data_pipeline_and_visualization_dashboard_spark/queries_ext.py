@@ -5694,14 +5694,27 @@ def q99_linear_attribution(spark: SparkSession,
     (q62's diagnostics), map-side-combinable rollup.
 
     NULL-key policy: user_id IS NOT NULL on both engine sides (q98's
-    docstring has the why).  Float discipline: shares and suffix sums
-    are identical expression trees over identical frames in both
-    engines; revenue rounds 4dp at output, conservation (Σ credited =
-    Σ purchase value) is property-tested."""
+    docstring has the why).  NULL event_type rows (malformed
+    telemetry — neither touch nor purchase) are excluded EXPLICITLY
+    (ADVICE r14 #3): without the filter such a row falls through
+    is_touch (NULL condition) and, when n_prior=0, lands its value in
+    '(none)' as a pseudo-purchase — while the streaming twin tallied
+    it as a NULL-channel touch, a batch≡stream divergence the test
+    corpus (no NULL types) never exercised.  q98 already excludes the
+    population by construction (its when() condition and
+    type='purchase' filter both reject NULLs); here the filter makes
+    the policy explicit on both engine sides and the streaming funcs
+    drop the rows identically, so the contract covers the column's
+    full domain.  Float discipline: shares and suffix sums are
+    identical expression trees over identical frames in both engines;
+    revenue rounds 4dp at output, conservation (Σ credited = Σ
+    purchase value) is property-tested."""
     ev = read_table(
         spark, sf_dir, "events",
         ["event_id", "user_id", "ts", "event_type", "value"],
-    ).filter(F.col("user_id").isNotNull())
+    ).filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
     w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
     w_prec = w_ord.rowsBetween(Window.unboundedPreceding, -1)
     w_foll = w_ord.rowsBetween(1, Window.unboundedFollowing)
@@ -5755,7 +5768,7 @@ _DUCK_Q99_SQL = """
                                   AND 1 PRECEDING), 0) AS n_prior,
                user_id, ts, event_id
         FROM events
-        WHERE user_id IS NOT NULL
+        WHERE user_id IS NOT NULL AND event_type IS NOT NULL
     ), shared AS (
         SELECT *,
                CASE WHEN event_type = 'purchase' AND n_prior > 0

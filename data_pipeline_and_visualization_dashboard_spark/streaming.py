@@ -751,25 +751,56 @@ def run_transitions_to_completion(spark: SparkSession, in_dir: str,
 
 
 _LAST_TOUCH_OUT_SCHEMA = "user_id long, channel string, value double"
-_LAST_TOUCH_STATE_SCHEMA = "last_us long, last_eid long, channel string"
+_LAST_TOUCH_STATE_SCHEMA = (
+    "last_us long, last_eid long, channel string, "
+    "touch_us long, touch_eid long"
+)
 
 
-def _last_touch_fold(user_id, pdf_iter, last_us, last_eid, channel):
+def _last_touch_fold(user_id, pdf_iter, last_us, last_eid, channel,
+                     touch_us, touch_eid):
     """Shared per-batch fold for both last-touch funcs: buffer the
     user's rows, sort the union by (ts, event_id) ONCE — the exact
     total order the batch q98 window walks, so a micro-batch split can
     never reorder equal timestamps differently — then walk it: a
     purchase CREDITS the carried channel (strictly-preceding rows
     only, because the carry updates after the credit check — the
-    1-PRECEDING frame), a non-purchase BECOMES the carry.  Purchases
-    never move the CARRY, matching q98's when(type != 'purchase')
-    inside last(ignorenulls) — but they DO advance (last_us,
-    last_eid), which tracks the user's last event of ANY type: the
-    bounded spelling arms its idle timeout from it, and eviction is
-    about user IDLENESS, not touch age (review r14 #1: arming from
-    the last touch would evict an actively-PURCHASING user 30 days
-    after their last touch and silently mis-credit their next
-    purchase to '(none)').  Returns (emit_rows, new_state)."""
+    1-PRECEDING frame), a non-purchase BECOMES the carry.  Rows with a
+    NULL event_type are dropped up front — malformed telemetry that
+    the batch twin counts as neither touch nor purchase (ADVICE r14
+    #3; q98's when/filter construction and q99's explicit IS NOT NULL
+    exclude them), so the stream must not fold them as NULL-channel
+    touches.  Purchases never move the CARRY, matching q98's
+    when(type != 'purchase') inside last(ignorenulls) — but they DO
+    advance (last_us, last_eid), which tracks the user's last event
+    of ANY type: the bounded spelling arms its idle timeout from it,
+    and eviction is about user IDLENESS, not touch age (review r14
+    #1: arming from the last touch would evict an actively-PURCHASING
+    user 30 days after their last touch and silently mis-credit their
+    next purchase to '(none)').
+
+    Cross-batch order envelope (ADVICE r14 #1/#2): the fold is
+    order-aware where bounded state allows it —
+      * the CARRY tracks its own position (touch_us, touch_eid): a
+        late-but-within-watermark touch arriving in a LATER batch
+        updates the carry only if it postdates the carried touch in
+        event time, so an older late touch can never overwrite a
+        newer one, and the carry CONVERGES to the batch value (the
+        event-time-latest touch seen) under EVERY arrival order;
+      * (last_us, last_eid) only ever advances (max fold), so a late
+        batch of old events can never regress the bounded spelling's
+        idle-eviction deadline.
+    What bounded state canNOT repair is credit timing: a purchase is
+    credited from the carry at its OWN fold time, so per-credit
+    output equals batch exactly iff each purchase arrives after every
+    touch that event-time-precedes it and before every touch that
+    event-time-follows it (the test corpora's time-split replays
+    satisfy this; a violation mis-credits ONLY that purchase — the
+    carry self-heals for all later ones).  Contrast _session_func,
+    whose in-gap fold repairs late rows exactly; here exact repair
+    would need the full touch path, which is precisely the
+    unbounded state this family avoids.  Returns (emit_rows,
+    new_state)."""
     import pandas as pd
 
     frames = [
@@ -785,14 +816,19 @@ def _last_touch_fold(user_id, pdf_iter, last_us, last_eid, channel):
     ]
     rows = []
     if frames:
-        df = pd.concat(frames).sort_values(["us", "eid"])
+        df = pd.concat(frames)
+        df = df[df["et"].notna()].sort_values(["us", "eid"])
         for us, eid, et, val in df.itertuples(index=False):
+            us, eid = int(us), int(eid)
             if et == "purchase":
                 rows.append((user_id, channel, val))
             else:
-                channel = et
-            last_us, last_eid = int(us), int(eid)
-    return rows, (last_us, last_eid, channel)
+                if (us, eid) > (touch_us, touch_eid):
+                    channel = et
+                    touch_us, touch_eid = us, eid
+            if (us, eid) > (last_us, last_eid):
+                last_us, last_eid = us, eid
+    return rows, (last_us, last_eid, channel, touch_us, touch_eid)
 
 
 def _last_touch_func(key, pdf_iter, state):
@@ -800,18 +836,23 @@ def _last_touch_func(key, pdf_iter, state):
     last event position of ANY type (ts, event_id — the idle-timeout
     anchor for the bounded spelling) plus the carried CHANNEL (last
     non-purchase type — the LOCF carry-forward q98 computes with a
-    window, kept live).  Three scalars per user; a user who has only
-    ever purchased carries a NULL channel (the '(none)'
-    direct-traffic bucket downstream)."""
+    window, kept live) and that touch's own (ts, event_id) position
+    (the order-aware guard: a late older touch never overwrites a
+    newer carry — _last_touch_fold's envelope note).  Five scalars
+    per user; a user who has only ever purchased carries a NULL
+    channel (the '(none)' direct-traffic bucket downstream)."""
     import pandas as pd
 
     (user_id,) = key
     if state.exists:
-        last_us, last_eid, channel = state.get
+        last_us, last_eid, channel, touch_us, touch_eid = state.get
     else:
-        last_us, last_eid, channel = -1, -1, None
+        last_us, last_eid, channel, touch_us, touch_eid = (
+            -1, -1, None, -1, -1,
+        )
     rows, new_state = _last_touch_fold(
-        user_id, pdf_iter, last_us, last_eid, channel
+        user_id, pdf_iter, last_us, last_eid, channel,
+        touch_us, touch_eid,
     )
     state.update(new_state)
     if rows:
@@ -862,7 +903,12 @@ def _last_touch_timeout_func(key, pdf_iter, state):
     with no data in the batch, so an expired key whose purchase
     arrives before any such batch still credits the intact state.
     What the timeout GUARANTEES is the state bound — idle entries
-    cannot outlive the horizon by more than one batch interval."""
+    cannot outlive the horizon by more than one batch interval.
+    The deadline is armed from new_state's (last_us) — which the fold
+    now advances with a MAX (ADVICE r14 #2): a late batch containing
+    only OLDER events leaves it at the user's true latest event, so
+    the eviction deadline can never move backward and a user is never
+    evicted earlier than the horizon past their real last event."""
     import pandas as pd
 
     (user_id,) = key
@@ -870,11 +916,14 @@ def _last_touch_timeout_func(key, pdf_iter, state):
         state.remove()
         return
     if state.exists:
-        last_us, last_eid, channel = state.get
+        last_us, last_eid, channel, touch_us, touch_eid = state.get
     else:
-        last_us, last_eid, channel = -1, -1, None
+        last_us, last_eid, channel, touch_us, touch_eid = (
+            -1, -1, None, -1, -1,
+        )
     rows, new_state = _last_touch_fold(
-        user_id, pdf_iter, last_us, last_eid, channel
+        user_id, pdf_iter, last_us, last_eid, channel,
+        touch_us, touch_eid,
     )
     state.update(new_state)
     state.setTimeoutTimestamp(
@@ -927,7 +976,26 @@ def _linear_attr_func(key, pdf_iter, state):
     value when no touch precedes — q99's '(none)' bucket.  Purchases
     with a NULL value emit nothing (q99 derives a NULL share from
     them; pandas NaN is the Arrow image of that NULL and must not
-    poison the sums)."""
+    poison the sums).  Rows with a NULL event_type are dropped up
+    front — the batch twin's explicit IS NOT NULL policy (ADVICE r14
+    #3): before this filter a NULL-typed row fell through is_touch on
+    the batch side (landing in '(none)' as a pseudo-purchase when
+    n_prior=0) while the stream tallied it as a NULL-channel touch —
+    both engines now exclude the malformed population identically.
+
+    Cross-batch order envelope (ADVICE r14 #1, stated like
+    _last_touch_fold's): the histogram is a COUNT of touches, so
+    touch arrival order never matters — the tally converges to the
+    batch histogram under every arrival order.  Credit timing is the
+    one order-sensitive step: a purchase splits over the tally at its
+    OWN fold time, so its split equals batch exactly iff it arrives
+    after every touch that event-time-precedes it and before every
+    touch that event-time-follows it (time-split replays satisfy
+    this); a violation mis-splits ONLY that purchase — unlike
+    last-touch there is no carry to heal because nothing persists a
+    wrong value past the purchase itself.  Exact repair would need
+    per-purchase retraction (unbounded emitted-credit state), which
+    this family deliberately avoids."""
     import pandas as pd
 
     (user_id,) = key
@@ -949,7 +1017,8 @@ def _linear_attr_func(key, pdf_iter, state):
     ]
     rows = []
     if frames:
-        df = pd.concat(frames).sort_values(["us", "eid"])
+        df = pd.concat(frames)
+        df = df[df["et"].notna()].sort_values(["us", "eid"])
         for us, eid, et, val in df.itertuples(index=False):
             if et == "purchase":
                 if val != val:  # NaN == SQL NULL here: no credit

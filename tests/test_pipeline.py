@@ -325,6 +325,53 @@ def test_baseline_gate_branches(tmp_path):
     assert r == 1.0  # ratio vs the OVERLAID value, not the stale 0.44
 
 
+def test_session_floor_gate(tmp_path):
+    """bench.session_floor_gate (VERDICT r14 ask #6): the session-floor
+    ratio mins the current run with every archived same-round full run
+    (including diverted .new siblings), skips sf-mismatched and subset
+    records, and degrades to the single-run ratio when no archives or
+    no round exist."""
+    import json
+
+    import bench
+
+    base = tmp_path / "base.json"
+    base.write_text(json.dumps(
+        {"sf": 0.1, "queries": {"a": 1.0, "b": 1.0}}
+    ))
+    timings = {"a": 2.0, "b": 2.0}
+
+    # no round: floor == this run alone
+    r, n = bench.session_floor_gate(
+        timings, 0.1, None, None, str(tmp_path), str(base)
+    )
+    assert (r, n) == (2.0, 1)
+    # archived prior run undercuts one key; .new sibling the other;
+    # an sf-mismatched ladder record and a subset record are ignored
+    (tmp_path / "BENCH_full_r15.json").write_text(json.dumps(
+        {"sf": 0.1, "queries": {"a": 1.0, "b": 9.0}}
+    ))
+    (tmp_path / "BENCH_full_r15.json.new").write_text(json.dumps(
+        {"sf": 0.1, "queries": {"a": 9.0, "b": 1.0}}
+    ))
+    (tmp_path / "BENCH_full_r15.json.new2").write_text(json.dumps(
+        {"sf": 1.0, "queries": {"a": 0.1, "b": 0.1}}
+    ))
+    (tmp_path / "BENCH_full_r15.json.new3").write_text(json.dumps(
+        {"sf": 0.1, "baseline_skip_reason": "subset_run",
+         "queries": {"a": 0.1}}
+    ))
+    r, n = bench.session_floor_gate(
+        timings, 0.1, None, "15", str(tmp_path), str(base)
+    )
+    assert (r, n) == (1.0, 3)  # floors {a:1.0, b:1.0} over 3 live runs
+    # subset waves never mix archives in (and report the partial side)
+    r, n = bench.session_floor_gate(
+        {"a": 2.0}, 0.1, "a", "15", str(tmp_path), str(base)
+    )
+    assert (r, n) == (2.0, 1)
+
+
 def test_parse_round_arg_branches():
     """bench._parse_round_arg (ADVICE r9 #1): every branch — env,
     flag, flag-overrides-env, absent, and the two fail-fast malformed

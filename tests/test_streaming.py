@@ -1721,6 +1721,149 @@ def test_bounded_last_touch_evicts_idle_user(spark, tmp_path):
     assert bounded == [(100, None), (300, "click"), (300, "click")]
 
 
+def test_attribution_null_type_and_late_touch(spark, tmp_path):
+    """Pins the three ADVICE r14 fixes on one synthetic replay:
+
+    1. order-aware carry (_last_touch_fold): user A's 'click' is
+       followed by a LATE batch carrying an event-time-OLDER 'view' —
+       the carry must stay 'click' (pre-fix, the late fold overwrote
+       the newer carry) and A's purchase credits 'click'.
+    2. eviction anchor never regresses: folded into the same walk —
+       the late-older batch must leave (last_us, last_eid) at A's
+       true latest event (asserted via the fold directly below, since
+       driving a real timeout needs the multi-wave eviction fixture).
+    3. NULL event_type policy: user B's NULL-typed row (value 50.0)
+       must be excluded on ALL FOUR sides — batch q98 (by
+       construction), batch q99 (explicit filter; pre-fix it landed
+       50.0 in '(none)'), and both stream folds (pre-fix the linear
+       fold tallied it as a NULL-channel touch).
+
+    Linear attribution also demonstrates its order-insensitive
+    histogram: A's late 'view' still collects an equal split, because
+    equal splitting needs only touch COUNTS, not order."""
+    import datetime as dt
+
+    from data_pipeline_and_visualization_dashboard_spark.queries_ext import (
+        q98_last_touch_attribution,
+        q99_linear_attribution,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    waves = [
+        # wave 1: A clicks; malformed NULL-type rows for A and B;
+        # B's real 'view' touch
+        [(1, t0, 100, "click", 1.0),
+         (2, t0 + m, 100, None, 99.0),
+         (3, t0, 200, None, 50.0),
+         (4, t0 + 2 * m, 200, "view", 1.0)],
+        # wave 2: LATE batch — an event-time-OLDER touch for A
+        [(5, t0 - 30 * m, 100, "view", 1.0)],
+        # wave 3: both users purchase
+        [(6, t0 + 10 * m, 100, "purchase", 8.0),
+         (7, t0 + 10 * m, 200, "purchase", 4.0)],
+    ]
+    in_dir = str(tmp_path / "attr_in")
+    batch_dir = str(tmp_path / "attr_batch")
+    all_rows = [r for w in waves for r in w]
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+    for wave in waves:
+        spark.createDataFrame(wave, schema).selectExpr(
+            "event_id", "CAST(ts AS timestamp_ntz) AS ts", "user_id",
+            "event_type", "value", "CAST(NULL AS string) AS props",
+        ).coalesce(1).write.parquet(in_dir, mode="append")
+    spark.createDataFrame(all_rows, schema).selectExpr(
+        "event_id", "CAST(ts AS timestamp_ntz) AS ts", "user_id",
+        "event_type", "value", "CAST(NULL AS string) AS props",
+    ).coalesce(1).write.parquet(batch_dir + "/events.parquet")
+
+    def run(builder, name):
+        raw_s = (
+            spark.readStream.schema(streaming._STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+        )
+        ev = raw_s.withColumn("ts", F.col("ts").cast("timestamp"))
+        # huge watermark delay: the late wave must reach the fold
+        # (this test pins FOLD semantics, not watermark dropping)
+        q = (
+            builder(ev, watermark="3650 days")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.sql(f"SELECT * FROM {name}")
+
+    # --- last-touch: stream rollup == batch q98, and A credits click
+    lt = streaming.last_touch_rollup(
+        run(streaming.last_touch_stream, "attr_lt")
+    ).collect()
+    q98 = q98_last_touch_attribution(spark, batch_dir).collect()
+    assert sorted(map(tuple, lt)) == sorted(map(tuple, q98))
+    assert {(r.channel, r.attributed_revenue) for r in q98} == {
+        ("click", 8.0), ("view", 4.0)
+    }
+
+    # --- linear: stream rollup == batch q99 (0-credit channels may
+    # appear batch-side only — none here), NULL row in no bucket
+    la = streaming.linear_attr_rollup(
+        run(streaming.linear_attribution_stream, "attr_la")
+    ).collect()
+    q99 = q99_linear_attribution(spark, batch_dir).collect()
+    assert sorted((r.channel, r.attributed_revenue) for r in la) == sorted(
+        (r.channel, r.attributed_revenue) for r in q99
+    )
+    assert {(r.channel, r.attributed_revenue) for r in q99} == {
+        ("click", 4.0), ("view", 8.0)
+    }
+
+
+def test_last_touch_fold_anchor_never_regresses():
+    """ADVICE r14 #2, pinned at the fold: a late batch containing only
+    event-time-OLDER rows must leave (last_us, last_eid) — the idle-
+    timeout anchor — at the user's true latest event, and must not
+    overwrite the newer carried touch; NULL-typed rows are dropped."""
+    import pandas as pd
+
+    from data_pipeline_and_visualization_dashboard_spark.streaming import (
+        _last_touch_fold,
+    )
+
+    def pdf(rows):
+        return pd.DataFrame(
+            {
+                "ts": pd.to_datetime([r[0] for r in rows], unit="us"),
+                "event_id": [r[1] for r in rows],
+                "event_type": [r[2] for r in rows],
+                "value": [r[3] for r in rows],
+            }
+        )
+
+    # batch 1: click at t=100, NULL-type at t=150 (dropped)
+    rows, st = _last_touch_fold(
+        7, [pdf([(100, 1, "click", 1.0), (150, 2, None, 9.0)])],
+        -1, -1, None, -1, -1,
+    )
+    assert rows == [] and st == (100, 1, "click", 100, 1)
+    # batch 2: LATE older 'view' — anchor and carry both keep t=100
+    rows, st = _last_touch_fold(7, [pdf([(50, 0, "view", 1.0)])], *st)
+    assert rows == [] and st == (100, 1, "click", 100, 1)
+    # batch 3: purchase credits the (unregressed) click carry
+    rows, st = _last_touch_fold(
+        7, [pdf([(200, 3, "purchase", 8.0)])], *st
+    )
+    assert rows == [(7, "click", 8.0)]
+    assert st == (200, 3, "click", 100, 1)
+
+
 def test_transition_stream_survives_restart(spark, tmp_path):
     """applyInPandasWithState recovery: stop the transition stream
     after the first batches, restart on the same checkpoint with more
