@@ -54,71 +54,71 @@ def entry(spark: SparkSession) -> DataFrame:
 # holds at least one green driver row, zero failures ever, and no
 # entry is vacuously green (fleet-wide ≥1-row guard,
 # tests/test_queries.py).
-# Round-14 window (the precomputed rotation from VERDICT r13 ask #1):
-# the 8 staleness-queue leads FIRST (oldest rows — r9-latest, 5 rounds
-# stale: the five entries r13's new operators displaced plus the three
-# that slid from the r12 plan), then the first 42 of the r10-latest
-# cohort in CORRECTNESS_r10 order, of which 38 survive here: the
-# round's FOUR new oracle-backed entries (dedup_canonical_pick,
-# q99_linear_attribution, q100_rfm_segments,
-# text_quality_calibration) displace from the END per the
-# displacement rule, sliding sketch_kmv_overlap (the 39th r10-cohort
-# entry), text_bpe_train (the 40th), text_bpe_apply (the 41st) and
-# text_index_postings (the 42nd) to r15 alongside the rest of the
-# r10-latest tail (text_search_phrase, text_search_ranked,
-# q21_nation_revenue, dedup_contamination, q91_decayed_engagement,
-# q92_value_gini, q93_rrf_fusion, text_hashed_features).
+# Round-15 window (the precomputed rotation from VERDICT r14 ask #1),
+# staleness-first: the 12 r10-latest entries plus text_pack_bestfit —
+# the single registry entry with NO driver row ever (registered late
+# r13, displaced from the r14 window) — FIRST, then the first 35 of
+# the r11-latest cohort in CORRECTNESS_r11 order.  The round's two
+# new entries (corpus_shard_manifest, oracle-backed, and
+# q100_rfm_segments_approx, rows-only by design) displace from the
+# END per the standing rule — the rows-only entry displaces too,
+# deliberately: r14 showed what happens when a new rows-only entry
+# waits its turn (text_pack_bestfit sat driver-unchecked for two
+# rounds), so new entries of EITHER kind now get their first driver
+# row in their own round.  The displaced cohort tail
+# (sim_lang_centroids, sim_rp_topk — the 36th/37th r11-cohort
+# entries) leads the r16 queue after the remaining r11-latest cohort.
 _CHECK_FIRST = [
-    "media_audio_windows",
-    "dedup_split_leakage",
-    "q87_time_weighted_value",
-    "dedup_containment_topk",
-    "text_token_entropy",
-    "q90_mad_outliers",
-    "dedup_containment_est",
-    "sketch_ams_f2",
-    "q34_top_users_labeled",
-    "q35_ship_delay",
-    "q36_session_windows",
-    "q37_prior_hour_window",
-    "q38_unpivot_heatmap",
-    "q39_interval_join",
-    "q40_salted_skew_join",
-    "q41_latest_event_state",
-    "q42_daily_from_hourly",
-    "q43_full_outer_reconcile",
-    "q44_user_trend",
-    "q45_cohort_retention",
-    "q46_value_anomalies",
-    "q47_scd2_history",
-    "q48_funnel_steps",
-    "q49_fuzzy_name_match",
-    "q50_equidepth_buckets",
-    "q51_nation_pagerank",
-    "q52_gap_fill",
-    "q53_incremental_rollup",
-    "q54_hash_sample",
-    "q55_rolling_median",
-    "q56_grouped_stats",
-    "q57_rank_family",
-    "q58_event_nation_counts",
-    "q59_sliding_distinct",
-    "sim_ivf_topk",
-    "sim_ivfpq_topk",
-    "q20_shipping_priority",
-    "q66_late_supplier_blame_agg",
-    "q88_basket_pairs",
-    "q89_session_transitions",
-    "dedup_incremental_pairs",
-    "dedup_neardup_groups",
-    "corpus_funnel",
-    "corpus_survivors",
-    "corpus_forget_impact",
-    "sim_mmr_rerank",
-    "dedup_canonical_pick",
-    "q99_linear_attribution",
-    "q100_rfm_segments",
-    "text_quality_calibration",
+    "dedup_contamination",
+    "q21_nation_revenue",
+    "q91_decayed_engagement",
+    "q92_value_gini",
+    "q93_rrf_fusion",
+    "sketch_kmv_overlap",
+    "text_bpe_apply",
+    "text_bpe_train",
+    "text_hashed_features",
+    "text_index_postings",
+    "text_search_phrase",
+    "text_search_ranked",
+    "text_pack_bestfit",
+    "dedup_embedding_pairs_lsh",
+    "sim_pq_codes",
+    "sim_pq_adc_topk",
+    "sim_sq_topk",
+    "sim_lsh_buckets",
+    "sketch_countmin",
+    "sketch_countmin_topk_est",
+    "sketch_hll_registers",
+    "sketch_hll_estimate",
+    "text_tokens_bpe",
+    "text_quality_filter",
+    "text_repetition",
+    "text_tfidf_topk",
+    "text_vocab",
+    "text_vocab_encode",
+    "text_chunks",
+    "text_packing",
+    "text_split_assign",
+    "media_resized",
+    "dedup_hash_stage_md5",
+    "dedup_semantic",
+    "text_scrub_pii",
+    "text_mix_sample",
+    "text_line_dedup",
+    "dedup_neardup_groups_lsss",
+    "text_dup_ngrams",
+    "text_quality_score",
+    "text_dsir_weights",
+    "q60_bucketed_join",
+    "q61_profile_events",
+    "dedup_incremental_exact",
+    "text_gopher_rules",
+    "q62_skew_stats",
+    "sim_recall_eval",
+    "sim_lsh_multiprobe_topk",
+    "corpus_shard_manifest",
+    "q100_rfm_segments_approx",
 ]
 
 

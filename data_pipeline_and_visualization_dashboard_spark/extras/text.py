@@ -1711,20 +1711,22 @@ def quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster).
 
     Spark shape: the zero-shuffle scorer projects at scan speed; the
-    cluster table (dup docs only) LEFT-joins on doc_id to flag
-    membership — a doc-grain sort-merge join (the label-propagation
-    output carries no stats, so the planner correctly refuses to
-    broadcast a frame of unknown size; at 100 TB the SMJ is the right
-    plan anyway, and the join is doc-grain, never pair-grain) — then
-    one 20-row fixed-bin aggregation (map-side combinable) and a tiny
-    sort: 4 shuffles total, pinned.  Bin ids are floor((score−lo)/w)
+    cluster table — since r15 the MATERIALIZED cluster_table artifact
+    (built once per corpus; this diagnostic prices its own bin pass,
+    not the component build it consumes) — LEFT-joins on doc_id to
+    flag membership.  The artifact is a parquet scan WITH size stats,
+    so the planner may now broadcast the (dup-docs-only, small)
+    cluster side; at 100 TB it outgrows the threshold and flips to
+    the doc-grain SMJ — either way the join is doc-grain, never
+    pair-grain.  Then one 20-row fixed-bin aggregation (map-side
+    combinable) and a tiny sort.  Bin ids are floor((score−lo)/w)
     clamped to [0, bins−1] over bit-identical score doubles
     (row-level float policy), so binning is exact in both engines;
     rates round 6dp at output."""
-    from .dedup import dedup_neardup_groups
+    from .dedup import cluster_table
 
     q = quality_score(spark, sf_dir)
-    groups = dedup_neardup_groups(spark, sf_dir).select(
+    groups = cluster_table(spark, sf_dir).select(
         "doc_id", F.lit(True).alias("is_dup")
     )
     binned = q.join(groups, "doc_id", "left").select(

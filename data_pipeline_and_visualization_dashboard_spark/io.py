@@ -386,6 +386,63 @@ def ingest_incremental(
     return len(files)
 
 
+def write_training_shards(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    hash_impl: str = "md5",
+    n_shards: int | None = None,
+) -> DataFrame:
+    """S11: materialized training-shard writer (VERDICT r14 ask #2) —
+    the step every real pretraining pipeline ends with, closing the
+    loop the packing family opens: take the curation survivors, give
+    each doc a DETERMINISTIC shard and in-shard position, write
+    `shard=NNN`-partitioned parquet, and return the per-shard manifest
+    frame (doc/token counts + content checksum — the registry query
+    corpus_shard_manifest, same assignment, oracle-backed).
+
+    Determinism discipline (q54_hash_sample extended to layout): shard
+    = content-hash of the doc key, in-shard order = a SECOND
+    independent content hash (h60('order' || doc_id)) — a seeded
+    global shuffle without an RNG, so retries, different partition
+    counts, different engines and incremental re-runs all produce the
+    SAME shard files byte-for-byte-stable row order.  A trainer
+    streaming shard k in order sees a fixed pseudo-random document
+    permutation — exactly what a data loader wants.
+
+    Plan: assignment is a row-local projection over survivors ⋈
+    documents; the write pays ONE hash exchange on shard plus a local
+    sort (repartition(shard) + sortWithinPartitions — NEVER a global
+    sort), and the dynamic partitionBy write emits one directory per
+    shard.  At 100 TB: n_shards scales with the corpus, each shard
+    writes from its own partition (no driver fan-in), and the manifest
+    is the same ≤n_shards-row map-side-combinable agg the registry
+    query prices."""
+    from .extras.dedup import (
+        N_TRAINING_SHARDS,
+        corpus_shard_manifest,
+        shard_assignments,
+    )
+    from .extras.hashing import spark_h60
+
+    if n_shards is None:
+        n_shards = N_TRAINING_SHARDS
+    a = shard_assignments(spark, sf_dir, hash_impl, n_shards)
+    (
+        a.withColumn(
+            "pos",
+            F.expr(spark_h60("concat('order', CAST(doc_id AS STRING))")),
+        )
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "pos")
+        .drop("pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )
+    return corpus_shard_manifest(spark, sf_dir, hash_impl, n_shards)
+
+
 def register_views(spark: SparkSession, tables: dict[str, DataFrame]) -> None:
     """S5: expose frames to the SQL engine — zero-copy within Spark,
     mirroring `con.register(name, df.to_arrow())` (ipynb:242-243)."""

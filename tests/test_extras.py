@@ -1518,6 +1518,59 @@ def test_contamination_multi_and_survivor_policy(spark):
         assert r.survivor_score == scores[best]
 
 
+def test_cluster_table_artifact_identity_and_rebuild(spark, tmp_path):
+    """cluster_table (VERDICT r14 ask #3): the materialized component
+    artifact is row-identical to a fresh dedup_neardup_groups build
+    (cached ≡ fresh), a second call serves from the SAME parquet
+    generation without rebuilding (pinned via the artifact's mtime),
+    and a corpus-mtime bump invalidates the generation (stale dir
+    removed, new one built)."""
+    import glob
+    import os
+
+    from data_pipeline_and_visualization_dashboard_spark.extras.dedup import (
+        _documents_mtime, cluster_table, dedup_neardup_groups,
+    )
+
+    fresh = sorted(
+        map(tuple, dedup_neardup_groups(spark, SF_SMOKE).collect())
+    )
+    cached = sorted(map(tuple, cluster_table(spark, SF_SMOKE).collect()))
+    assert cached == fresh and len(cached) > 0
+
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "spark-warehouse", "cluster_table",
+    )
+    gen = os.path.join(
+        root,
+        f"sf0.001_{_documents_mtime(SF_SMOKE)}_md5",
+        "groups.parquet",
+    )
+    assert os.path.exists(gen)
+    stamp = max(os.path.getmtime(p) for p in glob.glob(gen + "/*"))
+    again = sorted(map(tuple, cluster_table(spark, SF_SMOKE).collect()))
+    assert again == fresh
+    assert stamp == max(
+        os.path.getmtime(p) for p in glob.glob(gen + "/*")
+    )  # served, not rebuilt
+
+    # stale-generation eviction: plant a fake older generation dir and
+    # force a rebuild by pointing at a COPY of the corpus (fresh mtime)
+    fake = os.path.join(root, "sf0.001_0_md5", "groups.parquet")
+    os.makedirs(fake, exist_ok=True)
+    import shutil
+
+    corpus2 = tmp_path / "sf0.001"
+    shutil.copytree(SF_SMOKE, corpus2)
+    os.utime(corpus2 / "documents.parquet")  # copytree kept the mtime
+    rebuilt = sorted(
+        map(tuple, cluster_table(spark, str(corpus2)).collect())
+    )
+    assert rebuilt == fresh  # same corpus content, same components
+    assert not os.path.exists(fake)  # stale generation removed
+
+
 def test_canonical_pick_prices_first_doc_policy(spark):
     """dedup_canonical_pick vs a raw Python fold of both keeper
     policies: canonical = argmax(quality, tie min doc_id) must equal

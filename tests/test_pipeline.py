@@ -272,6 +272,81 @@ def test_zorder_write_prunes_trailing_dim_predicates(spark, tmp_path):
     assert z_a < 0.75, z_a
 
 
+def test_write_training_shards_layout_and_determinism(spark, tmp_path):
+    """io.write_training_shards (VERDICT r14 ask #2): the written
+    shard=NNN layout agrees file-for-file with the oracle-backed
+    manifest (per-directory parquet footer row counts == n_docs; doc
+    and token totals == the survivors frame), every surviving doc
+    lands in exactly one shard, and a SECOND write produces the
+    identical per-shard doc_id sequence — the deterministic seeded
+    shuffle contract (no RNG anywhere, so retries and re-runs are
+    byte-stable)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from data_pipeline_and_visualization_dashboard_spark.extras.dedup import (
+        corpus_survivors,
+    )
+    from data_pipeline_and_visualization_dashboard_spark.io import (
+        write_training_shards,
+    )
+
+    out1 = str(tmp_path / "shards1")
+    manifest = {
+        r.shard: (r.n_docs, r.n_tokens, r.content_hash)
+        for r in write_training_shards(spark, SF_SMOKE, out1).collect()
+    }
+    assert manifest and sum(n for n, _, _ in manifest.values()) == (
+        corpus_survivors(spark, SF_SMOKE).count()
+    )
+
+    # footer row counts per shard directory == manifest n_docs
+    for shard, (n_docs, n_tokens, _) in manifest.items():
+        parts = glob.glob(os.path.join(out1, f"shard={shard}", "*.parquet"))
+        assert parts, f"shard {shard} wrote no files"
+        rows = sum(pq.ParquetFile(p).metadata.num_rows for p in parts)
+        assert rows == n_docs
+
+    # read-back: disjoint doc sets, token sums match the manifest
+    back = spark.read.parquet(out1)
+    got = {
+        r.shard: (r.n, r.t)
+        for r in back.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_tokens").alias("t"),
+        )
+        .collect()
+    }
+    assert {
+        s: (n, t) for s, (n, t, _) in manifest.items()
+    } == got
+    assert back.select("doc_id").distinct().count() == back.count()
+
+    # determinism: a second write yields the identical per-shard
+    # doc_id SEQUENCE (order included — the seeded-shuffle contract)
+    out2 = str(tmp_path / "shards2")
+    write_training_shards(spark, SF_SMOKE, out2)
+
+    def seqs(d):
+        out = {}
+        for s in sorted(manifest):
+            parts = sorted(glob.glob(os.path.join(d, f"shard={s}", "*.parquet")))
+            out[s] = [
+                v
+                for p in parts
+                for v in pq.read_table(
+                    p, columns=["doc_id"]
+                )["doc_id"].to_pylist()
+            ]
+        return out
+
+    assert seqs(out1) == seqs(out2)
+
+
 def test_baseline_gate_branches(tmp_path):
     """Every branch of bench.baseline_gate (the ADVICE r8 fixes) in one
     table-driven pass: full-run ratio, sf mismatch, subset partial,

@@ -592,21 +592,38 @@ CASES = {
         4,  # custkey agg + nation agg + SinglePartition window + sort
     ),
     "dedup_canonical_pick": (
-        # best-vs-first keeper policy: cluster table (label-prop
-        # output, dup docs only) joins the zero-shuffle quality
-        # scorer, then BOTH picks fold in ONE cluster-grain
-        # aggregation (partial+final max_by/min_by over a totalized
-        # (score,-doc_id) order -> SortAggregate pair, map-side
-        # combinable).  NO window — that is the thesis vs
+        # best-vs-first keeper policy over the MATERIALIZED
+        # cluster_table artifact (r15: the component build runs once
+        # per corpus, this query prices the policy stage): the
+        # artifact parquet scan — WITH size stats, so the small
+        # dup-only side broadcasts (BuildLeft BHJ) — joins the
+        # zero-shuffle quality scorer, then BOTH picks fold in ONE
+        # cluster-grain aggregation (partial+final max_by/min_by over
+        # a totalized (score,-doc_id) order -> SortAggregate pair,
+        # map-side combinable).  NO window — that is the thesis vs
         # dedup_survivor_policy's row_number spelling — and no
-        # Python, no cartesian.  The quality side broadcasts at test
-        # SF; at 100 TB both sides exceed the threshold and Catalyst
-        # flips to an SMJ on doc_id, which is why SortMergeJoin is
-        # NOT in the forbid list
-        ["SortAggregate"],
+        # Python, no cartesian.  At 100 TB the artifact outgrows the
+        # broadcast threshold and Catalyst flips to an SMJ on doc_id,
+        # which is why SortMergeJoin is NOT in the forbid list
+        ["SortAggregate", "BroadcastHashJoin"],
         ["Window", "CartesianProduct", "BroadcastNestedLoopJoin",
          "FlatMapGroupsInPandas", "BatchEvalPython", "ArrowEvalPython"],
         1,  # the cluster-grain agg exchange
+    ),
+    "corpus_shard_manifest": (
+        # survivors ⋈ documents -> row-local shard/token/hash
+        # projection -> ONE <=n_shards-row agg (count/sum/bit_xor,
+        # all map-side combinable) + tiny sort.  The shuffle budget
+        # is the curation funnel it composes (quality gate + exact
+        # rank window + near-dup flags — priced end-to-end on
+        # purpose, like corpus_survivors); the manifest stage itself
+        # adds TWO exchanges (shard agg + sort).  No pair-grain
+        # join, no Python, no cartesian anywhere in the chain
+        ["HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin",
+         "FlatMapGroupsInPandas", "BatchEvalPython",
+         "ArrowEvalPython"],
+        12,  # funnel chain (10) + shard agg + terminal sort
     ),
     "q98_last_touch_attribution": (
         # ONE fact scan, ONE keyed (user-partitioned) window for the
@@ -621,16 +638,18 @@ CASES = {
         3,  # user window shuffle + channel agg + terminal sort
     ),
     "text_quality_calibration": (
-        # zero-shuffle scorer -> doc-grain LEFT join with the cluster
-        # table (SMJ: the label-prop output has no stats, broadcast
-        # is correctly refused; join type deliberately NOT pinned) ->
-        # 20-row fixed-bin agg -> tiny sort.  No window, no Python,
-        # no cartesian, and never a pair-grain join
+        # zero-shuffle scorer -> doc-grain LEFT join with the
+        # MATERIALIZED cluster_table artifact (r15: parquet scan WITH
+        # stats, so the small dup-only side broadcasts; at 100 TB it
+        # outgrows the threshold and flips to the doc-grain SMJ —
+        # join type deliberately NOT pinned) -> 20-row fixed-bin agg
+        # -> tiny sort.  No window, no Python, no cartesian, and
+        # never a pair-grain join
         ["HashAggregate"],
         ["Window", "CartesianProduct", "BroadcastNestedLoopJoin",
          "BatchEvalPython", "ArrowEvalPython",
          "FlatMapGroupsInPandas"],
-        4,  # join (2 sides) + bin agg + terminal sort
+        2,  # bin agg + terminal sort (join side broadcasts at test SF)
     ),
     "q100_rfm_segments": (
         # customer-grain agg exchange, then ONE nation-keyed exchange
@@ -644,6 +663,23 @@ CASES = {
         ["CartesianProduct", "BroadcastNestedLoopJoin",
          "BatchEvalPython", "ArrowEvalPython"],
         3,  # cust agg + nation window/rollup + terminal sort
+    ),
+    "q100_rfm_segments_approx": (
+        # the whale-nation fallback's thesis, pinned: NO Window and
+        # no per-nation sort anywhere — quintiles come from two
+        # sort-free passes (per-nation approx_percentile sketch agg,
+        # then the <=25-row threshold table broadcast back onto the
+        # customer grain for row-local scoring).  The two per_cust
+        # subtrees are the classic sketch bounds+score shape
+        # (sketch_hist_quantiles precedent); the rank guard and
+        # segment rollup are tiny-side aggs + broadcast joins.
+        # Customer joins broadcast at test SF (SMJ at 100x, so SMJ
+        # is not forbidden)
+        ["HashAggregate", "BroadcastHashJoin"],
+        ["Window", "CartesianProduct", "BroadcastNestedLoopJoin",
+         "FlatMapGroupsInPandas", "BatchEvalPython",
+         "ArrowEvalPython"],
+        10,  # 2x (per_cust agg pair) + thr agg + rollup + guard + sort
     ),
     "q99_linear_attribution": (
         # ONE fact scan, ONE user-keyed exchange + ONE sort serving
@@ -1421,9 +1457,11 @@ FACT_FANOUT_OK = {
     "dedup_containment_est", "dedup_pair_features",
     "dedup_training_triplets", "dedup_embedding_pairs_lsh",
     "dedup_split_leakage", "dedup_semantic", "dedup_threshold_curve",
-    # staged curation funnels — one pass per quality/exact/near stage:
+    # staged curation funnels — one pass per quality/exact/near stage
+    # (shard_manifest composes the survivors funnel plus its own
+    # token/hash projection over documents):
     "corpus_funnel", "corpus_funnel_xxhash", "corpus_survivors",
-    "corpus_forget_impact",
+    "corpus_forget_impact", "corpus_shard_manifest",
     # ANN index + query + (for guards) brute-force oracle over the
     # same embeddings; MMR re-ranks against the candidate pool:
     "sim_ivf_topk", "sim_ivfpq_topk", "sim_ivf_topk_pretrained",
@@ -1444,6 +1482,9 @@ FACT_FANOUT_OK = {
     "q88_basket_pairs",     # basket pair sides + basket sizes
     "q90_mad_outliers",     # median pass + MAD pass + flag pass
     "sketch_hist_quantiles",  # bounds pass + bin pass + readout
+    "q100_rfm_segments_approx",  # sketch pass + scoring pass (per_cust
+    # subtree planned twice — the classic two-pass threshold shape;
+    # in production pass 1's 25-row table is a per-corpus artifact)
 }
 
 
@@ -1466,8 +1507,10 @@ SELF_CACHE_OK = {
     # simhash fingerprint frame cached, reused per pair side:
     "dedup_simhash_pairs",
     # funnel flags cached: stage verdicts feed survivor + accounting
-    # branches (and the LSH pairs frame inside is count()-pinned):
+    # branches (and the LSH pairs frame inside is count()-pinned);
+    # shard_manifest consumes the same cached flags via survivors:
     "corpus_funnel", "corpus_funnel_xxhash", "corpus_survivors",
+    "corpus_shard_manifest",
     # normalized edge matrix cached: reused by every unrolled
     # PageRank iteration:
     "q51_nation_pagerank",
