@@ -1742,21 +1742,51 @@ def shard_assignments(spark: SparkSession, sf_dir: str,
     trainer's data loader streams), and because assignment is
     content-hash, INCREMENTAL corpus additions never reshuffle
     existing docs across shards."""
-    from .hashing import spark_h60
-
     surv = corpus_survivors(spark, sf_dir, hash_impl)
     docs = read_table(spark, sf_dir, "documents", ["doc_id", "text"])
-    shard = F.expr(
-        spark_h60("concat('shard', CAST(doc_id AS STRING))")
-    ) % n_shards
     return docs.join(surv, "doc_id").select(
-        "doc_id",
-        shard.cast("int").alias("shard"),
+        "doc_id", *_shard_proj(n_shards), "text"
+    )
+
+
+def _shard_proj(n_shards: int) -> list:
+    """The row-local shard projection over any (doc_id, text) frame —
+    shared by the batch assignment/manifest AND the streaming manifest
+    maintainer, so all consumers agree column-for-column by
+    construction."""
+    from .hashing import spark_h60
+
+    return [
+        (
+            F.expr(spark_h60("concat('shard', CAST(doc_id AS STRING))"))
+            % n_shards
+        ).cast("int").alias("shard"),
         F.expr(
             "size(split(lower(trim(text)), '\\\\s+'))"
         ).alias("n_tokens"),
         F.expr(spark_h60("text")).alias("doc_hash"),
-        "text",
+    ]
+
+
+def shard_manifest_of(docs: DataFrame,
+                      n_shards: int = N_TRAINING_SHARDS) -> DataFrame:
+    """Manifest over ANY (doc_id, text) frame — the building block
+    corpus_shard_manifest applies to the curation survivors, exposed
+    for composition (and for the streaming maintainer's batch twin).
+    Its aggregates are all DECOMPOSABLE (count/sum by addition, the
+    checksum by xor), which is the property that makes the manifest
+    incrementally maintainable and mergeable across corpus partitions
+    /days/ingest batches without a re-scan — property-tested
+    (manifest(A ∪ B) == merge(manifest(A), manifest(B)))."""
+    return (
+        docs.select(*_shard_proj(n_shards))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.expr("bit_xor(doc_hash)").alias("content_hash"),
+        )
+        .orderBy("shard")
     )
 
 
@@ -1774,19 +1804,15 @@ def corpus_shard_manifest(spark: SparkSession, sf_dir: str,
 
     ONE ≤n_shards-row aggregation over the assignment projection —
     map-side combinable (count/sum/xor all merge), so the manifest
-    costs one corpus pass regardless of shard count.  The file-layout
-    half lives in io.write_training_shards (same assignment frame,
+    costs one corpus pass regardless of shard count, and the SAME
+    decomposability makes it incrementally maintainable (the
+    streaming.shard_manifest_stream twin merges per-batch partials
+    into manifest-sized state with no re-scan).  The file-layout half
+    lives in io.write_training_shards (same assignment frame,
     partitioned write); this query IS its manifest, oracle-backed."""
-    a = shard_assignments(spark, sf_dir, hash_impl, n_shards)
-    return (
-        a.groupBy("shard")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tokens").alias("n_tokens"),
-            F.expr("bit_xor(doc_hash)").alias("content_hash"),
-        )
-        .orderBy("shard")
-    )
+    surv = corpus_survivors(spark, sf_dir, hash_impl)
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    return shard_manifest_of(docs.join(surv, "doc_id"), n_shards)
 
 
 def _duck_shard_manifest_sql() -> str:

@@ -1648,6 +1648,95 @@ def run_rollup_merge_to_completion(spark: SparkSession, in_dir: str,
     ).orderBy("event_date", "event_type")
 
 
+def shard_manifest_stream(spark: SparkSession, in_dir: str,
+                          state_dir: str, checkpoint_dir: str,
+                          n_shards: int | None = None):
+    """Streaming training-shard MANIFEST maintenance — incremental-view
+    maintenance for the shard accounting (the r15 training-shard
+    writer's live twin): as documents arrive, each micro-batch reduces
+    to per-shard partials (doc count, token count, bit_xor of per-doc
+    content hashes — dedup._shard_proj, the IDENTICAL row-local
+    projection the batch manifest and the shard writer use) and merges
+    into a manifest-sized state table.  Every aggregate is
+    DECOMPOSABLE — counts and token sums merge by addition, the
+    checksum by xor (associative, commutative, and order-insensitive,
+    exactly why the manifest chose xor over a positional hash) — so
+    maintenance is EXACT: the state after any prefix of the stream
+    equals the batch manifest over that prefix, row-for-row
+    (parity-tested, including across a mid-stream wave boundary).
+    Content-hash shard assignment means arriving docs NEVER reshuffle
+    existing manifest rows — each batch touches only the shards its
+    docs land in.
+
+    Raw-document grain ON PURPOSE: the streaming curation screen
+    (curation_stats_stream / contamination_screen_stream) is its own
+    operator, and production chains screen → manifest; fusing them
+    here would hide the screen's cost and couple two independently
+    replayable stages.
+
+    State size = n_shards rows, independent of stream length;
+    per-batch cost = batch + n_shards, never history.  The merge is
+    additive, so replay safety is the `_LAST_EPOCH` fence + atomic
+    swap (_state_commit) — the rollup_merge_stream discipline."""
+    import os as _os
+
+    from .extras.dedup import N_TRAINING_SHARDS, _shard_proj
+
+    if n_shards is None:
+        n_shards = N_TRAINING_SHARDS
+    docs = (
+        spark.readStream.schema(_DOC_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+
+    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        _state_recover(state_dir)
+        if epoch_id <= _state_last_epoch(state_dir):
+            return  # replayed epoch: already merged, skip
+        partial = (
+            batch_df.select(*_shard_proj(n_shards))
+            .groupBy("shard")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tokens").alias("n_tokens"),
+                F.expr("bit_xor(doc_hash)").alias("content_hash"),
+            )
+        )
+        if _os.path.exists(state_dir):
+            partial = partial.unionByName(
+                batch_df.sparkSession.read.parquet(state_dir)
+            )
+        merged = partial.groupBy("shard").agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.expr("bit_xor(content_hash)").alias("content_hash"),
+        )
+        _state_commit(merged, state_dir, epoch_id)
+
+    return (
+        docs.writeStream.outputMode("append")
+        .foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def run_shard_manifest_to_completion(spark: SparkSession, in_dir: str,
+                                     state_dir: str,
+                                     checkpoint_dir: str) -> DataFrame:
+    """Drive the manifest maintainer over the finite input and return
+    the final state shaped exactly like dedup.shard_manifest_of."""
+    q = shard_manifest_stream(spark, in_dir, state_dir, checkpoint_dir)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(state_dir).select(
+        "shard", "n_docs", "n_tokens", "content_hash"
+    ).orderBy("shard")
+
+
 def ams_f2_stream(events: DataFrame) -> DataFrame:
     """Streaming AMS F2 (tug-of-war) second-moment monitor — the
     incremental twin of extras.sketches.ams_f2, making that

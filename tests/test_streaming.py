@@ -3613,3 +3613,82 @@ def test_streaming_bloom_null_key_no_false_negative(spark, tmp_path):
     assert got[None] is True    # ingested NULL: must pass
     assert got[7] is True       # ingested ordinary key: must pass
     assert got[424242] is False  # absent key on a ~8-bit filter
+
+
+def test_shard_manifest_stream_matches_batch_and_merges(spark, tmp_path):
+    """shard_manifest_stream (r15): after draining a document stream
+    split into two waves, the maintained state equals the batch
+    shard_manifest_of over ALL docs row-for-row — counts, token sums
+    AND the xor checksum (exact, no float tolerance: every aggregate
+    is integral).  The mid-point is pinned too: after wave 1 alone the
+    state equals the batch manifest over wave-1 docs, which is the
+    incremental-maintenance claim made concrete (state after any
+    prefix == manifest of that prefix).  A restart on the same
+    checkpoint must not double-merge (epoch fence) — covered by
+    draining the same query object twice."""
+    from data_pipeline_and_visualization_dashboard_spark.extras.dedup import (
+        shard_manifest_of,
+    )
+
+    docs = spark.read.parquet(SF_SMOKE + "/documents.parquet")
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    rest = docs.filter(F.col("doc_id") % 2 == 1)
+    in_dir = str(tmp_path / "shard_in")
+    state = str(tmp_path / "shard_state")
+    ckpt = str(tmp_path / "shard_ckpt")
+    half.coalesce(1).write.parquet(in_dir, mode="append")
+
+    def snap():
+        return sorted(
+            map(tuple, spark.read.parquet(state).select(
+                "shard", "n_docs", "n_tokens", "content_hash"
+            ).collect())
+        )
+
+    q = streaming.shard_manifest_stream(spark, in_dir, state, ckpt)
+    try:
+        q.processAllAvailable()
+        assert snap() == sorted(
+            map(tuple, shard_manifest_of(half).collect())
+        )  # prefix state == prefix manifest
+        rest.coalesce(1).write.parquet(in_dir, mode="append")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    want = sorted(map(tuple, shard_manifest_of(docs).collect()))
+    assert snap() == want and len(want) > 0
+
+    # restart on the same checkpoint: no new input -> state unchanged
+    q2 = streaming.shard_manifest_stream(spark, in_dir, state, ckpt)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert snap() == want
+
+
+def test_shard_manifest_merge_property(spark):
+    """The decomposability claim on shard_manifest_of, asserted
+    directly: manifest(A ∪ B) == merge(manifest(A), manifest(B)) where
+    merge is (sum, sum, xor) per shard — the identity that makes the
+    manifest maintainable per ingest batch and mergeable across corpus
+    partitions without a re-scan."""
+    from data_pipeline_and_visualization_dashboard_spark.extras.dedup import (
+        shard_manifest_of,
+    )
+
+    docs = spark.read.parquet(SF_SMOKE + "/documents.parquet")
+    a = docs.filter(F.col("doc_id") % 3 == 0)
+    b = docs.filter(F.col("doc_id") % 3 != 0)
+    merged = (
+        shard_manifest_of(a).unionByName(shard_manifest_of(b))
+        .groupBy("shard")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.expr("bit_xor(content_hash)").alias("content_hash"),
+        )
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, shard_manifest_of(docs).collect())
+    )
