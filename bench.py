@@ -163,9 +163,10 @@ BASELINE_REFREEZE = {
     # cluster_table artifact (built once per corpus, priced in
     # index_build_sec) and prices the policy stage alone — new floor
     # from the BENCH_full_r15/r15.new 2-run pair (1.234/1.330, both
-    # hot-regime ratios 1.206/1.184, so the stricter-only clause may
-    # tighten this later):
-    "dedup_canonical_pick": 1.234,
+    # hot-regime ratios 1.206/1.184); tightened IN-SESSION per the
+    # stricter-only clause when the cooler third run
+    # (BENCH_full_r15.json.new2, ratio 1.132) read 1.140:
+    "dedup_canonical_pick": 1.140,
     # second r14 addition, first frozen at the BENCH_full_r14c/r14d
     # pair floor (0.556/0.647, both hot-regime) and re-frozen
     # DOWNWARD in the same session when the confirmation pair's run h
@@ -186,21 +187,24 @@ BASELINE_REFREEZE = {
     # materialized cluster_table artifact instead of re-running the
     # component build per query — new floor from the
     # BENCH_full_r15/r15.new 2-run pair (1.247/1.271, hot-regime
-    # runs, same tighten-later caveat as dedup_canonical_pick):
-    "text_quality_calibration": 1.247,
+    # runs); tightened in-session from the cooler third run
+    # (r15.new2):
+    "text_quality_calibration": 1.150,
     # r15 addition 1, frozen at its first committed >=2-run floor
     # (BENCH_full_r15/r15.new: 4.280/4.258).  The cost is the
     # end-to-end curation funnel the manifest composes (the survivors
     # chain stays deliberately uncached); the manifest's own stage is
-    # the <=n_shards-row agg on top:
-    "corpus_shard_manifest": 4.258,
+    # the <=n_shards-row agg on top.  Tightened in-session from the
+    # cooler third run (r15.new2, 3.887):
+    "corpus_shard_manifest": 3.887,
     # r15 addition 2, frozen at its first committed >=2-run floor
     # (BENCH_full_r15/r15.new: 1.804/2.090).  At sf0.1 the fallback
     # pays MORE than exact q100 (0.827): two fact passes + the
     # 24-indicator rank guard vs one cheap in-partition sort — the
     # honest bench-SF price of a spelling whose win is the removed
-    # per-nation sort at whale-nation scale (see the ladder wave):
-    "q100_rfm_segments_approx": 1.804,
+    # per-nation sort at whale-nation scale (see the ladder wave).
+    # Tightened in-session from the cooler third run (r15.new2):
+    "q100_rfm_segments_approx": 1.780,
 }
 
 def baseline_gate(timings: dict, sf: float, subset,
