@@ -434,7 +434,10 @@ def write_training_shards(
             F.expr(spark_h60("concat('order', CAST(doc_id AS STRING))")),
         )
         .repartition(n_shards, "shard")
-        .sortWithinPartitions("shard", "pos")
+        # doc_id tiebreak: h60 collisions are ~2^-60 per pair, but the
+        # determinism CONTRACT must not rest on "astronomically
+        # unlikely" — with the tiebreak the order is total, period
+        .sortWithinPartitions("shard", "pos", "doc_id")
         .drop("pos")
         .write.mode("overwrite")
         .partitionBy("shard")
