@@ -57,17 +57,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round-15 window (the precomputed rotation from VERDICT r14 ask #1),
 # staleness-first: the 12 r10-latest entries plus text_pack_bestfit —
 # the single registry entry with NO driver row ever (registered late
-# r13, displaced from the r14 window) — FIRST, then the first 35 of
-# the r11-latest cohort in CORRECTNESS_r11 order.  The round's two
-# new entries (corpus_shard_manifest, oracle-backed, and
-# q100_rfm_segments_approx, rows-only by design) displace from the
-# END per the standing rule — the rows-only entry displaces too,
-# deliberately: r14 showed what happens when a new rows-only entry
-# waits its turn (text_pack_bestfit sat driver-unchecked for two
-# rounds), so new entries of EITHER kind now get their first driver
-# row in their own round.  The displaced cohort tail
-# (sim_lang_centroids, sim_rp_topk — the 36th/37th r11-cohort
-# entries) leads the r16 queue after the remaining r11-latest cohort.
+# r13, displaced from the r14 window) — FIRST, then the first 34 of
+# the r11-latest cohort in CORRECTNESS_r11 order.  The round's three
+# new entries (corpus_shard_manifest and corpus_data_card,
+# oracle-backed, and q100_rfm_segments_approx, rows-only by design)
+# displace from the END per the standing rule — the rows-only entry
+# displaces too, deliberately: r14 showed what happens when a new
+# rows-only entry waits its turn (text_pack_bestfit sat
+# driver-unchecked for two rounds), so new entries of EITHER kind now
+# get their first driver row in their own round.  The displaced
+# cohort tail (sim_lsh_multiprobe_topk, sim_lang_centroids,
+# sim_rp_topk — the 35th-37th r11-cohort entries) leads the r16
+# queue's cohort remainder.
 _CHECK_FIRST = [
     "dedup_contamination",
     "q21_nation_revenue",
@@ -116,9 +117,9 @@ _CHECK_FIRST = [
     "text_gopher_rules",
     "q62_skew_stats",
     "sim_recall_eval",
-    "sim_lsh_multiprobe_topk",
     "corpus_shard_manifest",
     "q100_rfm_segments_approx",
+    "corpus_data_card",
 ]
 
 

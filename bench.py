@@ -37,7 +37,7 @@ def family(name: str) -> str:
             "text": "text", "media": "media"}.get(prefix, "other")
 
 # HEADLINE vs registry — the exclusion policy (VERDICT r6 next #7).
-# The registry holds 215 entries; HEADLINE benches 136.  The 79
+# The registry holds 216 entries; HEADLINE benches 137.  The 79
 # excluded entries fall into six families, each excluded for a reason,
 # not forgotten:
 #   1. display-grain chart twins / plan-shape variants of benched
@@ -164,9 +164,9 @@ BASELINE_REFREEZE = {
     # index_build_sec) and prices the policy stage alone — new floor
     # from the BENCH_full_r15/r15.new 2-run pair (1.234/1.330, both
     # hot-regime ratios 1.206/1.184); tightened IN-SESSION per the
-    # stricter-only clause when the cooler third run
-    # (BENCH_full_r15.json.new2, ratio 1.132) read 1.140:
-    "dedup_canonical_pick": 1.140,
+    # stricter-only clause by the cooler third run (r15.new2, 1.140)
+    # and again by run 5 (r15.new4, 1.137) — the 6-run session floor:
+    "dedup_canonical_pick": 1.137,
     # second r14 addition, first frozen at the BENCH_full_r14c/r14d
     # pair floor (0.556/0.647, both hot-regime) and re-frozen
     # DOWNWARD in the same session when the confirmation pair's run h
@@ -203,8 +203,15 @@ BASELINE_REFREEZE = {
     # 24-indicator rank guard vs one cheap in-partition sort — the
     # honest bench-SF price of a spelling whose win is the removed
     # per-nation sort at whale-nation scale (see the ladder wave).
-    # Tightened in-session from the cooler third run (r15.new2):
-    "q100_rfm_segments_approx": 1.780,
+    # Tightened in-session by run 3 (1.780) and again by run 6
+    # (r15.new5, 1.662):
+    "q100_rfm_segments_approx": 1.662,
+    # r15 addition 3, frozen at its first committed >=2-run floor
+    # (BENCH_full_r15.json.new4/.new5: 1.401/1.265, both hot-regime
+    # runs — ratios 1.233/1.267).  One quality pass + the broadcast
+    # cluster-artifact join + a tiny slice agg; most of the reading
+    # is the corpus scan the scorer shares with text_quality_score:
+    "corpus_data_card": 1.265,
 }
 
 def baseline_gate(timings: dict, sf: float, subset,
@@ -393,6 +400,7 @@ HEADLINE = [
     "corpus_funnel",  # end-to-end: quality gate -> exact -> near-dup
     "corpus_funnel_xxhash",  # same funnel on the production hash family
     "corpus_shard_manifest",  # survivors -> shard manifest (funnel + agg)
+    "corpus_data_card",  # per-(source, lang) release accounting
     "dedup_simhash_pairs",
     "dedup_containment_est",  # sketch-path containment over LSH candidates
     "dedup_snapshot_diff",  # content-hash corpus version diff

@@ -1832,6 +1832,116 @@ def _duck_shard_manifest_sql() -> str:
     """
 
 
+def corpus_data_card(spark: SparkSession, sf_dir: str,
+                     hash_impl: str = "md5") -> DataFrame:
+    """The corpus DATA CARD — the per-(source, lang) accounting table
+    every corpus release publishes (what LLM data papers tabulate as
+    "composition"): for each slice, document and token counts, the
+    slice's share of the corpus token budget, the quality gate's
+    keep-rate, and the near-dup rate.  The release-grain complement of
+    text_quality_calibration (which cross-tabs the SAME signals by
+    score bin): a curator reads the calibration to tune the filters
+    and the data card to describe what shipped.
+
+    Spark shape: ONE zero-shuffle pass over documents (quality_score
+    with (lang, source) passthrough — the scoring projection is
+    unchanged, the metadata rides along free), LEFT join with the
+    materialized cluster_table artifact (broadcasts at test SF, flips
+    to a doc-grain SMJ at 100 TB — never pair-grain), ONE tiny
+    (source × lang)-grain aggregation (all decomposable: counts,
+    sums, boolean means), then the token-share grand total as a W1
+    global window over the ≤|sources × langs|-row aggregate — the q96
+    idiom, chosen over a 1-row readout join so the fact subtree plans
+    once (fanout 1).  At 100 TB: one corpus scan, one doc-grain join,
+    one slice-grain shuffle; the global window folds dozens of rows.
+
+    Float discipline: shares/rates divide bigints cast to double and
+    round 6dp — identical expression trees in both engines (the
+    calibration op's avg-of-cast precedent)."""
+    from .text import quality_score
+
+    q = quality_score(spark, sf_dir, extra_cols=("lang", "source"))
+    groups = cluster_table(spark, sf_dir, hash_impl).select(
+        "doc_id", F.lit(True).alias("is_dup")
+    )
+    j = q.join(groups, "doc_id", "left").select(
+        "source",
+        "lang",
+        "token_cnt",
+        "kept",
+        F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+    )
+    agg = j.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("token_cnt").alias("n_tokens"),
+        F.round(F.avg(F.col("kept").cast("double")), 6).alias(
+            "kept_frac"
+        ),
+        F.sum(F.col("is_dup").cast("bigint")).alias("n_dup"),
+        F.round(F.avg(F.col("is_dup").cast("double")), 6).alias(
+            "dup_rate"
+        ),
+    )
+    total = F.sum("n_tokens").over(Window.partitionBy())
+    return agg.select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens").cast("double") / total.cast("double"), 6
+        ).alias("token_share"),
+        "kept_frac",
+        "n_dup",
+        "dup_rate",
+    ).orderBy("source", "lang")
+
+
+def _duck_data_card_sql() -> str:
+    from .text import _qs_weight_exprs
+
+    w = _qs_weight_exprs("duck")
+    return rf"""
+        WITH toked AS (
+            SELECT doc_id, lang, source,
+                   string_split_regex(lower(trim(text)), '\s+')
+                       AS tokens
+            FROM documents
+        ), scored AS (
+            SELECT doc_id, lang, source,
+                   CAST(len(tokens) AS INT) AS token_cnt,
+                   list_reduce(list_transform(tokens, t -> {w}),
+                               (acc, x) -> acc + x) AS score_sum
+            FROM toked
+        ), q AS (
+            SELECT doc_id, lang, source, token_cnt,
+                   (score_sum / token_cnt) > 0 AS kept
+            FROM scored
+        ), groups AS ({_duck_neardup_groups_sql()}),
+        agg AS (
+            SELECT q.source, q.lang,
+                   count(*) AS n_docs,
+                   CAST(sum(q.token_cnt) AS BIGINT) AS n_tokens,
+                   round(avg(CASE WHEN q.kept THEN 1.0 ELSE 0.0 END),
+                         6) AS kept_frac,
+                   CAST(sum(CASE WHEN g.doc_id IS NOT NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_dup,
+                   round(avg(CASE WHEN g.doc_id IS NOT NULL
+                                  THEN 1.0 ELSE 0.0 END), 6)
+                       AS dup_rate
+            FROM q LEFT JOIN groups g ON q.doc_id = g.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT source, lang, n_docs, n_tokens,
+               round(CAST(n_tokens AS DOUBLE)
+                     / CAST(sum(n_tokens) OVER () AS DOUBLE), 6)
+                   AS token_share,
+               kept_frac, n_dup, dup_rate
+        FROM agg ORDER BY source, lang
+    """
+
+
 TRIPLET_BUCKETS = 64
 
 
@@ -3013,6 +3123,7 @@ QUERIES = {
     "corpus_funnel_xxhash": corpus_funnel_xxhash,
     "corpus_survivors": corpus_survivors,
     "corpus_shard_manifest": corpus_shard_manifest,
+    "corpus_data_card": corpus_data_card,
     "dedup_contamination": contamination,
     "dedup_contamination_multi": contamination_multi,
     "dedup_survivor_policy": survivor_policy,
@@ -3031,6 +3142,7 @@ QUERIES = {
 
 ORACLE_SQL["dedup_canonical_pick"] = _duck_canonical_pick_sql()
 ORACLE_SQL["corpus_shard_manifest"] = _duck_shard_manifest_sql()
+ORACLE_SQL["corpus_data_card"] = _duck_data_card_sql()
 ORACLE_SQL["dedup_containment_topk"] = _DUCK_CONTAINMENT_TOPK_SQL
 ORACLE_SQL["dedup_containment_est"] = _duck_containment_est_sql()
 ORACLE_SQL["dedup_snapshot_diff"] = _DUCK_SNAPSHOT_DIFF_SQL

@@ -1640,7 +1640,8 @@ def _qs_weight_exprs(dialect: str) -> str:
     return f"((({duck_base_hash(seeded)}) % 2001) - 1000) / 1000.0"
 
 
-def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+def quality_score(spark: SparkSession, sf_dir: str,
+                  extra_cols: tuple = ()) -> DataFrame:
     """Linear quality classifier with the hashing trick (the fastText
     recipe — Joulin et al. 2017; feature hashing per Weinberger et al.
     2009): hash each token to one of QS_DIM buckets, score the doc as
@@ -1653,19 +1654,31 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     The score stays LINEAR (no sigmoid): the keep decision is invariant
     to the monotone link, and avoiding transcendentals keeps the
     differential oracle exact — sum order matches too (left fold in
-    array order in both engines)."""
+    array order in both engines).
+
+    extra_cols: optional passthrough metadata columns (e.g. ("lang",
+    "source") for corpus_data_card) carried alongside the score at
+    zero extra cost — the scan stays single-pass, the scoring
+    expressions are unchanged, and the default keeps every existing
+    consumer and the oracle twin byte-identical."""
     w = _qs_weight_exprs("spark")
-    docs = read_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    extra = list(extra_cols)
+    docs = read_table(
+        spark, sf_dir, "documents", ["doc_id", "text", *extra]
+    )
     return docs.selectExpr(
         "doc_id",
+        *extra,
         "split(lower(trim(text)), '\\\\s+') AS tokens",
     ).selectExpr(
         "doc_id",
+        *extra,
         "size(tokens) AS token_cnt",
         f"aggregate(transform(tokens, t -> {w}),"
         " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) AS score_sum",
     ).selectExpr(
         "doc_id",
+        *extra,
         "token_cnt",
         "score_sum",
         "score_sum / token_cnt AS score_mean",

@@ -1966,3 +1966,36 @@ def test_ams_f2_estimate_envelope(spark):
     r = ams_f2(spark, SF_CORRECT).first()
     assert r.f2_exact > 0 and r.ams_est > 0
     assert r.rel_err <= 0.75
+
+
+def test_corpus_data_card_invariants(spark):
+    """corpus_data_card: token shares partition the corpus budget
+    (sum == 1 within rounding of the ≤|slices| 6dp-rounded shares),
+    doc/token totals equal the raw per-doc sums, dup counts equal the
+    cluster-membership counts per slice, and every rate sits in
+    [0, 1]."""
+    from data_pipeline_and_visualization_dashboard_spark.extras.dedup import (
+        cluster_table, corpus_data_card,
+    )
+    from data_pipeline_and_visualization_dashboard_spark.extras.text import (
+        quality_score,
+    )
+
+    rows = corpus_data_card(spark, SF_SMOKE).collect()
+    assert rows
+    assert abs(sum(r.token_share for r in rows) - 1.0) <= 5e-6 * len(rows)
+    for r in rows:
+        assert 0.0 <= r.kept_frac <= 1.0
+        assert 0.0 <= r.dup_rate <= 1.0
+        assert 0 <= r.n_dup <= r.n_docs
+
+    q = quality_score(spark, SF_SMOKE, extra_cols=("lang", "source"))
+    per_doc = q.select("doc_id", "lang", "source", "token_cnt").collect()
+    dup_ids = {r.doc_id for r in cluster_table(spark, SF_SMOKE).collect()}
+    want = {}
+    for d in per_doc:
+        k = (d.source, d.lang)
+        n, t, dup = want.get(k, (0, 0, 0))
+        want[k] = (n + 1, t + d.token_cnt, dup + (d.doc_id in dup_ids))
+    got = {(r.source, r.lang): (r.n_docs, r.n_tokens, r.n_dup) for r in rows}
+    assert got == want

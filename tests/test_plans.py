@@ -625,6 +625,21 @@ CASES = {
          "ArrowEvalPython"],
         12,  # funnel chain (10) + shard agg + terminal sort
     ),
+    "corpus_data_card": (
+        # ONE zero-shuffle quality pass over documents (fanout 1 —
+        # (lang, source) ride the scoring projection free) -> LEFT
+        # join with the cluster_table artifact (broadcasts at test
+        # SF, doc-grain SMJ at 100 TB — not pinned) -> tiny
+        # (source x lang) agg -> W1 global window over the <=dozens-
+        # row aggregate for token shares (the q96 idiom; whitelisted
+        # in GLOBAL_WINDOW_OK) -> tiny sort.  No Python, no
+        # cartesian, never pair-grain
+        ["HashAggregate", "Window"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin",
+         "FlatMapGroupsInPandas", "BatchEvalPython",
+         "ArrowEvalPython"],
+        3,  # slice agg + SinglePartition share fold + terminal sort
+    ),
     "q98_last_touch_attribution": (
         # ONE fact scan, ONE keyed (user-partitioned) window for the
         # last-touch carry-forward — never a global sort — then a
@@ -1403,6 +1418,9 @@ GLOBAL_WINDOW_OK = {
     # the fact subtree is planned once (fanout 1, unlike q95's
     # bounds-then-use double pass)
     "q96_theil_decomposition",
+    # same idiom: token-share fold over the <=|sources x langs|-row
+    # slice aggregate
+    "corpus_data_card",
 }
 
 # the deliberate BroadcastNestedLoopJoin idiom: a 1-row/tiny broadcast
