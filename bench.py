@@ -194,9 +194,9 @@ BASELINE_REFREEZE = {
     # (BENCH_full_r15/r15.new: 4.280/4.258).  The cost is the
     # end-to-end curation funnel the manifest composes (the survivors
     # chain stays deliberately uncached); the manifest's own stage is
-    # the <=n_shards-row agg on top.  Tightened in-session from the
-    # cooler third run (r15.new2, 3.887):
-    "corpus_shard_manifest": 3.887,
+    # the <=n_shards-row agg on top.  Tightened in-session by run 3
+    # (r15.new2, 3.887) and again by run 7 (r15.new6, 3.479):
+    "corpus_shard_manifest": 3.479,
     # r15 addition 2, frozen at its first committed >=2-run floor
     # (BENCH_full_r15/r15.new: 1.804/2.090).  At sf0.1 the fallback
     # pays MORE than exact q100 (0.827): two fact passes + the
@@ -210,8 +210,9 @@ BASELINE_REFREEZE = {
     # (BENCH_full_r15.json.new4/.new5: 1.401/1.265, both hot-regime
     # runs — ratios 1.233/1.267).  One quality pass + the broadcast
     # cluster-artifact join + a tiny slice agg; most of the reading
-    # is the corpus scan the scorer shares with text_quality_score:
-    "corpus_data_card": 1.265,
+    # is the corpus scan the scorer shares with text_quality_score.
+    # Tightened in-session by run 7 (r15.new6, 1.175):
+    "corpus_data_card": 1.175,
 }
 
 def baseline_gate(timings: dict, sf: float, subset,
