@@ -215,6 +215,23 @@ BASELINE_REFREEZE = {
     "corpus_data_card": 1.175,
 }
 
+# headline queries that READ a materialized per-corpus artifact
+# instead of rebuilding it per call — their frozen floors price the
+# consuming stage alone, so any bench path that skips the artifact
+# builds (SPARK_GRAFT_BENCH_SKIP_INDEX subset ladders) must still warm
+# these artifacts or the first consumer pays the build inside its
+# timed window (ADVICE r15 #2)
+CLUSTER_ARTIFACT_CONSUMERS = {
+    "dedup_canonical_pick",
+    "dedup_survivor_policy",
+    "text_quality_calibration",
+    "corpus_data_card",
+}
+SURVIVORS_ARTIFACT_CONSUMERS = {
+    "corpus_shard_manifest",
+}
+
+
 def baseline_gate(timings: dict, sf: float, subset,
                   base_path: str | None = None):
     """BASELINE.md gate, computed automatically (VERDICT r7 wrong #1):
@@ -274,6 +291,27 @@ def baseline_gate(timings: dict, sf: float, subset,
             baseline_skip_reason)
 
 
+def _infer_session_round(repo_dir: str) -> str | None:
+    """Highest round NN with a committed/diverted full-run archive
+    (`BENCH_full_r{NN}*.json*`) in the repo — the round the CURRENT
+    session is building, when the caller didn't say (VERDICT r15
+    wrong #1: the DRIVER's bench invocation sets neither --round nor
+    SPARK_GRAFT_ROUND, so its committed BENCH_r{N}.json recorded the
+    degenerate single-run "floor" while the session's real multi-run
+    floor sat in the archives the glob would have found).  Letter
+    siblings (r14b) and .new siblings both count; files that don't
+    parse the round number are ignored."""
+    import glob
+    import re as _re
+
+    best = None
+    for p in glob.glob(os.path.join(repo_dir, "BENCH_full_r*.json*")):
+        m = _re.match(r"BENCH_full_r(\d+)", os.path.basename(p))
+        if m:
+            best = max(best or 0, int(m.group(1)))
+    return None if best is None else str(best)
+
+
 def session_floor_gate(timings: dict, sf: float, subset, rnd,
                        repo_dir: str | None = None,
                        base_path: str | None = None):
@@ -286,22 +324,33 @@ def session_floor_gate(timings: dict, sf: float, subset, rnd,
     floors"; this emits that number in the driver-visible record.
 
     Per-query floor = min over THIS run and every archived full run of
-    the same round (BENCH_full_r{NN}.json plus any diverted .new/.newK
-    siblings — same sf, full-headline runs only), then the standard
-    baseline_gate ratio over the floor map.  Subset waves and
-    round-less runs get the current run alone (floor == single run, a
-    degenerate but honest reading).  Returns (ratio, n_runs)."""
+    the same round — `BENCH_full_r{NN}.json`, letter-suffix siblings
+    (`_r{NN}b.json`, the r13/r14 divert convention) AND dotted .new/
+    .newK siblings (the r15 one); same sf, full-headline runs only —
+    then the standard baseline_gate ratio over the floor map.  When
+    the caller gives no round (the driver's invocation), the round is
+    INFERRED from the highest archive present (VERDICT r15 wrong #1)
+    so the committed record carries the session's real floor instead
+    of the single-draw degenerate.  Subset waves still get the
+    current run alone.  Returns (ratio, n_runs)."""
     import glob
 
     if repo_dir is None:
         repo_dir = os.path.dirname(os.path.abspath(__file__))
+    if rnd is None and subset is None:
+        rnd = _infer_session_round(repo_dir)
     floors = dict(timings)
     n_runs = 1
     if subset is None and rnd is not None:
-        pattern = os.path.join(
-            repo_dir, f"BENCH_full_r{int(rnd):02d}.json*"
+        # both divert conventions (VERDICT r15 wrong #3): the dotted
+        # .new siblings AND the letter-suffix siblings — a record in
+        # either style is a same-session run the floor must see
+        stem = os.path.join(repo_dir, f"BENCH_full_r{int(rnd):02d}")
+        paths = sorted(
+            set(glob.glob(stem + ".json*"))
+            | set(glob.glob(stem + "[a-z].json*"))
         )
-        for p in sorted(glob.glob(pattern)):
+        for p in paths:
             try:
                 with open(p) as f:
                     rec = json.load(f)
@@ -616,7 +665,28 @@ def main() -> None:
     skip_index = os.environ.get("SPARK_GRAFT_BENCH_SKIP_INDEX") == "1"
     if skip_index:
         ivf_build = pq_build = disk_build = bpe_build = -1.0
-        cluster_build = -1.0
+        cluster_build = survivors_build = -1.0
+        # ADVICE r15 #2: a skip-index ladder/subset run whose headline
+        # still contains an ARTIFACT-CONSUMING query must not let that
+        # query pay the full artifact build inside its timed window —
+        # the artifact-era floors (dedup_canonical_pick 1.137 etc.)
+        # were re-based assuming the build is priced separately, so a
+        # cold-warehouse skip run would read as a fake 2x+ regression.
+        # Warm exactly the artifacts the headline consumes, timed into
+        # their build lines (so the record still prices them).
+        from data_pipeline_and_visualization_dashboard_spark.extras.dedup import (
+            cluster_table,
+            survivors_table,
+        )
+
+        if set(headline) & CLUSTER_ARTIFACT_CONSUMERS:
+            t0 = time.perf_counter()
+            cluster_table(spark, sf_dir)
+            cluster_build = round(time.perf_counter() - t0, 3)
+        if set(headline) & SURVIVORS_ARTIFACT_CONSUMERS:
+            t0 = time.perf_counter()
+            survivors_table(spark, sf_dir)
+            survivors_build = round(time.perf_counter() - t0, 3)
     else:
         t0 = time.perf_counter()
         ivf_index(spark, sf_dir)
@@ -636,6 +706,7 @@ def main() -> None:
         bpe_build = round(time.perf_counter() - t0, 3)
         from data_pipeline_and_visualization_dashboard_spark.extras.dedup import (
             cluster_table,
+            survivors_table,
         )
 
         # near-dup component artifact (r15): built once per corpus,
@@ -646,10 +717,19 @@ def main() -> None:
         t0 = time.perf_counter()
         cluster_table(spark, sf_dir)
         cluster_build = round(time.perf_counter() - t0, 3)
+        # curation-survivor artifact (r16, VERDICT r15 ask #4): built
+        # once per corpus, consumed by corpus_shard_manifest + the
+        # shard writer so they price their own stage; corpus_funnel /
+        # corpus_survivors stay on the fresh chain so the end-to-end
+        # funnel cost remains measured
+        t0 = time.perf_counter()
+        survivors_table(spark, sf_dir)
+        survivors_build = round(time.perf_counter() - t0, 3)
         print(
             f"# index build: ivf {ivf_build}s, pq codebook {pq_build}s, "
             f"disk index {disk_build}s, bpe merges {bpe_build}s, "
-            f"cluster table {cluster_build}s",
+            f"cluster table {cluster_build}s, "
+            f"survivors table {survivors_build}s",
             flush=True,
         )
 
@@ -704,7 +784,8 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     index_build = {"ivf": ivf_build, "pq_codebook": pq_build,
                    "disk_index": disk_build, "bpe_merges": bpe_build,
-                   "cluster_table": cluster_build}
+                   "cluster_table": cluster_build,
+                   "survivors_table": survivors_build}
 
     (baseline_ratio, baseline_ratio_partial, baseline_n_common,
      baseline_skip_reason) = baseline_gate(timings, sf, subset)

@@ -74,6 +74,8 @@ class CorpusPipelineResult:
     n_survivors: int
     n_packs: int
     n_merges: int
+    n_shards: int       # shard directories written under out/shards
+    manifest: list      # per-shard (n_docs, n_tokens, checksum) rows
 
 
 def run_corpus_pipeline(
@@ -100,19 +102,35 @@ def run_corpus_pipeline(
       5. curated corpus chunked, packed, split →
          out/packs.parquet, out/splits.parquet;
       6. retrieval index over the curated corpus →
-         out/index.parquet.
+         out/index.parquet;
+      7. (r16, VERDICT r15 ask #3 — the release loop closed) the
+         curated corpus written as training SHARD FILES
+         (out/shards/shard=NNN/, deterministic content-hash layout
+         via io.write_training_shards with curated=True: every
+         curated doc ships, no second funnel), the per-shard
+         accounting recomputed FROM THE WRITTEN FILES →
+         out/shard_manifest.parquet, and the per-(source, lang)
+         release data card → out/data_card.parquet.
 
     Every artifact is a plain parquet table a cluster job can read
     back; each stage is the already-oracle-backed operator, so the
-    runner adds orchestration, not new semantics."""
+    runner adds orchestration, not new semantics.  One call now emits
+    the COMPLETE release: curated parquet, PII report, contamination
+    report, tokenizer, packs/splits, index, shard files, manifest,
+    data card."""
     import os
 
     from pyspark.sql import functions as SF
 
     from .extras.bpe import bpe_train
-    from .extras.dedup import _funnel_flags, contamination_multi
+    from .extras.dedup import (
+        _funnel_flags,
+        contamination_multi,
+        corpus_data_card,
+    )
     from .extras.search import index_postings
     from .extras.text import PII_RULES, packing, scrub_pii, split_assign
+    from .io import write_training_shards
 
     # ONE _funnel_flags frame feeds both the accounting row and the
     # survivor ids: corpus_funnel + corpus_survivors each rebuild it,
@@ -176,6 +194,28 @@ def run_corpus_pipeline(
         index_postings(spark, curated_dir),
         os.path.join(out_dir, "index.parquet"),
     )
+    # 7. the release loop closed (VERDICT r15 ask #3): shard files
+    # over the CURATED (scrubbed) corpus — curated=True because the
+    # funnel already ran; re-running it on its own survivors would
+    # double-filter and double-pay — manifest recomputed from the
+    # written files (so it accounts for what is actually on disk,
+    # scrubbed text included), and the release data card over the RAW
+    # corpus (keep-rates/dup-rates describe the curation decisions,
+    # which need the pre-curation denominator)
+    shards_dir = os.path.join(out_dir, "shards")
+    manifest_df = write_training_shards(
+        spark, curated_dir, shards_dir, curated=True
+    )
+    write_parquet(
+        manifest_df, os.path.join(out_dir, "shard_manifest.parquet")
+    )
+    manifest = spark.read.parquet(
+        os.path.join(out_dir, "shard_manifest.parquet")
+    ).orderBy("shard").collect()
+    write_parquet(
+        corpus_data_card(spark, sf_dir),
+        os.path.join(out_dir, "data_card.parquet"),
+    )
     return CorpusPipelineResult(
         funnel=funnel,
         out_dir=out_dir,
@@ -184,4 +224,6 @@ def run_corpus_pipeline(
             os.path.join(out_dir, "packs.parquet")
         ).count(),
         n_merges=merges_df.count(),
+        n_shards=len(manifest),
+        manifest=manifest,
     )

@@ -1524,12 +1524,16 @@ def test_cluster_table_artifact_identity_and_rebuild(spark, tmp_path):
     (cached ≡ fresh), a second call serves from the SAME parquet
     generation without rebuilding (pinned via the artifact's mtime),
     and a corpus-mtime bump invalidates the generation (stale dir
-    removed, new one built)."""
+    removed, new one built) — while generations of a DIFFERENT corpus
+    that happens to share a basename are left alone (ADVICE r15 #1:
+    the generation key folds a digest of the absolute path, and
+    eviction parses the key exactly instead of prefix-matching)."""
     import glob
     import os
 
     from data_pipeline_and_visualization_dashboard_spark.extras.dedup import (
-        _documents_mtime, cluster_table, dedup_neardup_groups,
+        _corpus_key, _documents_mtime, cluster_table,
+        dedup_neardup_groups,
     )
 
     fresh = sorted(
@@ -1544,8 +1548,8 @@ def test_cluster_table_artifact_identity_and_rebuild(spark, tmp_path):
     )
     gen = os.path.join(
         root,
-        f"sf0.001_{_documents_mtime(SF_SMOKE)}_md5",
-        "groups.parquet",
+        f"{_corpus_key(SF_SMOKE)}_{_documents_mtime(SF_SMOKE)}_md5",
+        "data.parquet",
     )
     assert os.path.exists(gen)
     stamp = max(os.path.getmtime(p) for p in glob.glob(gen + "/*"))
@@ -1555,20 +1559,61 @@ def test_cluster_table_artifact_identity_and_rebuild(spark, tmp_path):
         os.path.getmtime(p) for p in glob.glob(gen + "/*")
     )  # served, not rebuilt
 
-    # stale-generation eviction: plant a fake older generation dir and
-    # force a rebuild by pointing at a COPY of the corpus (fresh mtime)
-    fake = os.path.join(root, "sf0.001_0_md5", "groups.parquet")
-    os.makedirs(fake, exist_ok=True)
+    # stale-generation eviction: plant a fake older generation of the
+    # SAME corpus-to-be (a copy under tmp_path, so its key digest
+    # differs from the real testdata corpus despite the shared
+    # basename) and force a rebuild by pointing at the copy
     import shutil
 
     corpus2 = tmp_path / "sf0.001"
     shutil.copytree(SF_SMOKE, corpus2)
     os.utime(corpus2 / "documents.parquet")  # copytree kept the mtime
+    fake = os.path.join(
+        root, f"{_corpus_key(str(corpus2))}_0_md5", "data.parquet"
+    )
+    os.makedirs(fake, exist_ok=True)
     rebuilt = sorted(
         map(tuple, cluster_table(spark, str(corpus2)).collect())
     )
     assert rebuilt == fresh  # same corpus content, same components
     assert not os.path.exists(fake)  # stale generation removed
+    # the same-basename-but-different-path corpus did NOT evict the
+    # real corpus's generation (the ADVICE r15 #1 collision fix)
+    assert os.path.exists(gen)
+
+
+def test_survivors_table_artifact_identity(spark):
+    """survivors_table (VERDICT r15 ask #4): the materialized survivor
+    artifact carries exactly the corpus_survivors membership (cached ≡
+    fresh), and its per-doc readouts (n_tokens, doc_hash) match a
+    fresh row-local computation over the surviving documents — so the
+    artifact-consuming manifest is accounting over the same facts the
+    funnel chain would have produced."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_and_visualization_dashboard_spark.extras.dedup import (
+        _token_hash_proj, corpus_survivors, survivors_table,
+    )
+    from data_pipeline_and_visualization_dashboard_spark.io import (
+        read_table,
+    )
+
+    art = sorted(map(tuple, survivors_table(spark, SF_SMOKE).collect()))
+    assert len(art) > 0
+    fresh_ids = sorted(
+        r.doc_id for r in corpus_survivors(spark, SF_SMOKE).collect()
+    )
+    assert [r[0] for r in art] == fresh_ids
+    docs = read_table(spark, SF_SMOKE, "documents", ["doc_id", "text"])
+    fresh = sorted(
+        map(
+            tuple,
+            docs.filter(F.col("doc_id").isin(fresh_ids))
+            .select("doc_id", *_token_hash_proj())
+            .collect(),
+        )
+    )
+    assert art == fresh
 
 
 def test_canonical_pick_prices_first_doc_policy(spark):

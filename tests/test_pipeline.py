@@ -189,6 +189,58 @@ def test_run_corpus_pipeline_writes_all_artifacts(spark, tmp_path):
     assert pii.docs_scrubbed == res.n_survivors
     assert all(pii[f"n_{name}"] >= 0 for name, _ in PII_RULES)
 
+    # r16, the release loop closed (VERDICT r15 ask #3): shard files +
+    # manifest + data card complete the release in the same call.
+    # (a) shard-file layout ≡ manifest, pinned at the parquet footer
+    # (the write_training_shards pattern): per-directory footer row
+    # counts match the manifest's n_docs shard-for-shard, and the
+    # manifest's doc total is exactly the curated corpus
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    manifest = {
+        r.shard: (r.n_docs, r.n_tokens)
+        for r in spark.read.parquet(
+            f"{out}/shard_manifest.parquet"
+        ).collect()
+    }
+    assert res.n_shards == len(manifest) > 0
+    assert sum(n for n, _ in manifest.values()) == res.n_survivors
+    for shard, (n_docs, _) in manifest.items():
+        parts = _glob.glob(
+            _os.path.join(out, "shards", f"shard={shard}", "*.parquet")
+        )
+        assert parts, f"shard {shard} wrote no files"
+        rows = sum(_pq.ParquetFile(p).metadata.num_rows for p in parts)
+        assert rows == n_docs
+    # shards carry the SCRUBBED text (written from out/curated): the
+    # PII gate holds on the shard files too
+    shards_back = spark.read.parquet(f"{out}/shards")
+    for name, pat in PII_RULES:
+        assert shards_back.filter(
+            F.regexp_count("text", F.lit(pat)) > 0
+        ).count() == 0, f"shard files leak {name}"
+    # (b) data-card totals ≡ funnel accounting: the card's doc total
+    # is the raw corpus (the funnel's pre-curation denominator), the
+    # token-share column partitions to 1, and the card's near-dup
+    # accounting matches the materialized cluster membership the
+    # funnel's near-dup stage consumed.  (kept_frac deliberately NOT
+    # tied to removed_quality: the card reports the LEARNED scorer's
+    # keep-rate, the funnel gate is the Gopher rule set — different
+    # instruments by design.)
+    from data_pipeline_and_visualization_dashboard_spark.extras.dedup import (
+        cluster_table,
+    )
+
+    card = spark.read.parquet(f"{out}/data_card.parquet").collect()
+    assert sum(r.n_docs for r in card) == res.funnel["docs_in"]
+    assert abs(sum(r.token_share for r in card) - 1.0) < 1e-4
+    assert sum(r.n_dup for r in card) == cluster_table(
+        spark, SF_SMOKE
+    ).count()
+
 
 def test_zorder_write_prunes_trailing_dim_predicates(spark, tmp_path):
     """The q86 layout claim, materialized: write the events bucket
@@ -288,7 +340,7 @@ def test_write_training_shards_layout_and_determinism(spark, tmp_path):
     from pyspark.sql import functions as F
 
     from data_pipeline_and_visualization_dashboard_spark.extras.dedup import (
-        corpus_survivors,
+        corpus_shard_manifest, corpus_survivors,
     )
     from data_pipeline_and_visualization_dashboard_spark.io import (
         write_training_shards,
@@ -302,6 +354,13 @@ def test_write_training_shards_layout_and_determinism(spark, tmp_path):
     assert manifest and sum(n for n, _, _ in manifest.values()) == (
         corpus_survivors(spark, SF_SMOKE).count()
     )
+    # the returned manifest is recomputed from the WRITTEN FILES
+    # (ADVICE r15 #4); the artifact-side registry query must agree
+    # row-for-row — files on disk ≡ survivors_table accounting
+    assert manifest == {
+        r.shard: (r.n_docs, r.n_tokens, r.content_hash)
+        for r in corpus_shard_manifest(spark, SF_SMOKE).collect()
+    }
 
     # footer row counts per shard directory == manifest n_docs
     for shard, (n_docs, n_tokens, _) in manifest.items():
