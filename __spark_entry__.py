@@ -54,72 +54,70 @@ def entry(spark: SparkSession) -> DataFrame:
 # holds at least one green driver row, zero failures ever, and no
 # entry is vacuously green (fleet-wide ≥1-row guard,
 # tests/test_queries.py).
-# Round-15 window (the precomputed rotation from VERDICT r14 ask #1),
-# staleness-first: the 12 r10-latest entries plus text_pack_bestfit —
-# the single registry entry with NO driver row ever (registered late
-# r13, displaced from the r14 window) — FIRST, then the first 34 of
-# the r11-latest cohort in CORRECTNESS_r11 order.  The round's three
-# new entries (corpus_shard_manifest and corpus_data_card,
-# oracle-backed, and q100_rfm_segments_approx, rows-only by design)
-# displace from the END per the standing rule — the rows-only entry
-# displaces too, deliberately: r14 showed what happens when a new
-# rows-only entry waits its turn (text_pack_bestfit sat
-# driver-unchecked for two rounds), so new entries of EITHER kind now
-# get their first driver row in their own round.  The displaced
-# cohort tail (sim_lsh_multiprobe_topk, sim_lang_centroids,
-# sim_rp_topk — the 35th-37th r11-cohort entries) leads the r16
-# queue's cohort remainder.
+# Round-16 window (the precomputed rotation from VERDICT r15 ask #1),
+# staleness-first: the 16 r11-latest entries FIRST (note
+# dedup_survivor_policy re-verifies the r15 cluster-table
+# re-plumbing), then the first 32 of the r12-latest cohort in
+# CORRECTNESS_r12 order.  Two end-displacements per the standing
+# rule: corpus_release_diff_card (NEW this round, oracle-backed —
+# new entries get their first driver row in their own round) and
+# corpus_shard_manifest (re-plumbed this round to consume the
+# survivors_table artifact — the r15 survivor_policy lesson says
+# engine-changed entries re-verify promptly, not a rotation later).
+# The displaced cohort tail (text_search_bm25, dedup_snapshot_diff —
+# the 33rd-34th r12-cohort entries) leads the r17 queue's cohort
+# remainder.
 _CHECK_FIRST = [
-    "dedup_contamination",
-    "q21_nation_revenue",
-    "q91_decayed_engagement",
-    "q92_value_gini",
-    "q93_rrf_fusion",
-    "sketch_kmv_overlap",
-    "text_bpe_apply",
-    "text_bpe_train",
-    "text_hashed_features",
-    "text_index_postings",
-    "text_search_phrase",
-    "text_search_ranked",
-    "text_pack_bestfit",
-    "dedup_embedding_pairs_lsh",
-    "sim_pq_codes",
-    "sim_pq_adc_topk",
-    "sim_sq_topk",
-    "sim_lsh_buckets",
-    "sketch_countmin",
-    "sketch_countmin_topk_est",
-    "sketch_hll_registers",
-    "sketch_hll_estimate",
-    "text_tokens_bpe",
-    "text_quality_filter",
-    "text_repetition",
-    "text_tfidf_topk",
-    "text_vocab",
-    "text_vocab_encode",
-    "text_chunks",
-    "text_packing",
-    "text_split_assign",
-    "media_resized",
-    "dedup_hash_stage_md5",
-    "dedup_semantic",
-    "text_scrub_pii",
-    "text_mix_sample",
-    "text_line_dedup",
-    "dedup_neardup_groups_lsss",
-    "text_dup_ngrams",
-    "text_quality_score",
-    "text_dsir_weights",
-    "q60_bucketed_join",
-    "q61_profile_events",
-    "dedup_incremental_exact",
-    "text_gopher_rules",
-    "q62_skew_stats",
-    "sim_recall_eval",
+    "sim_lsh_multiprobe_topk",
+    "sim_lang_centroids",
+    "sim_rp_topk",
+    "sim_lsh_topk",
+    "q63_drift_kl",
+    "q64_weighted_sample",
+    "q65_small_quantity_revenue",
+    "q67_important_parts",
+    "q68_value_deciles",
+    "dedup_contamination_multi",
+    "dedup_survivor_policy",
+    "dedup_training_triplets",
+    "dedup_pair_features",
+    "text_lm_logprob",
+    "q94_hhi_concentration",
+    "sim_search_rrf",
+    "q92_value_gini_binned",
+    "q66_late_supplier_blame",
+    "sketch_kmv_estimate",
+    "sketch_hist_quantiles",
+    "text_bpe_compression",
+    "text_search_and",
+    "text_search_near",
+    "text_index_merge",
+    "media_features",
+    "sim_rp_topk_pretrained",
+    "dedup_minhash_pairs_xxhash",
+    "corpus_funnel_xxhash",
+    "dedup_hash_stage_xxhash",
+    "dedup_semantic_trained",
+    "sim_ivf_topk_pretrained",
+    "sim_ivfpq_topk_pretrained",
+    "q69_concurrent_sessions",
+    "q61_profile_events_approx",
+    "q61_profile_events_approx_xxhash",
+    "sim_ivf_recall_guard",
+    "sim_ivfpq_recall_guard",
+    "q80_market_share",
+    "q81_product_margin",
+    "q70_promo_discount_revenue",
+    "q71_idle_rich_customers",
+    "q72_top_quarter_supplier",
+    "q73_large_quantity_orders",
+    "q74_dominant_suppliers",
+    "q75_nation_trade_volume",
+    "text_dup_spans",
+    "sketch_bloom_bits",
+    "sketch_bloom_prefilter",
     "corpus_shard_manifest",
-    "q100_rfm_segments_approx",
-    "corpus_data_card",
+    "corpus_release_diff_card",
 ]
 
 

@@ -451,6 +451,7 @@ HEADLINE = [
     "corpus_funnel_xxhash",  # same funnel on the production hash family
     "corpus_shard_manifest",  # survivors -> shard manifest (funnel + agg)
     "corpus_data_card",  # per-(source, lang) release accounting
+    "corpus_release_diff_card",  # slice-grain composition drift
     "dedup_simhash_pairs",
     "dedup_containment_est",  # sketch-path containment over LSH candidates
     "dedup_snapshot_diff",  # content-hash corpus version diff

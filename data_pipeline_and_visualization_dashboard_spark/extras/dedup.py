@@ -3017,6 +3017,216 @@ _DUCK_SNAPSHOT_DIFF_SQL = """
 """
 
 
+def release_diff_card_of(prev: DataFrame, cur: DataFrame) -> DataFrame:
+    """Release-diff data card over ANY two corpus snapshots — the
+    building block corpus_release_diff_card applies to the standard
+    snapshot stand-ins, exposed for composition (the shard_manifest_of
+    pattern).  Each side is a doc-grain frame (doc_id, source, lang,
+    h, n_tokens): a content hash and a token count per doc, never
+    text.  A doc_id-keyed FULL OUTER join classifies every doc as
+    added / removed / changed (same id, different hash) / unchanged —
+    dedup_snapshot_diff's verdict logic — then ONE (source, lang)
+    slice aggregation rolls up doc and token accounting per verdict,
+    and a W1 global window over the ≤|sources × langs|-row aggregate
+    folds both release token totals into per-slice shares and the
+    share DRIFT (the composition-shift number a release manager reads
+    next to the data card: "web-en fell from 41% to 38% of the token
+    budget").
+
+    Scale shape: the join moves two doc-grain frames of hashes and
+    counts (O(|A| + |B|), one key-partitioned shuffle per side — the
+    dedup_snapshot_diff bound); the slice agg is decomposable
+    (conditional sums), and the share fold is the q96/corpus_data_card
+    W1 idiom — dozens of rows, one SinglePartition window, fanout 1
+    on each snapshot subtree.  Float discipline: shares divide
+    bigints cast to double, drift subtracts the two RAW quotients and
+    rounds 6dp once — identical expression trees in both engines."""
+    a = prev.select(
+        "doc_id",
+        F.col("source").alias("src_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("h").alias("h_a"),
+        F.col("n_tokens").alias("tok_a"),
+    )
+    b = cur.select(
+        "doc_id",
+        F.col("source").alias("src_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("h").alias("h_b"),
+        F.col("n_tokens").alias("tok_b"),
+    )
+    j = a.join(b, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("h_a").isNull(), F.lit("added"))
+        .when(F.col("h_b").isNull(), F.lit("removed"))
+        .when(F.col("h_a") != F.col("h_b"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    rows = j.select(
+        # source/lang are doc metadata: identical on both sides when
+        # present on both; coalesce covers added/removed docs
+        F.coalesce("src_b", "src_a").alias("source"),
+        F.coalesce("lang_b", "lang_a").alias("lang"),
+        status.alias("status"),
+        F.coalesce(F.col("tok_a"), F.lit(0)).alias("tok_a"),
+        F.coalesce(F.col("tok_b"), F.lit(0)).alias("tok_b"),
+    )
+
+    def _n(st: str):
+        return F.sum(
+            (F.col("status") == st).cast("bigint")
+        ).alias(f"docs_{st}")
+
+    agg = rows.groupBy("source", "lang").agg(
+        _n("added"),
+        _n("removed"),
+        _n("changed"),
+        _n("unchanged"),
+        F.sum("tok_a").cast("bigint").alias("tokens_prev"),
+        F.sum("tok_b").cast("bigint").alias("tokens_cur"),
+        F.sum(
+            F.when(F.col("status") == "added", F.col("tok_b"))
+            .otherwise(F.lit(0))
+        ).cast("bigint").alias("tokens_added"),
+        F.sum(
+            F.when(F.col("status") == "removed", F.col("tok_a"))
+            .otherwise(F.lit(0))
+        ).cast("bigint").alias("tokens_removed"),
+    )
+    w = Window.partitionBy()
+    tp = F.sum("tokens_prev").over(w).cast("double")
+    tc = F.sum("tokens_cur").over(w).cast("double")
+    share_prev = F.col("tokens_prev").cast("double") / tp
+    share_cur = F.col("tokens_cur").cast("double") / tc
+    return agg.select(
+        "source",
+        "lang",
+        "docs_added",
+        "docs_removed",
+        "docs_changed",
+        "docs_unchanged",
+        "tokens_prev",
+        "tokens_cur",
+        "tokens_added",
+        "tokens_removed",
+        F.round(share_prev, 6).alias("share_prev"),
+        F.round(share_cur, 6).alias("share_cur"),
+        F.round(share_cur - share_prev, 6).alias("share_drift"),
+    ).orderBy("source", "lang")
+
+
+def corpus_release_diff_card(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Per-(source, lang) composition drift between two corpus
+    versions (VERDICT r15 ask #5) — dedup_snapshot_diff's verdict
+    machinery composed with corpus_data_card's slice accounting: for
+    each release slice, how many docs (and tokens) were added /
+    removed / changed between the previous and current corpus
+    version, and how the slice's share of the token budget drifted.
+    The release manager's companion table to the data card: the card
+    says what shipped, this says what MOVED since last ship.
+
+    Snapshot stand-ins are dedup_snapshot_diff's exactly (previous =
+    doc_id%10 != 0; current drops doc_id%13 == 0 and deterministically
+    revises the text of doc_id%7 == 0), so the two operators are
+    mutually checkable: summing this card's doc columns over slices
+    reproduces the snapshot diff's per-status doc counts
+    (property-tested).  Token counts use the quality_score tokenizer
+    (whitespace split of the version's OWN text — a changed doc's
+    token delta rides the revision), and the changed-doc detection is
+    the same md5 comparison.  All deterministic → fully
+    oracle-backed."""
+    docs = read_table(
+        spark, sf_dir, "documents", ["doc_id", "source", "lang", "text"]
+    ).filter(F.col("text").isNotNull())
+    ntok = "size(split(lower(trim({t})), '\\\\s+'))"
+    prev = docs.filter(F.col("doc_id") % 10 != 0).select(
+        "doc_id",
+        "source",
+        "lang",
+        F.md5("text").alias("h"),
+        F.expr(ntok.format(t="text")).alias("n_tokens"),
+    )
+    cur_text = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" rev2"))
+    ).otherwise(F.col("text"))
+    cur = (
+        docs.filter(F.col("doc_id") % 13 != 0)
+        .withColumn("cur_text", cur_text)
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            F.md5("cur_text").alias("h"),
+            F.expr(ntok.format(t="cur_text")).alias("n_tokens"),
+        )
+    )
+    return release_diff_card_of(prev, cur)
+
+
+_DUCK_RELEASE_DIFF_CARD_SQL = r"""
+    WITH docs AS (
+        SELECT doc_id, source, lang, text FROM documents
+        WHERE text IS NOT NULL
+    ), prev AS (
+        SELECT doc_id, source, lang, md5(text) AS h,
+               CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+                    AS INT) AS n_tokens
+        FROM docs WHERE doc_id % 10 != 0
+    ), cur AS (
+        SELECT doc_id, source, lang,
+               md5(CASE WHEN doc_id % 7 = 0 THEN text || ' rev2'
+                        ELSE text END) AS h,
+               CAST(len(string_split_regex(lower(trim(
+                   CASE WHEN doc_id % 7 = 0 THEN text || ' rev2'
+                        ELSE text END)), '\s+')) AS INT) AS n_tokens
+        FROM docs WHERE doc_id % 13 != 0
+    ), joined AS (
+        SELECT coalesce(cur.source, prev.source) AS source,
+               coalesce(cur.lang, prev.lang) AS lang,
+               CASE WHEN prev.h IS NULL THEN 'added'
+                    WHEN cur.h IS NULL THEN 'removed'
+                    WHEN prev.h != cur.h THEN 'changed'
+                    ELSE 'unchanged' END AS status,
+               coalesce(prev.n_tokens, 0) AS tok_a,
+               coalesce(cur.n_tokens, 0) AS tok_b
+        FROM prev FULL OUTER JOIN cur USING (doc_id)
+    ), agg AS (
+        SELECT source, lang,
+               CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS docs_added,
+               CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS docs_removed,
+               CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS docs_changed,
+               CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0
+                        END) AS BIGINT) AS docs_unchanged,
+               CAST(sum(tok_a) AS BIGINT) AS tokens_prev,
+               CAST(sum(tok_b) AS BIGINT) AS tokens_cur,
+               CAST(sum(CASE WHEN status = 'added' THEN tok_b ELSE 0
+                        END) AS BIGINT) AS tokens_added,
+               CAST(sum(CASE WHEN status = 'removed' THEN tok_a ELSE 0
+                        END) AS BIGINT) AS tokens_removed
+        FROM joined GROUP BY source, lang
+    )
+    SELECT source, lang, docs_added, docs_removed, docs_changed,
+           docs_unchanged, tokens_prev, tokens_cur, tokens_added,
+           tokens_removed,
+           round(CAST(tokens_prev AS DOUBLE)
+                 / CAST(sum(tokens_prev) OVER () AS DOUBLE), 6)
+               AS share_prev,
+           round(CAST(tokens_cur AS DOUBLE)
+                 / CAST(sum(tokens_cur) OVER () AS DOUBLE), 6)
+               AS share_cur,
+           round(CAST(tokens_cur AS DOUBLE)
+                 / CAST(sum(tokens_cur) OVER () AS DOUBLE)
+                 - CAST(tokens_prev AS DOUBLE)
+                 / CAST(sum(tokens_prev) OVER () AS DOUBLE), 6)
+               AS share_drift
+    FROM agg ORDER BY source, lang
+"""
+
+
 def dedup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-split leakage screen: near-duplicate pairs that STRADDLE
     a train/val/test boundary — the eval-set contamination that
@@ -3251,6 +3461,7 @@ QUERIES = {
     "corpus_survivors": corpus_survivors,
     "corpus_shard_manifest": corpus_shard_manifest,
     "corpus_data_card": corpus_data_card,
+    "corpus_release_diff_card": corpus_release_diff_card,
     "dedup_contamination": contamination,
     "dedup_contamination_multi": contamination_multi,
     "dedup_survivor_policy": survivor_policy,
@@ -3270,6 +3481,7 @@ QUERIES = {
 ORACLE_SQL["dedup_canonical_pick"] = _duck_canonical_pick_sql()
 ORACLE_SQL["corpus_shard_manifest"] = _duck_shard_manifest_sql()
 ORACLE_SQL["corpus_data_card"] = _duck_data_card_sql()
+ORACLE_SQL["corpus_release_diff_card"] = _DUCK_RELEASE_DIFF_CARD_SQL
 ORACLE_SQL["dedup_containment_topk"] = _DUCK_CONTAINMENT_TOPK_SQL
 ORACLE_SQL["dedup_containment_est"] = _duck_containment_est_sql()
 ORACLE_SQL["dedup_snapshot_diff"] = _DUCK_SNAPSHOT_DIFF_SQL

@@ -751,6 +751,18 @@ def run_transitions_to_completion(spark: SparkSession, in_dir: str,
 
 
 _LAST_TOUCH_OUT_SCHEMA = "user_id long, channel string, value double"
+# STATE-SCHEMA BREAK (r15 → ADVICE r15 #3): this schema widened from 3
+# to 5 fields (touch_us, touch_eid added for the order-aware carry).
+# applyInPandasWithState state schemas are NOT migration-safe: a
+# checkpoint written under the 3-field schema must be DISCARDED before
+# resuming under this one (recovery would fail or misbind state).
+# Fresh checkpoints — every test and the documented deployment recipe
+# (new checkpoint dir per operator version) — are unaffected.  If a
+# long-lived deployment needs a live migration, drain the old query
+# (stop at a quiet watermark), then start v2 with a NEW checkpoint dir
+# against the same sink: the fold reconverges from the sink's
+# replayable input, which is why the carry is designed to converge
+# under every arrival order.
 _LAST_TOUCH_STATE_SCHEMA = (
     "last_us long, last_eid long, channel string, "
     "touch_us long, touch_eid long"

@@ -2044,3 +2044,36 @@ def test_corpus_data_card_invariants(spark):
         want[k] = (n + 1, t + d.token_cnt, dup + (d.doc_id in dup_ids))
     got = {(r.source, r.lang): (r.n_docs, r.n_tokens, r.n_dup) for r in rows}
     assert got == want
+
+def test_release_diff_card_cross_checks_snapshot_diff(spark):
+    """corpus_release_diff_card (r16): the slice-grain diff card must
+    roll up to dedup_snapshot_diff's per-status doc counts exactly
+    (same snapshot stand-ins, same verdict logic — the two operators
+    are mutually checkable by construction), its share columns must
+    each partition their release's token budget, the drift column
+    must sum to ~0 (shares are zero-sum: one slice's gain is the
+    others' loss), and per-slice token accounting must cohere:
+    tokens_added <= tokens_cur, tokens_removed <= tokens_prev."""
+    from data_pipeline_and_visualization_dashboard_spark.extras.dedup import (
+        corpus_release_diff_card, dedup_snapshot_diff,
+    )
+
+    rows = corpus_release_diff_card(spark, SF_SMOKE).collect()
+    assert rows
+    sd = {
+        r.status: r.n_docs
+        for r in dedup_snapshot_diff(spark, SF_SMOKE).collect()
+    }
+    got = {
+        st: sum(r[f"docs_{st}"] for r in rows)
+        for st in ("added", "removed", "changed", "unchanged")
+    }
+    assert got == {st: sd.get(st, 0) for st in got}
+    assert abs(sum(r.share_prev for r in rows) - 1.0) <= 5e-6 * len(rows)
+    assert abs(sum(r.share_cur for r in rows) - 1.0) <= 5e-6 * len(rows)
+    assert abs(sum(r.share_drift for r in rows)) <= 5e-6 * len(rows)
+    for r in rows:
+        assert 0 <= r.tokens_added <= r.tokens_cur
+        assert 0 <= r.tokens_removed <= r.tokens_prev
+        assert r.docs_added + r.docs_removed + r.docs_changed + \
+            r.docs_unchanged > 0

@@ -627,6 +627,22 @@ CASES = {
          "ArrowEvalPython"],
         2,  # shard agg + terminal sort — nothing else
     ),
+    "corpus_release_diff_card": (
+        # two doc-grain snapshot projections (hash + token count —
+        # never text past the scan) -> doc_id-keyed FULL OUTER SMJ
+        # (the dedup_snapshot_diff bound: O(|A|+|B|), hashes only) ->
+        # row-local verdict -> ONE (source x lang) slice agg (all
+        # conditional sums, map-side combinable) -> W1 global window
+        # folding BOTH release token totals over the <=dozens-row
+        # aggregate (GLOBAL_WINDOW_OK) -> tiny sort.  5 exchanges: 2
+        # join sides + slice agg + SinglePartition fold + terminal
+        # sort.  No Python, no cartesian, no pair-grain anything
+        ["SortMergeJoin", "HashAggregate", "Window"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin",
+         "FlatMapGroupsInPandas", "BatchEvalPython",
+         "ArrowEvalPython"],
+        5,
+    ),
     "corpus_data_card": (
         # ONE zero-shuffle quality pass over documents (fanout 1 —
         # (lang, source) ride the scoring projection free) -> LEFT
@@ -1423,6 +1439,9 @@ GLOBAL_WINDOW_OK = {
     # same idiom: token-share fold over the <=|sources x langs|-row
     # slice aggregate
     "corpus_data_card",
+    # same idiom twice over the same slice aggregate (both release
+    # token totals fold in ONE SinglePartition window)
+    "corpus_release_diff_card",
 }
 
 # the deliberate BroadcastNestedLoopJoin idiom: a 1-row/tiny broadcast
@@ -1478,10 +1497,10 @@ FACT_FANOUT_OK = {
     "dedup_training_triplets", "dedup_embedding_pairs_lsh",
     "dedup_split_leakage", "dedup_semantic", "dedup_threshold_curve",
     # staged curation funnels — one pass per quality/exact/near stage
-    # (shard_manifest composes the survivors funnel plus its own
-    # token/hash projection over documents):
+    # (corpus_shard_manifest left r16: it reads the survivors_table
+    # artifact now, zero fact scans in its own plan):
     "corpus_funnel", "corpus_funnel_xxhash", "corpus_survivors",
-    "corpus_forget_impact", "corpus_shard_manifest",
+    "corpus_forget_impact",
     # ANN index + query + (for guards) brute-force oracle over the
     # same embeddings; MMR re-ranks against the candidate pool:
     "sim_ivf_topk", "sim_ivfpq_topk", "sim_ivf_topk_pretrained",
@@ -1528,9 +1547,9 @@ SELF_CACHE_OK = {
     "dedup_simhash_pairs",
     # funnel flags cached: stage verdicts feed survivor + accounting
     # branches (and the LSH pairs frame inside is count()-pinned);
-    # shard_manifest consumes the same cached flags via survivors:
+    # corpus_shard_manifest left r16 — the artifact scan caches
+    # nothing:
     "corpus_funnel", "corpus_funnel_xxhash", "corpus_survivors",
-    "corpus_shard_manifest",
     # normalized edge matrix cached: reused by every unrolled
     # PageRank iteration:
     "q51_nation_pagerank",
