@@ -190,13 +190,20 @@ BASELINE_REFREEZE = {
     # runs); tightened in-session from the cooler third run
     # (r15.new2):
     "text_quality_calibration": 1.150,
-    # r15 addition 1, frozen at its first committed >=2-run floor
-    # (BENCH_full_r15/r15.new: 4.280/4.258).  The cost is the
-    # end-to-end curation funnel the manifest composes (the survivors
-    # chain stays deliberately uncached); the manifest's own stage is
-    # the <=n_shards-row agg on top.  Tightened in-session by run 3
-    # (r15.new2, 3.887) and again by run 7 (r15.new6, 3.479):
-    "corpus_shard_manifest": 3.479,
+    # r15 addition 1, first frozen at 4.258 (r15 2-run floor) and
+    # tightened to 3.479 across the r15 session — the cost was the
+    # curation funnel the manifest re-composed per query.  RE-BASED
+    # r16 on the deliberate-engine-change clause (VERDICT r15 ask
+    # #4): the query now reads the materialized survivors_table
+    # artifact — (doc_id, n_tokens, doc_hash) scan + ONE
+    # <=n_shards-row agg, zero joins, text never read — and prices
+    # its own stage the way canonical_pick does; the funnel is priced
+    # once per corpus in the new survivors_table index_build_sec line
+    # (4.4 s cold at sf0.1, ~0.08 s on cache hit), and corpus_funnel/
+    # corpus_survivors keep their fresh floors so end-to-end stays
+    # measured.  New floor from the BENCH_full_r16/.new 2-run pair
+    # (0.171/0.188, ratios 1.050/1.141):
+    "corpus_shard_manifest": 0.171,
     # r15 addition 2, frozen at its first committed >=2-run floor
     # (BENCH_full_r15/r15.new: 1.804/2.090).  At sf0.1 the fallback
     # pays MORE than exact q100 (0.827): two fact passes + the
@@ -213,6 +220,13 @@ BASELINE_REFREEZE = {
     # is the corpus scan the scorer shares with text_quality_score.
     # Tightened in-session by run 7 (r15.new6, 1.175):
     "corpus_data_card": 1.175,
+    # r16 addition, frozen at its first committed >=2-run floor
+    # (BENCH_full_r16/.new: 0.490/0.561, ratios 1.050/1.141).  Two
+    # doc-grain hash+count projections -> full-outer SMJ on doc_id ->
+    # slice agg -> W1 double-total share fold; the reading is
+    # scan+join-bound (two passes over documents), well under the
+    # funnel-composing ops by construction:
+    "corpus_release_diff_card": 0.490,
 }
 
 # headline queries that READ a materialized per-corpus artifact

@@ -1572,14 +1572,26 @@ def test_cluster_table_artifact_identity_and_rebuild(spark, tmp_path):
         root, f"{_corpus_key(str(corpus2))}_0_md5", "data.parquet"
     )
     os.makedirs(fake, exist_ok=True)
-    rebuilt = sorted(
-        map(tuple, cluster_table(spark, str(corpus2)).collect())
-    )
-    assert rebuilt == fresh  # same corpus content, same components
-    assert not os.path.exists(fake)  # stale generation removed
-    # the same-basename-but-different-path corpus did NOT evict the
-    # real corpus's generation (the ADVICE r15 #1 collision fix)
-    assert os.path.exists(gen)
+    try:
+        rebuilt = sorted(
+            map(tuple, cluster_table(spark, str(corpus2)).collect())
+        )
+        assert rebuilt == fresh  # same corpus content, same components
+        assert not os.path.exists(fake)  # stale generation removed
+        # the same-basename-but-different-path corpus did NOT evict
+        # the real corpus's generation (the ADVICE r15 #1 collision
+        # fix)
+        assert os.path.exists(gen)
+    finally:
+        # exact-match eviction means OTHER corpora never sweep this
+        # tmp corpus's generations — remove them here or every pytest
+        # run leaks one (tmp_path digests never repeat)
+        import shutil as _sh
+
+        ckey2 = _corpus_key(str(corpus2))
+        for d in os.listdir(root):
+            if d.rsplit("_", 2)[0] == ckey2:
+                _sh.rmtree(os.path.join(root, d), ignore_errors=True)
 
 
 def test_survivors_table_artifact_identity(spark):

@@ -499,6 +499,26 @@ def test_session_floor_gate(tmp_path):
         timings, 0.1, None, "15", str(tmp_path), str(base)
     )
     assert (r, n) == (1.0, 3)  # floors {a:1.0, b:1.0} over 3 live runs
+    # r16 (VERDICT r15 wrong #3): LETTER-suffix siblings — the r13/r14
+    # divert convention — are seen too, not just dotted .new ones
+    (tmp_path / "BENCH_full_r15b.json").write_text(json.dumps(
+        {"sf": 0.1, "queries": {"a": 9.0, "b": 0.5}}
+    ))
+    r, n = bench.session_floor_gate(
+        timings, 0.1, None, "15", str(tmp_path), str(base)
+    )
+    # floors {a:1.0, b:0.5} -> total 1.5 over baseline total 2.0
+    assert (r, n) == (0.75, 4)
+    # r16 (VERDICT r15 wrong #1): when the caller gives NO round on a
+    # full-headline run — the driver's invocation — the round is
+    # inferred from the highest archive present, so the committed
+    # record carries the session floor instead of the single-draw
+    # degenerate
+    assert bench._infer_session_round(str(tmp_path)) == "15"
+    r, n = bench.session_floor_gate(
+        timings, 0.1, None, None, str(tmp_path), str(base)
+    )
+    assert (r, n) == (0.75, 4)
     # subset waves never mix archives in (and report the partial side)
     r, n = bench.session_floor_gate(
         {"a": 2.0}, 0.1, "a", "15", str(tmp_path), str(base)
