@@ -1985,12 +1985,23 @@ def corpus_data_card(spark: SparkSession, sf_dir: str,
     Float discipline: shares/rates divide bigints cast to double and
     round 6dp — identical expression trees in both engines (the
     calibration op's avg-of-cast precedent)."""
-    from .text import quality_score
-
-    q = quality_score(spark, sf_dir, extra_cols=("lang", "source"))
-    groups = cluster_table(spark, sf_dir, hash_impl).select(
-        "doc_id", F.lit(True).alias("is_dup")
+    docs = read_table(
+        spark, sf_dir, "documents", ["doc_id", "text", "lang", "source"]
     )
+    return data_card_of(docs, cluster_table(spark, sf_dir, hash_impl))
+
+
+def data_card_of(docs: DataFrame, groups: DataFrame) -> DataFrame:
+    """Data card over ANY (doc_id, text, lang, source) frame plus a
+    component-membership frame — the building block corpus_data_card
+    applies to (documents, cluster_table), exposed for composition
+    (the shard_manifest_of pattern; r16: the streaming maintainer's
+    prefix-parity tests compare against this on arbitrary doc
+    subsets)."""
+    from .text import quality_score_of
+
+    q = quality_score_of(docs, ("lang", "source"))
+    groups = groups.select("doc_id", F.lit(True).alias("is_dup"))
     j = q.join(groups, "doc_id", "left").select(
         "source",
         "lang",

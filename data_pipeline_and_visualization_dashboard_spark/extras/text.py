@@ -1661,11 +1661,21 @@ def quality_score(spark: SparkSession, sf_dir: str,
     zero extra cost — the scan stays single-pass, the scoring
     expressions are unchanged, and the default keeps every existing
     consumer and the oracle twin byte-identical."""
-    w = _qs_weight_exprs("spark")
     extra = list(extra_cols)
     docs = read_table(
         spark, sf_dir, "documents", ["doc_id", "text", *extra]
     )
+    return quality_score_of(docs, extra_cols)
+
+
+def quality_score_of(docs: DataFrame, extra_cols: tuple = ()) -> DataFrame:
+    """Scorer core over ANY (doc_id, text, ...) frame — every
+    expression is row-local, so the identical plan fragment runs
+    unchanged under Structured Streaming (the quality_verdicts
+    precedent; r16: the streaming data-card maintainer folds this
+    projection per micro-batch)."""
+    w = _qs_weight_exprs("spark")
+    extra = list(extra_cols)
     return docs.selectExpr(
         "doc_id",
         *extra,

@@ -1749,6 +1749,139 @@ def run_shard_manifest_to_completion(spark: SparkSession, in_dir: str,
     ).orderBy("shard")
 
 
+def data_card_stream(spark: SparkSession, in_dir: str, state_dir: str,
+                     checkpoint_dir: str, groups: DataFrame):
+    """Streaming CORPUS DATA CARD maintenance — incremental-view
+    maintenance for the per-(source, lang) release-composition table
+    (corpus_data_card's live twin, r16): as documents arrive, each
+    micro-batch runs the IDENTICAL row-local learned-scorer projection
+    the batch card uses (text.quality_score_of — kept flag, token
+    count), LEFT-joins the batch against the STATIC near-dup
+    cluster-membership frame (the stream-static join production runs
+    against the materialized cluster_table artifact; the dup-only
+    frame is small, so the join broadcasts), reduces to per-slice
+    partials and merges into a |sources × langs|-row state table.
+
+    Every state column is ADDITIVE (doc count, token sum, kept count,
+    dup count), so maintenance is EXACT — the ratios the published
+    card carries (kept_frac, dup_rate, token_share) are computed at
+    READOUT over the state, exactly like ams_f2_stream keeps raw
+    mergeable sums and leaves the median readout to the consumer:
+    state stays mergeable across independent streams by addition, and
+    the readout divides the same bigints the batch card's avg/window
+    fold divides, so prefix state ≡ batch card over that prefix
+    row-for-row (parity-tested, including across a wave boundary and
+    a restart).
+
+    The STATIC side is the honest semantic: near-dup membership is a
+    corpus-build artifact (components exist only relative to a corpus
+    version), so the live card answers "composition of what has
+    arrived, dup-flagged against the last corpus build" — the same
+    reading a production dashboard gives between nightly component
+    rebuilds.  State size = slice count, independent of stream
+    length; per-batch cost = batch + |slices|, never history."""
+    from .extras.text import quality_score_of
+
+    docs = (
+        spark.readStream.schema(_DOC_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    dup = F.broadcast(
+        groups.select("doc_id", F.lit(True).alias("is_dup"))
+    )
+
+    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        _state_recover(state_dir)
+        if epoch_id <= _state_last_epoch(state_dir):
+            return  # replayed epoch: already merged, skip
+        scored = quality_score_of(batch_df, ("lang", "source"))
+        partial = (
+            scored.join(dup, "doc_id", "left")
+            .select(
+                "source",
+                "lang",
+                "token_cnt",
+                F.col("kept").cast("bigint").alias("kept_l"),
+                F.coalesce("is_dup", F.lit(False))
+                .cast("bigint")
+                .alias("dup_l"),
+            )
+            .groupBy("source", "lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("token_cnt").alias("n_tokens"),
+                F.sum("kept_l").alias("n_kept"),
+                F.sum("dup_l").alias("n_dup"),
+            )
+        )
+        import os as _os
+
+        if _os.path.exists(state_dir):
+            partial = partial.unionByName(
+                batch_df.sparkSession.read.parquet(state_dir)
+            )
+        merged = partial.groupBy("source", "lang").agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("n_kept").alias("n_kept"),
+            F.sum("n_dup").alias("n_dup"),
+        )
+        _state_commit(merged, state_dir, epoch_id)
+
+    return (
+        docs.writeStream.outputMode("append")
+        .foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def read_data_card_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Readout: fold the additive state into corpus_data_card's exact
+    column set.  kept_frac/dup_rate divide the state's bigints —
+    numerically identical to the batch card's avg-of-cast (a sum of
+    0.0/1.0 doubles is integer-exact, so both spellings divide the
+    same values) — and token_share is the same W1 global-window share
+    fold over the ≤|slices|-row state."""
+    state = spark.read.parquet(state_dir)
+    total = F.sum("n_tokens").over(Window.partitionBy())
+    return state.select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens").cast("double") / total.cast("double"), 6
+        ).alias("token_share"),
+        F.round(
+            F.col("n_kept").cast("double")
+            / F.col("n_docs").cast("double"),
+            6,
+        ).alias("kept_frac"),
+        "n_dup",
+        F.round(
+            F.col("n_dup").cast("double")
+            / F.col("n_docs").cast("double"),
+            6,
+        ).alias("dup_rate"),
+    ).orderBy("source", "lang")
+
+
+def run_data_card_to_completion(spark: SparkSession, in_dir: str,
+                                state_dir: str, checkpoint_dir: str,
+                                groups: DataFrame) -> DataFrame:
+    """Drive the data-card maintainer over the finite input and return
+    the readout shaped exactly like dedup.corpus_data_card."""
+    q = data_card_stream(spark, in_dir, state_dir, checkpoint_dir,
+                         groups)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return read_data_card_state(spark, state_dir)
+
+
 def ams_f2_stream(events: DataFrame) -> DataFrame:
     """Streaming AMS F2 (tug-of-war) second-moment monitor — the
     incremental twin of extras.sketches.ams_f2, making that

@@ -3692,3 +3692,107 @@ def test_shard_manifest_merge_property(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, shard_manifest_of(docs).collect())
     )
+
+def test_data_card_stream_matches_batch_and_restarts(spark, tmp_path):
+    """data_card_stream (r16): after draining a document stream split
+    into two waves, the readout equals the batch data card over ALL
+    docs row-for-row — counts, token sums, AND the derived ratios
+    (kept_frac / dup_rate / token_share), exactly: the stream keeps
+    additive bigints and the readout divides the same values the
+    batch card's avg/window fold divides.  Prefix pinned mid-stream
+    (state after wave 1 ≡ batch card over wave-1 docs — the IVM
+    claim), dup flags joined against the SAME static cluster frame
+    both sides use, and a restart on the same checkpoint must not
+    double-merge (epoch fence)."""
+    from data_pipeline_and_visualization_dashboard_spark.extras.dedup import (
+        cluster_table, data_card_of,
+    )
+
+    docs = spark.read.parquet(SF_SMOKE + "/documents.parquet")
+    groups = cluster_table(spark, SF_SMOKE)
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    rest = docs.filter(F.col("doc_id") % 2 == 1)
+    in_dir = str(tmp_path / "card_in")
+    state = str(tmp_path / "card_state")
+    ckpt = str(tmp_path / "card_ckpt")
+    half.coalesce(1).write.parquet(in_dir, mode="append")
+
+    def snap():
+        return sorted(
+            map(
+                tuple,
+                streaming.read_data_card_state(spark, state).collect(),
+            )
+        )
+
+    q = streaming.data_card_stream(spark, in_dir, state, ckpt, groups)
+    try:
+        q.processAllAvailable()
+        assert snap() == sorted(
+            map(tuple, data_card_of(half, groups).collect())
+        )  # prefix state == prefix card
+        rest.coalesce(1).write.parquet(in_dir, mode="append")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    want = sorted(map(tuple, data_card_of(docs, groups).collect()))
+    assert snap() == want and len(want) > 0
+
+    # restart on the same checkpoint: no new input -> state unchanged
+    q2 = streaming.data_card_stream(spark, in_dir, state, ckpt, groups)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert snap() == want
+
+
+def test_data_card_state_merges_across_streams(spark, tmp_path):
+    """The mergeability claim on data_card_stream's state, asserted
+    directly: two INDEPENDENT streams over disjoint doc subsets
+    produce state tables whose per-slice ADDITION reads out as the
+    batch card over the union — the property that lets per-datacenter
+    card maintainers fold into a global card without re-scanning
+    either corpus half."""
+    from data_pipeline_and_visualization_dashboard_spark.extras.dedup import (
+        cluster_table, data_card_of,
+    )
+    from data_pipeline_and_visualization_dashboard_spark.streaming import (
+        run_data_card_to_completion,
+    )
+
+    docs = spark.read.parquet(SF_SMOKE + "/documents.parquet")
+    groups = cluster_table(spark, SF_SMOKE)
+    a = docs.filter(F.col("doc_id") % 3 == 0)
+    b = docs.filter(F.col("doc_id") % 3 != 0)
+    states = []
+    for name, side in (("a", a), ("b", b)):
+        in_dir = str(tmp_path / f"in_{name}")
+        st = str(tmp_path / f"state_{name}")
+        side.coalesce(1).write.parquet(in_dir, mode="append")
+        run_data_card_to_completion(
+            spark, in_dir, st, str(tmp_path / f"ckpt_{name}"), groups
+        )
+        states.append(spark.read.parquet(st))
+    merged_dir = str(tmp_path / "state_merged")
+    (
+        states[0].unionByName(states[1])
+        .groupBy("source", "lang")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("n_kept").alias("n_kept"),
+            F.sum("n_dup").alias("n_dup"),
+        )
+        .write.mode("overwrite")
+        .parquet(merged_dir)
+    )
+    got = sorted(
+        map(
+            tuple,
+            streaming.read_data_card_state(spark, merged_dir).collect(),
+        )
+    )
+    assert got == sorted(
+        map(tuple, data_card_of(docs, groups).collect())
+    )
