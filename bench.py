@@ -202,8 +202,9 @@ BASELINE_REFREEZE = {
     # (4.4 s cold at sf0.1, ~0.08 s on cache hit), and corpus_funnel/
     # corpus_survivors keep their fresh floors so end-to-end stays
     # measured.  New floor from the BENCH_full_r16/.new 2-run pair
-    # (0.171/0.188, ratios 1.050/1.141):
-    "corpus_shard_manifest": 0.171,
+    # (0.171/0.188, ratios 1.050/1.141); tightened in-session per the
+    # stricter-only clause by run 4 (.new3, 0.164):
+    "corpus_shard_manifest": 0.164,
     # r15 addition 2, frozen at its first committed >=2-run floor
     # (BENCH_full_r15/r15.new: 1.804/2.090).  At sf0.1 the fallback
     # pays MORE than exact q100 (0.827): two fact passes + the
@@ -227,6 +228,13 @@ BASELINE_REFREEZE = {
     # scan+join-bound (two passes over documents), well under the
     # funnel-composing ops by construction:
     "corpus_release_diff_card": 0.490,
+    # second r16 addition (registered after the first three full
+    # runs — the q95/corpus_data_card precedent), frozen at its first
+    # committed >=2-run floor (BENCH_full_r16.json.new3/.new4:
+    # 0.382/0.533).  Two <=n_shards-row manifest aggs + a 16-row
+    # full-outer join — the incremental-publish readout; the doc
+    # scans are the whole cost:
+    "corpus_shard_diff": 0.382,
 }
 
 # headline queries that READ a materialized per-corpus artifact
@@ -466,6 +474,7 @@ HEADLINE = [
     "corpus_shard_manifest",  # survivors -> shard manifest (funnel + agg)
     "corpus_data_card",  # per-(source, lang) release accounting
     "corpus_release_diff_card",  # slice-grain composition drift
+    "corpus_shard_diff",  # shard-grain rewrite set between releases
     "dedup_simhash_pairs",
     "dedup_containment_est",  # sketch-path containment over LSH candidates
     "dedup_snapshot_diff",  # content-hash corpus version diff

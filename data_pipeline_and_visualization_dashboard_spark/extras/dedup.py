@@ -3238,6 +3238,146 @@ _DUCK_RELEASE_DIFF_CARD_SQL = r"""
 """
 
 
+def corpus_shard_diff(spark: SparkSession, sf_dir: str,
+                      n_shards: int = N_TRAINING_SHARDS) -> DataFrame:
+    """Shard-grain release diff (r16) — the incremental-PUBLISH readout
+    that closes the loop corpus_release_diff_card opens at slice
+    grain: build the shard manifest of the PREVIOUS and CURRENT corpus
+    versions (dedup_snapshot_diff's stand-ins) and join them on shard,
+    so a release manager reads exactly WHICH shard files need
+    rewriting and what moved inside each.  Because shard assignment is
+    a content hash of the doc key, an unchanged doc can never migrate
+    between shards across releases — so `changed = checksums differ`
+    is precise (a shard's xor checksum moves iff a doc inside it was
+    added, removed, or revised), and the rewrite set is exactly the
+    changed shards, NOT the whole release.  This is the property the
+    shard writer bought by refusing an RNG repartition; this query is
+    where it pays.
+
+    Per shard: doc/token counts for both versions, their deltas, both
+    checksums, and needs_rewrite.  Plan: two doc-grain manifest
+    projections (row-local hash/count arithmetic, no text shipped
+    past the scan) → two ≤n_shards-row aggs → a broadcast-sized join
+    of two 16-row frames → sort.  At 100 TB both sides stay one
+    corpus pass + constant-size state; in production the PREVIOUS
+    side is read from the persisted shard_manifest.parquet artifact
+    instead of recomputed (io.write_training_shards emits it), which
+    drops this to ONE pass — the spelling here recomputes both sides
+    so the DuckDB oracle can check the whole chain."""
+    docs = read_table(
+        spark, sf_dir, "documents", ["doc_id", "text"]
+    ).filter(F.col("text").isNotNull())
+    prev = docs.filter(F.col("doc_id") % 10 != 0)
+    cur_text = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" rev2"))
+    ).otherwise(F.col("text"))
+    cur = (
+        docs.filter(F.col("doc_id") % 13 != 0)
+        .select("doc_id", cur_text.alias("text"))
+    )
+    return manifest_diff_of(
+        shard_manifest_of(prev, n_shards),
+        shard_manifest_of(cur, n_shards),
+    )
+
+
+def manifest_diff_of(prev_manifest: DataFrame,
+                     cur_manifest: DataFrame) -> DataFrame:
+    """Shard-grain diff of two manifest frames ((shard, n_docs,
+    n_tokens, content_hash) — shard_manifest_of's shape, which is also
+    the persisted shard_manifest.parquet artifact's) — the join half
+    of corpus_shard_diff, exposed so the pipeline runner can diff a
+    NEW release's manifest against the PREVIOUS release's persisted
+    artifact in one ≤n_shards-row join, no corpus re-scan of either
+    side."""
+    ma = prev_manifest.select(
+        "shard",
+        F.col("n_docs").alias("n_docs_prev"),
+        F.col("n_tokens").alias("n_tokens_prev"),
+        F.col("content_hash").alias("checksum_prev"),
+    )
+    mb = cur_manifest.select(
+        "shard",
+        F.col("n_docs").alias("n_docs_cur"),
+        F.col("n_tokens").alias("n_tokens_cur"),
+        F.col("content_hash").alias("checksum_cur"),
+    )
+    j = ma.join(mb, "shard", "full_outer")
+    return j.select(
+        "shard",
+        F.coalesce("n_docs_prev", F.lit(0)).alias("n_docs_prev"),
+        F.coalesce("n_docs_cur", F.lit(0)).alias("n_docs_cur"),
+        (
+            F.coalesce("n_docs_cur", F.lit(0))
+            - F.coalesce("n_docs_prev", F.lit(0))
+        ).alias("docs_delta"),
+        F.coalesce("n_tokens_prev", F.lit(0)).alias("n_tokens_prev"),
+        F.coalesce("n_tokens_cur", F.lit(0)).alias("n_tokens_cur"),
+        (
+            F.coalesce("n_tokens_cur", F.lit(0))
+            - F.coalesce("n_tokens_prev", F.lit(0))
+        ).alias("tokens_delta"),
+        "checksum_prev",
+        "checksum_cur",
+        (
+            F.coalesce("checksum_prev", F.lit(0))
+            != F.coalesce("checksum_cur", F.lit(0))
+        ).alias("needs_rewrite"),
+    ).orderBy("shard")
+
+
+def _duck_shard_diff_sql() -> str:
+    from .hashing import duck_h60
+
+    shard = duck_h60("concat('shard', CAST(doc_id AS VARCHAR))")
+    h = duck_h60("text")
+    return rf"""
+        WITH docs AS (
+            SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+        ), prev AS (
+            SELECT doc_id, text FROM docs WHERE doc_id % 10 != 0
+        ), cur AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0 THEN text || ' rev2'
+                        ELSE text END AS text
+            FROM docs WHERE doc_id % 13 != 0
+        ), ma AS (
+            SELECT CAST(({shard}) % {N_TRAINING_SHARDS} AS INT)
+                       AS shard,
+                   count(*) AS n_docs,
+                   CAST(sum(len(string_split_regex(
+                       lower(trim(text)), '\s+'))) AS BIGINT)
+                       AS n_tokens,
+                   bit_xor({h}) AS checksum
+            FROM prev GROUP BY 1
+        ), mb AS (
+            SELECT CAST(({shard}) % {N_TRAINING_SHARDS} AS INT)
+                       AS shard,
+                   count(*) AS n_docs,
+                   CAST(sum(len(string_split_regex(
+                       lower(trim(text)), '\s+'))) AS BIGINT)
+                       AS n_tokens,
+                   bit_xor({h}) AS checksum
+            FROM cur GROUP BY 1
+        )
+        SELECT coalesce(ma.shard, mb.shard) AS shard,
+               coalesce(ma.n_docs, 0) AS n_docs_prev,
+               coalesce(mb.n_docs, 0) AS n_docs_cur,
+               coalesce(mb.n_docs, 0) - coalesce(ma.n_docs, 0)
+                   AS docs_delta,
+               coalesce(ma.n_tokens, 0) AS n_tokens_prev,
+               coalesce(mb.n_tokens, 0) AS n_tokens_cur,
+               coalesce(mb.n_tokens, 0) - coalesce(ma.n_tokens, 0)
+                   AS tokens_delta,
+               ma.checksum AS checksum_prev,
+               mb.checksum AS checksum_cur,
+               coalesce(ma.checksum, 0) != coalesce(mb.checksum, 0)
+                   AS needs_rewrite
+        FROM ma FULL OUTER JOIN mb ON ma.shard = mb.shard
+        ORDER BY 1
+    """
+
+
 def dedup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-split leakage screen: near-duplicate pairs that STRADDLE
     a train/val/test boundary — the eval-set contamination that
@@ -3473,6 +3613,7 @@ QUERIES = {
     "corpus_shard_manifest": corpus_shard_manifest,
     "corpus_data_card": corpus_data_card,
     "corpus_release_diff_card": corpus_release_diff_card,
+    "corpus_shard_diff": corpus_shard_diff,
     "dedup_contamination": contamination,
     "dedup_contamination_multi": contamination_multi,
     "dedup_survivor_policy": survivor_policy,
@@ -3493,6 +3634,7 @@ ORACLE_SQL["dedup_canonical_pick"] = _duck_canonical_pick_sql()
 ORACLE_SQL["corpus_shard_manifest"] = _duck_shard_manifest_sql()
 ORACLE_SQL["corpus_data_card"] = _duck_data_card_sql()
 ORACLE_SQL["corpus_release_diff_card"] = _DUCK_RELEASE_DIFF_CARD_SQL
+ORACLE_SQL["corpus_shard_diff"] = _duck_shard_diff_sql()
 ORACLE_SQL["dedup_containment_topk"] = _DUCK_CONTAINMENT_TOPK_SQL
 ORACLE_SQL["dedup_containment_est"] = _duck_containment_est_sql()
 ORACLE_SQL["dedup_snapshot_diff"] = _DUCK_SNAPSHOT_DIFF_SQL

@@ -82,6 +82,7 @@ def run_corpus_pipeline(
     spark: SparkSession,
     sf_dir: str,
     out_dir: str,
+    prev_release_dir: str | None = None,
 ) -> CorpusPipelineResult:
     """The LLM-corpus lifecycle as ONE runner — what a user points at a
     raw documents table to get training artifacts out (the corpus twin
@@ -117,7 +118,18 @@ def run_corpus_pipeline(
     runner adds orchestration, not new semantics.  One call now emits
     the COMPLETE release: curated parquet, PII report, contamination
     report, tokenizer, packs/splits, index, shard files, manifest,
-    data card."""
+    data card.
+
+    `prev_release_dir` (r16): point it at a PREVIOUS release's out_dir
+    and the runner additionally emits out/shard_manifest_diff.parquet
+    — the new manifest joined against the previous release's
+    PERSISTED shard_manifest.parquet (dedup.manifest_diff_of: one
+    ≤n_shards-row join, neither corpus re-scanned), whose
+    needs_rewrite column is exactly the set of shard files an
+    incremental publish must replace.  Content-hash shard assignment
+    makes that set minimal: docs that didn't change never migrate
+    shards, so an unchanged corpus diffs to needs_rewrite=false
+    everywhere (pinned in tests)."""
     import os
 
     from pyspark.sql import functions as SF
@@ -127,6 +139,7 @@ def run_corpus_pipeline(
         _funnel_flags,
         contamination_multi,
         corpus_data_card,
+        manifest_diff_of,
     )
     from .extras.search import index_postings
     from .extras.text import PII_RULES, packing, scrub_pii, split_assign
@@ -216,6 +229,19 @@ def run_corpus_pipeline(
         corpus_data_card(spark, sf_dir),
         os.path.join(out_dir, "data_card.parquet"),
     )
+    if prev_release_dir is not None:
+        prev_manifest = spark.read.parquet(
+            os.path.join(prev_release_dir, "shard_manifest.parquet")
+        )
+        write_parquet(
+            manifest_diff_of(
+                prev_manifest,
+                spark.read.parquet(
+                    os.path.join(out_dir, "shard_manifest.parquet")
+                ),
+            ),
+            os.path.join(out_dir, "shard_manifest_diff.parquet"),
+        )
     return CorpusPipelineResult(
         funnel=funnel,
         out_dir=out_dir,

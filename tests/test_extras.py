@@ -2089,3 +2089,67 @@ def test_release_diff_card_cross_checks_snapshot_diff(spark):
         assert 0 <= r.tokens_removed <= r.tokens_prev
         assert r.docs_added + r.docs_removed + r.docs_changed + \
             r.docs_unchanged > 0
+
+def test_shard_diff_localizes_rewrites(spark):
+    """corpus_shard_diff (r16): the incremental-publish claim, checked
+    against ground truth — recompute each release's shard membership
+    doc-by-doc in Python and verify (a) needs_rewrite is TRUE for
+    exactly the shards containing an added/removed/changed doc and
+    FALSE elsewhere (content-hash assignment localizes rewrites —
+    unchanged docs never migrate shards), (b) doc/token deltas roll up
+    to the release-wide totals the slice-grain diff card reports, and
+    (c) equal checksums ⟺ identical shard content sets."""
+    from data_pipeline_and_visualization_dashboard_spark.extras.dedup import (
+        corpus_release_diff_card, corpus_shard_diff,
+    )
+
+    rows = {r.shard: r for r in corpus_shard_diff(spark, SF_SMOKE).collect()}
+    assert rows
+
+    # ground truth from the raw docs (pure Python, no Spark machinery)
+    import hashlib as _hl
+
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(
+            SF_SMOKE + "/documents.parquet"
+        ).select("doc_id", "text").collect()
+        if r.text is not None
+    }
+
+    def h60(s: str) -> int:
+        return int(_hl.md5(s.encode()).hexdigest()[:15], 16)
+
+    def shard_of(doc_id: int) -> int:
+        return h60(f"shard{doc_id}") % 16
+
+    prev = {d: t for d, t in docs.items() if d % 10 != 0}
+    cur = {
+        d: (t + " rev2" if d % 7 == 0 else t)
+        for d, t in docs.items()
+        if d % 13 != 0
+    }
+    dirty = set()
+    for d in set(prev) | set(cur):
+        if prev.get(d) != cur.get(d):  # added, removed, or revised
+            dirty.add(shard_of(d))
+    for s, r in rows.items():
+        assert r.needs_rewrite == (s in dirty), (s, r)
+        assert r.docs_delta == r.n_docs_cur - r.n_docs_prev
+        assert r.tokens_delta == r.n_tokens_cur - r.n_tokens_prev
+        # checksum equality ⟺ identical content set for the shard
+        pset = {(d, prev[d]) for d in prev if shard_of(d) == s}
+        cset = {(d, cur[d]) for d in cur if shard_of(d) == s}
+        assert (r.checksum_prev == r.checksum_cur) == (pset == cset)
+
+    # shard rollup == the slice-grain diff card's release totals
+    card = corpus_release_diff_card(spark, SF_SMOKE).collect()
+    assert sum(r.n_tokens_prev for r in rows.values()) == sum(
+        c.tokens_prev for c in card
+    )
+    assert sum(r.n_tokens_cur for r in rows.values()) == sum(
+        c.tokens_cur for c in card
+    )
+    assert sum(r.n_docs_cur - r.n_docs_prev for r in rows.values()) == sum(
+        c.docs_added - c.docs_removed for c in card
+    )

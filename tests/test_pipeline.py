@@ -241,6 +241,25 @@ def test_run_corpus_pipeline_writes_all_artifacts(spark, tmp_path):
         spark, SF_SMOKE
     ).count()
 
+    # (c) incremental publish (r16): a SECOND release of the unchanged
+    # corpus, diffed against the first via prev_release_dir, must need
+    # ZERO shard rewrites — release-grain write-twice determinism (the
+    # whole chain funnel → scrub → shard assignment → checksum is a
+    # pure function of the data) plus the content-hash localization
+    # claim, both read from the emitted shard_manifest_diff artifact
+    out2 = str(tmp_path / "artifacts2")
+    res2 = run_corpus_pipeline(
+        spark, SF_SMOKE, out2, prev_release_dir=out
+    )
+    diff = spark.read.parquet(
+        f"{out2}/shard_manifest_diff.parquet"
+    ).collect()
+    assert len(diff) == res2.n_shards == res.n_shards
+    for r in diff:
+        assert not r.needs_rewrite, r
+        assert r.docs_delta == 0 and r.tokens_delta == 0
+        assert r.checksum_prev == r.checksum_cur
+
 
 def test_zorder_write_prunes_trailing_dim_predicates(spark, tmp_path):
     """The q86 layout claim, materialized: write the events bucket

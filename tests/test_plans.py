@@ -627,6 +627,22 @@ CASES = {
          "ArrowEvalPython"],
         2,  # shard agg + terminal sort — nothing else
     ),
+    "corpus_shard_diff": (
+        # two doc-grain manifest projections (row-local shard/token/
+        # hash arithmetic — no text past the scan) -> two
+        # <=n_shards-row aggs -> a 16-row-vs-16-row full-outer join
+        # on shard -> tiny sort.  The join sides are agg outputs, so
+        # the exchanges are the two agg shuffles + the join's
+        # re-partition of each 16-row side + the sort — all tiny; NO
+        # window, no Python, no cartesian, and the fact fans out
+        # exactly twice (one scan per release side, under the
+        # fanout-3 gate)
+        ["HashAggregate"],
+        ["Window", "CartesianProduct", "BroadcastNestedLoopJoin",
+         "FlatMapGroupsInPandas", "BatchEvalPython",
+         "ArrowEvalPython"],
+        6,  # 2 agg + 2 tiny join-side exchanges + join sort + sort
+    ),
     "corpus_release_diff_card": (
         # two doc-grain snapshot projections (hash + token count —
         # never text past the scan) -> doc_id-keyed FULL OUTER SMJ
