@@ -602,3 +602,99 @@ def test_baseline_covers_full_headline():
         covered = set(json.load(f)["queries"]) | set(bench.BASELINE_REFREEZE)
     missing = [q for q in bench.HEADLINE if q not in covered]
     assert not missing, f"headline queries without a frozen baseline: {missing}"
+
+def test_incremental_shard_write_matches_full_rewrite(spark, tmp_path):
+    """io.write_training_shards_incremental (r16): corpus_shard_diff's
+    localization claim, ACTED on and pinned at the filesystem — after
+    a small corpus revision (a handful of docs revised, a handful
+    removed), the incremental publish (a) produces a layout whose
+    per-shard doc_id SEQUENCES and manifest are identical to a
+    from-scratch rewrite of the new corpus, and (b) leaves every
+    clean shard's files byte-untouched on disk (same path set, same
+    mtime_ns) while replacing exactly the dirty shards.  curated=True
+    throughout: the test isolates the writer, not the funnel."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from data_pipeline_and_visualization_dashboard_spark.io import (
+        write_training_shards, write_training_shards_incremental,
+    )
+
+    # corpus v2 on disk: revise doc_id%97==0, drop doc_id%89==0
+    docs = spark.read.parquet(SF_SMOKE + "/documents.parquet")
+    v2dir = str(tmp_path / "corpus_v2")
+    (
+        docs.filter(F.col("doc_id") % 89 != 0)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 97 == 0,
+                F.concat(F.col("text"), F.lit(" rev2")),
+            ).otherwise(F.col("text")),
+        )
+        .write.parquet(os.path.join(v2dir, "documents.parquet"))
+    )
+
+    out_inc = str(tmp_path / "shards_inc")
+    write_training_shards(spark, SF_SMOKE, out_inc, curated=True)
+
+    def files_with_mtimes(d):
+        out = {}
+        for s in range(16):
+            parts = sorted(
+                glob.glob(os.path.join(d, f"shard={s}", "*.parquet"))
+            )
+            out[s] = [(p, os.stat(p).st_mtime_ns) for p in parts]
+        return out
+
+    before = files_with_mtimes(out_inc)
+    m_inc = sorted(map(tuple, write_training_shards_incremental(
+        spark, v2dir, out_inc, curated=True
+    ).collect()))
+    after = files_with_mtimes(out_inc)
+
+    out_full = str(tmp_path / "shards_full")
+    m_full = sorted(map(tuple, write_training_shards(
+        spark, v2dir, out_full, curated=True
+    ).collect()))
+    assert m_inc == m_full  # manifests agree exactly (checksums too)
+
+    def seqs(d):
+        out = {}
+        for s in range(16):
+            parts = sorted(
+                glob.glob(os.path.join(d, f"shard={s}", "*.parquet"))
+            )
+            out[s] = [
+                v
+                for p in parts
+                for v in pq.read_table(p, columns=["doc_id"])[
+                    "doc_id"
+                ].to_pylist()
+            ]
+        return out
+
+    inc_seqs, full_seqs = seqs(out_inc), seqs(out_full)
+    assert inc_seqs == full_seqs  # layout == from-scratch rewrite
+
+    # ground-truth dirty set: shards holding a revised or removed doc
+    import hashlib as _hl
+
+    def shard_of(doc_id):
+        h = int(_hl.md5(f"shard{doc_id}".encode()).hexdigest()[:15], 16)
+        return h % 16
+
+    touched = {
+        shard_of(r.doc_id)
+        for r in docs.select("doc_id").collect()
+        if r.doc_id % 89 == 0 or r.doc_id % 97 == 0
+    }
+    assert 0 < len(touched) < 16  # the fixture leaves BOTH kinds
+    for s in range(16):
+        if s in touched:
+            assert before[s] != after[s], f"dirty shard {s} untouched"
+        else:
+            assert before[s] == after[s], f"clean shard {s} rewritten"
