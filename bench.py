@@ -97,10 +97,13 @@ BASELINE_REFREEZE = {
     # (baseline_n_common == len(HEADLINE)) instead of the 112-key r6
     # subset.  Values are each query's FIRST committed >=2-run floor —
     # never a later (possibly improved or degraded) draw:
-    # r9 additions, from BENCH_full_r09.json (2-run floor):
-    "q90_mad_outliers": 0.617,
+    # r9 additions, from BENCH_full_r09.json (2-run floor);
+    # q90_mad_outliers and dedup_containment_est re-frozen DOWNWARD
+    # r16 per the uniform stricter-only fleet scan (session floors
+    # 0.613 / 1.349 undercut the r9 freezes 0.617 / 1.394):
+    "q90_mad_outliers": 0.613,
     "text_token_entropy": 0.338,
-    "dedup_containment_est": 1.394,
+    "dedup_containment_est": 1.349,
     "sketch_ams_f2": 0.361,
     # r10 additions, originally frozen from the hot-box
     # BENCH_full_r10.json 4-run floor (0.332/0.806/0.258/0.485) and
@@ -212,15 +215,18 @@ BASELINE_REFREEZE = {
     # honest bench-SF price of a spelling whose win is the removed
     # per-nation sort at whale-nation scale (see the ladder wave).
     # Tightened in-session by run 3 (1.780) and again by run 6
-    # (r15.new5, 1.662):
-    "q100_rfm_segments_approx": 1.662,
+    # (r15.new5, 1.662); re-frozen DOWNWARD r16 per the uniform
+    # stricter-only fleet scan (BENCH_full_r16.json read 1.654):
+    "q100_rfm_segments_approx": 1.654,
     # r15 addition 3, frozen at its first committed >=2-run floor
     # (BENCH_full_r15.json.new4/.new5: 1.401/1.265, both hot-regime
     # runs — ratios 1.233/1.267).  One quality pass + the broadcast
     # cluster-artifact join + a tiny slice agg; most of the reading
     # is the corpus scan the scorer shares with text_quality_score.
-    # Tightened in-session by run 7 (r15.new6, 1.175):
-    "corpus_data_card": 1.175,
+    # Tightened in-session by run 7 (r15.new6, 1.175); re-frozen
+    # DOWNWARD r16 per the uniform stricter-only fleet scan
+    # (BENCH_full_r16.json read 1.172):
+    "corpus_data_card": 1.172,
     # r16 addition, frozen at its first committed >=2-run floor
     # (BENCH_full_r16/.new: 0.490/0.561, ratios 1.050/1.141).  Two
     # doc-grain hash+count projections -> full-outer SMJ on doc_id ->

@@ -1882,6 +1882,35 @@ def run_data_card_to_completion(spark: SparkSession, in_dir: str,
     return read_data_card_state(spark, state_dir)
 
 
+def publish_lag_readout(spark: SparkSession, state_dir: str,
+                        published_manifest: DataFrame) -> DataFrame:
+    """Publish-lag readout (r16): the live shard-manifest state (what
+    has ARRIVED — shard_manifest_stream's state_dir) diffed against
+    the last PUBLISHED release's persisted manifest, through the same
+    dedup.manifest_diff_of the batch release diff uses.  needs_rewrite
+    marks the shards an incremental publish would rewrite right now,
+    and docs_delta/tokens_delta quantify the backlog per shard — the
+    "how stale is the published release" dashboard row, computed from
+    two ≤n_shards-row frames with no corpus scan on either side.
+    Composition only: both inputs are maintained artifacts, the diff
+    is the already-tested 16-row join."""
+    from .extras.dedup import manifest_diff_of
+
+    state = spark.read.parquet(state_dir).select(
+        "shard", "n_docs", "n_tokens", "content_hash"
+    )
+    return manifest_diff_of(published_manifest, state).select(
+        "shard",
+        F.col("n_docs_prev").alias("n_docs_published"),
+        F.col("n_docs_cur").alias("n_docs_arrived"),
+        "docs_delta",
+        F.col("n_tokens_prev").alias("n_tokens_published"),
+        F.col("n_tokens_cur").alias("n_tokens_arrived"),
+        "tokens_delta",
+        "needs_rewrite",
+    )
+
+
 def ams_f2_stream(events: DataFrame) -> DataFrame:
     """Streaming AMS F2 (tug-of-war) second-moment monitor — the
     incremental twin of extras.sketches.ams_f2, making that

@@ -3796,3 +3796,58 @@ def test_data_card_state_merges_across_streams(spark, tmp_path):
     assert got == sorted(
         map(tuple, data_card_of(docs, groups).collect())
     )
+
+def test_publish_lag_readout(spark, tmp_path):
+    """publish_lag_readout (r16): drain the manifest maintainer over
+    half the corpus and 'publish' that manifest; stream the remainder
+    in; the lag readout against the published manifest must flag
+    exactly the shards the second wave touched, with per-shard doc
+    backlog equal to the wave's true per-shard doc counts — and a
+    readout taken immediately after publishing reads zero lag."""
+    from data_pipeline_and_visualization_dashboard_spark.extras.dedup import (
+        shard_manifest_of,
+    )
+
+    docs = spark.read.parquet(SF_SMOKE + "/documents.parquet")
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    rest = docs.filter(F.col("doc_id") % 2 == 1)
+    in_dir = str(tmp_path / "lag_in")
+    state = str(tmp_path / "lag_state")
+    ckpt = str(tmp_path / "lag_ckpt")
+    half.coalesce(1).write.parquet(in_dir, mode="append")
+    q = streaming.shard_manifest_stream(spark, in_dir, state, ckpt)
+    try:
+        q.processAllAvailable()
+        # snapshot the published manifest as literal rows: the state
+        # dir is atomically swapped by later commits, so a lazy frame
+        # over it would silently read wave-2 state
+        snap_df = spark.read.parquet(state).select(
+            "shard", "n_docs", "n_tokens", "content_hash"
+        )
+        published = spark.createDataFrame(
+            snap_df.collect(), snap_df.schema
+        )
+        zero = streaming.publish_lag_readout(
+            spark, state, published
+        ).collect()
+        assert zero and all(
+            not r.needs_rewrite and r.docs_delta == 0 for r in zero
+        )
+        rest.coalesce(1).write.parquet(in_dir, mode="append")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    lag = {
+        r.shard: r
+        for r in streaming.publish_lag_readout(
+            spark, state, published
+        ).collect()
+    }
+    wave2 = {
+        r.shard: r.n_docs for r in shard_manifest_of(rest).collect()
+    }
+    for s, r in lag.items():
+        if s in wave2:
+            assert r.needs_rewrite and r.docs_delta == wave2[s], (s, r)
+        else:
+            assert not r.needs_rewrite and r.docs_delta == 0
