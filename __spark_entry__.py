@@ -57,18 +57,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round-16 window (the precomputed rotation from VERDICT r15 ask #1),
 # staleness-first: the 16 r11-latest entries FIRST (note
 # dedup_survivor_policy re-verifies the r15 cluster-table
-# re-plumbing), then the first 31 of the r12-latest cohort in
-# CORRECTNESS_r12 order.  Three end-displacements per the standing
+# re-plumbing), then the first 30 of the r12-latest cohort in
+# CORRECTNESS_r12 order.  Four end-displacements per the standing
 # rule:
-# corpus_release_diff_card and corpus_shard_diff (NEW this round,
-# both oracle-backed — new entries get their first driver row in
-# their own round) and corpus_shard_manifest (re-plumbed this round
-# to consume the survivors_table artifact — the r15 survivor_policy
-# lesson says engine-changed entries re-verify promptly, not a
-# rotation later).  The displaced cohort tail
-# (sketch_bloom_prefilter, text_search_bm25, dedup_snapshot_diff —
-# the 32nd-34th r12-cohort entries) leads the r17 queue's cohort
-# remainder.
+# corpus_release_diff_card, corpus_shard_diff and corpus_mixture_plan
+# (NEW this round, all oracle-backed — new entries get their first
+# driver row in their own round) and corpus_shard_manifest
+# (re-plumbed this round to consume the survivors_table artifact —
+# the r15 survivor_policy lesson says engine-changed entries
+# re-verify promptly, not a rotation later).  The displaced cohort
+# tail (sketch_bloom_bits, sketch_bloom_prefilter, text_search_bm25,
+# dedup_snapshot_diff — the 31st-34th r12-cohort entries) leads the
+# r17 queue's cohort remainder.
 _CHECK_FIRST = [
     "sim_lsh_multiprobe_topk",
     "sim_lang_centroids",
@@ -116,10 +116,10 @@ _CHECK_FIRST = [
     "q74_dominant_suppliers",
     "q75_nation_trade_volume",
     "text_dup_spans",
-    "sketch_bloom_bits",
     "corpus_shard_manifest",
     "corpus_release_diff_card",
     "corpus_shard_diff",
+    "corpus_mixture_plan",
 ]
 
 

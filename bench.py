@@ -257,6 +257,7 @@ CLUSTER_ARTIFACT_CONSUMERS = {
 }
 SURVIVORS_ARTIFACT_CONSUMERS = {
     "corpus_shard_manifest",
+    "corpus_mixture_plan",
 }
 
 
@@ -481,6 +482,7 @@ HEADLINE = [
     "corpus_data_card",  # per-(source, lang) release accounting
     "corpus_release_diff_card",  # slice-grain composition drift
     "corpus_shard_diff",  # shard-grain rewrite set between releases
+    "corpus_mixture_plan",  # alpha-scaled sampling shares per slice
     "dedup_simhash_pairs",
     "dedup_containment_est",  # sketch-path containment over LSH candidates
     "dedup_snapshot_diff",  # content-hash corpus version diff

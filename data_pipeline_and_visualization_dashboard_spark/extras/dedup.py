@@ -2080,6 +2080,132 @@ def _duck_data_card_sql() -> str:
     """
 
 
+# temperature for the mixture plan's alpha-scaled sampling shares —
+# the published multilingual default (mT5 §3.1 / XLM-R use
+# p_i ∝ p_i^alpha with alpha ≈ 0.3 to up-weight low-resource slices)
+MIXTURE_TEMPERATURE_ALPHA = 0.3
+
+
+def corpus_mixture_plan(spark: SparkSession, sf_dir: str,
+                        hash_impl: str = "md5",
+                        alpha: float = MIXTURE_TEMPERATURE_ALPHA,
+                        ) -> DataFrame:
+    """The training MIXTURE PLAN — the per-(source, lang) sampling
+    table a data loader consumes once curation has decided what
+    survives: tokens available per slice, the slice's natural share,
+    the TEMPERATURE-SCALED target share (target ∝ natural^alpha,
+    renormalized — the mT5/XLM-R alpha-sampling rule that up-weights
+    low-resource slices without letting them dominate), the target
+    token count against the corpus budget (default: the survivor
+    token total, i.e. a rebalance at constant size), and the
+    repetition factor (epochs = target/available; upsample flags the
+    slices that must repeat).  The decision-grain complement of
+    corpus_data_card: the card DESCRIBES the release, the plan says
+    what to SAMPLE from it.
+
+    Spark shape: the accounting never touches document text — the
+    survivors_table ARTIFACT (doc_id, n_tokens; built once per
+    corpus, priced in bench index_build_sec) joins the documents
+    (doc_id, lang, source) metadata projection (column-pruned scan),
+    then ONE tiny (source x lang) aggregation and TWO SinglePartition
+    window folds over the ≤|sources x langs|-row aggregate (token
+    total, then the pow-weight normalizer — the second fold depends
+    on the first, so they cannot collapse, but both share ONE
+    exchange; the q96/corpus_data_card W1 idiom).  3 exchanges total:
+    slice agg + SinglePartition fold + terminal sort.
+
+    At 100 TB: one artifact scan + one metadata-column scan + a
+    doc-grain join + a slice-grain shuffle; the windows fold ~dozens
+    of rows.  The plan is a pure function of the survivor set, so the
+    SAME table drives every trainer restart — no RNG anywhere; the
+    sampling itself stays deterministic downstream (the q54
+    hash-sample discipline).
+
+    Float discipline: shares divide bigints cast to double; pow is
+    the only transcendental (the text_lm_logprob ln precedent —
+    identical expression trees in both engines), and every double
+    output rounds 6dp; target_tokens rounds the UNROUNDED share-times-
+    budget product to an integer in both engines (round-half-up on
+    positive doubles in Spark and DuckDB alike)."""
+    art = survivors_table(spark, sf_dir, hash_impl).select(
+        "doc_id", "n_tokens"
+    )
+    meta = read_table(spark, sf_dir, "documents",
+                      ["doc_id", "lang", "source"])
+    agg = (
+        art.join(meta, "doc_id")
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("tokens_avail"),
+        )
+    )
+    w = Window.partitionBy()
+    total = F.sum("tokens_avail").over(w).cast("double")
+    shaped = agg.select(
+        "source",
+        "lang",
+        "n_docs",
+        "tokens_avail",
+        (F.col("tokens_avail").cast("double") / total).alias("nat_raw"),
+        total.alias("budget"),
+    ).select(
+        "*", F.pow(F.col("nat_raw"), F.lit(float(alpha))).alias("wgt")
+    )
+    tgt_share = F.col("wgt") / F.sum("wgt").over(w)
+    tgt_tokens = F.round(tgt_share * F.col("budget"), 0).cast("bigint")
+    return shaped.select(
+        "source",
+        "lang",
+        "n_docs",
+        "tokens_avail",
+        F.round("nat_raw", 6).alias("natural_share"),
+        F.round(tgt_share, 6).alias("target_share"),
+        tgt_tokens.alias("target_tokens"),
+        F.round(
+            tgt_tokens.cast("double")
+            / F.col("tokens_avail").cast("double"),
+            6,
+        ).alias("epochs"),
+        (tgt_tokens > F.col("tokens_avail")).alias("upsample"),
+    ).orderBy("source", "lang")
+
+
+def _duck_mixture_plan_sql() -> str:
+    a = MIXTURE_TEMPERATURE_ALPHA
+    tgt = "CAST(round(wgt / sum(wgt) OVER () * budget, 0) AS BIGINT)"
+    return _duck_funnel_sql() + rf""", surv AS (
+            SELECT d.doc_id, d.lang, d.source,
+                   len(string_split_regex(lower(trim(d.text)), '\s+'))
+                       AS n_tokens
+            FROM documents d
+            JOIN (SELECT doc_id FROM final WHERE pn) s
+              ON d.doc_id = s.doc_id
+        ), agg AS (
+            SELECT source, lang, count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS tokens_avail
+            FROM surv GROUP BY 1, 2
+        ), shares AS (
+            SELECT *,
+                   CAST(tokens_avail AS DOUBLE)
+                       / CAST(sum(tokens_avail) OVER () AS DOUBLE)
+                       AS nat_raw,
+                   CAST(sum(tokens_avail) OVER () AS DOUBLE) AS budget
+            FROM agg
+        ), shaped AS (
+            SELECT *, pow(nat_raw, {a}) AS wgt FROM shares
+        )
+        SELECT source, lang, n_docs, tokens_avail,
+               round(nat_raw, 6) AS natural_share,
+               round(wgt / sum(wgt) OVER (), 6) AS target_share,
+               {tgt} AS target_tokens,
+               round(CAST({tgt} AS DOUBLE)
+                     / CAST(tokens_avail AS DOUBLE), 6) AS epochs,
+               {tgt} > tokens_avail AS upsample
+        FROM shaped ORDER BY source, lang
+    """
+
+
 TRIPLET_BUCKETS = 64
 
 
@@ -3612,6 +3738,7 @@ QUERIES = {
     "corpus_survivors": corpus_survivors,
     "corpus_shard_manifest": corpus_shard_manifest,
     "corpus_data_card": corpus_data_card,
+    "corpus_mixture_plan": corpus_mixture_plan,
     "corpus_release_diff_card": corpus_release_diff_card,
     "corpus_shard_diff": corpus_shard_diff,
     "dedup_contamination": contamination,
@@ -3633,6 +3760,7 @@ QUERIES = {
 ORACLE_SQL["dedup_canonical_pick"] = _duck_canonical_pick_sql()
 ORACLE_SQL["corpus_shard_manifest"] = _duck_shard_manifest_sql()
 ORACLE_SQL["corpus_data_card"] = _duck_data_card_sql()
+ORACLE_SQL["corpus_mixture_plan"] = _duck_mixture_plan_sql()
 ORACLE_SQL["corpus_release_diff_card"] = _DUCK_RELEASE_DIFF_CARD_SQL
 ORACLE_SQL["corpus_shard_diff"] = _duck_shard_diff_sql()
 ORACLE_SQL["dedup_containment_topk"] = _DUCK_CONTAINMENT_TOPK_SQL

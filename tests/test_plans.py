@@ -674,6 +674,24 @@ CASES = {
          "ArrowEvalPython"],
         3,  # slice agg + SinglePartition share fold + terminal sort
     ),
+    "corpus_mixture_plan": (
+        # survivors_table ARTIFACT scan (doc_id, n_tokens — the
+        # funnel is priced once in the artifact build) joined with
+        # the documents (doc_id, lang, source) metadata projection
+        # (column-pruned; broadcasts at test SF, doc-grain SMJ at
+        # 100 TB — not pinned) -> ONE tiny (source x lang) agg ->
+        # TWO SinglePartition window folds over the <=dozens-row
+        # aggregate (token total, then the pow-weight normalizer —
+        # dependent, so they cannot collapse, but they share ONE
+        # exchange; GLOBAL_WINDOW_OK) -> terminal sort, exchange-free
+        # on the already-single partition.  2 exchanges total; no
+        # Python, no cartesian, never touches document text
+        ["HashAggregate", "Window"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin",
+         "FlatMapGroupsInPandas", "BatchEvalPython",
+         "ArrowEvalPython"],
+        2,  # slice agg + shared SinglePartition fold
+    ),
     "q98_last_touch_attribution": (
         # ONE fact scan, ONE keyed (user-partitioned) window for the
         # last-touch carry-forward — never a global sort — then a
@@ -1458,6 +1476,10 @@ GLOBAL_WINDOW_OK = {
     # same idiom twice over the same slice aggregate (both release
     # token totals fold in ONE SinglePartition window)
     "corpus_release_diff_card",
+    # same idiom, two DEPENDENT folds (token total, then the
+    # pow-weight normalizer) sharing one SinglePartition exchange
+    # over the <=|sources x langs|-row aggregate
+    "corpus_mixture_plan",
 }
 
 # the deliberate BroadcastNestedLoopJoin idiom: a 1-row/tiny broadcast
