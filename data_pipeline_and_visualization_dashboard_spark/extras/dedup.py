@@ -2140,6 +2140,21 @@ def corpus_mixture_plan(spark: SparkSession, sf_dir: str,
             F.sum("n_tokens").alias("tokens_avail"),
         )
     )
+    return mixture_plan_of(agg, alpha)
+
+
+def mixture_plan_of(agg: DataFrame,
+                    alpha: float = MIXTURE_TEMPERATURE_ALPHA,
+                    ) -> DataFrame:
+    """The temperature-sampling algebra over ANY (source, lang,
+    n_docs, tokens_avail) slice frame — the building block
+    corpus_mixture_plan applies to the survivor accounting, exposed
+    for composition (the data_card_of/shard_manifest_of pattern):
+    streaming.read_mixture_plan_state feeds it the data-card
+    maintainer's additive slice state for a LIVE mixture readout, and
+    the reference-fold test feeds it handcrafted skew cases.  Input
+    population is the CALLER's contract — corpus_mixture_plan passes
+    survivors; the live readout passes everything that has arrived."""
     w = Window.partitionBy()
     total = F.sum("tokens_avail").over(w).cast("double")
     shaped = agg.select(

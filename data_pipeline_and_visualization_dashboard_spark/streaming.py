@@ -1868,6 +1868,29 @@ def read_data_card_state(spark: SparkSession, state_dir: str) -> DataFrame:
     ).orderBy("source", "lang")
 
 
+def read_mixture_plan_state(spark: SparkSession, state_dir: str,
+                            alpha: float | None = None) -> DataFrame:
+    """LIVE training-mixture readout (r16): dedup.mixture_plan_of —
+    the temperature-sampling algebra corpus_mixture_plan applies to
+    the curation survivors — applied to the data-card maintainer's
+    additive slice state instead: "if we cut a release from what has
+    ARRIVED, what would the sampling table be".  Same population
+    caveat as the live card itself (arrivals, not survivors — the
+    funnel is a corpus-build decision, not a per-row one), stated
+    rather than hidden.  Pure composition: the state is ≤|slices|
+    rows, the algebra adds two SinglePartition folds over it; no
+    corpus scan, no new state."""
+    from .extras.dedup import MIXTURE_TEMPERATURE_ALPHA, mixture_plan_of
+
+    if alpha is None:
+        alpha = MIXTURE_TEMPERATURE_ALPHA
+    agg = spark.read.parquet(state_dir).select(
+        "source", "lang", "n_docs",
+        F.col("n_tokens").alias("tokens_avail"),
+    )
+    return mixture_plan_of(agg, alpha)
+
+
 def run_data_card_to_completion(spark: SparkSession, in_dir: str,
                                 state_dir: str, checkpoint_dir: str,
                                 groups: DataFrame) -> DataFrame:

@@ -3746,6 +3746,31 @@ def test_data_card_stream_matches_batch_and_restarts(spark, tmp_path):
         q2.stop()
     assert snap() == want
 
+    # LIVE mixture readout (r16): read_mixture_plan_state over the
+    # drained state must equal the same algebra (mixture_plan_of)
+    # applied to the batch card's slice accounting — the composition
+    # contract: identical population (arrivals), identical columns,
+    # so the live sampling table is exactly what a release cut from
+    # the arrived docs would plan.
+    from data_pipeline_and_visualization_dashboard_spark.extras.dedup import (
+        mixture_plan_of,
+    )
+
+    live = sorted(
+        map(
+            tuple,
+            streaming.read_mixture_plan_state(spark, state).collect(),
+        )
+    )
+    batch_agg = data_card_of(docs, groups).select(
+        "source", "lang", "n_docs",
+        F.col("n_tokens").alias("tokens_avail"),
+    )
+    assert live == sorted(
+        map(tuple, mixture_plan_of(batch_agg).collect())
+    )
+    assert len(live) > 0
+
 
 def test_data_card_state_merges_across_streams(spark, tmp_path):
     """The mergeability claim on data_card_stream's state, asserted
