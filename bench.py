@@ -152,11 +152,13 @@ BASELINE_REFREEZE = {
     # exactly the stricter-only clause's purpose).
     # q97_atkinson_index: 6-run floor (f 0.802 under the session's
     # own pytest load — drift log; g/h/i 0.538/0.533/0.543; j/k
-    # 0.500/0.510).
+    # 0.500/0.510); re-frozen DOWNWARD r16 per the uniform
+    # stricter-only scan (BENCH_full_r16.json.new9, the session's
+    # coolest late draw, read 0.487).
     # sketch_cm_join_card: 4-run floor (h/i 0.353/0.368, j/k
     # 0.322/0.320; registered after f/g).
     # q98_last_touch_attribution: the j/k pair (registered after i):
-    "q97_atkinson_index": 0.500,
+    "q97_atkinson_index": 0.487,
     "sketch_cm_join_card": 0.320,
     "q98_last_touch_attribution": 0.347,
     # r14 addition, first frozen at the BENCH_full_r14/r14b 2-run
