@@ -110,8 +110,12 @@ def run_corpus_pipeline(
          via io.write_training_shards with curated=True: every
          curated doc ships, no second funnel), the per-shard
          accounting recomputed FROM THE WRITTEN FILES →
-         out/shard_manifest.parquet, and the per-(source, lang)
-         release data card → out/data_card.parquet.
+         out/shard_manifest.parquet, the per-(source, lang)
+         release data card → out/data_card.parquet, and the
+         temperature-scaled training MIXTURE PLAN over the curated
+         (scrubbed) corpus → out/mixture_plan.parquet — computed
+         from the text that actually ships, so its token budget is
+         exactly the manifest's (totals cross-checked in tests).
 
     Every artifact is a plain parquet table a cluster job can read
     back; each stage is the already-oracle-backed operator, so the
@@ -137,9 +141,11 @@ def run_corpus_pipeline(
     from .extras.bpe import bpe_train
     from .extras.dedup import (
         _funnel_flags,
+        _token_hash_proj,
         contamination_multi,
         corpus_data_card,
         manifest_diff_of,
+        mixture_plan_of,
     )
     from .extras.search import index_postings
     from .extras.text import PII_RULES, packing, scrub_pii, split_assign
@@ -228,6 +234,26 @@ def run_corpus_pipeline(
     write_parquet(
         corpus_data_card(spark, sf_dir),
         os.path.join(out_dir, "data_card.parquet"),
+    )
+    # the sampling table a trainer consumes, computed over the
+    # CURATED (scrubbed) layout — the text that actually ships — with
+    # the shared _token_hash_proj tokenizer, so the plan's token
+    # budget is definitionally the shard manifest's (cross-checked in
+    # tests: sum(tokens_avail) == sum(manifest.n_tokens))
+    curated_docs = spark.read.parquet(
+        os.path.join(curated_dir, "documents.parquet")
+    )
+    slice_agg = (
+        curated_docs.select("source", "lang", _token_hash_proj()[0])
+        .groupBy("source", "lang")
+        .agg(
+            SF.count(SF.lit(1)).alias("n_docs"),
+            SF.sum("n_tokens").alias("tokens_avail"),
+        )
+    )
+    write_parquet(
+        mixture_plan_of(slice_agg),
+        os.path.join(out_dir, "mixture_plan.parquet"),
     )
     if prev_release_dir is not None:
         prev_manifest = spark.read.parquet(

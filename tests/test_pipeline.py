@@ -241,6 +241,27 @@ def test_run_corpus_pipeline_writes_all_artifacts(spark, tmp_path):
         spark, SF_SMOKE
     ).count()
 
+    # (b2) mixture plan ≡ manifest accounting (r16): the emitted
+    # sampling table is computed over the curated (scrubbed) layout
+    # with the shared tokenizer, so its doc and token totals are
+    # DEFINITIONALLY the shard manifest's — the trainer's sampling
+    # budget prices exactly the bytes on disk; and the plan algebra
+    # holds (shares renormalize, token budget balances to within
+    # half a token per slice)
+    plan = spark.read.parquet(f"{out}/mixture_plan.parquet").collect()
+    assert len(plan) > 1
+    assert sum(r.n_docs for r in plan) == res.n_survivors
+    assert sum(r.tokens_avail for r in plan) == sum(
+        t for _, t in manifest.values()
+    )
+    assert abs(sum(r.target_share for r in plan) - 1.0) <= 1e-6 * len(
+        plan
+    )
+    assert abs(
+        sum(r.target_tokens for r in plan)
+        - sum(r.tokens_avail for r in plan)
+    ) <= 0.5 * len(plan)
+
     # (c) incremental publish (r16): a SECOND release of the unchanged
     # corpus, diffed against the first via prev_release_dir, must need
     # ZERO shard rewrites — release-grain write-twice determinism (the
