@@ -2089,6 +2089,7 @@ MIXTURE_TEMPERATURE_ALPHA = 0.3
 def corpus_mixture_plan(spark: SparkSession, sf_dir: str,
                         hash_impl: str = "md5",
                         alpha: float = MIXTURE_TEMPERATURE_ALPHA,
+                        budget_tokens: float | None = None,
                         ) -> DataFrame:
     """The training MIXTURE PLAN — the per-(source, lang) sampling
     table a data loader consumes once curation has decided what
@@ -2140,11 +2141,12 @@ def corpus_mixture_plan(spark: SparkSession, sf_dir: str,
             F.sum("n_tokens").alias("tokens_avail"),
         )
     )
-    return mixture_plan_of(agg, alpha)
+    return mixture_plan_of(agg, alpha, budget_tokens)
 
 
 def mixture_plan_of(agg: DataFrame,
                     alpha: float = MIXTURE_TEMPERATURE_ALPHA,
+                    budget_tokens: float | None = None,
                     ) -> DataFrame:
     """The temperature-sampling algebra over ANY (source, lang,
     n_docs, tokens_avail) slice frame — the building block
@@ -2154,16 +2156,26 @@ def mixture_plan_of(agg: DataFrame,
     maintainer's additive slice state for a LIVE mixture readout, and
     the reference-fold test feeds it handcrafted skew cases.  Input
     population is the CALLER's contract — corpus_mixture_plan passes
-    survivors; the live readout passes everything that has arrived."""
+    survivors; the live readout passes everything that has arrived.
+
+    `budget_tokens` is the trainer's explicit token budget: targets
+    and epochs scale against it (a 2x budget exactly doubles every
+    target, shares untouched — budget-linearity, reference-fold
+    tested).  None (default) budgets the frame's own token total —
+    the rebalance-at-constant-size the registry query publishes."""
     w = Window.partitionBy()
     total = F.sum("tokens_avail").over(w).cast("double")
+    budget = (
+        F.lit(float(budget_tokens)) if budget_tokens is not None
+        else total
+    )
     shaped = agg.select(
         "source",
         "lang",
         "n_docs",
         "tokens_avail",
         (F.col("tokens_avail").cast("double") / total).alias("nat_raw"),
-        total.alias("budget"),
+        budget.alias("budget"),
     ).select(
         "*", F.pow(F.col("nat_raw"), F.lit(float(alpha))).alias("wgt")
     )
