@@ -245,12 +245,14 @@ BASELINE_REFREEZE = {
     "corpus_shard_diff": 0.382,
     # third r16 addition, frozen at its first committed >=2-run floor
     # (BENCH_full_r16.json.new7/.new8: 0.382/0.423, both hot-regime
-    # draws — ratios 1.416/1.328).  survivors_table artifact scan ⋈
+    # draws — ratios 1.416/1.328), tightened in-session per the
+    # stricter-only clause when the cooler run 11 (.new10, ratio
+    # 1.214) read 0.369.  survivors_table artifact scan ⋈
     # documents metadata projection -> slice agg -> two dependent
     # SinglePartition folds sharing one exchange; artifact-priced
     # (the funnel is in index_build_sec), so the reading is the
     # join+agg stage alone:
-    "corpus_mixture_plan": 0.382,
+    "corpus_mixture_plan": 0.369,
 }
 
 # headline queries that READ a materialized per-corpus artifact
