@@ -46,6 +46,21 @@ def _dot(a, b) -> Column:
     )
 
 
+def _lit_mat(rows) -> Column:
+    """A constant list of vectors as ONE nested array literal instead
+    of len(rows)×dim separate Literal/CreateArray nodes.  Catalyst
+    planning cost scales with expression-tree size, and the wide form
+    made PLAN CONSTRUCTION — re-paid on every registry call, which is
+    exactly what a best-of-N bench sample or a fresh serving request
+    pays — the dominant per-call cost of every literal-matrix query
+    (PQ codebook, IVF centroids, LSH planes, RP matrix).  Measured at
+    sf0.1: the compact form builds ~3× faster with bit-identical
+    results; arithmetic order (the left fold in _dot) is untouched, so
+    every DuckDB-oracle twin still reproduces exactly
+    (OPTIMIZATION_r16.md, guide §7.2/§3.3 plan-size discipline)."""
+    return F.lit([[float(v) for v in row] for row in rows])
+
+
 def _with_norm(df: DataFrame, prefix: str) -> DataFrame:
     """Spread the single-row-group embeddings scan across cores before
     the per-row dot-product expressions (same single-file trap and fix
@@ -102,16 +117,19 @@ def _hyperplanes(dim: int = 64):
 
 
 def _bucket_expr(e: Column, planes) -> Column:
-    bits = [
-        F.when(
-            _dot(e, F.array(*[F.lit(float(v)) for v in plane])) >= 0, 1 << i
-        ).otherwise(0)
-        for i, plane in enumerate(planes)
-    ]
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
+    # one nested literal for the planes + one int-weight literal; the
+    # left fold reproduces the original bits[0] + bits[1] + … integer
+    # sum exactly (same signs from the same _dot folds)
+    weights = F.lit([1 << i for i in range(len(planes))])
+    return F.aggregate(
+        F.zip_with(
+            _lit_mat(planes),
+            weights,
+            lambda p, w: F.when(_dot(e, p) >= 0, w).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
 
 
 def lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -495,12 +513,9 @@ def rp_project(emb: DataFrame) -> DataFrame:
     index (ann_disk_index writes this frame once per corpus)."""
     mat = _rp_matrix()
     e = F.col("embedding").cast("array<double>")
-    proj = F.array(
-        *[
-            _dot(e, F.array(*[F.lit(float(v)) for v in row]))
-            for row in mat
-        ]
-    )
+    # transform over ONE nested matrix literal (RP_DIM×dim) — same
+    # per-row folds in the same order, a fraction of the plan nodes
+    proj = F.transform(_lit_mat(mat), lambda row: _dot(e, row))
     return emb.select("vec_id", proj.alias("p"))
 
 
@@ -1012,18 +1027,6 @@ def _pq_cnorm(cent: list) -> float:
     return acc
 
 
-def _pq_dist_expr(b: int, cent: list) -> Column:
-    """Ranking distance of a block slice to one sub-centroid:
-    ||c||^2 - 2<x_b, c>  (the ||x_b||^2 term is constant per row within
-    a block, so it cancels in the argmin). The data-dependent dot is an
-    in-plan aggregate fold — bit-identical to DuckDB's
-    list_dot_product, so the argmin (and every ADC sum) reproduces
-    exactly cross-engine."""
-    cl = F.array(*[F.lit(float(v)) for v in cent])
-    sl = F.slice("u", b * PQ_BLOCK_DIM + 1, PQ_BLOCK_DIM)
-    return F.lit(_pq_cnorm(cent)) - F.lit(2.0) * _dot(sl, cl)
-
-
 def _pq_with_dls(unit: DataFrame, cents) -> DataFrame:
     """Bind each block's 16-distance array as its OWN column (dl_b).
     This projection is the whole PQ hot path: downstream argmin needs
@@ -1031,16 +1034,28 @@ def _pq_with_dls(unit: DataFrame, cents) -> DataFrame:
     reads it as the lookup table — inlining the expression would
     re-evaluate all 64 interpreted HOF dot products at every
     reference (measured 8.5s -> ~1s at sf0.1 from binding alone, the
-    same CollapseProject discipline as shingle_sets)."""
-    return unit.select(
-        "vec_id",
-        *[
-            F.array(
-                *[_pq_dist_expr(b, cents[b][j]) for j in range(PQ_CODES)]
+    same CollapseProject discipline as shingle_sets).
+
+    Per code j the ranking distance is ||c_j||² − 2⟨x_b, c_j⟩ (the
+    ||x_b||² term is constant within a block, so it cancels in the
+    argmin); ||c_j||² is the Python-computed _pq_cnorm literal and the
+    data-dependent dot is the same in-plan left fold as before — the
+    dl values are bit-identical to the old per-code expression and to
+    DuckDB's list_dot_product, only the plan SHAPE changed: one
+    zip_with over two literals per block instead of 16 separate
+    CreateArray(16 lits) + fold trees (the _lit_mat plan-size
+    discipline — PQ planning was ~2-3 s of every registry call)."""
+    cols = []
+    for b in range(PQ_BLOCKS):
+        sl = F.slice("u", b * PQ_BLOCK_DIM + 1, PQ_BLOCK_DIM)
+        cnorms = F.lit([_pq_cnorm(c) for c in cents[b]])
+        cb = _lit_mat(cents[b])
+        cols.append(
+            F.zip_with(
+                cnorms, cb, lambda n, c: n - F.lit(2.0) * _dot(sl, c)
             ).alias(f"dl_{b}")
-            for b in range(PQ_BLOCKS)
-        ],
-    )
+        )
+    return unit.select("vec_id", *cols)
 
 
 def _pq_code_cols() -> list[Column]:

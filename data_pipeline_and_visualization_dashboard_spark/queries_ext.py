@@ -1035,23 +1035,30 @@ def _centroid_sim_structs(centroids: list[tuple[int, list[float]]]):
     """Array of (dot(e, unit_centroid), -centroid_id) structs over a
     bound `ev` column. Centroids are UNIT vectors baked in as literals,
     so argmax(dot) == argmax(cosine) without computing |e| — the query
-    vector's own norm is constant across centroids."""
-    return F.array(
-        *[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        "ev",
-                        F.array(*[F.lit(float(v)) for v in vec]),
-                        lambda x, y: x * y,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ).alias("sim"),
-                F.lit(-cid).alias("ncid"),
-            )
-            for cid, vec in centroids
-        ]
+    vector's own norm is constant across centroids.
+
+    Plan shape: ONE zip_with over two literals (the k×dim centroid
+    matrix and the k ncid ints) instead of k separate
+    struct(CreateArray(dim lits) + fold) trees — the similarity
+    family's _lit_mat plan-size discipline (Catalyst planning of the
+    wide form dominated every per-call cost; OPTIMIZATION_r16.md).
+    Same left-fold dot in the same centroid order ⇒ bit-identical
+    sims, identical (sim, ncid) lexicographic argmax."""
+    from .extras.similarity import _lit_mat
+
+    vecs = _lit_mat([vec for _, vec in centroids])
+    ncids = F.lit([-int(cid) for cid, _ in centroids])
+    return F.zip_with(
+        vecs,
+        ncids,
+        lambda c, n: F.struct(
+            F.aggregate(
+                F.zip_with("ev", c, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("sim"),
+            n.alias("ncid"),
+        ),
     )
 
 
