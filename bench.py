@@ -100,8 +100,10 @@ BASELINE_REFREEZE = {
     # r9 additions, from BENCH_full_r09.json (2-run floor);
     # q90_mad_outliers and dedup_containment_est re-frozen DOWNWARD
     # r16 per the uniform stricter-only fleet scan (session floors
-    # 0.613 / 1.349 undercut the r9 freezes 0.617 / 1.394):
-    "q90_mad_outliers": 0.613,
+    # 0.613 / 1.349 undercut the r9 freezes 0.617 / 1.394); q90
+    # tightened again by the r16 optimization-phase run 15 (.new14,
+    # 0.581):
+    "q90_mad_outliers": 0.581,
     "text_token_entropy": 0.338,
     "dedup_containment_est": 1.349,
     "sketch_ams_f2": 0.361,
@@ -170,8 +172,9 @@ BASELINE_REFREEZE = {
     # from the BENCH_full_r15/r15.new 2-run pair (1.234/1.330, both
     # hot-regime ratios 1.206/1.184); tightened IN-SESSION per the
     # stricter-only clause by the cooler third run (r15.new2, 1.140)
-    # and again by run 5 (r15.new4, 1.137) — the 6-run session floor:
-    "dedup_canonical_pick": 1.137,
+    # and again by run 5 (r15.new4, 1.137) — the 6-run session
+    # floor; tightened again r16 optimization phase (.new13, 0.979):
+    "dedup_canonical_pick": 0.979,
     # second r14 addition, first frozen at the BENCH_full_r14c/r14d
     # pair floor (0.556/0.647, both hot-regime) and re-frozen
     # DOWNWARD in the same session when the confirmation pair's run h
@@ -183,8 +186,9 @@ BASELINE_REFREEZE = {
     # pair floor (0.775/1.161 — e partially under the session's own
     # pytest load, f clean) and re-frozen DOWNWARD in the same
     # session from the confirmation pair (g 0.756, h 0.712 —
-    # BENCH_full_r14h.json), then again from run i (0.697):
-    "q100_rfm_segments": 0.697,
+    # BENCH_full_r14h.json), then again from run i (0.697) and
+    # once more r16 optimization phase (.new14, 0.683):
+    "q100_rfm_segments": 0.683,
     # fourth r14 addition, frozen at the r14i/j pair floor (3.437),
     # re-frozen 3.337 from the r14 driver's post-session run
     # (stricter-only, VERDICT r14 ask #5), then RE-BASED r15 on the
@@ -193,8 +197,9 @@ BASELINE_REFREEZE = {
     # component build per query — new floor from the
     # BENCH_full_r15/r15.new 2-run pair (1.247/1.271, hot-regime
     # runs); tightened in-session from the cooler third run
-    # (r15.new2):
-    "text_quality_calibration": 1.150,
+    # (r15.new2, 1.150) and again r16 optimization phase (.new12,
+    # 0.994):
+    "text_quality_calibration": 0.994,
     # r15 addition 1, first frozen at 4.258 (r15 2-run floor) and
     # tightened to 3.479 across the r15 session — the cost was the
     # curation funnel the manifest re-composed per query.  RE-BASED
@@ -227,8 +232,9 @@ BASELINE_REFREEZE = {
     # is the corpus scan the scorer shares with text_quality_score.
     # Tightened in-session by run 7 (r15.new6, 1.175); re-frozen
     # DOWNWARD r16 per the uniform stricter-only fleet scan
-    # (BENCH_full_r16.json read 1.172):
-    "corpus_data_card": 1.172,
+    # (BENCH_full_r16.json read 1.172), then again in the r16
+    # optimization phase (.new13, 1.079):
+    "corpus_data_card": 1.079,
     # r16 addition, frozen at its first committed >=2-run floor
     # (BENCH_full_r16/.new: 0.490/0.561, ratios 1.050/1.141).  Two
     # doc-grain hash+count projections -> full-outer SMJ on doc_id ->
@@ -247,12 +253,27 @@ BASELINE_REFREEZE = {
     # (BENCH_full_r16.json.new7/.new8: 0.382/0.423, both hot-regime
     # draws — ratios 1.416/1.328), tightened in-session per the
     # stricter-only clause when the cooler run 11 (.new10, ratio
-    # 1.214) read 0.369.  survivors_table artifact scan ⋈
-    # documents metadata projection -> slice agg -> two dependent
-    # SinglePartition folds sharing one exchange; artifact-priced
-    # (the funnel is in index_build_sec), so the reading is the
-    # join+agg stage alone:
-    "corpus_mixture_plan": 0.369,
+    # 1.214) read 0.369; tightened again by the optimization-phase
+    # run 14 (.new13, 0.342):
+    "corpus_mixture_plan": 0.342,
+    # ---- r16 OPTIMIZATION-PHASE deliberate-engine-change re-bases:
+    # the literal-matrix plan compaction (similarity._lit_mat,
+    # OPTIMIZATION_r16.md change 1) removed the Catalyst planning of
+    # dim x k separate literal nodes that every registry call re-paid
+    # on the PQ/IVF serving paths — results bit-identical (17/17
+    # snapshot hashes, 219/219 oracle sweep), only plan-construction
+    # and interpreted-projection cost dropped.  New floors from the
+    # post-change 3-run floor (BENCH_full_r16.json.new12/13/14 —
+    # all HOT-regime draws, fleet ratios 1.431/1.519/1.338, so these
+    # freezes are conservative; the quiet-box subset A/B read lower
+    # still).  Only the four entries whose post-change floors undercut
+    # the r6 freeze are re-based; the rest of the touched family keeps
+    # its cooler-box r6 floors (nothing got slower — the A/B covers
+    # every touched query):
+    "sim_pq_adc_topk": 1.527,
+    "sim_ivfpq_topk_pretrained": 2.027,
+    "sim_ivfpq_recall_guard": 2.624,
+    "sim_ivf_recall_guard": 1.537,
 }
 
 # headline queries that READ a materialized per-corpus artifact
