@@ -1409,8 +1409,9 @@ def sim_ivfpq_topk_pretrained(spark: SparkSession,
     codes parquet (ann_disk_index) — corpus embeddings are never read
     at query time (only the 5 query vectors; filter pushed to scan).
     The steady-state serving cost of the billion-scale stack; the
-    residual per-call cost at bench SFs is Catalyst planning of the
-    wide codebook-literal tree (README bench notes), not data work."""
+    once-dominant per-call Catalyst planning of the codebook/centroid
+    literal trees was cut ~3x by the r16 nested-literal compaction
+    (similarity._lit_mat, OPTIMIZATION_r16.md change 1)."""
     assign, codes, _ = ann_disk_index(spark, sf_dir)
     return sim_ivfpq_topk(
         spark, sf_dir,

@@ -1701,3 +1701,38 @@ def test_fleet_plan_gate(spark):
         f"new cartesian/BNLJ: {flagged_cart - CARTESIAN_OK}; "
         f"stale whitelist: {CARTESIAN_OK - flagged_cart}"
     )
+
+
+def test_literal_matrices_stay_compact(spark):
+    """r16 optimization pin (OPTIMIZATION_r16.md change 1): constant
+    matrices enter plans as ONE nested array literal consumed through
+    a higher-order function — `zip_with([…` / `transform([…` in the
+    plan text — never as dim×k separate CreateArray(lit, …) trees,
+    whose Catalyst planning cost dominated every per-call cost of the
+    similarity family (the wide form plans a separate fold per
+    code/centroid/plane: 64 `aggregate(zip_with(slice…` subtrees for
+    PQ alone).  Counts are exact so a regression OR a further
+    restructuring both surface here deliberately."""
+    # PQ encode: one zip_with-over-literal per block, no per-code trees
+    plan = _plan(spark, "sim_pq_codes")
+    from data_pipeline_and_visualization_dashboard_spark.extras.similarity import (
+        PQ_BLOCKS,
+    )
+
+    assert plan.count("zip_with([") == PQ_BLOCKS, plan[:2000]
+    # RP projection: the whole matrix rides ONE transform-over-literal
+    plan = _plan(spark, "sim_rp_topk")
+    assert plan.count("transform([") >= 1, plan[:2000]
+    # LSH bucketing: planes as one literal fold on each side (query +
+    # corpus), never 8 separate when(dot(CreateArray…)) chains
+    plan = _plan(spark, "sim_lsh_buckets")
+    assert plan.count("zip_with([") == 1, plan[:2000]
+    # IVF centroid structs: one zip_with-over-literal per side (corpus
+    # assign + query probe), never k separate struct(CreateArray…)
+    # trees — the sims themselves still fold via zip_with(ev, c)
+    # inside the lambda, which prints differently and is not counted
+    # (>= 2, not ==: several operators print the same probe/assign
+    # expression, so the exact count tracks plan printing, not code —
+    # a revert to the wide form zeroes it, which is what this pins)
+    plan = _plan(spark, "sim_ivf_topk")
+    assert plan.count("zip_with([") >= 2, plan[:2000]
