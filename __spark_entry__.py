@@ -54,72 +54,70 @@ def entry(spark: SparkSession) -> DataFrame:
 # holds at least one green driver row, zero failures ever, and no
 # entry is vacuously green (fleet-wide ≥1-row guard,
 # tests/test_queries.py).
-# Round-16 window (the precomputed rotation from VERDICT r15 ask #1),
-# staleness-first: the 16 r11-latest entries FIRST (note
-# dedup_survivor_policy re-verifies the r15 cluster-table
-# re-plumbing), then the first 30 of the r12-latest cohort in
-# CORRECTNESS_r12 order.  Four end-displacements per the standing
-# rule:
-# corpus_release_diff_card, corpus_shard_diff and corpus_mixture_plan
-# (NEW this round, all oracle-backed — new entries get their first
-# driver row in their own round) and corpus_shard_manifest
-# (re-plumbed this round to consume the survivors_table artifact —
-# the r15 survivor_policy lesson says engine-changed entries
-# re-verify promptly, not a rotation later).  The displaced cohort
-# tail (sketch_bloom_bits, sketch_bloom_prefilter, text_search_bm25,
-# dedup_snapshot_diff — the 31st-34th r12-cohort entries) leads the
-# r17 queue's cohort remainder.
+# Round-17 window (VERDICT r16 ask #10), staleness-first per the
+# standing rule: the full 20-entry r12-latest cohort FIRST — led by
+# the four entries the r16 window displaced (sketch_bloom_bits,
+# sketch_bloom_prefilter, text_search_bm25, dedup_snapshot_diff, the
+# 31st-34th r12-cohort entries, exactly as the r16 comment queued
+# them) — then the first 30 of the r13-latest cohort in
+# CORRECTNESS_r13 order.  No new entries this round (optimization
+# round: the registry is frozen at 219), so no end-displacements.
+# Engine-change re-verify note: every r17 change is proven
+# bit-identical (k-means M-step drift 0.0, BPE merge table equal,
+# literal parse round-trip exact — OPTIMIZATION_r17.md) and the full
+# 219-entry sweep re-ran green, so the staleness queue needs no
+# displacement.
 _CHECK_FIRST = [
-    "sim_lsh_multiprobe_topk",
-    "sim_lang_centroids",
-    "sim_rp_topk",
-    "sim_lsh_topk",
-    "q63_drift_kl",
-    "q64_weighted_sample",
-    "q65_small_quantity_revenue",
-    "q67_important_parts",
-    "q68_value_deciles",
-    "dedup_contamination_multi",
-    "dedup_survivor_policy",
-    "dedup_training_triplets",
-    "dedup_pair_features",
-    "text_lm_logprob",
-    "q94_hhi_concentration",
-    "sim_search_rrf",
-    "q92_value_gini_binned",
-    "q66_late_supplier_blame",
-    "sketch_kmv_estimate",
-    "sketch_hist_quantiles",
-    "text_bpe_compression",
-    "text_search_and",
-    "text_search_near",
-    "text_index_merge",
-    "media_features",
-    "sim_rp_topk_pretrained",
-    "dedup_minhash_pairs_xxhash",
-    "corpus_funnel_xxhash",
-    "dedup_hash_stage_xxhash",
-    "dedup_semantic_trained",
-    "sim_ivf_topk_pretrained",
-    "sim_ivfpq_topk_pretrained",
-    "q69_concurrent_sessions",
-    "q61_profile_events_approx",
-    "q61_profile_events_approx_xxhash",
-    "sim_ivf_recall_guard",
-    "sim_ivfpq_recall_guard",
-    "q80_market_share",
-    "q81_product_margin",
-    "q70_promo_discount_revenue",
-    "q71_idle_rich_customers",
-    "q72_top_quarter_supplier",
-    "q73_large_quantity_orders",
-    "q74_dominant_suppliers",
-    "q75_nation_trade_volume",
-    "text_dup_spans",
-    "corpus_shard_manifest",
-    "corpus_release_diff_card",
-    "corpus_shard_diff",
-    "corpus_mixture_plan",
+    "sketch_bloom_bits",
+    "sketch_bloom_prefilter",
+    "text_search_bm25",
+    "dedup_snapshot_diff",
+    "q76_priority_late_orders",
+    "q77_returned_customers",
+    "q78_promo_revenue_share",
+    "q79_supplier_variety",
+    "sim_diverse_subset",
+    "dedup_threshold_curve",
+    "media_frames",
+    "q82_order_count_distribution",
+    "q83_approx_percentile_guard",
+    "q84_rollup_revenue",
+    "q85_corpus_grouping_sets",
+    "q1_top_nations",
+    "q2_avg_value_by_hour",
+    "q3_event_type_pct",
+    "sketch_ams_hhi",
+    "q95_top_decile_share",
+    "q14_clean_accounting",
+    "q4_unit_price_by_weekday",
+    "q5_trade_routes",
+    "q7_filtered_metrics",
+    "q8_top_users",
+    "q9_value_histogram",
+    "q10_type_donut",
+    "q11_day_hour_heatmap",
+    "q12_derived_events",
+    "q22_heatmap_pivot",
+    "q23_value_percentiles",
+    "q24_distinct_users",
+    "q25_set_ops",
+    "q26_regex_filter",
+    "q27_asof_join",
+    "dedup_exact_groups",
+    "dedup_exact_docs",
+    "dedup_minhash_signatures",
+    "dedup_minhash_pairs",
+    "dedup_ngram_jaccard_topk",
+    "dedup_simhash_fingerprints",
+    "dedup_simhash_pairs",
+    "dedup_simhash_hamming_topk",
+    "dedup_embedding_pairs",
+    "text_stats",
+    "text_lang_id",
+    "text_fingerprint",
+    "sim_cosine_topk",
+    "sim_cosine_topk_pandas",
+    "q15_sample_events",
 ]
 
 

@@ -76,6 +76,13 @@ def _word_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
 
 
+# per-scan candidate window for the batched trainer: the driver reads
+# the top TOP_PAIRS pairs per scan (bounded state — NOT vocab-grain);
+# candidates at or below the window's cut count are never accepted, so
+# a window too small only costs an extra scan, never a wrong merge
+TOP_PAIRS = 256
+
+
 def train_bpe_merges(
     spark: SparkSession, sf_dir: str, n_merges: int = N_MERGES
 ) -> list[tuple[int, str, str, int]]:
@@ -84,18 +91,63 @@ def train_bpe_merges(
 
     Loop hygiene (mirrors the CC/k-means loops): the word table is
     localCheckpointed up front so the corpus pass runs ONCE, and
-    re-checkpointed every 6 rounds so the replayed replace-chain depth
-    stays bounded. Per-round driver state is one 3-field row (the
-    arg-max pair) — collect is O(1) regardless of corpus size."""
+    re-checkpointed every 6 applied merges so the replayed
+    replace-chain depth stays bounded. Per-scan driver state is the
+    top-TOP_PAIRS pair-count rows — O(1) in the corpus AND the vocab.
+
+    BATCHED ROUNDS (r17, VERDICT r16 ask #4 / guide §2.4): one
+    pair-count scan used to buy exactly ONE merge, so 20 rounds paid
+    20 × (job fixed cost + tiny agg) — the dominant cost at any scale
+    where the vocab table is small (measured ~0.35 s/round at sf0.1,
+    ~7 s of the 8.3 s line). One scan now accepts a PREFIX of the
+    sorted pair table, provably equal to what 1-merge-per-scan would
+    pick, so 20 merges cost ~8-10 scans on English-like text.
+
+    Why the batch is exact (the committed merge table is
+    hash-checked by the DuckDB oracle, so this must be a proof, not
+    a heuristic). Let S = all symbols of the merges accepted so far
+    in THIS batch, plus each new symbol l+r (guarding re-created
+    symbols). Applying an accepted merge (l, r) can only change the
+    count of pairs touching an actual merged occurrence — pairs with
+    l or r as an endpoint lose occurrences, pairs gaining the new
+    symbol lr appear — and every NEW pair's count is bounded by a
+    PRE-BATCH pair that shares a symbol with S: each occurrence of
+    (x, lr) was an (x, l) occurrence, each (lr, y) was (r, y), and
+    (l₁r₁, l₂r₂) was (r₁, l₂). Therefore, walking the pair table in
+    exact (cnt DESC, l ASC, r ASC) order:
+      * a pair DISJOINT from S still has its exact count;
+      * the first pair SHARING a symbol with S has an unknown
+        (only-decreased) count — the batch STOPS there, because
+        every later candidate could be overtaken by it;
+      * a candidate is accepted only if NO pair anywhere in the
+        table ties its count while sharing a symbol with S — else a
+        decreased-to-tie stale pair or a new pair bounded by that
+        tie could win the lexicographic tie-break at its round.
+    Any pair that could outrank candidate i at its true round is
+    either a previously accepted merge (gone by then), a stale pair
+    sorted above it (stop rule), or a tie (tie guard) — so the
+    accepted prefix equals the sequential argmax sequence, with each
+    recorded count unchanged by the batch's earlier disjoint
+    replaces (patterns over disjoint symbols can neither create nor
+    destroy each other's occurrences).
+    The window cut (TOP_PAIRS) additionally ends the batch before
+    any candidate whose tie band might extend past the collected
+    rows. First candidate always accepts ⇒ ≥1 merge per scan ⇒
+    termination. Bit-equality with textbook BPE is pinned by
+    tests/test_extras.py::test_bpe_train_matches_reference_implementation
+    (real corpus) and ::test_bpe_batched_trainer_exact_under_ties
+    (engineered tie-dense vocab)."""
     base = _word_freqs(spark, sf_dir).withColumn(
         "s", F.regexp_replace("word", "(.)", r"|$1|")
     )
     cur = base.localCheckpoint()
     # right-size the loop state to the VOCAB, not the corpus: the
-    # checkpoint inherits the corpus pass's partitioning, and 20
-    # rounds of task scheduling over mostly-empty partitions is pure
-    # overhead (measured 12.4s -> 5s at sf0.01). ~50k words/partition
-    # keeps real web-scale vocabs (1e7 words) parallel.
+    # checkpoint inherits the corpus pass's partitioning, and the
+    # merge rounds' task scheduling over mostly-empty partitions is
+    # pure overhead (measured 12.4s -> 5s at sf0.01). ~50k
+    # words/partition keeps real web-scale vocabs (1e7 words)
+    # parallel.  Integer pair counts make the table exact under ANY
+    # partitioning, so re-shaping here can never move a merge.
     n_words = cur.count()  # free: the checkpoint just materialized
     parts = max(
         1,
@@ -104,7 +156,8 @@ def train_bpe_merges(
     if parts < cur.rdd.getNumPartitions():
         cur = cur.coalesce(parts).localCheckpoint()
     merges: list[tuple[int, str, str, int]] = []
-    for rank in range(1, n_merges + 1):
+    depth = 0  # replace-chain depth since the last checkpoint
+    while len(merges) < n_merges:
         pairs = (
             cur.withColumn("syms", F.expr(_SPARK_SYMS))
             .filter(F.size("syms") >= 2)
@@ -120,20 +173,49 @@ def train_bpe_merges(
             .groupBy("p.l", "p.r")
             .agg(F.sum("freq").alias("cnt"))
         )
-        top = (
+        rows = (
             pairs.orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
-            .limit(1)
+            .limit(TOP_PAIRS)
             .collect()
         )
-        if not top:
+        if not rows:
             break  # every word fully merged; oracle CTEs go empty too
-        l, r, cnt = top[0].l, top[0].r, int(top[0].cnt)
-        merges.append((rank, l, r, cnt))
-        cur = cur.withColumn(
-            "s", F.expr(f"replace(s, '|{l}||{r}|', '|{l}{r}|')")
-        )
-        if rank % 6 == 0:
-            cur = cur.localCheckpoint()
+        tbl = [(row.l, row.r, int(row.cnt)) for row in rows]
+        # a full window may hide ties below its last row: accept only
+        # candidates whose count strictly exceeds the cut
+        cut = tbl[-1][2] if len(tbl) == TOP_PAIRS else None
+        touched: set[str] = set()
+        batch: list[tuple[str, str, int]] = []
+        for l, r, cnt in tbl:
+            if len(merges) + len(batch) >= n_merges:
+                break
+            if cut is not None and cnt <= cut:
+                break
+            if l in touched or r in touched:
+                break  # count may be stale — next scan re-prices it
+            if any(
+                c2 == cnt and (l2 in touched or r2 in touched)
+                for l2, r2, c2 in tbl
+                if (l2, r2) != (l, r)
+            ):
+                break  # a stale tie could win the lex tie-break
+            batch.append((l, r, cnt))
+            touched.update((l, r, l + r))
+        if not batch:
+            # the window cut can exclude even the head row (every
+            # collected count equal) — but row 0 is the exact global
+            # argmax (the sort precedes the limit) and no batch merge
+            # precedes it, so accepting it alone is always safe
+            batch = [tbl[0]]
+        for l, r, cnt in batch:
+            merges.append((len(merges) + 1, l, r, cnt))
+            cur = cur.withColumn(
+                "s", F.expr(f"replace(s, '|{l}||{r}|', '|{l}{r}|')")
+            )
+            depth += 1
+            if depth >= 6:
+                cur = cur.localCheckpoint()
+                depth = 0
     return merges
 
 

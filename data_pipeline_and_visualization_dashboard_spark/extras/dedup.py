@@ -710,21 +710,29 @@ def dedup_neardup_groups(spark: SparkSession, sf_dir: str,
         pairs.unpersist()
         from pyspark.sql import Observation
 
-        obs0 = Observation()
+        # round-1 labels derived INLINE from the checkpointed edges
+        # (identity labels: label(v) = v) instead of a separate
+        # materialize-the-init job (r17, VERDICT r16 ask #6 — one
+        # fewer fixed-cost job per CC call; corpus_funnel pays this
+        # loop twice per call).  The two per-round references
+        # (neighbor join + union) re-derive the distinct twice inside
+        # round 1's single job — edge-grain work against a
+        # checkpoint, strictly cheaper than the job it replaces.
+        # prev_sum=None makes round 1 unconditionally continue, which
+        # is exact: with ≥1 edge, round 1 always lowers some label
+        # (the larger endpoint of any edge takes the smaller id), so
+        # the fixpoint can never already hold at the identity init.
         labels = (
             edges.select(F.col("src").alias("doc_id"))
             .distinct()
             .withColumn("label", F.col("doc_id"))
-            .repartition(nparts, "doc_id")
-            .observe(obs0, F.sum("label").alias("s"))
-            .localCheckpoint()
         )
         # the convergence metric RIDES the checkpoint job (observe
         # fires on the same action), so each round is ONE job, not a
         # materialize-then-reaggregate pair — halves per-round fixed
         # cost, identical semantics (sum(label) strictly decreases
         # until fixpoint)
-        prev_sum = obs0.get["s"]
+        prev_sum = None
         while True:
             # edges hash-partitioned on src, labels on doc_id==src, both
             # nparts wide -> the join and the min-agg reuse the loop's
@@ -821,23 +829,22 @@ def dedup_neardup_groups_lsss(spark: SparkSession, sf_dir: str,
             .localCheckpoint()
         )
         pairs.unpersist()
-        prev = None
-        while True:
+        def star_pair(e: DataFrame) -> DataFrame:
             # LARGE-STAR over the symmetric adjacency: per node u the
             # neighborhood min m = min(min_v, u); larger neighbors
             # re-attach to m. Canonical edges carry both directions
             # after the union, so Γ(u) is complete.
-            sym = edges.unionByName(
-                edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            sym = e.unionByName(
+                e.select(F.col("v").alias("u"), F.col("u").alias("v"))
             )
             mins = (
                 sym.groupBy("u")
                 .agg(F.min("v").alias("mn"))
                 .select("u", F.least("mn", F.col("u")).alias("m"))
             )
-            # no distinct here: small-star's groupBy-min and the final
-            # round distinct absorb duplicate edges, and dropping the
-            # intermediate dedup saves one exchange per round
+            # no distinct here: small-star's groupBy-min and the
+            # pair-end distinct absorb duplicate edges, and dropping
+            # the intermediate dedup saves one exchange per round
             large = (
                 sym.join(mins, "u")
                 .where(F.col("v") > F.col("u"))
@@ -852,11 +859,30 @@ def dedup_neardup_groups_lsss(spark: SparkSession, sf_dir: str,
                 .where(F.col("v") != F.col("m"))
                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
             )
-            obs = Observation()
-            new_edges = (
-                folded.unionByName(mins2.select("u", F.col("m").alias("v")))
+            return (
+                folded.unionByName(
+                    mins2.select("u", F.col("m").alias("v"))
+                )
                 .where(F.col("u") != F.col("v"))
                 .distinct()
+            )
+
+        prev = None
+        while True:
+            # TWO large-star/small-star rounds per materialize-and-
+            # check job (r17, VERDICT r16 ask #7): the fixpoint test
+            # costs one checkpoint+observe job per check, and star
+            # rounds at the fixpoint are idempotent (every edge
+            # already (member, component-min) — that invariance is
+            # exactly what the (count, hash) stability test detects),
+            # so checking every second round trades one redundant
+            # in-job star pair after convergence for HALF the
+            # fixed-cost jobs on the way there.  Same fixpoint edge
+            # set, hence identical output (A/B in
+            # OPTIMIZATION_r17.md).
+            obs = Observation()
+            new_edges = (
+                star_pair(star_pair(edges))
                 .repartition(nparts, "u")
                 .observe(
                     obs,

@@ -46,7 +46,7 @@ def _dot(a, b) -> Column:
     )
 
 
-def _lit_mat(rows) -> Column:
+def lit_matrix(rows) -> Column:
     """A constant list of vectors as ONE nested array literal instead
     of len(rows)×dim separate Literal/CreateArray nodes.  Catalyst
     planning cost scales with expression-tree size, and the wide form
@@ -57,8 +57,38 @@ def _lit_mat(rows) -> Column:
     sf0.1: the compact form builds ~3× faster with bit-identical
     results; arithmetic order (the left fold in _dot) is untouched, so
     every DuckDB-oracle twin still reproduces exactly
-    (OPTIMIZATION_r16.md, guide §7.2/§3.3 plan-size discipline)."""
-    return F.lit([[float(v) for v in row] for row in rows])
+    (OPTIMIZATION_r16.md, guide §7.2/§3.3 plan-size discipline).
+
+    r17: built by ONE sqlParser round-trip (F.expr over a rendered
+    array(array(…)) literal) instead of F.lit(nested list), which
+    recurses into dim×k element-wise lit() py4j calls — measured
+    2.2-2.9 s of pure DRIVER-side construction per call for the
+    16×64 / 4×16×16 shapes, the dominant remaining per-call constant
+    of the whole family after the r16 plan compaction (guide §7.3's
+    driver-overhead class; OPTIMIZATION_r17.md change 1).  One parse
+    costs ~8 ms.  Bit-exact: repr() emits the shortest round-trip
+    decimal and Spark's double-literal parse (Double.parseDouble) is
+    correctly rounded, so every element — denormals included —
+    reproduces exactly (tested down to 5e-324); the parsed
+    CreateArray tree constant-folds to the same nested Literal, so
+    the physical plan keeps the r16 pinned zip_with/transform shape.
+    Callers pass finite floats only (seeded matrices / trained
+    centroids); inf/nan have no SQL literal spelling and would fail
+    the parse loudly, not silently.
+
+    Public per ADVICE r16 #4 (queries_ext._centroid_sim_structs is a
+    second consumer); `_lit_mat` stays as a compatibility alias."""
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{float(v)!r}D" for v in row) + ")"
+            for row in rows
+        )
+        + ")"
+    )
+
+
+_lit_mat = lit_matrix
 
 
 def _with_norm(df: DataFrame, prefix: str) -> DataFrame:

@@ -26,12 +26,30 @@ from data_pipeline_and_visualization_dashboard_spark.session import (  # noqa: E
 
 
 def canon(v):
+    """Canonical JSON-safe form of one cell (ADVICE r16 #3): floats
+    via repr (exact double round-trip), Row/struct values via asDict
+    (Row is a tuple subclass, so it must be tested BEFORE generic
+    containers or its fields bypass canonicalization), temporal and
+    Decimal cells via isoformat/str so json.dumps never raises."""
+    import datetime
+    import decimal
+
+    from pyspark.sql import Row
+
     if isinstance(v, float):
         return repr(v)
-    if isinstance(v, list):
+    if isinstance(v, Row):
+        return {k: canon(x) for k, x in sorted(v.asDict().items())}
+    if isinstance(v, (list, tuple)):
         return [canon(x) for x in v]
     if isinstance(v, dict):
         return {k: canon(x) for k, x in sorted(v.items())}
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
     return v
 
 

@@ -706,6 +706,33 @@ def test_bpe_train_matches_reference_implementation(spark):
         assert len(words) <= out.n_tokens <= sum(len(w) for w in words)
 
 
+def test_bpe_batched_trainer_exact_under_ties(spark, tmp_path):
+    """Focused pin for the r17 batched trainer (one pair-count scan
+    may accept SEVERAL merges): the provably-dangerous inputs are
+    exact-count TIES a batch-stale pair could win lexicographically,
+    and merges that re-create an already-existing symbol (the l+r
+    guard).  A dense 2-letter vocab with engineered tied frequencies
+    maximizes both; the textbook reference decides what exact means.
+    The real-corpus agreement is pinned separately by
+    test_bpe_train_matches_reference_implementation."""
+    from data_pipeline_and_visualization_dashboard_spark.extras.bpe import (
+        train_bpe_merges,
+    )
+
+    freqs = {
+        "abab": 6, "baba": 6, "aabb": 6, "bbaa": 6,
+        "abba": 5, "baab": 5, "aaaa": 4, "bbbb": 4,
+        "ab": 3, "ba": 3, "aa": 2, "bb": 2,
+    }
+    docs = [(i, " ".join([w] * f)) for i, (w, f) in enumerate(freqs.items())]
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    expected = _reference_bpe(freqs, 10)
+    got = train_bpe_merges(spark, str(tmp_path), 10)
+    assert got == expected
+
+
 def test_bpe_compression_curve_properties(spark):
     """Round 0 must equal total character count (every char its own
     symbol), each merge strictly reduces total tokens (the arg-max

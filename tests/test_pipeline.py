@@ -566,6 +566,69 @@ def test_session_floor_gate(tmp_path):
     assert (r, n) == (2.0, 1)
 
 
+def test_count_round_runs(tmp_path):
+    """bench.count_round_runs (VERDICT r16 ask #9): counts exactly the
+    archives session_floor_gate folds into a round's floor — full
+    runs at the same sf, both divert conventions, subsets and
+    sf-mismatches excluded — so baseline_floor_runs_prev lets a
+    round-over-round floor delta be draw-count corrected."""
+    import json
+
+    import bench
+
+    (tmp_path / "BENCH_full_r15.json").write_text(json.dumps(
+        {"sf": 0.1, "queries": {"a": 1.0}}
+    ))
+    (tmp_path / "BENCH_full_r15.json.new").write_text(json.dumps(
+        {"sf": 0.1, "queries": {"a": 2.0}}
+    ))
+    (tmp_path / "BENCH_full_r15b.json").write_text(json.dumps(
+        {"sf": 0.1, "queries": {"a": 3.0}}
+    ))
+    (tmp_path / "BENCH_full_r15.json.new2").write_text(json.dumps(
+        {"sf": 1.0, "queries": {"a": 0.1}}       # ladder: excluded
+    ))
+    (tmp_path / "BENCH_full_r15.json.new3").write_text(json.dumps(
+        {"sf": 0.1, "baseline_skip_reason": "subset_run",
+         "queries": {"a": 0.1}}                  # subset: excluded
+    ))
+    (tmp_path / "BENCH_full_r15.json.new4").write_text("not json")
+    assert bench.count_round_runs(str(tmp_path), 15, 0.1) == 3
+    assert bench.count_round_runs(str(tmp_path), 14, 0.1) == 0
+    assert bench.count_round_runs(str(tmp_path), None, 0.1) == 0
+
+
+def test_inline_queries_subset(tmp_path):
+    """bench.inline_queries_subset (VERDICT r16 ask #2): the final
+    one-line JSON's per-query slice must (1) fit the driver's
+    2000-char tail window with every other summary field around it,
+    (2) pick membership from the FROZEN floors only — identical
+    across draws and core counts, so the driver's scaling pass can
+    intersect the 32-core and low-core maps — and (3) carry this
+    run's actual values."""
+    import json
+
+    import bench
+
+    full = json.load(open("BENCH_full_r06.json"))
+    timings = {q: 9.999 for q in bench.HEADLINE}
+    sub = bench.inline_queries_subset(timings)
+    assert 20 <= len(sub) < len(bench.HEADLINE)
+    assert all(v == 9.999 for v in sub.values())
+    # membership is draw-independent
+    other = {q: i * 0.001 for i, q in enumerate(bench.HEADLINE)}
+    assert set(sub) == set(bench.inline_queries_subset(other))
+    # the serialized slice respects the byte budget it was sized for
+    assert len(json.dumps(sub, separators=(",", ":"))) <= 1200
+    # membership prefers the slowest frozen floors: the overall
+    # slowest frozen query is always present
+    base_q = {**full["queries"], **bench.BASELINE_REFREEZE}
+    slowest = max(
+        (q for q in bench.HEADLINE if q in base_q), key=lambda q: base_q[q]
+    )
+    assert slowest in sub
+
+
 def test_parse_round_arg_branches():
     """bench._parse_round_arg (ADVICE r9 #1): every branch — env,
     flag, flag-overrides-env, absent, and the two fail-fast malformed
