@@ -869,20 +869,23 @@ def dedup_neardup_groups_lsss(spark: SparkSession, sf_dir: str,
 
         prev = None
         while True:
-            # TWO large-star/small-star rounds per materialize-and-
-            # check job (r17, VERDICT r16 ask #7): the fixpoint test
-            # costs one checkpoint+observe job per check, and star
-            # rounds at the fixpoint are idempotent (every edge
-            # already (member, component-min) — that invariance is
-            # exactly what the (count, hash) stability test detects),
-            # so checking every second round trades one redundant
-            # in-job star pair after convergence for HALF the
-            # fixed-cost jobs on the way there.  Same fixpoint edge
-            # set, hence identical output (A/B in
-            # OPTIMIZATION_r17.md).
+            # Convergence is checked EVERY round. The r17 session
+            # A/B'd the verdict's every-second-round variant
+            # (star_pair(star_pair(edges)) per check job) and
+            # REVERTED it with numbers (the q51 discipline): on this
+            # corpus the dup graph reaches the star fixpoint in ONE
+            # real round (+1 confirming check), so doubling rounds
+            # per check only ADDS redundant star passes — measured
+            # 3.6 s vs 7.0 s same-process best-of-3 at sf0.1
+            # (OPTIMIZATION_r17.md). The batching would pay only when
+            # typical round counts far exceed the ~0.3 s/job fixed
+            # cost's worth — i.e. deep-diameter graphs where this
+            # variant's O(log² n) rounds are many — and costs up to
+            # one redundant star pair either way; with shallow dup
+            # components the per-round check is strictly better.
             obs = Observation()
             new_edges = (
-                star_pair(star_pair(edges))
+                star_pair(edges)
                 .repartition(nparts, "u")
                 .observe(
                     obs,

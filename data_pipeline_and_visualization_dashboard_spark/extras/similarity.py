@@ -1078,7 +1078,13 @@ def _pq_with_dls(unit: DataFrame, cents) -> DataFrame:
     cols = []
     for b in range(PQ_BLOCKS):
         sl = F.slice("u", b * PQ_BLOCK_DIM + 1, PQ_BLOCK_DIM)
-        cnorms = F.lit([_pq_cnorm(c) for c in cents[b]])
+        # one parse per block, like lit_matrix: F.lit(list) recurses
+        # into a py4j call per element (~0.15 s across the 4 blocks)
+        cnorms = F.expr(
+            "array("
+            + ",".join(f"{float(_pq_cnorm(c))!r}D" for c in cents[b])
+            + ")"
+        )
         cb = _lit_mat(cents[b])
         cols.append(
             F.zip_with(

